@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for the training-data pipeline: exact,
+  * MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection.
+  *
+  * Scale design (the point of each choice):
+  *   - exact dedup is a single hash-aggregate — one shuffle on the
+  *     fingerprint, map-side partial aggregation;
+  *   - MinHash/LSH never compares all pairs: signatures are computed
+  *     row-local (no shuffle), candidates come from an equi-shuffle on
+  *     (band, bandHash), and pair generation happens inside each bucket
+  *     with a cap so one hot bucket cannot go quadratic;
+  *   - SimHash banding is the same pattern on 16-bit chunks of the
+  *     fingerprint;
+  *   - exact-Jaccard verification only runs on the candidate set.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash (md5 of the raw text).
+    * One shuffle; `keep_id` is the deterministic survivor (min id). */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-doc MinHash signature + LSH band hashes. Row-local, no shuffle. */
+  def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 32, bands: Int = 8): DataFrame =
+    docs
+      .withColumn("toks", tokens(textCol))
+      .withColumn("sh", shingles("toks"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature("sh", k))
+      .withColumn("bandhash", bandHashes("sig", k, bands))
+      .select(col(idCol), col("sh"), col("sig"), col("bandhash"))
+
+  /** Candidate near-duplicate pairs from LSH banding. `maxBucket` caps
+    * pathological buckets (skew guard): a bucket larger than the cap is
+    * dropped rather than generating O(n²) pairs — at 100 TB a single
+    * degenerate shingle ("", boilerplate) would otherwise dominate the
+    * stage. Pair generation is in-bucket via an index-lambda transform,
+    * so there is no self-join shuffle of the full signature table. */
+  def minhashCandidates(sigs: DataFrame, idCol: String = "doc_id",
+      maxBucket: Int = 100): DataFrame = {
+    val exploded = sigs.select(col(idCol).as("id"), posexplode(col("bandhash")).as(Seq("band", "bh")))
+    exploded
+      .groupBy("band", "bh")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
+        .as("pair"))
+      .select(col("pair.doc_a"), col("pair.doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over shingle sets for a pair list (verification pass —
+    * runs only on LSH candidates, never all pairs). */
+  def verifyJaccard(pairs: DataFrame, sigs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val sets = sigs.select(col(idCol).as("id"), col("sh"))
+    pairs
+      .join(sets.withColumnRenamed("id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
+      .join(sets.withColumnRenamed("id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** End-to-end MinHash near-dup pairs above a Jaccard threshold. */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
+      k: Int = 32, bands: Int = 8): DataFrame = {
+    val sigs = minhashSignatures(docs, k = k, bands = bands)
+    verifyJaccard(minhashCandidates(sigs), sigs)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Per-doc 64-bit SimHash fingerprint. Row-local. */
+  def simhashFingerprints(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.withColumn("toks", tokens(textCol))
+      .select(col(idCol), simhash64("toks").as("simhash"))
+
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into four
+    * 16-bit chunks (any exact-matching chunk → candidate; guarantees
+    * recall for Hamming distance ≤ 3), then verify with bit_count(xor). */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", maxBucket: Int = 100): DataFrame = {
+    val fp = simhashFingerprints(docs, idCol)
+    val banded = fp.select(col(idCol).as("id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> shiftrightunsigned(simhash, b * 16) & 65535)"))
+        .as(Seq("band", "chunk")))
+    banded
+      .groupBy("band", "chunk")
+      .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(xs, (x, i) ->
+          |  transform(slice(xs, i + 2, size(xs)), y -> struct(x.id AS doc_a, x.simhash AS ha, y.id AS doc_b, y.simhash AS hb))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        expr("bit_count(p.ha ^ p.hb)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** N-gram Jaccard via an inverted shingle index: explode distinct
+    * shingles, equi-join on shingle (doc_a < doc_b), count shared,
+    * jaccard = shared / (|A| + |B| - shared). The equi-join shuffles on
+    * the shingle — the classic scalable similarity-join shape. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.3,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3): DataFrame = {
+    val sh = docs
+      .withColumn("toks", tokens(textCol))
+      .withColumn("sh", shingles("toks", n))
+      .filter(size(col("sh")) > 0)
+      .select(col(idCol).as("id"), col("sh"), size(col("sh")).as("n_sh"))
+    val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val a = inv.select(col("id").as("doc_a"), col("n_sh").as("na"), col("shingle"))
+    val b = inv.select(col("id").as("doc_b"), col("n_sh").as("nb"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("shared"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared").cast("double") / (col("na") + col("nb") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.plans.GraftFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *     The query set is broadcast (it is small by construction), so the
+  *     corpus is scanned once with no shuffle of the big side; ranking is
+  *     a per-query window over the similarity scores.
+  *   - [[lshTopK]]: random-hyperplane LSH. Each vector gets a sign-bit
+  *     bucket from `nBits` deterministic pseudo-random hyperplanes;
+  *     queries probe only their own bucket. At 100 TB the bucket column
+  *     becomes the partition/bucketing key so a probe touches a single
+  *     partition instead of the full corpus — the scan cost drops by
+  *     ~2^nBits at the price of recall (measured in the test suite).
+  *
+  * Similarity itself is the native codegen expression
+  * [[graft.plans.CosineSimilarity]] — see its scaladoc for why not a UDF.
+  * Ranking orders by similarity rounded to 1e-6 with the vector id as a
+  * tie-break, making top-k deterministic under floating-point jitter.
+  */
+object Similarity {
+
+  private def ranked(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("sim"), 6).desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Exact cosine top-k of `corpus` for each row of `queries`
+    * (both `(vec_id, embedding)`-shaped). */
+  def bruteForceTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      k: Int = 10): DataFrame = {
+    GraftFunctions.register(spark)
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val scored = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", expr("cosine_sim(embedding, q_emb)"))
+    ranked(scored, k).select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component: hash of
+    * (table, plane, dim) mapped to [-0.5, 0.5). No data dependence, no
+    * RNG state — reproducible across runs and cluster sizes. `table`
+    * offsets the plane ids so each hash table is independent. */
+  private def bucketExpr(embCol: String, nBits: Int, table: Int): String =
+    s"""aggregate(sequence(0, ${nBits - 1}), 0, (acc, b) ->
+       |  CASE WHEN aggregate(sequence(0, size($embCol) - 1), cast(0.0 as double),
+       |    (s, i) -> s + element_at($embCol, i + 1) *
+       |      (cast(pmod(xxhash64((b + ${table * nBits}) * 4096 + i), 1000) as double) / 1000.0 - 0.5)) > 0
+       |  THEN acc + shiftleft(1, b) ELSE acc END)""".stripMargin
+
+  /** Multi-table multiprobe LSH ANN. `tables` independent hash tables
+    * (the classic recall amplifier: P(hit) = 1-(1-p)^L), and within each
+    * table the query probes its own sign bucket plus all buckets at
+    * Hamming distance 1 — 1+nBits probes instead of 2^nBits.
+    *
+    * Shape at scale: the corpus is exploded to one row per (table,
+    * bucket) — linear in L — and joined on the compound key; the probe
+    * expansion happens only on the small broadcast query side. With the
+    * corpus written bucketed/partitioned by (table, bucket), a probe
+    * touches L·(1+nBits) partitions instead of the full corpus.
+    * Duplicate candidates across tables are dropped before the exact
+    * rerank. */
+  def lshTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      k: Int = 10, nBits: Int = 8, tables: Int = 4): DataFrame = {
+    GraftFunctions.register(spark)
+    val tableBuckets = (0 until tables)
+      .map(t => s"struct($t AS tbl, ${bucketExpr("embedding", nBits, t)} AS bucket)")
+      .mkString(", ")
+    val bucketed = corpus.select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        explode(expr(s"array($tableBuckets)")).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val probeSets = (0 until tables).map { t =>
+      val b0 = bucketExpr("q_emb", nBits, t)
+      s"""transform(
+         |  array_union(array($b0), transform(sequence(0, ${nBits - 1}), b -> $b0 ^ shiftleft(1, b))),
+         |  x -> struct($t AS tbl, x AS bucket))""".stripMargin
+    }.mkString(", ")
+    val q = broadcast(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        .select(col("query_id"), col("q_emb"),
+          explode(expr(s"flatten(array($probeSets))")).as("tb"))
+        .select(col("query_id"), col("q_emb"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket")))
+    val scored = bucketed.join(q, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("sim", expr("cosine_sim(embedding, q_emb)"))
+    ranked(scored, k).select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+}

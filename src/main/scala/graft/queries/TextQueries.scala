@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Dedup, Multimodal}
+import graft.functions.TextFunctions
+
+/** Training-data-pipeline queries over the `documents` table: dedup
+  * (exact / MinHash / SimHash / n-gram Jaccard), text analysis
+  * (language-ID, quality scoring, token counting, fingerprinting) and
+  * the multimodal stub pipeline.
+  *
+  * Oracle coverage: operators whose math DuckDB SQL can replicate
+  * exactly (md5, arithmetic, list ops) get oracle SQL; the xxhash64-based
+  * sketches (MinHash/SimHash/LSH/fingerprint) cannot be replicated in
+  * DuckDB and are covered rows-only here plus ScalaTest oracles on
+  * planted fixtures.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** Exact dedup groups by content hash (hash-groupBy; one shuffle). */
+  def q30DedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exactGroups(docs(s, d)).orderBy("fingerprint")
+
+  /** MinHash+LSH near-dup pairs, Jaccard-verified (threshold 0.5). */
+  def q31DedupMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashNearDups(docs(s, d), threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  /** SimHash fingerprints + near-dup pairs within Hamming distance 3. */
+  def q32DedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashNearDups(docs(s, d), maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+
+  /** Exact n-gram Jaccard similarity join (inverted shingle index). */
+  def q33NgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, d), threshold = 0.3)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  /** Language-ID by marker-token counts, argmax with deterministic
+    * tie-break (order of `TextFunctions.langMarkers`). */
+  def q36LangId(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).withColumn("toks", TextFunctions.tokens("text"))
+    val scored = TextFunctions.langMarkers.foldLeft(base) { case (df, (lang, markers)) =>
+      df.withColumn(s"score_$lang", TextFunctions.markerCount("toks", markers))
+    }
+    val langs = TextFunctions.langMarkers.map(_._1)
+    // argmax: first lang (in declared order) whose score equals the max
+    val maxScore = greatest(langs.map(l => col(s"score_$l")): _*)
+    val pred = langs.foldRight(lit("und"): org.apache.spark.sql.Column) { (l, acc) =>
+      when(col(s"score_$l") === maxScore, lit(l)).otherwise(acc)
+    }
+    scored
+      .select(col("doc_id") +: col("lang").as("labeled_lang") +: pred.as("predicted_lang") +:
+        langs.map(l => col(s"score_$l")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Text quality scoring: length, token stats, stopword ratio, score. */
+  def q37TextQuality(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("toks", TextFunctions.tokens("text"))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("chars"),
+        size(col("toks")).as("n_tokens"),
+        round(length(col("text")).cast("double") / size(col("toks")), 4).as("avg_token_span"),
+        round(TextFunctions.markerCount("toks", Seq("the", "a")).cast("double") /
+          size(col("toks")), 4).as("stopword_ratio"),
+        round(
+          least(size(col("toks")).cast("double") / 50, lit(1.0)) *
+            (lit(1.0) - TextFunctions.markerCount("toks", Seq("the", "a")).cast("double") /
+              size(col("toks"))), 4).as("quality_score"))
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace tokens vs BPE-ish regex tokens. */
+  def q38TokenCount(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(
+        col("doc_id"),
+        size(TextFunctions.tokens("text")).as("ws_tokens"),
+        TextFunctions.bpeTokenCount("text").as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Order-sensitive rolling-hash document fingerprint (rows-only:
+    * xxhash64 not replicable in DuckDB). */
+  def q39Fingerprint(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("toks", TextFunctions.tokens("text"))
+      .select(col("doc_id"), TextFunctions.rollingFingerprint("toks").as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Multimodal stub pipeline: binary payload + partition-local decode.
+    * The fake features are deterministic functions of payload length, so
+    * the oracle CAN check the full plumbing end-to-end. */
+  def q40Multimodal(s: SparkSession, d: String): DataFrame =
+    Multimodal.features(s, docs(s, d)).orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_dedup_exact" -> (q30DedupExact _),
+    "q31_dedup_minhash" -> (q31DedupMinhash _),
+    "q32_dedup_simhash" -> (q32DedupSimhash _),
+    "q33_ngram_jaccard" -> (q33NgramJaccard _),
+    "q36_langid" -> (q36LangId _),
+    "q37_text_quality" -> (q37TextQuality _),
+    "q38_token_count" -> (q38TokenCount _),
+    "q39_fingerprint" -> (q39Fingerprint _),
+    "q40_multimodal" -> (q40Multimodal _)
+  )
+
+  private val markerSql: Map[String, String] =
+    TextFunctions.langMarkers.map { case (l, ms) =>
+      l -> ms.map(m => s"'$m'").mkString(", ")
+    }.toMap
+
+  val oracles: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q33_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard
+        |FROM cand
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q36_langid" -> {
+      val scoreCols = TextFunctions.langMarkers.map { case (l, _) =>
+        s"len(list_filter(t, x -> x IN (${markerSql(l)}))) AS score_$l"
+      }.mkString(",\n  ")
+      val langs = TextFunctions.langMarkers.map(_._1)
+      val maxExpr = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
+      val predExpr = langs.foldRight("'und'") { (l, acc) =>
+        s"CASE WHEN score_$l = $maxExpr THEN '$l' ELSE $acc END"
+      }
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+         |scored AS (
+         |  SELECT doc_id, lang AS labeled_lang,
+         |  $scoreCols
+         |  FROM toks)
+         |SELECT doc_id, labeled_lang, $predExpr AS predicted_lang,
+         |  ${langs.map(l => s"score_$l").mkString(", ")}
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+    "q37_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id, length(text) AS chars, len(toks) AS n_tokens,
+        |  round(length(text) * 1.0 / len(toks), 4) AS avg_token_span,
+        |  round(len(list_filter(toks, x -> x IN ('the','a'))) * 1.0 / len(toks), 4) AS stopword_ratio,
+        |  round(least(len(toks) / 50.0, 1.0) *
+        |    (1.0 - len(list_filter(toks, x -> x IN ('the','a'))) * 1.0 / len(toks)), 4) AS quality_score
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q38_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q40_multimodal" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS byte_len,
+        |  64 + octet_length(encode(text)) % 64 AS width,
+        |  64 + (octet_length(encode(text)) // 64) % 64 AS height,
+        |  1 + octet_length(encode(text)) % 8 AS n_frames,
+        |  3 AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

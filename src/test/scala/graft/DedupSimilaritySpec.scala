@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.plans.GraftFunctions
+
+/** Oracle tests for the sketch-based operators DuckDB cannot replicate:
+  * planted duplicates for MinHash/SimHash, brute-force ground truth for
+  * LSH recall, hand-computed cosine for the native expression. */
+class DedupSimilaritySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val df = docsDf(Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "unrelated text here")))
+    val groups = Dedup.exactGroups(df).collect()
+    assert(groups.length == 2)
+    val dup = groups.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash near-dups finds planted near-duplicate, not unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again every day"
+    val nearDup = base.replace("lazy", "sleepy") // 1-token edit
+    val other = "completely different content about spark catalyst expression codegen pipelines"
+    val df = docsDf(Seq((1L, base), (2L, nearDup), (3L, other), (4L, "tiny")))
+    val pairs = Dedup.minhashNearDups(df, threshold = 0.3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val j = pairs.head.getAs[Double]("jaccard")
+    assert(j > 0.3 && j < 1.0)
+  }
+
+  test("simhash: identical docs distance 0; near-dup within banding recall") {
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val df = docsDf(Seq((1L, base), (2L, base), (3L, "alpha beta gamma delta epsilon zeta")))
+    val dups = Dedup.simhashNearDups(df, maxHamming = 3).collect()
+    assert(dups.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getAs[Int]("hamming") == 0))
+    assert(!dups.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("ngram jaccard matches hand-computed value") {
+    // doc1: tokens a b c d -> shingles {a b c, b c d}; doc2: a b c e -> {a b c, b c e}
+    // intersection 1, union 3 -> jaccard 1/3
+    val df = docsDf(Seq((1L, "a b c d"), (2L, "a b c e")))
+    val pairs = Dedup.ngramJaccardPairs(df, threshold = 0.1).collect()
+    assert(pairs.length == 1)
+    assert(math.abs(pairs.head.getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("native cosine_sim matches hand computation and handles zero vectors") {
+    GraftFunctions.register(spark)
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 2.0f), Array(2.0f, 4.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(1.0f, 1.0f), 1.0 / math.sqrt(2)),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f), 0.0) // zero vector → 0 by convention
+    ).toDF("a", "b", "expected")
+    val got = df.withColumn("sim", expr("cosine_sim(a, b)")).collect()
+    got.foreach { r =>
+      assert(math.abs(r.getAs[Double]("sim") - r.getAs[Double]("expected")) < 1e-9)
+    }
+    // null propagation
+    val n = Seq((Some(Array(1.0f)), Option.empty[Array[Float]])).toDF("a", "b")
+      .withColumn("sim", expr("cosine_sim(a, b)")).collect()
+    assert(n.head.isNullAt(1))
+  }
+
+  test("LSH ANN achieves >=60% recall@10 vs brute force on sf0.001 embeddings") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(spark, emb, q, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val approx = Similarity.lshTopK(spark, emb, q, 10, nBits = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall was $recall")
+  }
+
+  test("multimodal stub pipeline: binary plumbing produces length-derived features") {
+    val s = spark; import s.implicits._
+    val df = Seq((7L, "abcdefgh", "en", "srcX", 8L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val f = Multimodal.features(spark, df).collect().head
+    assert(f.getAs[Long]("byte_len") == 8L)
+    assert(f.getAs[Long]("width") == 64 + 8 % 64)
+    assert(f.getAs[Long]("n_frames") == 1 + 8 % 8)
+  }
+}
