@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Energy-side operator chain (SURVEY §2, EP1 stage 2): flatten raw EIA
+  * JSON → cast-with-null-on-error → hourly→daily resample → densify.
+  *
+  * The hourly→daily pre-aggregation runs BEFORE the weather join
+  * (reference src/data_processor.py:79) — it shrinks the join input
+  * ~24×, the one manual optimization worth keeping explicit in the DAG
+  * (SURVEY §4). */
+object EnergyOps {
+
+  /** Flatten the raw EIA payload: explode `response.data`, parse the
+    * hourly period, cast `value` null-on-error (P10 — reference
+    * pd.to_numeric(errors='coerce'), src/data_processor.py:75-76;
+    * Spark's non-ANSI try-cast semantics via try_cast). */
+  def flatten(eiaRaw: DataFrame, city: String): DataFrame =
+    eiaRaw
+      .select(explode(col("response.data")).as("r"))
+      .select(
+        to_timestamp(col("r.period"), "yyyy-MM-dd'T'HH").as("ts"),
+        expr("try_cast(r.value AS double)").as("value"))
+      .withColumn("city", lit(city))
+
+  /** A2 — time-bucket resample hourly→daily SUM. Pandas semantics: a
+    * day present in the index but all-NaN sums to 0.0, and densified
+    * missing days become 0.0 after resample+reindex in the reference
+    * path — so the daily sum coalesces to 0 (SURVEY §7.4 trap 1). */
+  def resampleDaily(hourly: DataFrame): DataFrame =
+    hourly
+      .groupBy(to_date(col("ts")).as("date"), col("city"))
+      .agg(coalesce(sum("value"), lit(0.0)).as("energy_demand_gwh"))
+
+  /** J5 — densify onto the complete date spine; the reference's energy
+    * path fills absent days with NULL then the join drops them; the
+    * engine keeps NULL for absent days (distinct from all-NaN days
+    * which are 0.0 — the pandas trap, covered in tests). */
+  def densify(daily: DataFrame, city: String, start: String, end: String): DataFrame = {
+    val spark = daily.sparkSession
+    val spine = spark.sql(
+      s"SELECT explode(sequence(to_date('$start'), to_date('$end'), interval 1 day)) AS date")
+      .withColumn("city", lit(city))
+    broadcast(spine).join(daily, Seq("date", "city"), "left")
+  }
+
+  /** Full per-city energy chain: raw payload → dense daily table
+    * (P2 — final projection to the 3-column contract). */
+  def process(eiaRaw: DataFrame, city: String, start: String, end: String): DataFrame =
+    densify(resampleDaily(flatten(eiaRaw, city)), city, start, end)
+      .select("date", "city", "energy_demand_gwh")
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Core pipeline composition (EP1 heart): union per-city frames, inner
+  * join weather⋈energy on (date, city), derive temp_avg_f, sink. */
+object PipelineOps {
+
+  /** U1 — schema-aligned union of per-city frames (reference pd.concat,
+    * src/pipeline.py:82-83). */
+  def unionCities(frames: Seq[DataFrame]): DataFrame =
+    frames.reduce(_ unionByName _)
+
+  /** J1 — THE core query: inner equi-join on the composite key
+    * (reference src/pipeline.py:86). At scale both sides shuffle on
+    * (date, city); with both sides written bucketed by city the
+    * exchange disappears. */
+  def joinWeatherEnergy(weather: DataFrame, energy: DataFrame): DataFrame =
+    weather.join(energy, Seq("date", "city"), "inner")
+
+  /** P3 — final strict (a+b)/2 overwrite of temp_avg_f (reference
+    * src/pipeline.py:89; NULL-propagating — deliberately NOT the
+    * NaN-skipping rowwise mean, SURVEY §7.4 trap 1). */
+  def deriveTempAvg(joined: DataFrame): DataFrame =
+    joined.withColumn("temp_avg_f", (col("temp_max_f") + col("temp_min_f")) / 2)
+
+  /** S5 — CSV sink for dashboard parity (reference to_csv,
+    * src/pipeline.py:96-98). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Preferred engine sink: parquet partitioned by city — partition
+    * pruning for the dashboard's per-city queries; at 100 TB this would
+    * be partitioned by (city, month) with compaction. The `realtime`
+    * daily run overwrites only the partitions it touched
+    * (dynamic partition overwrite) instead of the whole dataset —
+    * fixing the reference's overwrite-everything bug (SURVEY §7.4
+    * trap 7) as a documented deviation. */
+  def writePartitioned(df: DataFrame, path: String): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("city")
+      .parquet(path)
+}
