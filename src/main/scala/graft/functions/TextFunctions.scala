@@ -21,46 +21,33 @@ object TextFunctions {
     expr(s"split(lower(trim($text)), '\\\\s+')")
 
   /** Distinct n-token shingles ("w1 w2 w3"); empty array when the doc is
-    * shorter than n tokens. Input column must be an array<string>. */
+    * shorter than n tokens. Input column must be an array<string>.
+    * Native [[Shingles]] expression; requires GraftFunctions.register. */
   def shingles(toksCol: String, n: Int = 3): Column =
-    expr(
-      s"""CASE WHEN size($toksCol) >= $n THEN
-         |  array_distinct(transform(sequence(1, size($toksCol) - ${n - 1}),
-         |    i -> concat_ws(' ', ${(0 until n).map(i => s"element_at($toksCol, i + $i)").mkString(", ")})))
-         |ELSE array() END""".stripMargin)
+    expr(s"shingles($toksCol, $n)")
 
   /** MinHash signature of a shingle-set column: k independent universal
-    * hashes h_j(s) = (h32(s) * (2j+1) + j) mod p, minimized over the
-    * set, where h32 masks xxhash64 to 32 bits so the multiply stays
-    * within long range (Spark 4 runs ANSI mode: overflow is an error,
-    * not a wrap). Deterministic; one pass over the shingles per row. */
-  def minhashSignature(shinglesCol: String, k: Int = 32): Column = {
-    val p = "2305843009213693951L" // 2^61 - 1
-    expr(
-      s"""transform(sequence(0, ${k - 1}), j ->
-         |  array_min(transform($shinglesCol,
-         |    s -> pmod((xxhash64(s) & 4294967295L) * (2L * j + 1L) + j, $p))))""".stripMargin)
-  }
+    * hashes h_j(s) = (h32(s) * (2j+1) + j) mod 2^61-1, minimized over
+    * the set. Backed by the native [[MinHashSig]] expression (each
+    * shingle hashed once, primitive inner loop) — the interpreted
+    * higher-order formulation re-hashed every shingle k times and was
+    * the bench bottleneck. Requires GraftFunctions.register. */
+  def minhashSignature(shinglesCol: String, k: Int = 32): Column =
+    expr(s"minhash_sig($shinglesCol, $k)")
 
   /** LSH band hashes of a MinHash signature: split into `bands` bands of
     * k/bands rows, hash each band. Docs sharing any band hash are
-    * near-duplicate candidates. */
-  def bandHashes(sigCol: String, k: Int = 32, bands: Int = 8): Column = {
-    val rows = k / bands
-    expr(
-      s"""transform(sequence(0, ${bands - 1}), b ->
-         |  xxhash64(concat_ws(',',
-         |    transform(slice($sigCol, b * $rows + 1, $rows), x -> cast(x as string))), b))""".stripMargin)
-  }
+    * near-duplicate candidates. Native [[MinHashBands]] expression;
+    * requires GraftFunctions.register. */
+  def bandHashes(sigCol: String, k: Int = 32, bands: Int = 8): Column =
+    expr(s"minhash_bands($sigCol, $bands)")
 
-  /** 64-bit SimHash of a token array: per-bit vote of xxhash64(token),
-    * sign → bit. Single aggregate pass, no shuffle. */
+  /** 64-bit SimHash of a token array: per-bit vote of the token hash,
+    * sign → bit. Native [[SimHash64]] expression: one hash per token
+    * (the interpreted nested-aggregate form hashed each token 64
+    * times). Requires GraftFunctions.register. */
   def simhash64(toksCol: String): Column =
-    expr(
-      s"""aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) ->
-         |  CASE WHEN aggregate($toksCol, 0, (s, t) ->
-         |         s + CASE WHEN (shiftrightunsigned(xxhash64(t), i) & 1) = 1 THEN 1 ELSE -1 END) > 0
-         |       THEN acc | shiftleft(cast(1 as bigint), i) ELSE acc END)""".stripMargin)
+    expr(s"simhash64($toksCol)")
 
   /** Rolling polynomial fingerprint over the token stream (order-
     * sensitive, unlike the set-based hashes), computed mod 2^31-1 so

@@ -28,7 +28,8 @@ object Dedup {
 
   /** Per-doc MinHash signature + LSH band hashes. Row-local, no shuffle. */
   def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", k: Int = 32, bands: Int = 8): DataFrame =
+      textCol: String = "text", k: Int = 32, bands: Int = 8): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     docs
       .withColumn("toks", tokens(textCol))
       .withColumn("sh", shingles("toks"))
@@ -36,6 +37,7 @@ object Dedup {
       .withColumn("sig", minhashSignature("sh", k))
       .withColumn("bandhash", bandHashes("sig", k, bands))
       .select(col(idCol), col("sh"), col("sig"), col("bandhash"))
+  }
 
   /** Candidate near-duplicate pairs from LSH banding. `maxBucket` caps
     * pathological buckets (skew guard): a bucket larger than the cap is
@@ -70,19 +72,26 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
-  /** End-to-end MinHash near-dup pairs above a Jaccard threshold. */
+  /** End-to-end MinHash near-dup pairs above a Jaccard threshold. The
+    * signature table feeds both the candidate generation and the
+    * verification join, so it is cached — without it the whole
+    * tokenize→shingle→sketch chain runs twice. */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
       k: Int = 32, bands: Int = 8): DataFrame = {
-    val sigs = minhashSignatures(docs, k = k, bands = bands)
+    val sigs = minhashSignatures(docs, k = k, bands = bands).cache()
+    sigs.count() // eager: three downstream scans would otherwise race the
+                 // cold cache inside one job and sketch the corpus thrice
     verifyJaccard(minhashCandidates(sigs), sigs)
       .filter(col("jaccard") >= threshold)
   }
 
   /** Per-doc 64-bit SimHash fingerprint. Row-local. */
   def simhashFingerprints(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text"): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     docs.withColumn("toks", tokens(textCol))
       .select(col(idCol), simhash64("toks").as("simhash"))
+  }
 
   /** SimHash near-dup pairs: band the 64-bit fingerprint into four
     * 16-bit chunks (any exact-matching chunk → candidate; guarantees
@@ -114,6 +123,7 @@ object Dedup {
     * the shingle — the classic scalable similarity-join shape. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.3,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     val sh = docs
       .withColumn("toks", tokens(textCol))
       .withColumn("sh", shingles("toks", n))

@@ -48,16 +48,14 @@ object Similarity {
     ranked(scored, k).select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component: hash of
+  /** Deterministic pseudo-random hyperplane sign-bucket: hash of
     * (table, plane, dim) mapped to [-0.5, 0.5). No data dependence, no
     * RNG state — reproducible across runs and cluster sizes. `table`
-    * offsets the plane ids so each hash table is independent. */
+    * offsets the plane ids so each hash table is independent. Native
+    * [[LshBucket]] expression (primitive loop, one hash per (plane,
+    * dim)). */
   private def bucketExpr(embCol: String, nBits: Int, table: Int): String =
-    s"""aggregate(sequence(0, ${nBits - 1}), 0, (acc, b) ->
-       |  CASE WHEN aggregate(sequence(0, size($embCol) - 1), cast(0.0 as double),
-       |    (s, i) -> s + element_at($embCol, i + 1) *
-       |      (cast(pmod(xxhash64((b + ${table * nBits}) * 4096 + i), 1000) as double) / 1000.0 - 0.5)) > 0
-       |  THEN acc + shiftleft(1, b) ELSE acc END)""".stripMargin
+    s"lsh_bucket($embCol, $nBits, $table)"
 
   /** Multi-table multiprobe LSH ANN. `tables` independent hash tables
     * (the classic recall amplifier: P(hit) = 1-(1-p)^L), and within each

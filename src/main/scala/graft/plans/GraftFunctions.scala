@@ -1,14 +1,30 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.graft.CosineSimilarity
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.graft.{CosineSimilarity, LshBucket, MinHashBands, MinHashSig, Shingles, SimHash64}
 
 /** Session-scoped registration of graft's native Catalyst expressions,
   * so they are callable from `expr("cosine_sim(a, b)")` / SQL text.
   * Idempotent (createOrReplace). */
 object GraftFunctions {
+
+  private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
+
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSig(exprs(0), intLit(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "lsh_bucket", exprs => LshBucket(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingles", exprs => Shingles(exprs(0), intLit(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_bands", exprs => MinHashBands(exprs(0), intLit(exprs(1))), "built-in")
   }
 }

@@ -1,0 +1,189 @@
+// Same package rationale as CosineSimilarity.scala: native expressions
+// live under org.apache.spark.sql so they can use catalyst internals
+// (XXH64, UTF8String buffers). graft-facing registration is in
+// graft.plans.GraftFunctions.
+package org.apache.spark.sql.catalyst.expressions.graft
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared: xxHash64 of a UTF8String, hashed ONCE per element — the
+  * interpreted higher-order-function formulation re-hashes each string
+  * k times (k=32 for MinHash, 64 for SimHash), which made sketching the
+  * bench bottleneck: 14M+ interpreted string hashes at sf0.1. */
+private[graft] object SketchHash {
+  @inline def hash(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+}
+
+/** MinHash signature of an array<string> shingle set: k universal
+  * hashes h_j(s) = (h32(s)·(2j+1) + j) mod 2^61-1, minimized over the
+  * set. Each shingle is hashed once; the k·n inner loop is primitive
+  * long arithmetic. CodegenFallback: the eval itself is a tight JVM
+  * loop, and sketching is bound by hashing, not expression dispatch. */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  private val P = 2305843009213693951L // 2^61 - 1
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h32 = SketchHash.hash(arr.getUTF8String(i), 42L) & 0xffffffffL
+      var j = 0
+      while (j < k) {
+        val h = (h32 * (2L * j + 1L) + j) % P
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distinct n-token shingles of an array<string> token column, joined
+  * with single spaces — first-occurrence order, empty array when the doc
+  * has fewer than n tokens. Value-identical to
+  * `array_distinct(transform(sequence(...), i -> concat_ws(' ', ...)))`
+  * but a tight loop instead of ~40µs/element of interpreted
+  * higher-order-function dispatch (measured: shingling 5000 docs took
+  * 17s interpreted, <1s native). */
+case class Shingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    if (m < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var i = 0
+      while (i <= m - n) {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+        seen.add(UTF8String.concatWs(space, parts: _*))
+        i += 1
+      }
+      new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash of an array<string> token stream: per-bit vote of the
+  * token hash, sign → bit. One hash per token, 64 bit-tests per token. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = SketchHash.hash(arr.getUTF8String(i), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** LSH band hashes of an array<long> MinHash signature: split into
+  * `bands` equal bands, hash each band's values with a chained
+  * xxHash64 (seeded by the band index, so equal value-runs in
+  * different bands do not collide). */
+case class MinHashBands(child: Expression, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+
+  override def nullSafeEval(input: Any): Any = {
+    val sig = input.asInstanceOf[ArrayData]
+    val k = sig.numElements()
+    val rows = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = b.toLong
+      var j = 0
+      while (j < rows) {
+        h = XXH64.hashLong(sig.getLong(b * rows + j), h)
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** LSH sign-bucket of an array<float> embedding against `nBits`
+  * deterministic pseudo-random hyperplanes (component = hash(table,
+  * plane, dim) mapped to [-0.5, 0.5)). Replaces an interpreted
+  * nBits×dim double-aggregate per row. */
+case class LshBucket(child: Expression, nBits: Int, table: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "lsh_bucket"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    var bucket = 0
+    var b = 0
+    while (b < nBits) {
+      var dot = 0.0
+      var i = 0
+      while (i < dim) {
+        val hv = XXH64.hashLong((b + table * nBits).toLong * 4096L + i, 42L)
+        val comp = (((hv % 1000L) + 1000L) % 1000L).toDouble / 1000.0 - 0.5
+        dot += arr.getFloat(i) * comp
+        i += 1
+      }
+      if (dot > 0) bucket |= (1 << b)
+      b += 1
+    }
+    java.lang.Integer.valueOf(bucket)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
