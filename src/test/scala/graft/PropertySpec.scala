@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.{EnergyOps, WeatherOps}
+
+/** Property-based checks (SURVEY §5 engine test plan): conversion
+  * linearity, densify row counts, imputation mean-preservation.
+  * ScalaCheck generators are sampled with fixed seeds (the scalatest
+  * bridge artifact isn't in the offline cache), so runs are
+  * deterministic. */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("C→F is linear and round-trips (property)") {
+    val s = spark; import s.implicits._
+    samples(Gen.listOfN(40, Gen.chooseNum(-100.0, 100.0)), 10).foreach { cs =>
+      val got = cs.toDF("c").select(WeatherOps.celsiusToFahrenheit(col("c")).as("f"))
+        .collect().map(_.getDouble(0))
+      got.zip(cs).foreach { case (f, c) =>
+        assert(math.abs(f - (c * 9.0 / 5.0 + 32.0)) < 1e-9)
+        assert(math.abs((f - 32.0) * 5.0 / 9.0 - c) < 1e-9) // round-trip
+      }
+    }
+  }
+
+  test("densify always yields exactly nDays rows per city, keys unique (property)") {
+    val s = spark; import s.implicits._
+    samples(Gen.zip(Gen.chooseNum(1, 40), Gen.chooseNum(0, 35)), 8).foreach {
+      case (nDays, presentDays) =>
+        val start = java.time.LocalDate.parse("2024-01-01")
+        val end = start.plusDays(nDays - 1L)
+        val present = (0 until math.min(presentDays, nDays)).map(i =>
+          (java.sql.Date.valueOf(start.plusDays(i.toLong)), "X", 1.0))
+        val df = present.toDF("date", "city", "energy_demand_gwh")
+        val dense = EnergyOps.densify(df, "X", start.toString, end.toString)
+        assert(dense.count() == nDays.toLong)
+        assert(dense.select("date").distinct().count() == nDays.toLong)
+    }
+  }
+
+  test("per-city mean imputation preserves the column mean (property)") {
+    val s = spark; import s.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(3, 30)
+      vals <- Gen.listOfN(n, Gen.option(Gen.chooseNum(-50.0, 120.0)))
+    } yield vals
+    samples(gen, 10).filter(_.flatten.nonEmpty).foreach { vals =>
+      val df = vals.map(v => ("A", v)).toDF("city", "temp_max_f")
+      val before = vals.flatten.sum / vals.flatten.size
+      val after = WeatherOps.imputePerCity(df, Seq("temp_max_f"))
+        .agg(avg("temp_max_f")).collect().head.getDouble(0)
+      assert(math.abs(after - before) < 1e-9)
+    }
+  }
+
+  test("inner join row count bounded by left side when right keys unique (property)") {
+    val s = spark; import s.implicits._
+    samples(Gen.zip(Gen.chooseNum(0, 25), Gen.chooseNum(0, 25)), 8).foreach {
+      case (nl, nr) =>
+        val left = (0 until nl).map(i => (java.sql.Date.valueOf("2024-01-01"), s"c${i % 5}", i.toDouble))
+          .toDF("date", "city", "temp_avg_f")
+        val right = (0 until nr).map(i => (java.sql.Date.valueOf("2024-01-01"), s"c$i", i.toDouble))
+          .toDF("date", "city", "energy_demand_gwh") // unique (date, city)
+        val joined = graft.operators.PipelineOps.joinWeatherEnergy(left, right)
+        assert(joined.count() <= nl.toLong)
+    }
+  }
+}
