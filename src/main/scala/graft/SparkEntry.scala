@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries, CoreQueries, TextQueries, VectorQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, ExtendedQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,12 +22,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ TextQueries.queries ++ VectorQueries.queries ++
-      AnalyticsQueries.queries
+      AnalyticsQueries.queries ++ ExtendedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
     * rows-only check (used only for ops DuckDB SQL cannot express). */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles ++
-      AnalyticsQueries.oracles
+      AnalyticsQueries.oracles ++ ExtendedQueries.oracles
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Backward as-of join — for each left row, the single right row with
+  * the greatest timestamp ≤ the left timestamp, per key. The general
+  * form of the reference's "previous-day energy" self-join
+  * (dashboards/app.py:602-607, SURVEY §2.3 J3).
+  *
+  * Implemented with the union-tag-window trick rather than a custom
+  * physical operator: tag both sides, union, and carry the last right
+  * row forward over a (key, time)-ordered window. This is the scalable
+  * shape — ONE shuffle on (key), no range self-join blow-up, no
+  * per-key driver loop — and it composes with AQE/skew handling for
+  * free, which a hand-rolled BinaryExecNode would not. A custom
+  * `SparkPlan` (SURVEY §7.3 path c) only wins when both sides are
+  * already co-partitioned and sorted; the rule-of-thumb preference
+  * order (compose built-ins first) applies.
+  *
+  * Right-side rows must be unique per (keys, tsCol) — pre-aggregate
+  * otherwise (ties at the same instant make any as-of semantics
+  * nondeterministic).
+  */
+object AsOfJoin {
+
+  /** @param left       probe side (each row gets ≤1 match)
+    * @param right      reference side (its columns are prefixed `asof_`)
+    * @param keys       equi-join keys
+    * @param tsCol      event-time column name (present on both sides)
+    * @param rightCols  right columns to carry (default: all non-key,
+    *                   non-ts)
+    * @param tolerance  optional max lookback as a Spark interval
+    *                   expression (e.g. "interval 1 hour"); matches
+    *                   older than it are nulled out. */
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+      rightCols: Seq[String] = Seq.empty, tolerance: Option[String] = None): DataFrame = {
+    val carry = if (rightCols.nonEmpty) rightCols
+      else right.columns.toSeq.diff(keys :+ tsCol)
+    val lTagged = left.withColumn("_side", lit(1))
+      .withColumn("_asof_ts", lit(null).cast(left.schema(tsCol).dataType))
+    val rTagged = right
+      .select((keys :+ tsCol).map(col) ++ carry.map(c => col(c).as(s"asof_$c")): _*)
+      .withColumn("_side", lit(0))
+      .withColumn("_asof_ts", col(tsCol))
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    // right rows sort BEFORE left rows at the same timestamp (_side 0 < 1),
+    // so an exact-time match is visible to the left row
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = (carry.map(c => s"asof_$c") :+ "_asof_ts").foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    val result = carried.filter(col("_side") === 1).drop("_side")
+    val withTol = tolerance match {
+      case None => result.drop("_asof_ts")
+      case Some(t) =>
+        val stale = col("_asof_ts") < (col(tsCol) - expr(t))
+        carry.map(c => s"asof_$c").foldLeft(result) { (df, c) =>
+          df.withColumn(c, when(stale, lit(null)).otherwise(col(c)))
+        }.drop("_asof_ts")
+    }
+    withTol
+  }
+}

@@ -117,6 +117,35 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Embedding-cosine near-duplicate pairs: LSH sign-buckets (any of
+    * `tables` hash tables) propose candidates, the native cosine
+    * expression verifies against the threshold. Never scores all pairs;
+    * the shuffle key is (table, bucket) and buckets are capped — the
+    * same scale shape as the text sketches. */
+  def embeddingNearDups(emb: DataFrame, threshold: Double = 0.9,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      nBits: Int = 12, tables: Int = 4, maxBucket: Int = 200): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val tableBuckets = (0 until tables)
+      .map(t => s"struct($t AS tbl, lsh_bucket($embCol, $nBits, $t) AS bucket)")
+      .mkString(", ")
+    val bucketed = emb
+      .select(col(idCol).as("id"), col(embCol).as("e"),
+        explode(expr(s"array($tableBuckets)")).as("tb"))
+      .select(col("id"), col("e"), col("tb.tbl"), col("tb.bucket"))
+    bucketed
+      .groupBy("tbl", "bucket")
+      .agg(sort_array(collect_list(struct(col("id"), col("e")))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(xs, (x, i) ->
+          |  transform(slice(xs, i + 2, size(xs)), y -> struct(x.id AS doc_a, x.e AS ea, y.id AS doc_b, y.e AS eb))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), expr("cosine_sim(p.ea, p.eb)").as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+  }
+
   /** N-gram Jaccard via an inverted shingle index: explode distinct
     * shingles, equi-join on shingle (doc_a < doc_b), count shared,
     * jaccard = shared / (|A| + |B| - shared). The equi-join shuffles on

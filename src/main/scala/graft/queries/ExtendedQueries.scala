@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.operators.{AsOfJoin, Dedup}
+
+/** Operators beyond the reference's surface that a Spark engine gets
+  * (or should expose) as first-class capabilities: rollup/grouping
+  * sets, as-of join, sessionization, distinct-count aggregates,
+  * embedding-cosine dedup. Each oracle follows the same alias/round
+  * discipline as CoreQueries. */
+object ExtendedQueries {
+
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  /** Hierarchical rollup totals (SURVEY §2.4 note: cube/rollup are free
+    * in Spark and exposed by the engine). NULL roll-up labels coalesced
+    * to 'ALL' so the label is unambiguous on both engines. */
+  def q23Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Backward as-of join: each purchase matched to the user's latest
+    * view at-or-before it (the generalized J3). The view side is
+    * deduplicated per (user, instant) so as-of semantics are
+    * deterministic; timestamps compare at microsecond precision on
+    * both engines. */
+  def q24AsOf(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max("event_id").as("view_event_id"))
+    AsOfJoin.backward(purchases, views, Seq("user_id"), "ts",
+      rightCols = Seq("view_event_id"))
+      .select(
+        col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("asof_view_event_id").as("view_event_id"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Gap-based sessionization: a >30-minute silence starts a new
+    * session; one cumulative-sum window pass, then per-session
+    * aggregates. */
+  def q25Sessionize(s: SparkSession, d: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cum = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, d)
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(order)))
+      .withColumn("new_session", when(col("gap_us") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum("new_session").over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Exact distinct-count aggregates (the approximate HLL variants are
+    * library-level — `approx_count_distinct` — and tested against these
+    * exact values in ScalaTest). */
+  def q26Distinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      countDistinct("l_orderkey").as("n_orders"),
+      countDistinct("l_partkey").as("n_parts"),
+      countDistinct("l_suppkey").as("n_suppliers"),
+      countDistinct("l_returnflag", "l_linestatus").as("n_flag_status"))
+
+  /** Embedding-cosine near-dup pairs via LSH candidates + native cosine
+    * verify (rows-only: the LSH hyperplanes are xxhash64-derived). */
+  def q41EmbeddingDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.9)
+      .select(col("doc_a"), col("doc_b"), round(col("cosine"), 4).as("cosine"))
+      .orderBy("doc_a", "doc_b")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_rollup" -> (q23Rollup _),
+    "q24_asof" -> (q24AsOf _),
+    "q25_sessionize" -> (q25Sessionize _),
+    "q26_distinct" -> (q26Distinct _),
+    "q41_embedding_dedup" -> (q41EmbeddingDedup _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q23_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | round(sum(l_quantity),2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1,2""".stripMargin,
+    "q24_asof" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, max(event_id) AS view_event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.user_id, p.event_id,
+        |  strftime(date_trunc('second', p.ts), '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  v.view_event_id
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+    "q25_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, value, date_trunc('microseconds', ts) AS ts,
+        |    CASE WHEN date_trunc('microseconds', ts)
+        |           - lag(date_trunc('microseconds', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id)
+        |           > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(date_trunc('second', max(ts)), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  round(sum(value),2) AS total_value
+        |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q26_distinct" ->
+      """SELECT count(DISTINCT l_orderkey) AS n_orders,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_suppliers,
+        | count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
+        |FROM lineitem""".stripMargin
+  )
+}
