@@ -72,16 +72,29 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
-  /** End-to-end MinHash near-dup pairs above a Jaccard threshold. The
-    * signature table feeds both the candidate generation and the
-    * verification join, so it is cached — without it the whole
-    * tokenize→shingle→sketch chain runs twice. */
+  /** End-to-end MinHash near-dup pairs above a Jaccard threshold.
+    *
+    * Shape: the full corpus is sketched exactly once, and only the
+    * narrow (id, band, hash) projection flows into the candidate
+    * shuffle — the wide shingle arrays are never cached or shuffled.
+    * Verification re-shingles just the candidate documents (a
+    * broadcast-semi-join-sized set), which is far cheaper than
+    * persisting every document's shingle set: at 100 TB the shingle
+    * arrays are the same order of magnitude as the corpus itself. */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
-      k: Int = 32, bands: Int = 8): DataFrame = {
-    val sigs = minhashSignatures(docs, k = k, bands = bands).cache()
-    sigs.count() // eager: three downstream scans would otherwise race the
-                 // cold cache inside one job and sketch the corpus thrice
-    verifyJaccard(minhashCandidates(sigs), sigs)
+      k: Int = 32, bands: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, k, bands)
+    val pairs = minhashCandidates(sigs, idCol).cache()
+    pairs.count() // eager: two downstream scans of a cold cache would
+                  // re-sketch the whole corpus twice
+    val candIds = pairs.select(col("doc_a").as(idCol))
+      .union(pairs.select(col("doc_b").as(idCol))).distinct()
+    val candSigs = docs.join(candIds, Seq(idCol), "left_semi")
+      .withColumn("toks", tokens(textCol))
+      .withColumn("sh", shingles("toks"))
+      .select(col(idCol), col("sh"))
+    verifyJaccard(pairs, candSigs, idCol)
       .filter(col("jaccard") >= threshold)
   }
 

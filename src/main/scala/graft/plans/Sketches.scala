@@ -165,18 +165,26 @@ case class LshBucket(child: Expression, nBits: Int, table: Int)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "lsh_bucket"
 
+  // The hyperplane components depend only on (table, plane, dim-index) —
+  // row-invariant, so they are materialized once per expression instance
+  // instead of re-hashing nBits×dim longs for every row.
+  @transient private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(nBits, 4096) { (b, i) =>
+      val hv = XXH64.hashLong((b + table * nBits).toLong * 4096L + i, 42L)
+      (((hv % 1000L) + 1000L) % 1000L).toDouble / 1000.0 - 0.5
+    }
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val dim = arr.numElements()
+    val dim = math.min(arr.numElements(), 4096)
     var bucket = 0
     var b = 0
     while (b < nBits) {
+      val plane = planes(b)
       var dot = 0.0
       var i = 0
       while (i < dim) {
-        val hv = XXH64.hashLong((b + table * nBits).toLong * 4096L + i, 42L)
-        val comp = (((hv % 1000L) + 1000L) % 1000L).toDouble / 1000.0 - 0.5
-        dot += arr.getFloat(i) * comp
+        dot += arr.getFloat(i) * plane(i)
         i += 1
       }
       if (dot > 0) bucket |= (1 << b)

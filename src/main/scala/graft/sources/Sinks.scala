@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-facing write/join helpers.
+  *
+  * Bucketing: the core weather⋈energy join (and any recurring
+  * large-large equi-join) shuffles both sides on every run. Writing both
+  * tables bucketed on the join key makes the join exchange-free — the
+  * shuffle is paid once at write time. [[bucketedJoinDemo]] in the test
+  * suite asserts the physical plan contains no Exchange.
+  *
+  * Salting: when one key dominates (hot city, boilerplate document), a
+  * shuffle partition overflows. [[saltedJoin]] splits each hot key into
+  * `salts` sub-keys — the small side is replicated per salt, the big
+  * side scatters. AQE's skew-join handles moderate skew automatically;
+  * salting is for the pathological keys AQE cannot split (single-key
+  * partitions). */
+object Sinks {
+
+  /** Write a table bucketed+sorted by the join key. Parquet + Hive-style
+    * bucketing (requires saveAsTable; bucket metadata lives in the
+    * session catalog). */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // a stale managed-table location (e.g. from a killed run) blocks
+    // CREATE even after the DROP — clear it explicitly
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new java.net.URI(s"$warehouse/$table".replace(" ", "%20"))
+    val path = new org.apache.hadoop.fs.Path(loc)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Equi-join with key salting: each `big` row gets a salt in
+    * [0, salts) derived from a high-cardinality row attribute (NOT the
+    * join key — salting by the key would map a hot key to one salt and
+    * split nothing); `small` is exploded across all salts. One shuffle
+    * on (key, salt) with `salts`× better balance on hot keys.
+    * `saltSource` defaults to a hash of all of big's columns. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
+      joinType: String = "inner",
+      saltSource: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val src = saltSource.getOrElse(hash(big.columns.map(col): _*))
+    val salted = big.withColumn("_salt", pmod(src, lit(salts)))
+    // rows of `small` replicate across every salt
+    val exploded = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(exploded, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Sinks
+
+/** Scale-mechanics tests: bucketed joins plan without exchanges, salted
+  * joins preserve results, the extensions class installs the native
+  * functions. */
+class ScaleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    .getOrCreate()
+
+  test("bucketed tables join without a shuffle exchange") {
+    val s = spark; import s.implicits._
+    // runtime conf: getOrCreate may have reused another suite's session,
+    // in which case builder configs were ignored
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    val weather = (0 until 1000).map(i => (i % 97, s"city${i % 5}", i * 1.0))
+      .toDF("date_id", "city", "temp")
+    val energy = (0 until 1000).map(i => (i % 89, s"city${i % 5}", i * 2.0))
+      .toDF("date_id", "city", "gwh")
+    Sinks.writeBucketed(weather, "w_bucketed", 4, Seq("date_id"))
+    Sinks.writeBucketed(energy, "e_bucketed", 4, Seq("date_id"))
+    val joined = spark.table("w_bucketed").join(spark.table("e_bucketed"), Seq("date_id"))
+    val physical = joined.queryExecution.executedPlan.toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert(!physical.contains("Exchange"),
+      s"bucketed join should be exchange-free, got:\n$physical")
+    assert(joined.count() > 0)
+  }
+
+  test("salted join returns identical results to the plain join") {
+    val s = spark; import s.implicits._
+    // heavy skew: 90% of big rows share one key
+    val big = (0 until 2000).map(i => (if (i < 1800) "hot" else s"k$i", i))
+      .toDF("key", "payload")
+    val small = Seq(("hot", 1.0), ("k1900", 2.0), ("absent", 3.0)).toDF("key", "dim")
+    val plain = big.join(small, Seq("key")).agg(count(lit(1)), sum("payload"), sum("dim"))
+      .collect().head
+    val salted = Sinks.saltedJoin(big, small, "key", salts = 8)
+      .agg(count(lit(1)), sum("payload"), sum("dim")).collect().head
+    assert(plain.getLong(0) == salted.getLong(0))
+    assert(plain.getLong(1) == salted.getLong(1))
+    assert(plain.getDouble(2) == salted.getDouble(2))
+  }
+
+  test("GraftExtensions wiring + native functions usable from SQL text") {
+    // applying the extensions object must inject without throwing
+    // (full withExtensions E2E needs a fresh SparkContext, which a
+    // shared-JVM suite cannot guarantee — getOrCreate would silently
+    // reuse the active session and skip extensions)
+    new graft.plans.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // the same expression builders, through the registry path:
+    graft.plans.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(cast(1.0 as float), cast(0.0 as float)), " +
+        "array(cast(1.0 as float), cast(0.0 as float))) AS s").collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    val sh = spark.sql("SELECT shingles(array('a','b','c','d'), 3) AS sh").collect().head
+    assert(sh.getSeq[String](0) == Seq("a b c", "b c d"))
+    val mh = spark.sql("SELECT minhash_sig(array('x','y'), 4) AS m").collect().head
+    assert(mh.getSeq[Long](0).length == 4)
+  }
+}
