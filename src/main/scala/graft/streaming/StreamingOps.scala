@@ -65,6 +65,34 @@ object StreamingOps {
         col("event_type"), col("n_events"), col("total_value"))
   }
 
+  /** Stateful streaming exact-dedup: per content-hash group state
+    * remembers whether the hash has been seen; only the first document
+    * per fingerprint is emitted, across micro-batches. The custom-state
+    * path (`flatMapGroupsWithState`) the training-data pipeline needs
+    * when dedup must span an unbounded stream — a windowed aggregate
+    * cannot express "seen ever". State is one boolean per fingerprint;
+    * at 100 TB the state store backs onto RocksDB and the fingerprint
+    * space is what bounds memory, not the corpus. */
+  def dedupStream(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val keyed = docs
+      .selectExpr("md5(text) AS fingerprint", "doc_id", "text")
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+    keyed.flatMapGroupsWithState[Boolean, (String, Long)](
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (fp: String, rows: Iterator[(String, Long, String)], state: GroupState[Boolean]) =>
+        if (state.exists) Iterator.empty
+        else {
+          state.update(true)
+          // deterministic survivor: min doc_id within this batch's group
+          val keep = rows.map(_._2).min
+          Iterator.single((fp, keep))
+        }
+    }.toDF("fingerprint", "keep_id")
+  }
+
   /** Drain a streaming aggregate to a memory sink synchronously
     * (complete mode) and return the result table — the local test/verify
     * harness for streaming queries. */
