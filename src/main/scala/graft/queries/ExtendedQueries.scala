@@ -79,6 +79,34 @@ object ExtendedQueries {
       countDistinct("l_suppkey").as("n_suppliers"),
       countDistinct("l_returnflag", "l_linestatus").as("n_flag_status"))
 
+  /** A10 — exact percentiles (median, p90) per group: the oracle-parity
+    * path uses exact `percentile` (linear interpolation, matching
+    * DuckDB's quantile_cont); `Analytics`-level callers can flip to
+    * `percentile_approx` at scale. */
+  def q27Percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        round(min("l_extendedprice"), 2).as("min_price"),
+        round(max("l_extendedprice"), 2).as("max_price"))
+      .orderBy("l_returnflag")
+
+  /** A4/X7 — per-day quality time series over indicator columns
+    * (nulls injected deterministically so every scale factor exercises
+    * the indicators; reference dashboards/app.py:453-468). */
+  def q28QualityTs(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .withColumn("v", when(col("event_id") % 11 === 0, lit(null)).otherwise(col("value")))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        sum(col("v").isNull.cast("long")).as("missing_total"),
+        sum((col("v") > 300).cast("long")).as("outliers"),
+        sum((col("v") < 0).cast("long")).as("negatives"),
+        count(lit(1)).as("n"))
+      .orderBy("day")
+
   /** Embedding-cosine near-dup pairs via LSH candidates + native cosine
     * verify (rows-only: the LSH hyperplanes are xxhash64-derived). */
   def q41EmbeddingDedup(s: SparkSession, d: String): DataFrame =
@@ -91,6 +119,8 @@ object ExtendedQueries {
     "q24_asof" -> (q24AsOf _),
     "q25_sessionize" -> (q25Sessionize _),
     "q26_distinct" -> (q26Distinct _),
+    "q27_percentiles" -> (q27Percentiles _),
+    "q28_quality_ts" -> (q28QualityTs _),
     "q41_embedding_dedup" -> (q41EmbeddingDedup _)
   )
 
@@ -129,6 +159,22 @@ object ExtendedQueries {
         |  strftime(date_trunc('second', max(ts)), '%Y-%m-%d %H:%M:%S') AS session_end,
         |  round(sum(value),2) AS total_value
         |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q27_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        | round(min(l_extendedprice), 2) AS min_price,
+        | round(max(l_extendedprice), 2) AS max_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q28_quality_ts" ->
+      """WITH t AS (SELECT CAST(ts AS DATE) AS day,
+        |  CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS v FROM events)
+        |SELECT day,
+        | count(*) FILTER (WHERE v IS NULL) AS missing_total,
+        | count(*) FILTER (WHERE v > 300) AS outliers,
+        | count(*) FILTER (WHERE v < 0) AS negatives,
+        | count(*) AS n
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "q26_distinct" ->
       """SELECT count(DISTINCT l_orderkey) AS n_orders,
         | count(DISTINCT l_partkey) AS n_parts,

@@ -40,6 +40,12 @@ object Sinks {
       .saveAsTable(table)
   }
 
+  /** S4 — raw-zone landing sink: persist raw payloads as-is (JSON
+    * lines) before any processing, for lineage/replayability (reference
+    * writes `weather_{city}_{range}.json`, src/data_fetcher.py:48-53). */
+  def writeRawJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
   /** Equi-join with key salting: each `big` row gets a salt in
     * [0, salts) derived from a high-cardinality row attribute (NOT the
     * join key — salting by the key would map a hot key to one salt and
