@@ -57,6 +57,47 @@ object Similarity {
   private def bucketExpr(embCol: String, nBits: Int, table: Int): String =
     s"lsh_bucket($embCol, $nBits, $table)"
 
+  /** IVF (inverted-file) ANN: a deterministic sample of corpus vectors
+    * serves as coarse centroids; every corpus vector is assigned to its
+    * nearest centroid (one broadcast pass — nCentroids is small);
+    * queries probe only their `nProbe` nearest centroids' cells and
+    * rerank exactly inside them.
+    *
+    * Scale shape: the corpus is scanned once for assignment and the
+    * cell id becomes the partition/bucketing key; a probe then touches
+    * nProbe cells ≈ nProbe/nCentroids of the data. Complements
+    * [[lshTopK]]: IVF adapts to the data distribution (cells follow
+    * density), LSH needs no training pass. */
+  def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    GraftFunctions.register(spark)
+    // deterministic coarse centroids: every (n/nCentroids)-th vector by id
+    val ids = corpus.select(col("vec_id")).orderBy("vec_id")
+      .limit(nCentroids * 64).collect().map(_.getLong(0))
+    val step = math.max(ids.length / nCentroids, 1)
+    val centroidIds = ids.grouped(step).map(_.head).take(nCentroids).toSeq
+    val centroids = broadcast(
+      corpus.filter(col("vec_id").isin(centroidIds: _*))
+        .select(col("vec_id").as("cell"), col("embedding").as("c_emb")))
+    def assign(df: DataFrame, idCol: String, embCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(idCol)
+        .orderBy(col("c_sim").desc, col("cell"))
+      df.crossJoin(centroids)
+        .withColumn("c_sim", expr(s"cosine_sim($embCol, c_emb)"))
+        .withColumn("c_rank", row_number().over(w))
+        .filter(col("c_rank") <= keep)
+        .drop("c_emb", "c_sim", "c_rank")
+    }
+    val cells = assign(corpus.select(col("vec_id"), col("embedding")), "vec_id", "embedding", 1)
+    val q = assign(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      "query_id", "q_emb", nProbe)
+    val scored = cells.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", expr("cosine_sim(embedding, q_emb)"))
+    ranked(scored, k).select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
   /** Multi-table multiprobe LSH ANN. `tables` independent hash tables
     * (the classic recall amplifier: P(hit) = 1-(1-p)^L), and within each
     * table the query probes its own sign bucket plus all buckets at

@@ -107,6 +107,34 @@ object ExtendedQueries {
         count(lit(1)).as("n"))
       .orderBy("day")
 
+  /** Gap sessionization via the built-in `session_window` (same
+    * 30-minute-gap semantics as q25, expressed as the native windowed
+    * aggregate — the streaming-ready formulation). */
+  def q29SessionWindow(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(
+        col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+
+  /** JSON-path extraction over the `props` metadata column — the
+    * metadata-wrangling primitive every training-data pipeline needs
+    * (schema-on-read for sidecar attributes). */
+  def q42JsonExtract(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k").isNull.cast("long")).as("null_k"),
+        round(avg("k"), 4).as("avg_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
   /** Embedding-cosine near-dup pairs via LSH candidates + native cosine
     * verify (rows-only: the LSH hyperplanes are xxhash64-derived). */
   def q41EmbeddingDedup(s: SparkSession, d: String): DataFrame =
@@ -121,6 +149,8 @@ object ExtendedQueries {
     "q26_distinct" -> (q26Distinct _),
     "q27_percentiles" -> (q27Percentiles _),
     "q28_quality_ts" -> (q28QualityTs _),
+    "q29_session_window" -> (q29SessionWindow _),
+    "q42_json_extract" -> (q42JsonExtract _),
     "q41_embedding_dedup" -> (q41EmbeddingDedup _)
   )
 
@@ -175,6 +205,27 @@ object ExtendedQueries {
         | count(*) FILTER (WHERE v < 0) AS negatives,
         | count(*) AS n
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q29_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, value, date_trunc('microseconds', ts) AS ts,
+        |    CASE WHEN date_trunc('microseconds', ts)
+        |           - lag(date_trunc('microseconds', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id)
+        |           > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id,
+        |  strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events, round(sum(value),2) AS total_value
+        |FROM s GROUP BY user_id, session_id ORDER BY 1,2""".stripMargin,
+    "q42_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | count(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) AS null_k,
+        | round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+        | max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q26_distinct" ->
       """SELECT count(DISTINCT l_orderkey) AS n_orders,
         | count(DISTINCT l_partkey) AS n_parts,

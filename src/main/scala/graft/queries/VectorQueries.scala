@@ -35,9 +35,19 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-bucketed approximate top-10 (rows-only: centroid choice is an
+    * engine detail; recall vs brute force is asserted in ScalaTest). */
+  def q43KnnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(s, emb, emb.filter(col("vec_id") < NQueries),
+      k = 10, nCentroids = 16, nProbe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_knn_bruteforce" -> (q34KnnBruteForce _),
-    "q35_knn_lsh" -> (q35KnnLsh _)
+    "q35_knn_lsh" -> (q35KnnLsh _),
+    "q43_knn_ivf" -> (q43KnnIvf _)
   )
 
   val oracles: Map[String, String] = Map(

@@ -90,6 +90,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall was $recall")
   }
 
+  test("IVF ANN achieves >=50% recall@10 vs brute force on sf0.001 embeddings") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(spark, emb, q, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val approx = Similarity.ivfTopK(spark, emb, q, 10, nCentroids = 16, nProbe = 6).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall was $recall")
+  }
+
   test("multimodal stub pipeline: binary plumbing produces length-derived features") {
     val s = spark; import s.implicits._
     val df = Seq((7L, "abcdefgh", "en", "srcX", 8L)).toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -38,6 +38,17 @@ class ScaleSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("city-partitioned fact table prunes partitions on a city filter") {
+    val fact = graft.sources.SyntheticData.weatherEnergy(spark, "2024-01-01", nDays = 20)
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    graft.operators.PipelineOps.writePartitioned(fact, out)
+    val read = spark.read.parquet(out).filter(col("city") === "Chicago")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("Chicago"),
+      s"expected partition pruning in:\n$plan")
+    assert(read.count() == 20)
+  }
+
   test("salted join returns identical results to the plain join") {
     val s = spark; import s.implicits._
     // heavy skew: 90% of big rows share one key
