@@ -68,4 +68,32 @@ object Multimodal {
     * joined back to the metadata. */
   def features(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeFeatures(spark, toMediaTable(docs)).toDF()
+
+  /** STUB resize: a real implementation transforms the payload through
+    * a codec; the stub transforms the derived dimensions only. Shape
+    * preserved: binary in, binary out, one row per row. */
+  def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map(m => (m.doc_id, m.payload, s"resized_${w}x$h", m.source))
+    }.toDF("doc_id", "payload", "mime", "source")
+  }
+
+  /** STUB frame sampling — the one-to-many decode shape (video → frame
+    * rows): each payload fans out to its n_frames sampled frames, one
+    * row per frame with a deterministic per-frame feature. Partition-
+    * local flatMap: a real sampler seeks within the container per
+    * partition-initialized decoder. */
+  def sampleFrames(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { m =>
+        val len = m.payload.length.toLong
+        val nFrames = (1 + len % 8).toInt
+        (0 until nFrames).iterator.map { i =>
+          (m.doc_id, i.toLong, len * 31 + i) // fake per-frame feature
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "frame_feature")
+  }
 }

@@ -101,6 +101,13 @@ object TextQueries {
   def q40Multimodal(s: SparkSession, d: String): DataFrame =
     Multimodal.features(s, docs(s, d)).orderBy("doc_id")
 
+  /** Multimodal one-to-many decode: frame sampling fans each payload
+    * out to its n_frames rows (the video→frames shape). Deterministic
+    * fake frames → the oracle reconstructs them with generate_series. */
+  def q44FrameSample(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(s, Multimodal.toMediaTable(docs(s, d)))
+      .orderBy("doc_id", "frame_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_dedup_minhash" -> (q31DedupMinhash _),
@@ -110,7 +117,8 @@ object TextQueries {
     "q37_text_quality" -> (q37TextQuality _),
     "q38_token_count" -> (q38TokenCount _),
     "q39_fingerprint" -> (q39Fingerprint _),
-    "q40_multimodal" -> (q40Multimodal _)
+    "q40_multimodal" -> (q40Multimodal _),
+    "q44_frame_sample" -> (q44FrameSample _)
   )
 
   private val markerSql: Map[String, String] =
@@ -176,6 +184,11 @@ object TextQueries {
         |  len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q44_frame_sample" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents)
+        |SELECT doc_id, CAST(unnest(range(0, 1 + len % 8)) AS BIGINT) AS frame_idx,
+        |  len * 31 + CAST(unnest(range(0, 1 + len % 8)) AS BIGINT) AS frame_feature
+        |FROM m ORDER BY doc_id, frame_idx""".stripMargin,
     "q40_multimodal" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS byte_len,
