@@ -57,7 +57,10 @@ object Analytics {
   def temperatureBin(c: Column,
       edges: Seq[Double] = defaultBinEdges, labels: Seq[String] = defaultBinLabels): Column = {
     require(labels.length == edges.length + 1)
-    val base: Column = when(c < edges.head, labels.head)
+    // NULL input → NULL bin (without the explicit guard, every `when`
+    // evaluates NULL and control falls through to the LAST label,
+    // silently counting missing readings as the hottest bin)
+    val base: Column = when(c.isNull, lit(null)).when(c < edges.head, labels.head)
     edges.indices.tail.foldLeft(base) { (acc, i) =>
       acc.when(c < edges(i), labels(i))
     }.otherwise(labels.last)

@@ -38,30 +38,34 @@ object AsOfJoin {
       rightCols: Seq[String] = Seq.empty, tolerance: Option[String] = None): DataFrame = {
     val carry = if (rightCols.nonEmpty) rightCols
       else right.columns.toSeq.diff(keys :+ tsCol)
+    // The right row travels as ONE struct so its fields stay together:
+    // carrying columns independently with last(ignoreNulls) would let a
+    // NULL field in the matched row be back-filled from an OLDER right
+    // row — mixing values across rows and defeating the tolerance check.
+    val payload = struct(col(tsCol).as("_ts") +: carry.map(col): _*)
     val lTagged = left.withColumn("_side", lit(1))
-      .withColumn("_asof_ts", lit(null).cast(left.schema(tsCol).dataType))
     val rTagged = right
-      .select((keys :+ tsCol).map(col) ++ carry.map(c => col(c).as(s"asof_$c")): _*)
+      .select((keys :+ tsCol).map(col) :+ payload.as("_asof"): _*)
       .withColumn("_side", lit(0))
-      .withColumn("_asof_ts", col(tsCol))
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
     // right rows sort BEFORE left rows at the same timestamp (_side 0 < 1),
     // so an exact-time match is visible to the left row
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = (carry.map(c => s"asof_$c") :+ "_asof_ts").foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    val result = carried.filter(col("_side") === 1).drop("_side")
-    val withTol = tolerance match {
-      case None => result.drop("_asof_ts")
+    val carried = unioned
+      .withColumn("_asof", last(col("_asof"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_side")
+    val bounded = tolerance match {
+      case None => carried
       case Some(t) =>
-        val stale = col("_asof_ts") < (col(tsCol) - expr(t))
-        carry.map(c => s"asof_$c").foldLeft(result) { (df, c) =>
-          df.withColumn(c, when(stale, lit(null)).otherwise(col(c)))
-        }.drop("_asof_ts")
+        carried.withColumn("_asof",
+          when(col("_asof._ts") < (col(tsCol) - expr(t)), lit(null))
+            .otherwise(col("_asof")))
     }
-    withTol
+    carry.foldLeft(bounded) { (df, c) =>
+      df.withColumn(s"asof_$c", col(s"_asof.$c"))
+    }.drop("_asof")
   }
 }

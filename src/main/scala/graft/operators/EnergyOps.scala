@@ -36,13 +36,15 @@ object EnergyOps {
   /** J5 — densify onto the complete date spine; the reference's energy
     * path fills absent days with NULL then the join drops them; the
     * engine keeps NULL for absent days (distinct from all-NaN days
-    * which are 0.0 — the pandas trap, covered in tests). */
+    * which are 0.0 — the pandas trap, covered in tests). Shuffle join
+    * by design: an outer-preserved spine cannot be the broadcast build
+    * side, and the fact input is already daily-aggregated (spine-sized). */
   def densify(daily: DataFrame, city: String, start: String, end: String): DataFrame = {
     val spark = daily.sparkSession
     val spine = spark.sql(
       s"SELECT explode(sequence(to_date('$start'), to_date('$end'), interval 1 day)) AS date")
       .withColumn("city", lit(city))
-    broadcast(spine).join(daily, Seq("date", "city"), "left")
+    spine.join(daily, Seq("date", "city"), "left")
   }
 
   /** Full per-city energy chain: raw payload → dense daily table

@@ -30,17 +30,21 @@ object PipelineOps {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
-  /** Preferred engine sink: parquet partitioned by city — partition
-    * pruning for the dashboard's per-city queries; at 100 TB this would
-    * be partitioned by (city, month) with compaction. The `realtime`
-    * daily run overwrites only the partitions it touched
-    * (dynamic partition overwrite) instead of the whole dataset —
-    * fixing the reference's overwrite-everything bug (SURVEY §7.4
-    * trap 7) as a documented deviation. */
+  /** Preferred engine sink: parquet partitioned by (city, date) —
+    * partition pruning for the dashboard's per-city and per-range
+    * queries; at 100 TB the date level would be month with compaction.
+    * Partitioning MUST include the date grain: the `realtime` daily run
+    * overwrites only the (city, yesterday) partitions it touched via
+    * dynamic partition overwrite — partitioning by city alone would
+    * replace every city's full history with yesterday's single row,
+    * which is exactly the reference's overwrite-everything bug
+    * (SURVEY §7.4 trap 7). `writeCsv` intentionally keeps the
+    * reference's whole-file CSV for dashboard parity; the parquet path
+    * is the history-preserving sink. */
   def writePartitioned(df: DataFrame, path: String): Unit =
     df.write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("city")
+      .partitionBy("city", "date")
       .parquet(path)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import graft.domain.QualityReport
 
@@ -19,20 +19,32 @@ object QualityOps {
   /** Single-pass quality report over the canonical fact table. */
   def report(fact: DataFrame, asOfDate: String,
       tempMax: Double = DefaultTempMaxF, tempMin: Double = DefaultTempMinF): QualityReport = {
+    val present = fact.columns.toSet
     val cols = Seq("date", "city", "temp_max_f", "temp_min_f", "temp_avg_f", "energy_demand_gwh")
-      .filter(fact.columns.contains)
+      .filter(present.contains)
+    // every aggregate is guarded on column presence — a weather-only or
+    // energy-only frame still gets a report instead of an
+    // UNRESOLVED_COLUMN failure
+    val tempOutlier: Option[Column] =
+      if (present("temp_max_f") && present("temp_min_f"))
+        Some(sum(((col("temp_max_f") > tempMax) || (col("temp_min_f") < tempMin)).cast("long"))
+          .as("temp_outliers"))
+      else None
+    val negEnergy: Option[Column] =
+      if (present("energy_demand_gwh"))
+        Some(sum((col("energy_demand_gwh") < 0).cast("long")).as("negative_energy"))
+      else None
     val aggs =
       Seq(count(lit(1)).as("row_count")) ++
         cols.map(c => sum(col(c).isNull.cast("long")).as(s"null_$c")) ++
+        tempOutlier ++ negEnergy ++
         Seq(
-          sum(((col("temp_max_f") > tempMax) || (col("temp_min_f") < tempMin)).cast("long"))
-            .as("temp_outliers"),
-          sum((col("energy_demand_gwh") < 0).cast("long")).as("negative_energy"),
           date_format(max("date"), "yyyy-MM-dd").as("latest_date"),
           datediff(to_date(lit(asOfDate)), max("date")).as("days_since"))
     val r: Row = fact.agg(aggs.head, aggs.tail: _*).collect().head
     def long(name: String): Long =
-      if (r.isNullAt(r.fieldIndex(name))) 0L else r.getAs[Number](name).longValue()
+      if (!r.schema.fieldNames.contains(name) || r.isNullAt(r.fieldIndex(name))) 0L
+      else r.getAs[Number](name).longValue()
     QualityReport(
       row_count = long("row_count"),
       null_counts = cols.map(c => c -> long(s"null_$c")).toMap,

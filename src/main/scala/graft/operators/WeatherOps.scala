@@ -45,13 +45,17 @@ object WeatherOps {
 
   /** J5 — densify onto a complete per-city date spine; absent days get
     * NULL temps (reference reindex, src/data_processor.py:10-22).
-    * The spine (days × cities) is generated, not read, and broadcast. */
+    * The spine (days × cities) is generated, not read. Note the outer-
+    * preserved side of an outer join cannot be the broadcast build side,
+    * so this is a (tiny) shuffle join — and that is fine: the fact side
+    * here is ALREADY per-day aggregated, i.e. the same order of
+    * magnitude as the spine itself, at any corpus scale. */
   def densify(wide: DataFrame, city: String, start: String, end: String): DataFrame = {
     val spark = wide.sparkSession
     val spine = spark.sql(
       s"SELECT explode(sequence(to_date('$start'), to_date('$end'), interval 1 day)) AS date")
       .withColumn("city", lit(city))
-    broadcast(spine).join(wide, Seq("date", "city"), "left")
+    spine.join(wide, Seq("date", "city"), "left")
   }
 
   /** A12 — per-city mean imputation via a city-partitioned window

@@ -51,10 +51,14 @@ object Pipeline {
   def run(spark: SparkSession, rawByCity: Seq[(String, DataFrame, DataFrame)],
       mode: Mode, today: LocalDate, outDir: String): QualityReport = {
     val (start, end) = dateWindow(mode, today)
-    val fact = build(spark, rawByCity, start, end)
-    val report = QualityOps.report(fact, asOfDate = today.toString)
-    PipelineOps.writePartitioned(fact, s"$outDir/weather_energy_parquet")
-    PipelineOps.writeCsv(fact, s"$outDir/weather_energy_csv")
-    report
+    // persist: the fact feeds three actions (report, parquet, CSV) —
+    // without it the whole per-city raw→fact DAG recomputes each time
+    val fact = build(spark, rawByCity, start, end).persist()
+    try {
+      val report = QualityOps.report(fact, asOfDate = today.toString)
+      PipelineOps.writePartitioned(fact, s"$outDir/weather_energy_parquet")
+      PipelineOps.writeCsv(fact, s"$outDir/weather_energy_csv")
+      report
+    } finally fact.unpersist()
   }
 }

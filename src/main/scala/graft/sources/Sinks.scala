@@ -55,6 +55,12 @@ object Sinks {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
       joinType: String = "inner",
       saltSource: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    // outer-preserving the REPLICATED side would emit `salts` copies of
+    // each unmatched small-side row — only join types that preserve at
+    // most the big side keep result-identity with the plain join
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/left_semi joins, got: $joinType")
     val src = saltSource.getOrElse(hash(big.columns.map(col): _*))
     val salted = big.withColumn("_salt", pmod(src, lit(salts)))
     // rows of `small` replicate across every salt
