@@ -37,6 +37,18 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("p3") == None)        // nothing before
   }
 
+  test("NULL field in the matched right row stays NULL (no back-fill from older rows)") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "p")).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Some(5.0)),
+      (1L, ts("2024-01-01 11:00:00"), Option.empty[Double]) // the true match, NULL value
+    ).toDF("user_id", "ts", "v")
+    val out = AsOfJoin.backward(left, right, Seq("user_id"), "ts").collect().head
+    // the 11:00 row matches; its NULL v must NOT be replaced by 09:00's 5.0
+    assert(out.isNullAt(out.fieldIndex("asof_v")))
+  }
+
   test("as-of tolerance nulls out stale matches") {
     val s = spark; import s.implicits._
     val left = Seq((1L, ts("2024-01-01 12:00:00"), "p")).toDF("user_id", "ts", "tag")

@@ -148,11 +148,13 @@ class WeatherEnergySpec extends AnyFunSuite {
     assert(out("B").getAs[Double]("pct_change") == 0.0) // no prev day → fillna(0) → guard → 0
   }
 
-  test("temperature bins are left-closed with <50°F included") {
+  test("temperature bins are left-closed with <50°F included; NULL stays NULL") {
     val s = spark; import s.implicits._
-    val out = Seq(49.9, 50.0, 59.999, 60.0, 95.0).toDF("t")
-      .select(Analytics.temperatureBin(col("t")).as("bin")).collect().map(_.getString(0))
-    assert(out.toSeq == Seq("<50°F", "50-60°F", "50-60°F", "60-70°F", ">90°F"))
+    val out = Seq(Some(49.9), Some(50.0), Some(59.999), Some(60.0), Some(95.0), None).toDF("t")
+      .select(Analytics.temperatureBin(col("t")).as("bin")).collect()
+    assert(out.take(5).map(_.getString(0)).toSeq ==
+      Seq("<50°F", "50-60°F", "50-60°F", "60-70°F", ">90°F"))
+    assert(out(5).isNullAt(0)) // missing reading is NOT the hottest bin
   }
 
   test("OLS summary + CI bands match closed-form on a known dataset") {
