@@ -138,6 +138,25 @@ object ExtendedQueries {
         max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** U-ext — INTERSECT (set semantics; the reference has union/except
+    * only, the engine completes the set-op family): customers that
+    * ordered in both 1995 and 1996. */
+  def q45Intersect(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def custsIn(yr: Int) =
+      o.filter(year(col("o_orderdate")) === yr).select(col("o_custkey"))
+    custsIn(1995).intersect(custsIn(1996)).orderBy("o_custkey")
+  }
+
+  /** J4 — explicit left-semi join (EXISTS): customers with at least one
+    * high-value order, keeping only left columns. */
+  def q46SemiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 100000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
   /** Embedding-cosine near-dup pairs via LSH candidates + native cosine
     * verify (rows-only: the LSH hyperplanes are xxhash64-derived). */
   def q41EmbeddingDedup(s: SparkSession, d: String): DataFrame =
@@ -154,6 +173,8 @@ object ExtendedQueries {
     "q28_quality_ts" -> (q28QualityTs _),
     "q29_session_window" -> (q29SessionWindow _),
     "q42_json_extract" -> (q42JsonExtract _),
+    "q45_intersect" -> (q45Intersect _),
+    "q46_semi_join" -> (q46SemiJoin _),
     "q41_embedding_dedup" -> (q41EmbeddingDedup _)
   )
 
@@ -229,6 +250,16 @@ object ExtendedQueries {
         | round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
         | max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q45_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+    "q46_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
     "q26_distinct" ->
       """SELECT count(DISTINCT l_orderkey) AS n_orders,
         | count(DISTINCT l_partkey) AS n_parts,

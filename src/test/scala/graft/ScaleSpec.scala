@@ -49,6 +49,15 @@ class ScaleSpec extends AnyFunSuite {
     assert(read.count() == 20)
   }
 
+  test("filter+projection reach the parquet scan (pushdown regression guard)") {
+    val plan = graft.queries.CoreQueries
+      .q02FilterProject(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan.take(2000))
+    // pruned read schema: only the 6 needed columns, not all 11
+    assert(!plan.contains("l_tax"), "projection pruning regressed: l_tax read")
+  }
+
   test("salted join returns identical results to the plain join") {
     val s = spark; import s.implicits._
     // heavy skew: 90% of big rows share one key
