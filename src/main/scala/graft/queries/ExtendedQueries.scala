@@ -28,6 +28,35 @@ object ExtendedQueries {
         col("sum_qty"), col("n"))
       .orderBy("returnflag", "linestatus")
 
+  /** Full cube totals over two dimensions (exposed alongside rollup —
+    * SURVEY §2.4: Spark provides these free; the engine surfaces them). */
+  def q47Cube(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .cube(col("event_type"), date_format(col("ts"), "EEEE").as("day_name"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day_name"), lit("ALL")).as("day_name"),
+        col("n"), col("total_value"))
+      .orderBy("event_type", "day_name")
+
+  /** Frame-spec window: 7-day trailing moving average of daily totals
+    * per event type (rowsBetween over the dense daily series — the
+    * rolling statistic the reference's dashboard never had). */
+  def q48RollingAvg(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum("value").as("v"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    daily
+      .select(
+        col("event_type"), col("day"),
+        round(col("v"), 2).as("daily_value"),
+        round(avg("v").over(w), 4).as("ma7"),
+        count(lit(1)).over(w).as("window_n"))
+      .orderBy("event_type", "day")
+  }
+
   /** Backward as-of join: each purchase matched to the user's latest
     * view at-or-before it (the generalized J3). The view side is
     * deduplicated per (user, instant) so as-of semantics are
@@ -174,6 +203,8 @@ object ExtendedQueries {
     "q29_session_window" -> (q29SessionWindow _),
     "q42_json_extract" -> (q42JsonExtract _),
     "q45_intersect" -> (q45Intersect _),
+    "q47_cube" -> (q47Cube _),
+    "q48_rolling_avg" -> (q48RollingAvg _),
     "q46_semi_join" -> (q46SemiJoin _),
     "q41_embedding_dedup" -> (q41EmbeddingDedup _)
   )
@@ -250,6 +281,22 @@ object ExtendedQueries {
         | round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
         | max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q47_cube" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        | coalesce(dayname(ts), 'ALL') AS day_name,
+        | count(*) AS n, round(sum(value),2) AS total_value
+        |FROM events GROUP BY CUBE (event_type, dayname(ts))
+        |ORDER BY 1,2""".stripMargin,
+    "q48_rolling_avg" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS v
+        |  FROM events GROUP BY 1,2)
+        |SELECT event_type, day, round(v,2) AS daily_value,
+        | round(avg(v) OVER w, 4) AS ma7,
+        | count(*) OVER w AS window_n
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
     "q45_intersect" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
         |INTERSECT
