@@ -13,9 +13,17 @@ for t in ("region nation customer supplier part orders lineitem events "
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
-names = sorted([os.path.basename(p) for p in glob.glob(f"{out}/*") if os.path.isdir(p)])
+present = sorted([os.path.basename(p) for p in glob.glob(f"{out}/*") if os.path.isdir(p)])
+try:
+    names = json.load(open(f"{out}/declared.json"))  # every declared query must appear
+except FileNotFoundError:
+    names = present
 fails = 0
 for name in names:
+    if name not in present:
+        print(f"FAIL {name}: declared but produced no output (runtime error in Verify)")
+        fails += 1
+        continue
     try:
         got = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
     except Exception as e:

@@ -39,6 +39,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // full declared-query manifest: lets the compare step FAIL queries
+    // whose runtime error meant no output dir was ever written (instead
+    // of silently skipping them and reporting a false green)
+    Files.writeString(Paths.get(s"$outDir/declared.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -22,25 +22,28 @@ object QualityOps {
     val present = fact.columns.toSet
     val cols = Seq("date", "city", "temp_max_f", "temp_min_f", "temp_avg_f", "energy_demand_gwh")
       .filter(present.contains)
-    // every aggregate is guarded on column presence — a weather-only or
-    // energy-only frame still gets a report instead of an
-    // UNRESOLVED_COLUMN failure
-    val tempOutlier: Option[Column] =
-      if (present("temp_max_f") && present("temp_min_f"))
-        Some(sum(((col("temp_max_f") > tempMax) || (col("temp_min_f") < tempMin)).cast("long"))
-          .as("temp_outliers"))
-      else None
+    // every aggregate is guarded on column presence — a weather-only,
+    // energy-only, or undated frame still gets a report instead of an
+    // UNRESOLVED_COLUMN failure; one-sided temp frames count outliers
+    // from whichever bound is available
+    val outlierPreds = Seq(
+      if (present("temp_max_f")) Some(col("temp_max_f") > tempMax) else None,
+      if (present("temp_min_f")) Some(col("temp_min_f") < tempMin) else None).flatten
+    val tempOutlier: Option[Column] = outlierPreds.reduceOption(_ || _)
+      .map(p => sum(p.cast("long")).as("temp_outliers"))
     val negEnergy: Option[Column] =
       if (present("energy_demand_gwh"))
         Some(sum((col("energy_demand_gwh") < 0).cast("long")).as("negative_energy"))
       else None
+    val freshness: Seq[Column] =
+      if (present("date")) Seq(
+        date_format(max("date"), "yyyy-MM-dd").as("latest_date"),
+        datediff(to_date(lit(asOfDate)), max("date")).as("days_since"))
+      else Seq.empty
     val aggs =
       Seq(count(lit(1)).as("row_count")) ++
         cols.map(c => sum(col(c).isNull.cast("long")).as(s"null_$c")) ++
-        tempOutlier ++ negEnergy ++
-        Seq(
-          date_format(max("date"), "yyyy-MM-dd").as("latest_date"),
-          datediff(to_date(lit(asOfDate)), max("date")).as("days_since"))
+        tempOutlier ++ negEnergy ++ freshness
     val r: Row = fact.agg(aggs.head, aggs.tail: _*).collect().head
     def long(name: String): Long =
       if (!r.schema.fieldNames.contains(name) || r.isNullAt(r.fieldIndex(name))) 0L
@@ -50,7 +53,9 @@ object QualityOps {
       null_counts = cols.map(c => c -> long(s"null_$c")).toMap,
       temp_outliers_count = long("temp_outliers"),
       negative_energy_count = long("negative_energy"),
-      latest_data_date = Option(r.getAs[String]("latest_date")).getOrElse(""),
+      latest_data_date =
+        if (!r.schema.fieldNames.contains("latest_date")) ""
+        else Option(r.getAs[String]("latest_date")).getOrElse(""),
       days_since_latest_data = long("days_since").toInt)
   }
 

@@ -71,28 +71,34 @@ object Similarity {
   def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     GraftFunctions.register(spark)
-    // deterministic coarse centroids: every (n/nCentroids)-th vector by id
-    val ids = corpus.select(col("vec_id")).orderBy("vec_id")
-      .limit(nCentroids * 64).collect().map(_.getLong(0))
-    val step = math.max(ids.length / nCentroids, 1)
-    val centroidIds = ids.grouped(step).map(_.head).take(nCentroids).toSeq
-    val centroids = broadcast(
-      corpus.filter(col("vec_id").isin(centroidIds: _*))
-        .select(col("vec_id").as("cell"), col("embedding").as("c_emb")))
-    def assign(df: DataFrame, idCol: String, embCol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(idCol)
-        .orderBy(col("c_sim").desc, col("cell"))
-      df.crossJoin(centroids)
-        .withColumn("c_sim", expr(s"cosine_sim($embCol, c_emb)"))
-        .withColumn("c_rank", row_number().over(w))
-        .filter(col("c_rank") <= keep)
-        .drop("c_emb", "c_sim", "c_rank")
-    }
-    val cells = assign(corpus.select(col("vec_id"), col("embedding")), "vec_id", "embedding", 1)
-    val q = assign(
-      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
-      "query_id", "q_emb", nProbe)
-    val scored = cells.join(broadcast(q), Seq("cell"))
+    // deterministic coarse centroids spread across the FULL id range:
+    // approx-percentile picks actual observed vec_ids at evenly-spaced
+    // quantiles (an id-prefix sample would bias every cell toward the
+    // low ids). Collecting nCentroids ids + vectors to the driver is
+    // the training artifact of IVF — small by construction.
+    val qs = (0 until nCentroids).map(i => (i + 0.5) / nCentroids)
+    val centroidIds = corpus
+      .select(expr(s"percentile_approx(vec_id, array(${qs.mkString(",")}), 10000)"))
+      .collect().head.getSeq[Long](0).distinct
+    val centroidVecs: Seq[(Long, Array[Float])] = corpus
+      .filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    // map-side assignment: per-row argmax over the literal centroid
+    // array — array_max on (sim, cell) structs, NO shuffle of the
+    // corpus (the previous crossJoin + per-id window shuffled
+    // nCentroids× the corpus just to pick each row's best cell)
+    def cellStructs(embCol: String): String = centroidVecs.map { case (id, v) =>
+      val litArr = s"array(${v.map(x => s"cast($x as float)").mkString(",")})"
+      s"struct(cosine_sim($embCol, $litArr) AS s, ${id}L AS cell)"
+    }.mkString(", ")
+    val cells = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("cell", expr(s"array_max(array(${cellStructs("embedding")})).cell"))
+    val q = broadcast(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        .withColumn("cell", explode(expr(
+          s"transform(slice(reverse(array_sort(array(${cellStructs("q_emb")}))), 1, $nProbe), x -> x.cell)"))))
+    val scored = cells.join(q, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", expr("cosine_sim(embedding, q_emb)"))
     ranked(scored, k).select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
 /** Logical operator: approximate top-k cosine similarity join between a
   * corpus and a query set (SURVEY §4's "similarity_join logical node
@@ -42,9 +42,13 @@ case class SimilarityJoinPlan(
 }
 
 object SimilarityJoinPlan {
-  def outputAttrs(): Seq[AttributeReference] = Seq(
-    AttributeReference("query_id", LongType)(),
-    AttributeReference("vec_id", LongType)(),
+  /** Output attributes typed from the children's actual id type — a
+    * hardcoded LongType would make the analyzed outer plan disagree
+    * with the rewritten plan when ids are e.g. IntegerType (BoundReference
+    * then reads the wrong slot width at execution). */
+  def outputAttrs(idType: org.apache.spark.sql.types.DataType): Seq[AttributeReference] = Seq(
+    AttributeReference("query_id", idType)(),
+    AttributeReference("vec_id", idType)(),
     AttributeReference("sim", DoubleType)(),
     AttributeReference("rank", IntegerType)())
 }
@@ -88,7 +92,7 @@ object SimilarityJoinApiInternal {
         spark.experimental.extraOptimizations :+ RewriteSimilarityJoin(spark)
     val node = SimilarityJoinPlan(
       logicalPlan(corpus), logicalPlan(queries), k, nBits, tables,
-      SimilarityJoinPlan.outputAttrs())
+      SimilarityJoinPlan.outputAttrs(corpus.schema("vec_id").dataType))
     ofRows(spark, node)
   }
 }

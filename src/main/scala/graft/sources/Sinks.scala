@@ -23,12 +23,16 @@ object Sinks {
     * bucketing (requires saveAsTable; bucket metadata lives in the
     * session catalog). */
   def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit = {
+    // db-qualified names live under <db>.db/ — unqualified only here,
+    // and lowercase to match saveAsTable's identifier normalization
+    // (otherwise the stale-location cleanup below misses the real path)
+    require(!table.contains('.'), s"writeBucketed takes an unqualified table name, got: $table")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // a stale managed-table location (e.g. from a killed run) blocks
     // CREATE even after the DROP — clear it explicitly
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new java.net.URI(s"$warehouse/$table".replace(" ", "%20"))
+    val loc = new java.net.URI(s"$warehouse/${table.toLowerCase}".replace(" ", "%20"))
     val path = new org.apache.hadoop.fs.Path(loc)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) fs.delete(path, true)
@@ -51,7 +55,10 @@ object Sinks {
     * join key — salting by the key would map a hot key to one salt and
     * split nothing); `small` is exploded across all salts. One shuffle
     * on (key, salt) with `salts`× better balance on hot keys.
-    * `saltSource` defaults to a hash of all of big's columns. */
+    * `saltSource` defaults to a per-row id, NOT a content hash: the
+    * canonical hot key is boilerplate (byte-identical rows), and a
+    * content-derived salt would map all of them to ONE salt, giving
+    * zero relief exactly in the motivating case. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
       joinType: String = "inner",
       saltSource: Option[org.apache.spark.sql.Column] = None): DataFrame = {
@@ -61,7 +68,7 @@ object Sinks {
     require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
       .contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left/left_semi joins, got: $joinType")
-    val src = saltSource.getOrElse(hash(big.columns.map(col): _*))
+    val src = saltSource.getOrElse(hash(monotonically_increasing_id()))
     val salted = big.withColumn("_salt", pmod(src, lit(salts)))
     // rows of `small` replicate across every salt
     val exploded = small.withColumn("_salt",

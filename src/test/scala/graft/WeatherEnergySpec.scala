@@ -65,6 +65,16 @@ class WeatherEnergySpec extends AnyFunSuite {
     assert(rep.latest_data_date == "2024-01-02" && rep.days_since_latest_data == 3)
   }
 
+  test("quality report tolerates partial frames (weather-only, no date)") {
+    val s = spark; import s.implicits._
+    val weatherOnly = Seq(("X", Some(200.0)), ("X", None))
+      .toDF("city", "temp_max_f") // no date, no temp_min_f, no energy
+    val rep = QualityOps.report(weatherOnly, asOfDate = "2024-01-05")
+    assert(rep.row_count == 2)
+    assert(rep.temp_outliers_count == 1) // counted from the one available bound
+    assert(rep.negative_energy_count == 0 && rep.latest_data_date == "")
+  }
+
   // — §7.4 trap 1: NaN/NULL semantics
   test("energy daily sum: all-null day → 0.0, absent day after densify → NULL") {
     val s = spark; import s.implicits._
