@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.functions.TextFunctions
+import graft.plans.GraftFunctions
+
+/** Second tranche of text-analysis operators for the training-data
+  * pipeline: repetition scoring, corpus vocabulary, TF-IDF, and
+  * pattern counting — all pure column expressions / relational ops with
+  * DuckDB oracles. */
+object TextQueries2 {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** Repetition ratio — the boilerplate/spam signal: 1 − |distinct
+    * shingles| / |shingle positions|. High ratio ⇒ the document repeats
+    * itself; a standard pre-training quality filter. */
+  def q49Repetition(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    docs(s, d)
+      .withColumn("toks", TextFunctions.tokens("text"))
+      .filter(size(col("toks")) >= 3)
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        (size(col("toks")) - 2).as("n_shingle_positions"),
+        size(TextFunctions.shingles("toks")).as("n_distinct_shingles"),
+        round(lit(1.0) - size(TextFunctions.shingles("toks")).cast("double") /
+          (size(col("toks")) - 2), 4).as("repetition_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus vocabulary: top 50 tokens by document frequency with
+    * deterministic tie-break — explode → two-level aggregate → ordered
+    * limit (map-side partial aggregation keeps the shuffle narrow). */
+  def q50VocabTopK(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), explode(array_distinct(TextFunctions.tokens("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("token"))
+      .limit(50)
+
+  /** TF-IDF: term frequency × inverse document frequency, top 3 terms
+    * per document (tie-break on term). idf = ln(N / df) over distinct-
+    * per-doc terms; tf = in-doc count / doc length. The doc-count
+    * scalar joins in as a broadcast literal-free cross join (1 row). */
+  def q51TfIdf(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d)
+      .select(col("doc_id"), explode(TextFunctions.tokens("text")).as("token"))
+    val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("doc_len"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf_count"))
+    val df_ = toks.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("doc_freq"))
+    val n = docs(s, d).select(countDistinct("doc_id").as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf_raw").desc, col("token"))
+    tf.join(docLen, "doc_id")
+      .join(df_, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf_raw",
+        (col("tf_count").cast("double") / col("doc_len")) *
+          log(col("n_docs").cast("double") / col("doc_freq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("token"), round(col("tfidf_raw"), 6).as("tfidf"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Pattern counting over raw text (PII/URL-shaped scans): counts of
+    * simple regex classes per document, aggregated corpus-wide by
+    * source. Patterns are kept dialect-neutral (no lookarounds). */
+  def q52PatternCounts(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(
+        col("source"),
+        size(expr("regexp_extract_all(text, '[a-z]+[0-9]+', 0)")).as("alnum_runs"),
+        size(expr("regexp_extract_all(text, '\\\\b(the|a)\\\\b', 0)")).as("articles"),
+        length(col("text")).as("chars"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("alnum_runs").as("total_alnum_runs"),
+        sum("articles").as("total_articles"),
+        round(avg("chars"), 2).as("avg_chars"))
+      .orderBy("source")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_repetition" -> (q49Repetition _),
+    "q50_vocab_topk" -> (q50VocabTopK _),
+    "q51_tfidf" -> (q51TfIdf _),
+    "q52_pattern_counts" -> (q52PatternCounts _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q49_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |f AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t WHERE len(toks) >= 3),
+        |sh AS (SELECT doc_id, n_tokens,
+        |  len(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS n_distinct
+        |  FROM f)
+        |SELECT doc_id, n_tokens, n_tokens - 2 AS n_shingle_positions,
+        | n_distinct AS n_distinct_shingles,
+        | round(1.0 - n_distinct * 1.0 / (n_tokens - 2), 4) AS repetition_ratio
+        |FROM sh ORDER BY doc_id""".stripMargin,
+    "q50_vocab_topk" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS doc_freq FROM t
+        |GROUP BY 1 ORDER BY doc_freq DESC, token LIMIT 50""".stripMargin,
+    "q51_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |doclen AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1),
+        |tf AS (SELECT doc_id, token, count(*) AS tf_count FROM toks GROUP BY 1,2),
+        |df AS (SELECT token, count(*) AS doc_freq FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    (tf.tf_count * 1.0 / doclen.doc_len) * ln(n.n_docs * 1.0 / df.doc_freq) AS tfidf_raw
+        |  FROM tf JOIN doclen USING (doc_id) JOIN df USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, round(tfidf_raw, 6) AS tfidf,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_raw DESC, token) AS INT) AS rank
+        |FROM scored QUALIFY rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+    "q52_pattern_counts" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(len(regexp_extract_all(text, '[a-z]+[0-9]+'))) AS BIGINT) AS total_alnum_runs,
+        | CAST(sum(len(regexp_extract_all(text, '\b(the|a)\b'))) AS BIGINT) AS total_articles,
+        | round(avg(length(text)), 2) AS avg_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
