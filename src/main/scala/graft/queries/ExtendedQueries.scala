@@ -28,6 +28,54 @@ object ExtendedQueries {
         col("sum_qty"), col("n"))
       .orderBy("returnflag", "linestatus")
 
+  /** Banded range join (interval join): views of the same user within
+    * ±15 minutes of each purchase, counted per purchase. The band
+    * decomposition keeps it an equi-shuffle (see
+    * [[graft.operators.RangeJoin]]) instead of a per-key nested loop. */
+  def q53RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"))
+    val nearby = graft.operators.RangeJoin
+      .within(purchases, views, Seq("user_id"), "ts", toleranceSec = 900)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_views_nearby"))
+    purchases.join(nearby, Seq("event_id"), "left")
+      .select(col("user_id"), col("event_id"),
+        coalesce(col("n_views_nearby"), lit(0L)).as("n_views_nearby"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Robust per-group outlier detection: z-scores against group
+    * mean/stddev via a window, outliers = |z| > 2.5. */
+  def q54ZScore(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+    ev(s, d)
+      .withColumn("mu", avg("value").over(w))
+      .withColumn("sd", stddev_samp(col("value")).over(w))
+      .withColumn("z", (col("value") - col("mu")) / col("sd"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(first("mu"), 4).as("mean_value"),
+        round(first("sd"), 4).as("sd_value"),
+        sum((abs(col("z")) > 2.5).cast("long")).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  /** Pairwise correlation matrix of the lineitem measures (single
+    * pass, one row). */
+  def q55CorrMatrix(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      round(corr("l_quantity", "l_extendedprice"), 6).as("qty_price"),
+      round(corr("l_quantity", "l_discount"), 6).as("qty_discount"),
+      round(corr("l_quantity", "l_tax"), 6).as("qty_tax"),
+      round(corr("l_extendedprice", "l_discount"), 6).as("price_discount"),
+      round(corr("l_extendedprice", "l_tax"), 6).as("price_tax"),
+      round(corr("l_discount", "l_tax"), 6).as("discount_tax"))
+
   /** Full cube totals over two dimensions (exposed alongside rollup —
     * SURVEY §2.4: Spark provides these free; the engine surfaces them). */
   def q47Cube(s: SparkSession, d: String): DataFrame =
@@ -204,6 +252,9 @@ object ExtendedQueries {
     "q42_json_extract" -> (q42JsonExtract _),
     "q45_intersect" -> (q45Intersect _),
     "q47_cube" -> (q47Cube _),
+    "q53_range_join" -> (q53RangeJoin _),
+    "q54_zscore" -> (q54ZScore _),
+    "q55_corr_matrix" -> (q55CorrMatrix _),
     "q48_rolling_avg" -> (q48RollingAvg _),
     "q46_semi_join" -> (q46SemiJoin _),
     "q41_embedding_dedup" -> (q41EmbeddingDedup _)
@@ -281,6 +332,35 @@ object ExtendedQueries {
         | round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
         | max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q53_range_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts
+        |  FROM events WHERE event_type = 'view')
+        |SELECT p.user_id, p.event_id, count(v.ts) AS n_views_nearby
+        |FROM p LEFT JOIN v ON p.user_id = v.user_id
+        |  AND abs(epoch_us(p.ts) - epoch_us(v.ts)) <= 900000000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q54_zscore" ->
+      """WITH g AS (
+        |  SELECT event_type, value,
+        |    avg(value) OVER w AS mu, stddev_samp(value) OVER w AS sd
+        |  FROM events WINDOW w AS (PARTITION BY event_type))
+        |SELECT event_type, count(*) AS n,
+        | round(any_value(mu), 4) AS mean_value,
+        | round(any_value(sd), 4) AS sd_value,
+        | count(*) FILTER (WHERE abs((value - mu) / sd) > 2.5) AS n_outliers
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q55_corr_matrix" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS qty_price,
+        | round(corr(l_quantity, l_discount), 6) AS qty_discount,
+        | round(corr(l_quantity, l_tax), 6) AS qty_tax,
+        | round(corr(l_extendedprice, l_discount), 6) AS price_discount,
+        | round(corr(l_extendedprice, l_tax), 6) AS price_tax,
+        | round(corr(l_discount, l_tax), 6) AS discount_tax
+        |FROM lineitem""".stripMargin,
     "q47_cube" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,
         | coalesce(dayname(ts), 'ALL') AS day_name,

@@ -93,6 +93,27 @@ object StreamingOps {
     }.toDF("fingerprint", "keep_id")
   }
 
+  /** Stream-stream interval join: purchases joined to the same user's
+    * views within the time bound, both sides watermarked so the join
+    * state is bounded (Spark buffers each side only until the watermark
+    * passes the interval — unbounded state otherwise). The streaming
+    * counterpart of [[graft.operators.RangeJoin]]. */
+  def purchaseViewJoin(purchases: DataFrame, views: DataFrame,
+      toleranceSec: Long = 900): DataFrame = {
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val v = views
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("p_ts") >= col("v_ts") - expr(s"INTERVAL $toleranceSec SECONDS") &&
+        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $toleranceSec SECONDS"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
+        col("p_ts"), col("v_ts"))
+  }
+
   /** Drain a streaming aggregate to a memory sink synchronously
     * (complete mode) and return the result table — the local test/verify
     * harness for streaming queries. */

@@ -61,6 +61,29 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(far.isNullAt(far.fieldIndex("asof_v")))
   }
 
+  test("banded range join equals the naive inequality join, including band edges") {
+    val s = spark; import s.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"),
+      (1L, ts("2024-01-01 12:00:00"), "p2")).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:45:00"), 1.0), // 900s before p1 → boundary, included
+      (1L, ts("2024-01-01 09:44:59"), 2.0), // 901s → excluded
+      (1L, ts("2024-01-01 10:10:00"), 3.0), // within
+      (1L, ts("2024-01-01 11:00:00"), 4.0)  // matches neither (3600s/1h from both)
+    ).toDF("user_id", "ts", "v")
+    val got = graft.operators.RangeJoin.within(left, right, Seq("user_id"), "ts", 900)
+      .select(col("tag"), col("r_v")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    val naive = left.alias("l").join(right.alias("r"),
+      col("l.user_id") === col("r.user_id") &&
+        abs(unix_micros(col("l.ts")) - unix_micros(col("r.ts"))) <= 900L * 1000000L)
+      .select(col("tag"), col("r.v")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(got == naive)
+    assert(got == Set(("p1", 1.0), ("p1", 3.0)))
+  }
+
   test("embedding near-dup finds planted duplicate vector, skips orthogonal ones") {
     val s = spark; import s.implicits._
     val v = Array.tabulate(16)(i => math.sin(i * 1.7).toFloat)

@@ -36,6 +36,31 @@ class SourceV2Spec extends AnyFunSuite {
     assert(res.forall(!_.isNullAt(2)))
   }
 
+  test("stream-stream interval join matches views within the time bound") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val pIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val vIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = StreamingOps.purchaseViewJoin(
+      pIn.toDF().toDF("user_id", "event_id", "ts"),
+      vIn.toDF().toDF("user_id", "event_id", "ts"),
+      toleranceSec = 60)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      pIn.addData((1L, 100L, t(120)))
+      vIn.addData((1L, 200L, t(90)),  // within 60s → match
+        (1L, 201L, t(0)),             // 120s away → no match
+        (2L, 202L, t(110)))           // other user → no match
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out").collect()
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("view_id"))).toSet
+      assert(rows == Set((100L, 200L)))
+    } finally q.stop()
+  }
+
   test("stateful streaming dedup emits first doc per fingerprint across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark; import s.implicits._
