@@ -88,7 +88,17 @@ object TextQueries2 {
         round(avg("chars"), 2).as("avg_chars"))
       .orderBy("source")
 
+  /** Deterministic train/val/test split by md5 hash bucket — stable
+    * across engines and runs (the curation property RNG splits lack);
+    * per-split, per-lang counts. */
+  def q56Split(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curation.split(docs(s, d), "doc_id")
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n"), round(avg("n_chars"), 2).as("avg_chars"))
+      .orderBy("split", "lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_split" -> (q56Split _),
     "q49_repetition" -> (q49Repetition _),
     "q50_vocab_topk" -> (q50VocabTopK _),
     "q51_tfidf" -> (q51TfIdf _),
@@ -96,6 +106,14 @@ object TextQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q56_split" ->
+      """WITH b AS (
+        |  SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        | lang, count(*) AS n, round(avg(n_chars), 2) AS avg_chars
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q49_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
