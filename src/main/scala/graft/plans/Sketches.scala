@@ -155,6 +155,50 @@ case class MinHashBands(child: Expression, bands: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Top-`nProbe` nearest IVF coarse centroids of an `array<float>`
+  * embedding, by cosine (same double accumulation as
+  * [[CosineSimilarity]]); ties broken toward the larger centroid id so
+  * results match the struct-max formulation it replaced. The centroid
+  * table is held in the expression OBJECT (constructor data shipped
+  * with the serialized plan), NOT inlined in the plan/SQL text: the
+  * literal-array formulation exploded the plan string and codegen at
+  * production cell counts (thousands of centroids × dims). `stringArgs`
+  * keeps `explain` output to the centroid COUNT. */
+case class NearestCells(child: Expression, centroidIds: Array[Long],
+    centroidVecs: Array[Array[Float]], nProbe: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ivf_cells"
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"nCentroids=${centroidIds.length}", s"nProbe=$nProbe")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nC = centroidIds.length
+    val sims = new Array[Double](nC)
+    var c = 0
+    while (c < nC) {
+      val v = centroidVecs(c)
+      val n = math.min(arr.numElements(), v.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = arr.getFloat(i).toDouble
+        val y = v(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      sims(c) = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+      c += 1
+    }
+    val order = Array.range(0, nC).sortBy(i => (-sims(i), -centroidIds(i)))
+    new GenericArrayData(order.take(math.min(nProbe, nC)).map(i => centroidIds(i)))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** LSH sign-bucket of an array<float> embedding against `nBits`
   * deterministic pseudo-random hyperplanes (component = hash(table,
   * plane, dim) mapped to [-0.5, 0.5)). Replaces an interpreted

@@ -235,11 +235,28 @@ object ExtendedQueries {
       .orderBy("c_custkey")
 
   /** Embedding-cosine near-dup pairs via LSH candidates + native cosine
-    * verify (rows-only: the LSH hyperplanes are xxhash64-derived). */
-  def q41EmbeddingDedup(s: SparkSession, d: String): DataFrame =
-    Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.9)
-      .select(col("doc_a"), col("doc_b"), round(col("cosine"), 4).as("cosine"))
+    * verify (rows-only: the LSH hyperplanes are xxhash64-derived).
+    *
+    * The raw embeddings table has no genuine 0.9-cosine pairs at any
+    * scale factor, which would make a rows-only check vacuous — so the
+    * query plants deterministic near-duplicates in-line (the q16/q28
+    * null-injection pattern): each vec_id < 8 gets a scaled copy at
+    * id+1000000. Scaling preserves direction exactly, so cosine = 1.0
+    * and the LSH sign-buckets match in every table — the 8 planted
+    * pairs are guaranteed recovered, and the driver sees stable
+    * rows > 0 at every scale factor. */
+  def q41EmbeddingDedup(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d)
+    val planted = base.filter(col("vec_id") < 8)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, x -> x * cast(2.0 as float))").as("embedding"),
+        col("label"))
+    Dedup.embeddingNearDups(base.select("vec_id", "embedding", "label").unionByName(planted),
+        threshold = 0.9)
+      .select(col("doc_a"), col("doc_b"), round(col("cosine"), 4).as("cosine"),
+        (col("doc_b") >= 1000000L).as("planted"))
       .orderBy("doc_a", "doc_b")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_rollup" -> (q23Rollup _),

@@ -88,12 +88,17 @@ object TextQueries {
       .orderBy("doc_id")
 
   /** Order-sensitive rolling-hash document fingerprint (rows-only:
-    * xxhash64 not replicable in DuckDB). */
-  def q39Fingerprint(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+    * xxhash64 not replicable in DuckDB). `corpus_checksum` (bit-xor of
+    * every fingerprint, constant across rows) makes the rows-only check
+    * self-evidencing: any fingerprint regression flips the checksum in
+    * the dumped output even though DuckDB cannot recompute the hash. */
+  def q39Fingerprint(s: SparkSession, d: String): DataFrame = {
+    val fp = docs(s, d)
       .withColumn("toks", TextFunctions.tokens("text"))
       .select(col("doc_id"), TextFunctions.rollingFingerprint("toks").as("fingerprint"))
-      .orderBy("doc_id")
+    val chk = fp.agg(expr("bit_xor(fingerprint)").as("corpus_checksum"))
+    fp.crossJoin(broadcast(chk)).orderBy("doc_id")
+  }
 
   /** Multimodal stub pipeline: binary payload + partition-local decode.
     * The fake features are deterministic functions of payload length, so

@@ -28,19 +28,28 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH-bucketed approximate top-10 for the same query set. */
+  /** LSH-bucketed approximate top-10 for the same query set, annotated
+    * with per-query recall against the exact result so the rows-only
+    * check is self-evidencing (the dumped output carries its own
+    * quality measure). */
   def q35KnnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    Similarity.lshTopK(s, emb, emb.filter(col("vec_id") < NQueries), k = 10, nBits = 8)
+    val q = emb.filter(col("vec_id") < NQueries)
+    Similarity.recallVsExact(
+        Similarity.lshTopK(s, emb, q, k = 10, nBits = 8),
+        Similarity.bruteForceTopK(s, emb, q, k = 10), k = 10)
       .orderBy("query_id", "rank")
   }
 
   /** IVF-bucketed approximate top-10 (rows-only: centroid choice is an
-    * engine detail; recall vs brute force is asserted in ScalaTest). */
+    * engine detail), annotated with per-query recall against the exact
+    * result — same self-evidencing pattern as q35. */
   def q43KnnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    Similarity.ivfTopK(s, emb, emb.filter(col("vec_id") < NQueries),
-      k = 10, nCentroids = 16, nProbe = 4)
+    val q = emb.filter(col("vec_id") < NQueries)
+    Similarity.recallVsExact(
+        Similarity.ivfTopK(s, emb, q, k = 10, nCentroids = 16, nProbe = 4),
+        Similarity.bruteForceTopK(s, emb, q, k = 10), k = 10)
       .orderBy("query_id", "rank")
   }
 

@@ -103,6 +103,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall was $recall")
   }
 
+  test("q41 embedding dedup recovers exactly the 8 planted near-dup pairs") {
+    val out = graft.queries.ExtendedQueries.q41EmbeddingDedup(spark, "/root/testdata/sf0.001")
+      .collect()
+    val plantedPairs = out.filter(_.getAs[Boolean]("planted"))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plantedPairs == (0L until 8L).map(i => (i, i + 1000000L)).toSet)
+    // scaled copies preserve direction exactly → cosine rounds to 1.0
+    out.filter(_.getAs[Boolean]("planted"))
+      .foreach(r => assert(r.getAs[Double]("cosine") == 1.0))
+    assert(out.length >= 8) // stable rows>0 is what the driver checks
+  }
+
+  test("IVF plan text stays compact at nCentroids=1024 (no inlined centroid literals)") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 2)
+    val df = Similarity.ivfTopK(spark, emb, q, k = 5, nCentroids = 1024, nProbe = 8)
+    val plan = df.queryExecution.analyzed.toString + df.queryExecution.executedPlan.toString
+    assert(plan.contains("ivf_cells"), "expected the native centroid-assignment expression")
+    assert(!plan.contains("as float)"), "centroid vectors must not be inlined as SQL literals")
+    assert(plan.length < 50000, s"plan text blew up: ${plan.length} chars")
+    assert(df.count() > 0)
+  }
+
   test("multimodal stub pipeline: binary plumbing produces length-derived features") {
     val s = spark; import s.implicits._
     val df = Seq((7L, "abcdefgh", "en", "srcX", 8L)).toDF("doc_id", "text", "lang", "source", "n_chars")
