@@ -20,6 +20,11 @@ object Main {
         sys.exit(2)
     }
     val outDir = args.lift(1).getOrElse("target/graft_out")
+    // config-driven EP1 (reference config/config.yaml, src/pipeline.py:16-17):
+    // cities + quality thresholds come from YAML when provided
+    val cfg = args.lift(2).orElse(sys.env.get("GRAFT_CONFIG"))
+      .map(graft.config.PipelineConfig.fromFile)
+      .getOrElse(graft.config.PipelineConfig.default)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-pipeline")
@@ -32,13 +37,14 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     val today = sys.env.get("GRAFT_TODAY").map(LocalDate.parse).getOrElse(LocalDate.now())
     val (start, end) = Pipeline.dateWindow(mode, today)
-    // synthetic raw payloads per city (stand-in for the landed raw zone)
-    val raw = SyntheticData.cities.map { case (city, _) =>
+    // synthetic raw payloads per configured city (stand-in for the
+    // landed raw zone; production populates it via Connectors.landRaw)
+    val raw = cfg.cities.map(_.name).map { city =>
       (city,
         SyntheticData.noaaRawJson(spark, start, daysBetween(start, end)),
         SyntheticData.eiaRawJson(spark, start, daysBetween(start, end)))
     }
-    val report = Pipeline.run(spark, raw, mode, today, outDir)
+    val report = Pipeline.run(spark, raw, mode, today, outDir, cfg)
     println(s"mode=$mode window=[$start, $end] rows=${report.row_count} " +
       s"outliers=${report.temp_outliers_count} negative=${report.negative_energy_count} " +
       s"latest=${report.latest_data_date} out=$outDir")

@@ -64,14 +64,18 @@ object Schemas {
     StructField("lon", DoubleType)))
 }
 
-/** Data-quality report row (reference dict at src/data_processor.py:89-110). */
+/** Data-quality report row (reference dict at src/data_processor.py:89-110).
+  * `weather_only` flags the degraded run mode where the energy side was
+  * empty and the pipeline fell back to a weather-only output (reference
+  * src/pipeline.py:74-78). */
 case class QualityReport(
     row_count: Long,
     null_counts: Map[String, Long],
     temp_outliers_count: Long,
     negative_energy_count: Long,
     latest_data_date: String,
-    days_since_latest_data: Int)
+    days_since_latest_data: Int,
+    weather_only: Boolean = false)
 
 /** OLS regression summary (reference: scipy linregress + statsmodels CI,
   * src/analysis.py:12-37). */

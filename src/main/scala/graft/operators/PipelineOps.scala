@@ -26,9 +26,18 @@ object PipelineOps {
     joined.withColumn("temp_avg_f", (col("temp_max_f") + col("temp_min_f")) / 2)
 
   /** S5 — CSV sink for dashboard parity (reference to_csv,
-    * src/pipeline.py:96-98). */
-  def writeCsv(df: DataFrame, path: String): Unit =
-    df.coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    * src/pipeline.py:96-98). The reference writes ONE csv file; a
+    * `coalesce(1)` funnels every row through a single task, which is a
+    * scale-killer on a big frame — so the single-file convenience is
+    * gated on a row bound (probed with a limit-count, which stops
+    * scanning once the bound is exceeded) and larger frames write
+    * multi-part. */
+  def writeCsv(df: DataFrame, path: String,
+      maxRowsSingleFile: Int = 1000000): Unit = {
+    val small = df.limit(maxRowsSingleFile + 1).count() <= maxRowsSingleFile
+    val out = if (small) df.coalesce(1) else df
+    out.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+  }
 
   /** Preferred engine sink: parquet partitioned by (city, date) —
     * partition pruning for the dashboard's per-city and per-range

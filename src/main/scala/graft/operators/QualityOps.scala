@@ -16,6 +16,18 @@ object QualityOps {
   val DefaultTempMaxF = 130.0
   val DefaultTempMinF = -50.0
 
+  /** Config-driven variants (reference run_quality_checks reads the
+    * thresholds from config['data_quality'], src/data_processor.py:93-98
+    * — they are parameters, not constants). */
+  def report(fact: DataFrame, asOfDate: String, cfg: graft.config.PipelineConfig): QualityReport =
+    report(fact, asOfDate, cfg.quality.tempMaxF, cfg.quality.tempMinF)
+
+  def qualityTimeSeries(fact: DataFrame, cfg: graft.config.PipelineConfig): DataFrame =
+    qualityTimeSeries(fact, cfg.quality.tempMaxF, cfg.quality.tempMinF)
+
+  def problemRows(fact: DataFrame, cfg: graft.config.PipelineConfig): DataFrame =
+    problemRows(fact, cfg.quality.tempMaxF, cfg.quality.tempMinF)
+
   /** Single-pass quality report over the canonical fact table. */
   def report(fact: DataFrame, asOfDate: String,
       tempMax: Double = DefaultTempMaxF, tempMin: Double = DefaultTempMinF): QualityReport = {

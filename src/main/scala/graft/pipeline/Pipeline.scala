@@ -35,29 +35,60 @@ object Pipeline {
     (start.toString, end.toString)
   }
 
+  /** Per-city weather union (the left side of the fact join). */
+  def buildWeather(rawByCity: Seq[(String, DataFrame, DataFrame)],
+      start: String, end: String): DataFrame =
+    PipelineOps.unionCities(
+      rawByCity.map { case (city, noaa, _) => WeatherOps.process(noaa, city, start, end) })
+
+  /** Per-city energy union (the right side of the fact join). */
+  def buildEnergy(rawByCity: Seq[(String, DataFrame, DataFrame)],
+      start: String, end: String): DataFrame =
+    PipelineOps.unionCities(
+      rawByCity.map { case (city, _, eia) => EnergyOps.process(eia, city, start, end) })
+
   /** Run over pre-landed raw payloads: one (noaaRaw, eiaRaw) pair per
     * city. Returns the fact DataFrame (lazy) — callers choose the sink. */
   def build(spark: SparkSession, rawByCity: Seq[(String, DataFrame, DataFrame)],
-      start: String, end: String): DataFrame = {
-    val weather = PipelineOps.unionCities(
-      rawByCity.map { case (city, noaa, _) => WeatherOps.process(noaa, city, start, end) })
-    val energy = PipelineOps.unionCities(
-      rawByCity.map { case (city, _, eia) => EnergyOps.process(eia, city, start, end) })
-    PipelineOps.deriveTempAvg(PipelineOps.joinWeatherEnergy(weather, energy))
-  }
+      start: String, end: String): DataFrame =
+    PipelineOps.deriveTempAvg(PipelineOps.joinWeatherEnergy(
+      buildWeather(rawByCity, start, end), buildEnergy(rawByCity, start, end)))
 
   /** Full run: build → quality report → sinks (partitioned parquet +
-    * CSV for dashboard parity). */
+    * CSV for dashboard parity). Quality thresholds come from `cfg`
+    * (reference config['data_quality'], src/data_processor.py:93-98).
+    *
+    * Degraded mode (reference src/pipeline.py:74-78): when the energy
+    * side carries no values at all — every fetch failed or returned
+    * empty — the run still lands a weather-only output instead of an
+    * empty inner join, and the report flags `weather_only`. The
+    * emptiness probe reads at most one non-null value (a `limit 1`
+    * job over the already-built energy plan). */
   def run(spark: SparkSession, rawByCity: Seq[(String, DataFrame, DataFrame)],
-      mode: Mode, today: LocalDate, outDir: String): QualityReport = {
+      mode: Mode, today: LocalDate, outDir: String,
+      cfg: graft.config.PipelineConfig = graft.config.PipelineConfig.default): QualityReport = {
     val (start, end) = dateWindow(mode, today)
+    val energy = buildEnergy(rawByCity, start, end)
+    // densify pads absent days with NULL energy, so "no energy data"
+    // means no non-null value anywhere — same condition as the
+    // reference's all-fetches-returned-None
+    val energyEmpty = energy
+      .filter(org.apache.spark.sql.functions.col("energy_demand_gwh").isNotNull).isEmpty
+    val fact =
+      if (energyEmpty) buildWeather(rawByCity, start, end).persist()
+      else PipelineOps.deriveTempAvg(
+        PipelineOps.joinWeatherEnergy(buildWeather(rawByCity, start, end), energy)).persist()
     // persist: the fact feeds three actions (report, parquet, CSV) —
     // without it the whole per-city raw→fact DAG recomputes each time
-    val fact = build(spark, rawByCity, start, end).persist()
     try {
-      val report = QualityOps.report(fact, asOfDate = today.toString)
-      PipelineOps.writePartitioned(fact, s"$outDir/weather_energy_parquet")
-      PipelineOps.writeCsv(fact, s"$outDir/weather_energy_csv")
+      val report = QualityOps.report(fact, asOfDate = today.toString, cfg)
+        .copy(weather_only = energyEmpty)
+      if (energyEmpty) {
+        PipelineOps.writeCsv(fact, s"$outDir/weather_csv")
+      } else {
+        PipelineOps.writePartitioned(fact, s"$outDir/weather_energy_parquet")
+        PipelineOps.writeCsv(fact, s"$outDir/weather_energy_csv")
+      }
       report
     } finally fact.unpersist()
   }

@@ -73,4 +73,23 @@ object Connectors {
   def pagePlan(total: Long, pageSize: Int = 5000): Seq[Long] =
     if (total <= 0) Seq.empty
     else 0L.until(total, pageSize.toLong)
+
+  /** S4 — raw-zone landing path for one fetched payload (reference
+    * naming `weather_{city}_{start}_{end}.json`,
+    * src/data_fetcher.py:48-49). `kind` is "weather" or "energy". */
+  def rawLandingPath(rawDir: String, kind: String, city: String,
+      start: String, end: String): String =
+    s"${rawDir.stripSuffix("/")}/${kind}_${city}_${start}_${end}.json"
+
+  /** S4 — land one raw API payload into the raw zone for lineage and
+    * replay (reference src/data_fetcher.py:48-53: every NOAA response is
+    * persisted before processing). Driver-side single-payload write —
+    * Spark then reads the landed files with the pinned schemas in
+    * [[graft.domain.Schemas]]; the replay test proves land→read→process
+    * reproduces the same fact rows as processing the in-flight payload. */
+  def landRaw(payload: String, path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 }
