@@ -159,27 +159,112 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
-  /** N-gram Jaccard via an inverted shingle index: explode distinct
-    * shingles, equi-join on shingle (doc_a < doc_b), count shared,
-    * jaccard = shared / (|A| + |B| - shared). The equi-join shuffles on
-    * the shingle — the classic scalable similarity-join shape. */
+  /** N-gram Jaccard via an inverted shingle index: explode shingles,
+    * equi-join on shingle (doc_a < doc_b), jaccard =
+    * shared / (|A| + |B| - shared). The equi-join shuffles on the
+    * shingle — the classic scalable similarity-join shape.
+    *
+    * With `prefixFilter` on, only each document's prefix — its
+    * |sh| − ⌈t·|sh|⌉ + 1 first shingles under a consistent global
+    * total order — enters the inverted index. The prefix filtering
+    * principle (Chaudhuri et al. SSJoin 2006; Xiao et al. PPJoin,
+    * WWW 2008) guarantees any pair with J ≥ t shares a prefix shingle
+    * under ANY global order, so recall stays exact; a length filter
+    * (t·|B| ≤ |A|) prunes further, and exact Jaccard is verified on
+    * candidates only, by re-shingling just the candidate documents.
+    *
+    * `prefixFilter = None` (default) auto-selects on the threshold:
+    * prefix pays only when t ≥ ~0.5. Below that the prefix keeps most
+    * of the index ((1−t) factor), candidates barely shrink, and the
+    * candidate/verify machinery (distinct pair set + two array joins)
+    * costs more than the naive path's single streaming count-join —
+    * measured 4-5× slower at t=0.3 on the sf0.1 corpus, and the same
+    * asymmetry holds at 100 TB because both paths shuffle the same
+    * near-full index. At t ≥ 0.5 the index shrinks superlinearly
+    * (prefix factor × quadratic candidate shrinkage) and prefix wins.
+    *
+    * Two orders, chosen by `freqOrder`:
+    *   - false (default): order by xxhash64(shingle) — computed INSIDE
+    *     the scan stage, row-local, so the prefix costs zero extra
+    *     shuffles; the index shrinks by the ~t/(1+t) prefix factor.
+    *   - true: rare-first by corpus document frequency (textbook
+    *     AllPairs/PPJoin). Costs a full-index aggregate + join-back +
+    *     per-doc window (three more full shuffles), but drops the HOT
+    *     posting lists (boilerplate n-grams shared by millions of docs
+    *     — the lists that go quadratic in the join) out of prefixes
+    *     entirely. Worth it on Zipfian web corpora; not on uniform ones.
+    *
+    * All three paths produce identical results (regression-tested in
+    * DedupSimilaritySpec). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.3,
-      idCol: String = "doc_id", textCol: String = "text", n: Int = 3): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
+      prefixFilter: Option[Boolean] = None, freqOrder: Boolean = false): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
+    val usePrefix = prefixFilter.getOrElse(threshold >= 0.5)
     val sh = docs
       .withColumn("toks", tokens(textCol))
       .withColumn("sh", shingles("toks", n))
       .filter(size(col("sh")) > 0)
       .select(col(idCol).as("id"), col("sh"), size(col("sh")).as("n_sh"))
-    val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
-    val a = inv.select(col("id").as("doc_a"), col("n_sh").as("na"), col("shingle"))
-    val b = inv.select(col("id").as("doc_b"), col("n_sh").as("nb"), col("shingle"))
-    a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b", "na", "nb")
-      .agg(count(lit(1)).as("shared"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("shared").cast("double") / (col("na") + col("nb") - col("shared"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    if (!usePrefix) {
+      val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
+      val a = inv.select(col("id").as("doc_a"), col("n_sh").as("na"), col("shingle"))
+      val b = inv.select(col("id").as("doc_b"), col("n_sh").as("nb"), col("shingle"))
+      a.join(b, Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(count(lit(1)).as("shared"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("shared").cast("double") / (col("na") + col("nb") - col("shared"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    } else {
+      val prefixLen = (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")
+      val pref =
+        if (!freqOrder) {
+          // hash-ordered prefix: sort the shingle set by (xxhash64, value)
+          // and slice — entirely row-local, stays in the scan stage
+          sh.select(col("id"), col("n_sh"),
+            explode(slice(expr(
+              "transform(array_sort(transform(sh, s -> struct(xxhash64(s) AS h, s AS s))), p -> p.s)"),
+              lit(1), prefixLen)).as("shingle"))
+            .select(col("shingle"), col("id"), col("n_sh"))
+        } else {
+          import org.apache.spark.sql.expressions.Window
+          val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
+          val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("dfreq"))
+          val byDoc = Window.partitionBy("id").orderBy(col("dfreq"), col("shingle"))
+          inv.join(dfreq, Seq("shingle"))
+            .withColumn("rk", row_number().over(byDoc))
+            .filter(col("rk") <= prefixLen)
+            .select(col("shingle"), col("id"), col("n_sh"))
+        }
+      val cand = pref.select(col("shingle"), col("id").as("doc_a"), col("n_sh").as("na"))
+        .join(pref.select(col("shingle"), col("id").as("doc_b"), col("n_sh").as("nb")),
+          Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        // length filter: J ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|)
+        .filter(col("na") >= ceil(lit(threshold) * col("nb")) &&
+          col("nb") >= ceil(lit(threshold) * col("na")))
+        .select("doc_a", "doc_b", "na", "nb").distinct()
+        .cache()
+      cand.count() // eager: the two verification joins below would each
+                   // re-run the whole candidate pipeline on a cold cache
+      // verification re-shingles only the candidate documents (a
+      // semi-join-sized set), never the full corpus — the same shape as
+      // minhashNearDups: at 100 TB the full shingle arrays are corpus-
+      // sized and must not be materialized or shuffled twice
+      val candIds = cand.select(col("doc_a").as("id"))
+        .union(cand.select(col("doc_b").as("id"))) // no distinct: semi-join dedups
+      val sets = docs.join(candIds.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
+        .withColumn("toks", tokens(textCol))
+        .select(col(idCol).as("id"), shingles("toks", n).as("sh"))
+      cand
+        .join(sets.select(col("id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(sets.select(col("id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .select(col("doc_a"), col("doc_b"),
+          (col("shared").cast("double") / (col("na") + col("nb") - col("shared"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
   }
 }

@@ -12,9 +12,12 @@ import graft.streaming.StreamingOps
 object AnalyticsQueries {
 
   /** X3 — OLS 95% CI bands of l_extendedprice ~ l_quantity over the
-    * distinct-quantity grid. Rows-only for the driver (the Student-t
-    * quantile is not expressible in DuckDB SQL); the numerics are
-    * oracle-tested in ScalaTest against closed-form values. */
+    * distinct-quantity grid. Fully oracle-checked: the engine keeps its
+    * exact bisection t-quantile (functions.Stats), while the DuckDB side
+    * computes t(0.975, df) via the Cornish–Fisher asymptotic expansion
+    * (Abramowitz & Stegun 26.7.5) — pure arithmetic, |error| ≈ z·df⁻⁴
+    * (~1e-11 even at df≈600), invisible under round(·,4). Everything
+    * else (slope, Sxx, residual s) is regr_* on both sides. */
   def q15OlsCi(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val bands = Analytics.olsCiBands(li, "l_quantity", "l_extendedprice").get
@@ -40,6 +43,40 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q15_ols_ci" ->
+      """WITH s AS (
+        |  SELECT count(*) * 1.0 AS n,
+        |    regr_slope(l_extendedprice, l_quantity) AS slope,
+        |    regr_intercept(l_extendedprice, l_quantity) AS intercept,
+        |    avg(l_quantity) AS xbar,
+        |    regr_sxx(l_extendedprice, l_quantity) AS sxx,
+        |    regr_syy(l_extendedprice, l_quantity) AS syy,
+        |    regr_sxy(l_extendedprice, l_quantity) AS sxy
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |d AS (
+        |  SELECT n, slope, intercept, xbar, sxx, n - 2 AS df,
+        |    sqrt(greatest(syy - slope * sxy, 0) / (n - 2)) AS rse
+        |  FROM s),
+        |tq AS (
+        |  SELECT *,
+        |    1.9599639845400545
+        |    + (pow(1.9599639845400545, 3) + 1.9599639845400545) / (4 * df)
+        |    + (5 * pow(1.9599639845400545, 5) + 16 * pow(1.9599639845400545, 3)
+        |       + 3 * 1.9599639845400545) / (96 * df * df)
+        |    + (3 * pow(1.9599639845400545, 7) + 19 * pow(1.9599639845400545, 5)
+        |       + 17 * pow(1.9599639845400545, 3) - 15 * 1.9599639845400545)
+        |      / (384 * df * df * df) AS tcrit
+        |  FROM d)
+        |SELECT g.x,
+        |  round(intercept + slope * g.x, 4) AS y_hat,
+        |  round(intercept + slope * g.x
+        |    - tcrit * rse * sqrt(1.0 / n + pow(g.x - xbar, 2) / sxx), 4) AS ci_lower,
+        |  round(intercept + slope * g.x
+        |    + tcrit * rse * sqrt(1.0 / n + pow(g.x - xbar, 2) / sxx), 4) AS ci_upper
+        |FROM (SELECT DISTINCT l_quantity AS x FROM lineitem
+        |      WHERE l_quantity IS NOT NULL) g CROSS JOIN tq
+        |ORDER BY x""".stripMargin,
     "q22_streaming" ->
       """SELECT CAST(ts AS DATE) AS day, event_type,
         | count(*) AS n_events, round(sum(value),2) AS total_value

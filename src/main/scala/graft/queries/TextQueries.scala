@@ -42,6 +42,17 @@ object TextQueries {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
+  /** Prefix-filtered n-gram Jaccard at near-dup threshold (t=0.8): the
+    * high-threshold regime where PPJoin-style prefix pruning pays —
+    * only each doc's |sh|−⌈0.8·|sh|⌉+1 rarest-hash shingles enter the
+    * index, candidates shrink quadratically, and exact Jaccard verifies
+    * candidates only. Same oracle shape as q33; results here coincide
+    * with the planted near-exact duplicates. */
+  def q57NgramPrefix(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, d), threshold = 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
   /** Language-ID by marker-token counts, argmax with deterministic
     * tie-break (order of `TextFunctions.langMarkers`). */
   def q36LangId(s: SparkSession, d: String): DataFrame = {
@@ -118,6 +129,7 @@ object TextQueries {
     "q31_dedup_minhash" -> (q31DedupMinhash _),
     "q32_dedup_simhash" -> (q32DedupSimhash _),
     "q33_ngram_jaccard" -> (q33NgramJaccard _),
+    "q57_ngram_prefix" -> (q57NgramPrefix _),
     "q36_langid" -> (q36LangId _),
     "q37_text_quality" -> (q37TextQuality _),
     "q38_token_count" -> (q38TokenCount _),
@@ -154,6 +166,26 @@ object TextQueries {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q57_ngram_prefix" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard
+        |FROM cand
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q36_langid" -> {
       val scoreCols = TextFunctions.langMarkers.map { case (l, _) =>

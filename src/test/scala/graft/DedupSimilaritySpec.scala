@@ -60,6 +60,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(math.abs(pairs.head.getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-12)
   }
 
+  test("prefix-filtered ngram jaccard is identical to the naive index") {
+    // corpus of mutated variants: plenty of shared and rare shingles,
+    // mixed lengths, so prefixes genuinely prune
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val rows = (0 until 40).map { i =>
+      val toks = (0 until 8 + i % 5).map(j => words((i * 7 + j * 3) % words.length))
+      val mutated = if (i % 3 == 0) toks.updated(2, s"uniq$i") else toks
+      (i.toLong, mutated.mkString(" "))
+    }
+    val df = docsDf(rows)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val naive = canon(Dedup.ngramJaccardPairs(df, threshold = t, prefixFilter = Some(false)))
+      val hashPref = canon(Dedup.ngramJaccardPairs(df, threshold = t, prefixFilter = Some(true)))
+      val freqPref = canon(Dedup.ngramJaccardPairs(df, threshold = t,
+        prefixFilter = Some(true), freqOrder = true))
+      assert(hashPref == naive, s"hash-ordered prefix result diverged at threshold $t")
+      assert(freqPref == naive, s"freq-ordered prefix result diverged at threshold $t")
+      assert(naive.nonEmpty || t > 0.5) // the low thresholds must actually find pairs
+    }
+  }
+
   test("native cosine_sim matches hand computation and handles zero vectors") {
     GraftFunctions.register(spark)
     val s = spark; import s.implicits._

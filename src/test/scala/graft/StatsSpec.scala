@@ -28,6 +28,23 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.tCdf(1.0, 7) < Stats.tCdf(2.0, 7))
   }
 
+  test("Cornish-Fisher expansion (q15 oracle SQL formula) tracks exact t at data-scale df") {
+    // the DuckDB side of q15 computes t(0.975, df) with this exact
+    // arithmetic (AnalyticsQueries.oracles); if the transcription or the
+    // truncation were wrong, CI bands would diverge at round(·,4)
+    val z = 1.9599639845400545
+    def cf(df: Double): Double =
+      z + (math.pow(z, 3) + z) / (4 * df) +
+        (5 * math.pow(z, 5) + 16 * math.pow(z, 3) + 3 * z) / (96 * df * df) +
+        (3 * math.pow(z, 7) + 19 * math.pow(z, 5) + 17 * math.pow(z, 3) - 15 * z) /
+          (384 * df * df * df)
+    // df at sf0.001 / sf0.01 / sf0.1 lineitem row counts (n - 2)
+    Seq(598.0, 5998.0, 59998.0, 599998.0).foreach { df =>
+      val exact = Stats.tQuantile(0.975, df)
+      assert(math.abs(cf(df) - exact) < 1e-9, s"df=$df: cf=${cf(df)} exact=$exact")
+    }
+  }
+
   test("log gamma matches known values") {
     assert(math.abs(Stats.logGamma(1.0)) < 1e-12)                       // Γ(1)=1
     assert(math.abs(Stats.logGamma(5.0) - math.log(24.0)) < 1e-12)      // Γ(5)=24
