@@ -39,6 +39,76 @@ object Curation {
       df.filter(hashBucket(col(key)) < (weight * 100).toInt)
     }.reduce(_ unionByName _)
 
+  /** Deterministic uniform unit-interval draw in [0, 1) from a key:
+    * 48 bits of md5 scaled down — the continuous-weight counterpart of
+    * [[hashBucket]], same cross-engine/cross-run stability. */
+  def hashUnit(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 12), 16, 10).cast("double") /
+      lit(281474976710656.0) // 2^48
+
+  /** Quality-weighted downsampling: keep each row with probability
+    * `weight` (a per-row column in [0,1]), decided by the key's hash —
+    * deterministic, so re-runs keep exactly the same rows and the
+    * sample composition is reproducible across cluster sizes. The
+    * standard corpus-shaping move: keep high-quality documents with
+    * probability ~1, boilerplate with probability ~0, without an RNG
+    * whose partitioning changes the outcome. Pure filter — no shuffle. */
+  def weightedSample(df: DataFrame, key: String, weight: Column): DataFrame =
+    df.filter(hashUnit(col(key)) < weight)
+
+  /** Train/test contamination report: for every test document, how many
+    * train documents share ≥1 n-gram shingle with it, and the largest
+    * shared-shingle count. The leakage check a training pipeline runs
+    * before shipping a split. Candidate generation is the inverted-
+    * index equi-join on the shingle (the scalable similarity-join
+    * shape, same as [[Dedup.ngramJaccardPairs]]): nothing all-pairs,
+    * the shuffle key is the shingle, and split filters are pushed into
+    * the scan. Returns ALL test docs (clean ones with zeros) so the
+    * report is a total audit, not a sample. */
+  def contaminationReport(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame = {
+    import graft.functions.TextFunctions._
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val tagged = split(docs, idCol)
+      .withColumn("toks", tokens(textCol))
+      .withColumn("sh", shingles("toks", n))
+      .select(col(idCol), col("split"), col("sh"))
+    val inv = tagged.select(col(idCol), col("split"), explode(col("sh")).as("shingle"))
+    val train = inv.filter(col("split") === "train")
+      .select(col("shingle"), col(idCol).as("train_doc"))
+    val test = inv.filter(col("split") === "test")
+      .select(col("shingle"), col(idCol).as("test_doc"))
+    val overlap = test.join(train, Seq("shingle"))
+      .groupBy("test_doc", "train_doc").agg(count(lit(1)).as("shared"))
+      .groupBy("test_doc")
+      .agg(count(lit(1)).as("n_train_docs"), max("shared").as("max_shared"))
+    tagged.filter(col("split") === "test").select(col(idCol).as("test_doc"))
+      .join(overlap, Seq("test_doc"), "left")
+      .select(col("test_doc"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"))
+  }
+
+  /** Deterministic sequence packing: assign documents to fixed-token-
+    * budget training sequences by running a per-shard cumulative token
+    * count and cutting at budget boundaries — the streaming "concat
+    * and chunk" packing used to form pretraining examples. Sharding
+    * first (`idCol % shards`) keeps every window partition-local: the
+    * cumsum never needs a global single-partition sort, so the operator
+    * parallelizes to any cluster width (shards ≈ executor count at
+    * scale). Deterministic order (idCol within shard) ⇒ identical
+    * packing on every run. */
+  def packSequences(df: DataFrame, idCol: String, nTokens: Column,
+      budgetTokens: Int = 4096, shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy(col(idCol))
+    df.withColumn("n_tokens", nTokens)
+      .withColumn("shard", pmod(col(idCol), lit(shards)))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("seq_id",
+        floor((col("cum_tokens") - col("n_tokens")) / budgetTokens).cast("long"))
+  }
+
   /** Compact a DataFrame to ~targetMB output files using the
     * optimizer's size estimate — the small-files remedy at the end of
     * any large pipeline stage. */

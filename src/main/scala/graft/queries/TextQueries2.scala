@@ -97,8 +97,38 @@ object TextQueries2 {
       .agg(count(lit(1)).as("n"), round(avg("n_chars"), 2).as("avg_chars"))
       .orderBy("split", "lang")
 
+  /** Quality-weighted deterministic downsampling: keep probability
+    * scales with document length (proxy quality weight, capped at 1),
+    * decided by the doc_id's hash — reproducible sample composition,
+    * summarized per language. */
+  def q58WeightedSample(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curation.weightedSample(docs(s, d), "doc_id",
+      least(lit(1.0), col("n_chars") / 2000.0))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), round(avg("n_chars"), 2).as("avg_chars"))
+      .orderBy("lang")
+
+  /** Train/test contamination audit over the q56 split: per test doc,
+    * how many train docs share an n-gram shingle and the deepest
+    * overlap. Clean docs appear with zeros — a total audit. */
+  def q59Contamination(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curation.contaminationReport(docs(s, d)).orderBy("test_doc")
+
+  /** Deterministic sequence packing: per-shard cumulative token counts
+    * cut into 512-token training sequences; windows stay partition-
+    * local (shard = doc_id % 8), so the packing parallelizes. */
+  def q60Pack(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curation.packSequences(
+      docs(s, d).withColumn("toks", TextFunctions.tokens("text")),
+      "doc_id", size(col("toks")).cast("long"), budgetTokens = 512, shards = 8)
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("cum_tokens"), col("seq_id"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_split" -> (q56Split _),
+    "q58_weighted_sample" -> (q58WeightedSample _),
+    "q59_contamination" -> (q59Contamination _),
+    "q60_pack" -> (q60Pack _),
     "q49_repetition" -> (q49Repetition _),
     "q50_vocab_topk" -> (q50VocabTopK _),
     "q51_tfidf" -> (q51TfIdf _),
@@ -114,6 +144,51 @@ object TextQueries2 {
         |  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
         | lang, count(*) AS n, round(avg(n_chars), 2) AS avg_chars
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q58_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT * FROM documents
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+        |          / 281474976710656.0
+        |        < least(1.0, n_chars / 2000.0))
+        |SELECT lang, count(*) AS n_kept, round(avg(n_chars), 2) AS avg_chars
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q59_contamination" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 AS bucket
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, bucket, string_split_regex(lower(trim(text)), '\s+') AS t FROM b),
+        |sh AS (
+        |  SELECT doc_id, bucket, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, bucket, unnest(s) AS shingle FROM sh),
+        |ov AS (
+        |  SELECT te.doc_id AS test_doc, tr.doc_id AS train_doc, count(*) AS shared
+        |  FROM ex te JOIN ex tr ON te.shingle = tr.shingle
+        |  WHERE te.bucket >= 90 AND tr.bucket < 80
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT test_doc, count(*) AS n_train_docs, max(shared) AS max_shared
+        |  FROM ov GROUP BY 1)
+        |SELECT b.doc_id AS test_doc,
+        |  coalesce(agg.n_train_docs, 0) AS n_train_docs,
+        |  coalesce(agg.max_shared, 0) AS max_shared
+        |FROM b LEFT JOIN agg ON agg.test_doc = b.doc_id
+        |WHERE b.bucket >= 90
+        |ORDER BY test_doc""".stripMargin,
+    "q60_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+        |  CAST(floor((sum(n_tokens) OVER w - n_tokens) / 512) AS BIGINT) AS seq_id
+        |FROM t
+        |WINDOW w AS (PARTITION BY shard ORDER BY doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q49_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),

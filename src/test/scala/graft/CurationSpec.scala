@@ -51,4 +51,64 @@ class CurationSpec extends AnyFunSuite {
     assert(compacted.rdd.getNumPartitions >= 1)
     assert(compacted.count() == docs.count())
   }
+
+  test("weighted sample is deterministic and keep-rate tracks the weight") {
+    val s = spark; import s.implicits._
+    val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) 0.9 else 0.1))
+      .toDF("doc_id", "w")
+    val kept = Curation.weightedSample(df, "doc_id", col("w"))
+    assert(kept.count() == Curation.weightedSample(df, "doc_id", col("w")).count())
+    val byW = kept.groupBy("w").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(math.abs(byW(0.9) / 2000.0 - 0.9) < 0.05)
+    assert(math.abs(byW(0.1) / 2000.0 - 0.1) < 0.05)
+    // weight 0 keeps nothing, weight 1 keeps everything
+    assert(Curation.weightedSample(df, "doc_id", lit(0.0)).count() == 0)
+    assert(Curation.weightedSample(df, "doc_id", lit(1.0)).count() == 4000)
+  }
+
+  test("contamination report flags a planted train/test leak with zeros for clean docs") {
+    val s = spark; import s.implicits._
+    // find one train and one test id under the q56 split, then give the
+    // test doc the train doc's exact text -> max possible overlap
+    val base = (0L until 300L).map(i => (i, s"document number $i with some unique filler content item$i value$i end$i"))
+      .toDF("doc_id", "text")
+    val buckets = Curation.split(base, "doc_id").select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainId = buckets.collectFirst { case (id, "train") => id }.get
+    val testId = buckets.collectFirst { case (id, "test") => id }.get
+    val trainText = s"document number $trainId with some unique filler content item$trainId value$trainId end$trainId"
+    val planted = base.withColumn("text",
+      when(col("doc_id") === testId, lit(trainText)).otherwise(col("text")))
+    val report = Curation.contaminationReport(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val leaked = report.find(_._1 == testId).get
+    assert(leaked._2 >= 1, s"planted leak not flagged: $report")
+    // the leaked doc shares ALL its shingles with the train twin (11 tokens -> 9 shingles)
+    assert(leaked._3 == 9, s"expected full 9-shingle overlap, got $leaked")
+    assert(report.map(_._1).toSet == buckets.collect { case (id, "test") => id }.toSet)
+  }
+
+  test("sequence packing: budget respected within shards, deterministic, partition-local") {
+    val s = spark; import s.implicits._
+    val df = (0L until 1000L).map(i => (i, 100L + (i % 7) * 30)).toDF("doc_id", "nt")
+    val packed = Curation.packSequences(df, "doc_id", col("nt"), budgetTokens = 512, shards = 8)
+    val rows = packed.select("doc_id", "shard", "n_tokens", "cum_tokens", "seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // every doc's starting offset lies inside its sequence's budget window
+    rows.foreach { case (id, _, nt, cum, seq) =>
+      val startOffset = cum - nt
+      assert(seq == startOffset / 512, s"doc $id: cum=$cum nt=$nt seq=$seq")
+    }
+    // within a shard, cum_tokens is strictly increasing in doc_id order
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._1)
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq)
+      assert(sorted.map(_._4).distinct.length == sorted.length)
+    }
+    // deterministic across runs
+    val again = Curation.packSequences(df, "doc_id", col("nt"), budgetTokens = 512, shards = 8)
+      .select("doc_id", "seq_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == rows.map(r => (r._1, r._5)).toSet)
+  }
 }
