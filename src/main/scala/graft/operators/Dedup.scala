@@ -159,6 +159,44 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Connected components over an undirected near-duplicate pair list:
+    * the step that turns pairwise matches into duplicate CLUSTERS so a
+    * survivor can be elected per cluster (cluster_id = min member id).
+    *
+    * Iterative min-label propagation: each round, every node adopts the
+    * smallest label among itself and its neighbours; converges in
+    * O(cluster diameter) rounds — near-dup clusters are
+    * diameter-bounded in practice (a dup of a dup of X is a dup of X),
+    * so typically 2-4 rounds. Each round is one equi-shuffle groupBy;
+    * `localCheckpoint` cuts the growing lineage so round N's plan does
+    * not replay rounds 1..N-1. The driver-side loop iterates a handful
+    * of times over COUNTS only (no data collected) — the standard shape
+    * for iterative graph algorithms on DataFrames; at extreme graph
+    * sizes the same loop upgrades to the large-star/small-star
+    * alternation (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC 2014) without changing the API. */
+  def connectedComponents(pairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+      .localCheckpoint() // pairs may be an expensive sketch pipeline: run it once
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min("nl").as("nbr_min"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
+        .localCheckpoint()
+      changed = updated.filter(col("new_label") < col("label")).count()
+      labels = updated.select(col("id"), col("new_label").as("label"))
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** N-gram Jaccard via an inverted shingle index: explode shingles,
     * equi-join on shingle (doc_a < doc_b), jaccard =
     * shared / (|A| + |B| - shared). The equi-join shuffles on the

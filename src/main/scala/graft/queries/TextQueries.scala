@@ -53,6 +53,14 @@ object TextQueries {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
+  /** Duplicate clusters: near-dup pairs (q57's t=0.8 join) closed into
+    * connected components, cluster_id = min member — the survivor-
+    * election step of a dedup pipeline. Oracle: DuckDB recursive-CTE
+    * transitive closure over the same pair list. */
+  def q61DupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs(s, d), threshold = 0.8))
+      .orderBy("doc_id")
+
   /** Language-ID by marker-token counts, argmax with deterministic
     * tie-break (order of `TextFunctions.langMarkers`). */
   def q36LangId(s: SparkSession, d: String): DataFrame = {
@@ -130,6 +138,7 @@ object TextQueries {
     "q32_dedup_simhash" -> (q32DedupSimhash _),
     "q33_ngram_jaccard" -> (q33NgramJaccard _),
     "q57_ngram_prefix" -> (q57NgramPrefix _),
+    "q61_dup_clusters" -> (q61DupClusters _),
     "q36_langid" -> (q36LangId _),
     "q37_text_quality" -> (q37TextQuality _),
     "q38_token_count" -> (q38TokenCount _),
@@ -187,6 +196,34 @@ object TextQueries {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q61_dup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT doc_a, doc_b FROM cand
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.8),
+        |und AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |        UNION SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |nodes AS (SELECT DISTINCT a AS id FROM und)
+        |SELECT n.id AS doc_id, least(n.id, min(r.b)) AS cluster_id
+        |FROM nodes n JOIN reach r ON r.a = n.id
+        |GROUP BY n.id ORDER BY 1""".stripMargin,
     "q36_langid" -> {
       val scoreCols = TextFunctions.langMarkers.map { case (l, _) =>
         s"len(list_filter(t, x -> x IN (${markerSql(l)}))) AS score_$l"

@@ -60,6 +60,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(math.abs(pairs.head.getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-12)
   }
 
+  test("connected components: chains collapse to min-id clusters") {
+    val s = spark; import s.implicits._
+    // 1-2-3-4 is a diameter-3 chain (forces multiple propagation
+    // rounds); 10-11 a separate cluster; (5,6)+(6,5) would be invalid
+    // input (pairs are a<b) so not planted
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("prefix-filtered ngram jaccard is identical to the naive index") {
     // corpus of mutated variants: plenty of shared and rare shingles,
     // mixed lengths, so prefixes genuinely prune
