@@ -124,7 +124,35 @@ object TextQueries2 {
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("cum_tokens"), col("seq_id"))
       .orderBy("doc_id")
 
+  /** Sketch-accuracy audit — the 100 TB cardinality toolkit, checked
+    * against itself: per event_type, HLL++ distinct counts
+    * (`approx_count_distinct`) and quantile sketches
+    * (`approx_percentile`) next to their EXACT counterparts, with
+    * error columns in the output. Rows-only for the driver (DuckDB's
+    * HLL/quantile sketches are a different implementation), but
+    * self-evidencing: the dumped frame carries its own ground truth,
+    * and the spec bounds the errors. At 100 TB the approx side is one
+    * mergeable pass (no distinct shuffle explosion, no full sort) —
+    * that is the point of shipping both. */
+  def q62SketchAudit(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        countDistinct("user_id").as("exact_users"),
+        approx_count_distinct("user_id", 0.02).as("approx_users"),
+        expr("percentile(value, 0.5)").as("exact_p50"),
+        expr("approx_percentile(value, 0.5, 1000)").as("approx_p50"))
+      .select(
+        col("event_type"), col("exact_users"), col("approx_users"),
+        round(abs(col("approx_users") - col("exact_users")) /
+          col("exact_users"), 4).as("users_rel_err"),
+        round(col("exact_p50"), 4).as("exact_p50"),
+        round(col("approx_p50"), 4).as("approx_p50"),
+        round(abs(col("approx_p50") - col("exact_p50")), 4).as("p50_abs_err"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_sketch_audit" -> (q62SketchAudit _),
     "q56_split" -> (q56Split _),
     "q58_weighted_sample" -> (q58WeightedSample _),
     "q59_contamination" -> (q59Contamination _),

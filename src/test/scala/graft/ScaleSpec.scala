@@ -90,4 +90,17 @@ class ScaleSpec extends AnyFunSuite {
     val mh = spark.sql("SELECT minhash_sig(array('x','y'), 4) AS m").collect().head
     assert(mh.getSeq[Long](0).length == 4)
   }
+
+  test("sketch audit: HLL and quantile sketch errors are bounded") {
+    val rows = graft.queries.TextQueries2.q62SketchAudit(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("users_rel_err") <= 0.05,
+        s"HLL err too large: $r")
+      val exact = r.getAs[Double]("exact_p50")
+      assert(r.getAs[Double]("p50_abs_err") <= math.max(0.05 * math.abs(exact), 1e-9),
+        s"quantile sketch err too large: $r")
+    }
+  }
 }
