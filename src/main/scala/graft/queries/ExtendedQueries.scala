@@ -258,7 +258,61 @@ object ExtendedQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Explicit GROUPING SETS with grouping_id disambiguation — the
+    * general form subsuming rollup/cube: the exact aggregate lattice is
+    * chosen (here (flag,status), (flag), ()) and `grouping_id` tells
+    * which stratum a row belongs to, so an all-NULL group key is not
+    * ambiguous with the total row. One pass — Spark expands the sets
+    * into a single Expand+Aggregate, not one job per set. */
+  def q63GroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("gid"), col("sum_qty"), col("n"))
+      .orderBy("gid", "returnflag", "linestatus")
+
+  /** Ranking-window suite beyond rank/lag: ntile deciles, percent_rank,
+    * cume_dist over per-type event values — the distribution-position
+    * family, all computed in ONE window pass (same partition+order). */
+  def q64RankSuite(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    ev(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"), col("event_id"), round(col("value"), 2).as("value"),
+        ntile(10).over(w).as("decile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("event_type", "value", "event_id")
+      .limit(2000)
+  }
+
+  /** Unpivot (wide→long melt): the inverse of the q11 pivot, turning
+    * per-flag quantity/price columns into (metric, value) rows —
+    * Spark's `unpivot` is a zero-shuffle Expand, not a union of scans. */
+  def q65Unpivot(s: SparkSession, d: String): DataFrame = {
+    val wide = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 2).as("total_qty"),
+        round(sum("l_extendedprice"), 2).as("total_price"),
+        round(avg("l_discount"), 4).as("avg_disc"))
+    wide.unpivot(
+      Array(col("l_returnflag")),
+      Array(col("total_qty"), col("total_price"), col("avg_disc")),
+      "metric", "value")
+      .select(col("l_returnflag").as("returnflag"), col("metric"), col("value"))
+      .orderBy("returnflag", "metric")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_grouping_sets" -> (q63GroupingSets _),
+    "q64_rank_suite" -> (q64RankSuite _),
+    "q65_unpivot" -> (q65Unpivot _),
     "q23_rollup" -> (q23Rollup _),
     "q24_asof" -> (q24AsOf _),
     "q25_sessionize" -> (q25Sessionize _),
@@ -278,6 +332,32 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q63_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, returnflag, linestatus""".stripMargin,
+    "q64_rank_suite" ->
+      """SELECT event_type, event_id, round(value, 2) AS value,
+        |  ntile(10) OVER w AS decile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM events WHERE event_type IN ('purchase', 'click')
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_type, value, event_id
+        |LIMIT 2000""".stripMargin,
+    "q65_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag, round(sum(l_quantity), 2) AS total_qty,
+        |    round(sum(l_extendedprice), 2) AS total_price,
+        |    round(avg(l_discount), 4) AS avg_disc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag AS returnflag, metric, value
+        |FROM wide UNPIVOT (value FOR metric IN (total_qty, total_price, avg_disc))
+        |ORDER BY returnflag, metric""".stripMargin,
     "q23_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         | coalesce(l_linestatus, 'ALL') AS linestatus,
