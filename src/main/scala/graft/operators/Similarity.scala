@@ -48,6 +48,23 @@ object Similarity {
     ranked(scored, k).select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** Scalar int8 quantization of an embedding column: per-vector scale
+    * = max|x|/127, codes = round(x/scale) ∈ [−127, 127]. The memory
+    * lever for ANN at 100 TB — a 4× (float32→int8) shrink of the
+    * corpus-side vectors, so 4× more corpus fits in executor memory /
+    * page cache before any index structure is built; dequantization is
+    * `code · scale`. Codes are kept as int here for arithmetic clarity
+    * (a production sink would pack them `tinyint`). Pure row-local
+    * column expressions — no shuffle, no UDF. */
+  def quantizeInt8(emb: DataFrame, embCol: String = "embedding"): DataFrame =
+    emb
+      .withColumn("q_scale",
+        expr(s"aggregate($embCol, 0D, (m, x) -> greatest(m, abs(cast(x AS double)))) / 127.0"))
+      .withColumn("q_vec", expr(
+        s"""CASE WHEN q_scale = 0 THEN transform($embCol, x -> 0)
+           |ELSE transform($embCol, x -> cast(round(cast(x AS double) / q_scale) AS int))
+           |END""".stripMargin))
+
   /** Annotate an approximate top-k result with its per-query recall
     * against the exact result: `in_exact` marks each hit, and
     * `recall_vs_exact` is hits/k for the row's query. Makes a rows-only

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.operators.Similarity
 
@@ -56,10 +57,71 @@ object VectorQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_knn_bruteforce" -> (q34KnnBruteForce _),
     "q35_knn_lsh" -> (q35KnnLsh _),
-    "q43_knn_ivf" -> (q43KnnIvf _)
+    "q43_knn_ivf" -> (q43KnnIvf _),
+    "q66_quantized_knn" -> (q66QuantizedKnn _)
   )
 
+  /** Int8-quantized brute-force top-10: corpus vectors scalar-quantized
+    * (4× memory shrink), ranked by cosine over the DEQUANTIZED vectors,
+    * with the float-exact similarity and its quantization error beside
+    * each hit. Fully oracle-checked — quantization is deterministic
+    * arithmetic DuckDB replicates exactly — and self-evidencing
+    * (sim_err shows the precision cost of the 4× shrink in-row). */
+  def q66QuantizedKnn(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val qz = Similarity.quantizeInt8(Tables.embeddings(s, d))
+      .withColumn("deq", expr("transform(q_vec, v -> v * q_scale)"))
+    val queries = broadcast(qz.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("deq").as("q_deq")))
+    val dot = "aggregate(zip_with(deq, q_deq, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    val na = "sqrt(aggregate(deq, 0D, (acc, x) -> acc + x * x))"
+    val nb = "sqrt(aggregate(q_deq, 0D, (acc, x) -> acc + x * x))"
+    val scored = qz.select(col("vec_id"), col("embedding"), col("deq"))
+      .crossJoin(queries)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("qsim", expr(
+        s"CASE WHEN $na = 0 OR $nb = 0 THEN 0D ELSE $dot / ($na * $nb) END"))
+      .withColumn("sim", expr("cosine_sim(embedding, q_emb)"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("qsim"), 6).desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id"), col("rank"),
+        round(col("qsim"), 6).as("qsim"), round(col("sim"), 6).as("sim"),
+        round(abs(col("qsim") - col("sim")), 6).as("sim_err"))
+      .orderBy("query_id", "rank")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q66_quantized_knn" ->
+      s"""WITH qz AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS q_scale
+         |  FROM embeddings),
+         |dq AS (
+         |  SELECT vec_id, emb,
+         |    CASE WHEN q_scale = 0 THEN list_transform(emb, x -> 0.0)
+         |    ELSE list_transform(emb, x -> round(x / q_scale) * q_scale) END AS deq
+         |  FROM qz),
+         |q AS (
+         |  SELECT vec_id AS query_id, emb AS q_emb, deq AS q_deq
+         |  FROM dq WHERE vec_id < $NQueries),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id,
+         |    CASE WHEN list_sum(list_transform(e.deq, x -> x * x)) = 0
+         |      OR list_sum(list_transform(q.q_deq, x -> x * x)) = 0 THEN 0.0
+         |    ELSE list_cosine_similarity(e.deq, q.q_deq) END AS qsim_raw,
+         |    list_cosine_similarity(e.emb, q.q_emb) AS sim_raw
+         |  FROM dq e CROSS JOIN q
+         |  WHERE e.vec_id <> q.query_id)
+         |SELECT query_id, vec_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY round(qsim_raw, 6) DESC, vec_id) AS INT) AS rank,
+         |  round(qsim_raw, 6) AS qsim, round(sim_raw, 6) AS sim,
+         |  round(abs(qsim_raw - sim_raw), 6) AS sim_err
+         |FROM scored
+         |QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
     "q34_knn_bruteforce" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb

@@ -60,6 +60,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(math.abs(pairs.head.getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-12)
   }
 
+  test("int8 quantization: roundtrip error bounded by scale/2, zero vectors safe") {
+    val s = spark; import s.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.127f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // degenerate: scale 0
+      (3L, Array(127.0f, -127.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val qz = Similarity.quantizeInt8(df)
+      .withColumn("max_code", expr("aggregate(q_vec, 0, (m, v) -> greatest(m, abs(v)))"))
+      .withColumn("max_err", expr(
+        "aggregate(zip_with(q_vec, embedding, (v, x) -> abs(v * q_scale - cast(x AS double))), 0D, (m, e) -> greatest(m, e))"))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("q_scale"), r.getAs[Int]("max_code"), r.getAs[Double]("max_err"))).toMap
+    qz.foreach { case (id, (scale, maxCode, maxErr)) =>
+      assert(maxCode <= 127, s"vec $id code overflow")
+      assert(maxErr <= scale / 2 + 1e-12, s"vec $id roundtrip err $maxErr > ${scale / 2}")
+    }
+    assert(qz(2L)._1 == 0.0 && qz(2L)._2 == 0) // zero vector → zero codes, no NaN
+  }
+
   test("connected components: chains collapse to min-id clusters") {
     val s = spark; import s.implicits._
     // 1-2-3-4 is a diameter-3 chain (forces multiple propagation
