@@ -64,7 +64,14 @@ object Curation {
     * shape, same as [[Dedup.ngramJaccardPairs]]): nothing all-pairs,
     * the shuffle key is the shingle, and split filters are pushed into
     * the scan. Returns ALL test docs (clean ones with zeros) so the
-    * report is a total audit, not a sample. */
+    * report is a total audit, not a sample.
+    *
+    * Scan economics: the corpus is shingled once per consumer branch
+    * (train index, test index, test spine — 3 passes). That is the
+    * deliberate trade against caching corpus-sized shingle arrays; at
+    * 100 TB the production form lands the narrow (doc_id, split,
+    * shingle) index to parquet once and joins from there, which this
+    * operator's output shape already matches. */
   def contaminationReport(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3): DataFrame = {
     import graft.functions.TextFunctions._

@@ -78,4 +78,30 @@ class PropertySpec extends AnyFunSuite {
         assert(joined.count() <= nl.toLong)
     }
   }
+
+  test("connected components match a union-find reference on random graphs (property)") {
+    val s = spark; import s.implicits._
+    val edgeGen = Gen.listOfN(30,
+      Gen.zip(Gen.chooseNum(0L, 19L), Gen.chooseNum(0L, 19L)).suchThat(p => p._1 != p._2))
+    samples(edgeGen, 5).foreach { raw =>
+      val edges = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // reference: classic union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+      val got = graft.operators.Dedup
+        .connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // min-label CC and union-find with min-root merging agree exactly
+      assert(got == expected, s"edges=$edges")
+    }
+  }
 }
