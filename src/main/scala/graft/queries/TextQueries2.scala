@@ -151,8 +151,35 @@ object TextQueries2 {
         round(abs(col("approx_p50") - col("exact_p50")), 4).as("p50_abs_err"))
       .orderBy("event_type")
 
+  /** Text normalization + PII redaction: whitespace-squash + lowercase,
+    * then replace emails and IPv4s with placeholders — the scrub stage
+    * every shipped training corpus runs. Deterministic planted PII docs
+    * are unioned in-query (q16/q41 pattern) so the check can never be
+    * vacuously green on a clean corpus; the oracle hashes the full
+    * redacted text (md5), so a single unredacted byte flips the check. */
+  def q67NormalizeRedact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val planted = Seq(
+      (-1L, "Contact John Doe at john.doe@example.com  or 10.0.0.1 for details"),
+      (-2L, "no pii here just ordinary words"),
+      (-3L, "two emails a@b.co c@d.org and an ip 192.168.1.255 end")).toDF("doc_id", "text")
+    val all = docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val redacted = regexp_replace(regexp_replace(norm, emailRe, "<email>"), ipRe, "<ip>")
+    all.select(
+      col("doc_id"),
+      size(regexp_extract_all(norm, lit(emailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(norm, lit(ipRe), lit(0))).as("n_ips"),
+      length(redacted).as("n_chars_redacted"),
+      md5(redacted).as("redacted_fp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_sketch_audit" -> (q62SketchAudit _),
+    "q67_normalize_redact" -> (q67NormalizeRedact _),
     "q56_split" -> (q56Split _),
     "q58_weighted_sample" -> (q58WeightedSample _),
     "q59_contamination" -> (q59Contamination _),
@@ -164,6 +191,30 @@ object TextQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q67_normalize_redact" ->
+      """WITH allr AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(-1 AS BIGINT), 'Contact John Doe at john.doe@example.com  or 10.0.0.1 for details'),
+        |    (CAST(-2 AS BIGINT), 'no pii here just ordinary words'),
+        |    (CAST(-3 AS BIGINT), 'two emails a@b.co c@d.org and an ip 192.168.1.255 end')
+        |  ) AS t(doc_id, text)),
+        |n AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |  FROM allr),
+        |r AS (
+        |  SELECT doc_id, norm,
+        |    regexp_replace(regexp_replace(norm,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<ip>', 'g') AS redacted
+        |  FROM n)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(norm, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(norm, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  length(redacted) AS n_chars_redacted,
+        |  md5(redacted) AS redacted_fp
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q56_split" ->
       """WITH b AS (
         |  SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 AS bucket

@@ -52,6 +52,20 @@ class CurationSpec extends AnyFunSuite {
     assert(compacted.count() == docs.count())
   }
 
+  test("normalize+redact scrubs the planted PII docs completely") {
+    val out = graft.queries.TextQueries2.q67NormalizeRedact(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 0).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(4))).toMap
+    assert(out(-1L)._1 == 1 && out(-1L)._2 == 1)
+    assert(out(-2L)._1 == 0 && out(-2L)._2 == 0)
+    assert(out(-3L)._1 == 2 && out(-3L)._2 == 1)
+    // fully scrubbed text, independently hashed
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("contact john doe at <email> or <ip> for details".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(-1L)._3 == expected)
+  }
+
   test("weighted sample is deterministic and keep-rate tracks the weight") {
     val s = spark; import s.implicits._
     val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) 0.9 else 0.1))
