@@ -114,6 +114,34 @@ object StreamingOps {
         col("p_ts"), col("v_ts"))
   }
 
+  /** Incremental partition-upsert sink: each micro-batch dynamically
+    * overwrites ONLY the (day-)partitions it touches, so a re-delivered
+    * or late batch refreshes its own days without truncating history —
+    * the streaming counterpart of `PipelineOps.writePartitioned`, and
+    * the production landing shape for a continuously-aggregated table
+    * (complete/update-mode aggregates cannot append; per-partition
+    * overwrite makes each batch idempotent). `foreachBatch` is the
+    * escape hatch Spark provides exactly for sinks the built-ins can't
+    * express; the inner write is a normal batch write, so AQE and
+    * dynamic overwrite apply. */
+  def partitionUpsertSink(stream: DataFrame, path: String,
+      partitionCol: String = "day",
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batch.write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partitionCol)
+            .parquet(path)
+        }
+      }
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
   /** Drain a streaming aggregate to a memory sink synchronously
     * (complete mode) and return the result table — the local test/verify
     * harness for streaming queries. */

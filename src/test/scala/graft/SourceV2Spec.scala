@@ -61,6 +61,30 @@ class SourceV2Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("partition-upsert sink: late batch refreshes its day without truncating history") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_ckpt").toString
+    val input = MemoryStream[(String, String, Double)]
+    val agg = input.toDF().toDF("day", "event_type", "value")
+      .groupBy("day", "event_type").agg(sum("value").as("total"))
+    val q = StreamingOps.partitionUpsertSink(agg, dir, "day", Some(ckpt))
+    try {
+      input.addData(("2024-01-01", "click", 1.0), ("2024-01-02", "click", 2.0))
+      q.processAllAvailable()
+      // late data for day 1 only: its partition must be REPLACED with the
+      // updated aggregate while day 2's partition survives untouched
+      input.addData(("2024-01-01", "click", 4.0))
+      q.processAllAvailable()
+      // partition-column type inference reads `day` back as DATE — stringify
+      val out = spark.read.parquet(dir).collect()
+        .map(r => (String.valueOf(r.getAs[Any]("day")), r.getAs[Double]("total"))).toMap
+      assert(out == Map("2024-01-01" -> 5.0, "2024-01-02" -> 2.0), s"got $out")
+    } finally q.stop()
+  }
+
   test("stateful streaming dedup emits first doc per fingerprint across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark; import s.implicits._
