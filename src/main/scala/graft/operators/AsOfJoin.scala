@@ -4,9 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** Backward as-of join — for each left row, the single right row with
-  * the greatest timestamp ≤ the left timestamp, per key. The general
-  * form of the reference's "previous-day energy" self-join
+/** As-of joins — for each left row, the single right row with the
+  * greatest timestamp ≤ the left timestamp ([[backward]]) or the
+  * smallest timestamp ≥ it ([[forward]]), per key. The general form of
+  * the reference's "previous-day energy" self-join
   * (dashboards/app.py:602-607, SURVEY §2.3 J3).
   *
   * Implemented with the union-tag-window trick rather than a custom
@@ -35,7 +36,20 @@ object AsOfJoin {
     *                   expression (e.g. "interval 1 hour"); matches
     *                   older than it are nulled out. */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
-      rightCols: Seq[String] = Seq.empty, tolerance: Option[String] = None): DataFrame = {
+      rightCols: Seq[String] = Seq.empty, tolerance: Option[String] = None): DataFrame =
+    asof(left, right, keys, tsCol, rightCols, tolerance, fwd = false)
+
+  /** Forward as-of join — for each left row, the single right row with
+    * the SMALLEST timestamp ≥ the left timestamp, per key (the
+    * "next reading after the event" direction — e.g. first sensor
+    * sample after an alert). Identical machinery to [[backward]] with
+    * the window traversal reversed; `tolerance` bounds the look-AHEAD. */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+      rightCols: Seq[String] = Seq.empty, tolerance: Option[String] = None): DataFrame =
+    asof(left, right, keys, tsCol, rightCols, tolerance, fwd = true)
+
+  private def asof(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+      rightCols: Seq[String], tolerance: Option[String], fwd: Boolean): DataFrame = {
     val carry = if (rightCols.nonEmpty) rightCols
       else right.columns.toSeq.diff(keys :+ tsCol)
     // The right row travels as ONE struct so its fields stay together:
@@ -49,9 +63,11 @@ object AsOfJoin {
       .withColumn("_side", lit(0))
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
     // right rows sort BEFORE left rows at the same timestamp (_side 0 < 1),
-    // so an exact-time match is visible to the left row
+    // so an exact-time match is visible to the left row; the forward
+    // direction traverses time DESCENDING and carries the last-seen
+    // right row, which is then the smallest ts ≥ the left ts
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("_side").asc)
+      .orderBy(if (fwd) col(tsCol).desc else col(tsCol).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn("_asof", last(col("_asof"), ignoreNulls = true).over(w))
@@ -59,6 +75,10 @@ object AsOfJoin {
       .drop("_side")
     val bounded = tolerance match {
       case None => carried
+      case Some(t) if fwd =>
+        carried.withColumn("_asof",
+          when(col("_asof._ts") > (col(tsCol) + expr(t)), lit(null))
+            .otherwise(col("_asof")))
       case Some(t) =>
         carried.withColumn("_asof",
           when(col("_asof._ts") < (col(tsCol) - expr(t)), lit(null))

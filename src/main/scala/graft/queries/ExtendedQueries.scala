@@ -126,6 +126,26 @@ object ExtendedQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Forward as-of join: each purchase matched to the user's EARLIEST
+    * view at-or-after it — the "next signal after the event" direction
+    * (q24's mirror; same union-tag-window machinery traversing time
+    * descending). */
+  def q68AsOfForward(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max("event_id").as("view_event_id"))
+    AsOfJoin.forward(purchases, views, Seq("user_id"), "ts",
+      rightCols = Seq("view_event_id"))
+      .select(
+        col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("asof_view_event_id").as("view_event_id"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Gap-based sessionization: a >30-minute silence starts a new
     * session; one cumulative-sum window pass, then per-session
     * aggregates. */
@@ -315,6 +335,7 @@ object ExtendedQueries {
     "q65_unpivot" -> (q65Unpivot _),
     "q23_rollup" -> (q23Rollup _),
     "q24_asof" -> (q24AsOf _),
+    "q68_asof_forward" -> (q68AsOfForward _),
     "q25_sessionize" -> (q25Sessionize _),
     "q26_distinct" -> (q26Distinct _),
     "q27_percentiles" -> (q27Percentiles _),
@@ -375,6 +396,18 @@ object ExtendedQueries {
         |  strftime(date_trunc('second', p.ts), '%Y-%m-%d %H:%M:%S') AS ts_s,
         |  v.view_event_id
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+    "q68_asof_forward" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, max(event_id) AS view_event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.user_id, p.event_id,
+        |  strftime(date_trunc('second', p.ts), '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  v.view_event_id
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
         |ORDER BY p.user_id, p.event_id""".stripMargin,
     "q25_sessionize" ->
       """WITH g AS (

@@ -37,6 +37,33 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("p3") == None)        // nothing before
   }
 
+  test("forward as-of join picks earliest right row at-or-after each left row") {
+    val s = spark; import s.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"),
+      (1L, ts("2024-01-01 12:00:00"), "p2"),
+      (2L, ts("2024-01-01 09:00:00"), "p3") // no view after it
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 200.0), // exact-time: must match p1
+      (1L, ts("2024-01-01 11:00:00"), 300.0),
+      (1L, ts("2024-01-01 13:00:00"), 500.0),
+      (2L, ts("2024-01-01 08:30:00"), 400.0)
+    ).toDF("user_id", "ts", "v")
+    val out = AsOfJoin.forward(left, right, Seq("user_id"), "ts")
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[java.lang.Double]("asof_v")).map(_.toDouble)).toMap
+    assert(out("p1") == Some(200.0)) // exact timestamp matches
+    assert(out("p2") == Some(500.0)) // earliest ≥ 12:00
+    assert(out("p3") == None)        // nothing after
+    // look-ahead tolerance: p2's match is 1h away → 30min bound nulls it
+    val far = AsOfJoin.forward(left, right, Seq("user_id"), "ts",
+      tolerance = Some("interval 30 minutes"))
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[java.lang.Double]("asof_v")).map(_.toDouble)).toMap
+    assert(far("p1") == Some(200.0) && far("p2") == None)
+  }
+
   test("NULL field in the matched right row stays NULL (no back-fill from older rows)") {
     val s = spark; import s.implicits._
     val left = Seq((1L, ts("2024-01-01 12:00:00"), "p")).toDF("user_id", "ts", "tag")

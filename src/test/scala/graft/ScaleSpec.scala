@@ -58,6 +58,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("l_tax"), "projection pruning regressed: l_tax read")
   }
 
+  test("curation/window query plans keep pruning and pushdown (regression guard)") {
+    // q58 must never read the corpus text column — its filter and
+    // output need only (doc_id, lang, n_chars)
+    val p58 = graft.queries.TextQueries2
+      .q58WeightedSample(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!p58.contains("text"), "q58 column pruning regressed: text read")
+    // q64's IN filter must reach the parquet scan
+    val p64 = graft.queries.ExtendedQueries
+      .q64RankSuite(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p64.contains("In(event_type"), s"q64 pushdown regressed: ${p64.take(1500)}")
+  }
+
   test("salted join returns identical results to the plain join") {
     val s = spark; import s.implicits._
     // heavy skew: 90% of big rows share one key
