@@ -106,9 +106,10 @@ object Curation {
     * scale). Deterministic order (idCol within shard) ⇒ identical
     * packing on every run. */
   def packSequences(df: DataFrame, idCol: String, nTokens: Column,
-      budgetTokens: Int = 4096, shards: Int = 8): DataFrame = {
+      budgetTokens: Int = 4096, shards: Int = 8,
+      extraKeys: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("shard").orderBy(col(idCol))
+    val w = Window.partitionBy(("shard" +: extraKeys).map(col): _*).orderBy(col(idCol))
     df.withColumn("n_tokens", nTokens)
       .withColumn("shard", pmod(col(idCol), lit(shards)))
       .withColumn("cum_tokens", sum("n_tokens").over(w))

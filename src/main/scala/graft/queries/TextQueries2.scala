@@ -177,8 +177,33 @@ object TextQueries2 {
       .orderBy("doc_id")
   }
 
+  /** End-to-end corpus build — the flagship curation composition:
+    * quality gate (≥20 tokens) → exact dedup (min-id survivor per
+    * content hash) → deterministic train/val/test split → per-(split,
+    * shard) sequence packing. Every stage is an already-verified
+    * operator; this query proves they COMPOSE — one plan, no
+    * driver-side data movement, every stage an equi-shuffle or
+    * partition-local window. */
+  def q69CorpusBuild(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .withColumn("n_tokens",
+        size(TextFunctions.tokens("text")).cast("long"))
+      .filter(col("n_tokens") >= 20)
+    val deduped = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    val tagged = graft.operators.Curation.split(deduped, "doc_id")
+    graft.operators.Curation
+      .packSequences(tagged, "doc_id", col("n_tokens"), 512, 8, Seq("split"))
+      .select(col("doc_id"), col("split"), col("shard"), col("n_tokens"),
+        col("cum_tokens"), col("seq_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_sketch_audit" -> (q62SketchAudit _),
+    "q69_corpus_build" -> (q69CorpusBuild _),
     "q67_normalize_redact" -> (q67NormalizeRedact _),
     "q56_split" -> (q56Split _),
     "q58_weighted_sample" -> (q58WeightedSample _),
@@ -191,6 +216,31 @@ object TextQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q69_corpus_build" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+        |  FROM documents),
+        |f AS (SELECT * FROM base WHERE n_tokens >= 20),
+        |d AS (
+        |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM f),
+        |k AS (
+        |  SELECT doc_id, n_tokens,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 AS bucket
+        |  FROM d WHERE rn = 1),
+        |t AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN bucket < 80 THEN 'train'
+        |      WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |    doc_id % 8 AS shard
+        |  FROM k)
+        |SELECT doc_id, split, shard, n_tokens,
+        |  CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+        |  CAST(floor((sum(n_tokens) OVER w - n_tokens) / 512) AS BIGINT) AS seq_id
+        |FROM t
+        |WINDOW w AS (PARTITION BY split, shard ORDER BY doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q67_normalize_redact" ->
       """WITH allr AS (
         |  SELECT doc_id, text FROM documents
