@@ -61,6 +61,40 @@ class SourceV2Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark finalizes windows and drops data later than the bound") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(hm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hm:00")
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = input.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("start"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+    try {
+      // batch 1: two rows in the 10:00 window + one at 11:00
+      input.addData((t("10:00"), 1.0), (t("10:05"), 2.0), (t("11:00"), 3.0))
+      q.processAllAvailable() // after this, watermark = 10:50
+      // batch 2: advance again -> the 10:00 window (end 10:10 <= 10:50)
+      // is finalized and emitted exactly once, with batch-1's count
+      input.addData((t("12:30"), 4.0))
+      q.processAllAvailable()
+      // batch 3: a LATE row for the finalized 10:00 window -> dropped
+      input.addData((t("10:06"), 99.0), (t("13:30"), 5.0))
+      q.processAllAvailable()
+      input.addData((t("15:00"), 6.0))
+      q.processAllAvailable()
+      val out = spark.table("wm_out").collect()
+        .map(r => r.getAs[java.sql.Timestamp]("start").toString -> r.getAs[Long]("n"))
+      val w10 = out.filter(_._1.startsWith("2024-01-01 10:00"))
+      assert(w10.toSeq == Seq("2024-01-01 10:00:00.0" -> 2L),
+        s"late row must be dropped, window emitted once: ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("partition-upsert sink: late batch refreshes its day without truncating history") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark; import s.implicits._
