@@ -28,6 +28,21 @@ object QualityOps {
   def problemRows(fact: DataFrame, cfg: graft.config.PipelineConfig): DataFrame =
     problemRows(fact, cfg.quality.tempMaxF, cfg.quality.tempMinF)
 
+  /** ZERO-pass quality counters via the Observation API: row count and
+    * per-column null counts are accumulated as the frame's NEXT action
+    * runs (a write, a count — whatever materializes it), so the quality
+    * gate costs no separate scan. At 100 TB this is the difference
+    * between instrumented and un-instrumented pipelines: [[report]]
+    * re-scans the fact table; this piggybacks on the scan that was
+    * happening anyway. Read `obs.get` AFTER the action completes. */
+  def observeQuality(fact: DataFrame, nullCols: Seq[String]
+      ): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = count(lit(1)).as("n_rows") +:
+      nullCols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+    (fact.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
+
   /** Single-pass quality report over the canonical fact table. */
   def report(fact: DataFrame, asOfDate: String,
       tempMax: Double = DefaultTempMaxF, tempMin: Double = DefaultTempMinF): QualityReport = {

@@ -144,4 +144,20 @@ class ConfigPipelineSpec extends AnyFunSuite {
     assert(parts(big) > 1)
     assert(spark.read.option("header", "true").csv(big).count() == 40)
   }
+
+  test("observeQuality accumulates metrics during the action itself") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (Some(70.0), Some(1.0)), (None, Some(2.0)),
+      (Some(80.0), None), (None, None), (Some(90.0), Some(3.0))
+    ).toDF("temp_avg_f", "energy_demand_gwh")
+    val (observed, obs) = QualityOps.observeQuality(df,
+      Seq("temp_avg_f", "energy_demand_gwh"))
+    observed.write.mode("overwrite")
+      .parquet(java.nio.file.Files.createTempDirectory("graft_obs").toString)
+    val m = obs.get
+    assert(m("n_rows") == 5L)
+    assert(m("nulls_temp_avg_f") == 2L)
+    assert(m("nulls_energy_demand_gwh") == 2L)
+  }
 }
