@@ -197,6 +197,27 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** The end-user dedup operation: remove near-duplicates from a
+    * corpus, keeping one survivor (min id) per duplicate cluster.
+    * Pairs come from [[minhashNearDups]] (or any pair source via
+    * `pairsOf`), clusters from [[connectedComponents]] — without the
+    * clustering step, pairwise removal is ill-defined (dropping "b of
+    * (a,b)" and "c of (b,c)" would over- or under-delete depending on
+    * pair order). The non-survivor id set is usually tiny relative to
+    * the corpus, so the final filter is a broadcast-friendly anti-join. */
+  def dedupSurvivors(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.5,
+      pairsOf: DataFrame => DataFrame = null): DataFrame = {
+    val pairs =
+      if (pairsOf != null) pairsOf(docs)
+      else minhashNearDups(docs, threshold, idCol = idCol, textCol = textCol)
+    val clusters = connectedComponents(pairs)
+    val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** N-gram Jaccard via an inverted shingle index: explode shingles,
     * equi-join on shingle (doc_a < doc_b), jaccard =
     * shared / (|A| + |B| - shared). The equi-join shuffles on the

@@ -91,6 +91,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dedupSurvivors keeps one min-id doc per near-dup cluster, leaves distinct docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again every single day"
+    val df = docsDf(Seq(
+      (1L, base),
+      (2L, base.replace("lazy", "sleepy")),   // near-dup of 1
+      (3L, base.replace("quick", "speedy")),  // near-dup of 1 (chain via shingles)
+      (7L, "completely different content about spark catalyst expression codegen pipelines")))
+    val kept = Dedup.dedupSurvivors(df, threshold = 0.3).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.contains(1L) && kept.contains(7L))
+    assert(!kept.contains(2L)) // clustered with 1 → removed
+    assert(kept.subsetOf(Set(1L, 3L, 7L)))
+  }
+
   test("prefix-filtered ngram jaccard is identical to the naive index") {
     // corpus of mutated variants: plenty of shared and rare shingles,
     // mixed lengths, so prefixes genuinely prune
