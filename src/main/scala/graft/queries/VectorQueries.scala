@@ -73,14 +73,13 @@ object VectorQueries {
       .withColumn("deq", expr("transform(q_vec, v -> v * q_scale)"))
     val queries = broadcast(qz.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("deq").as("q_deq")))
-    val dot = "aggregate(zip_with(deq, q_deq, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-    val na = "sqrt(aggregate(deq, 0D, (acc, x) -> acc + x * x))"
-    val nb = "sqrt(aggregate(q_deq, 0D, (acc, x) -> acc + x * x))"
     val scored = qz.select(col("vec_id"), col("embedding"), col("deq"))
       .crossJoin(queries)
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("qsim", expr(
-        s"CASE WHEN $na = 0 OR $nb = 0 THEN 0D ELSE $dot / ($na * $nb) END"))
+      // native codegen expression on BOTH scores (the double-array
+      // overload exists for dequantized vectors) — no interpreted
+      // higher-order folds in the hot loop
+      .withColumn("qsim", expr("cosine_sim(deq, q_deq)"))
       .withColumn("sim", expr("cosine_sim(embedding, q_emb)"))
     val w = Window.partitionBy("query_id")
       .orderBy(round(col("qsim"), 6).desc, col("vec_id"))
