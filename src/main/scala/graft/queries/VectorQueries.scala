@@ -58,7 +58,8 @@ object VectorQueries {
     "q34_knn_bruteforce" -> (q34KnnBruteForce _),
     "q35_knn_lsh" -> (q35KnnLsh _),
     "q43_knn_ivf" -> (q43KnnIvf _),
-    "q66_quantized_knn" -> (q66QuantizedKnn _)
+    "q66_quantized_knn" -> (q66QuantizedKnn _),
+    "q70_label_centroids" -> (q70LabelCentroids _)
   )
 
   /** Int8-quantized brute-force top-10: corpus vectors scalar-quantized
@@ -92,7 +93,26 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-label embedding centroids (element-wise mean) — the vector
+    * aggregation behind nearest-centroid classification and IVF
+    * training. Shape: posexplode (×dim row fan-out, row-local) then a
+    * narrow (label, dim) hash aggregate with map-side partial sums. At
+    * extreme scale the fan-out is avoidable with a vector-summing
+    * aggregate expression; at 64 dims the explode is the simpler plan
+    * and Catalyst pipelines it into the scan stage. */
+  def q70LabelCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(round(avg(col("x")), 6).as("centroid"))
+      .orderBy("label", "dim")
+
   val oracles: Map[String, String] = Map(
+    "q70_label_centroids" ->
+      """SELECT label, r.i AS dim,
+        |  round(avg(CAST(embedding[r.i] AS DOUBLE)), 6) AS centroid
+        |FROM embeddings CROSS JOIN range(1, 65) r(i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q66_quantized_knn" ->
       s"""WITH qz AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
