@@ -105,6 +105,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept.subsetOf(Set(1L, 3L, 7L)))
   }
 
+  test("edge cases: empty pair list, dup-free corpus, empty corpus") {
+    val s = spark; import s.implicits._
+    // connected components over no edges terminates and returns empty
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(noPairs).count() == 0)
+    // dedupSurvivors on a dup-free corpus returns it unchanged
+    val distinctDocs = docsDf(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "completely different words about catalyst codegen stages here"),
+      (3L, "third unrelated document mentioning parquet shuffle partitions now")))
+    assert(Dedup.dedupSurvivors(distinctDocs, threshold = 0.3).count() == 3)
+    // empty corpus flows through the whole sketch pipeline
+    val empty = docsDf(Seq.empty)
+    assert(Dedup.minhashNearDups(empty).count() == 0)
+    assert(Dedup.ngramJaccardPairs(empty, threshold = 0.8).count() == 0)
+  }
+
   test("prefix-filtered ngram jaccard is identical to the naive index") {
     // corpus of mutated variants: plenty of shared and rare shingles,
     // mixed lengths, so prefixes genuinely prune
