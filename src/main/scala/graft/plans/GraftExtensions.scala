@@ -43,5 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("lsh_bucket"),
       info("lsh_bucket", "lsh_bucket(emb, nBits, table) - hyperplane sign bucket"),
       (exprs: Seq[Expression]) => LshBucket(exprs(0), intLit(exprs(1)), intLit(exprs(2)))))
+    ext.injectFunction((FunctionIdentifier("vec_sum"),
+      info("vec_sum", "vec_sum(emb) - element-wise vector sum aggregate"),
+      (exprs: Seq[Expression]) => VectorSum(exprs(0)).toAggregateExpression()))
   }
 }

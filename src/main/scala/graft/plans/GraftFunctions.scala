@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.catalyst.expressions.graft.{CosineSimilarity, LshBucket, MinHashBands, MinHashSig, Shingles, SimHash64}
+import org.apache.spark.sql.catalyst.expressions.graft.{CosineSimilarity, LshBucket, MinHashBands, MinHashSig, Shingles, SimHash64, VectorSum}
 
 /** Session-scoped registration of graft's native Catalyst expressions,
   * so they are callable from `expr("cosine_sim(a, b)")` / SQL text.
@@ -26,5 +26,7 @@ object GraftFunctions {
       "shingles", exprs => Shingles(exprs(0), intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_bands", exprs => MinHashBands(exprs(0), intLit(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "vec_sum", exprs => VectorSum(exprs(0)).toAggregateExpression(), "built-in")
   }
 }

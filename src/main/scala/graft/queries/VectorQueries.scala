@@ -95,17 +95,23 @@ object VectorQueries {
 
   /** Per-label embedding centroids (element-wise mean) — the vector
     * aggregation behind nearest-centroid classification and IVF
-    * training. Shape: posexplode (×dim row fan-out, row-local) then a
-    * narrow (label, dim) hash aggregate with map-side partial sums. At
-    * extreme scale the fan-out is avoidable with a vector-summing
-    * aggregate expression; at 64 dims the explode is the simpler plan
-    * and Catalyst pipelines it into the scan stage. */
-  def q70LabelCentroids(s: SparkSession, d: String): DataFrame =
+    * training, via the native `vec_sum` aggregate
+    * ([[org.apache.spark.sql.catalyst.expressions.graft.VectorSum]]).
+    * The shuffle carries one d-length partial per (label, partition)
+    * instead of rows×d exploded index pairs — at production embedding
+    * widths (1536+) the explode alternative multiplies the shuffle by
+    * the dimension; `vec_sum` keeps it at groups×d. The tiny
+    * (labels × d) mean is exploded only AFTER aggregation for the
+    * tabular output. */
+  def q70LabelCentroids(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
     Tables.embeddings(s, d)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy(col("label"), (col("pos") + 1).as("dim"))
-      .agg(round(avg(col("x")), 6).as("centroid"))
+      .groupBy("label")
+      .agg(expr("vec_sum(embedding)").as("vsum"), count(lit(1)).as("n"))
+      .select(col("label"), posexplode(expr("transform(vsum, x -> x / n)")).as(Seq("pos", "m")))
+      .select(col("label"), (col("pos") + 1).as("dim"), round(col("m"), 6).as("centroid"))
       .orderBy("label", "dim")
+  }
 
   val oracles: Map[String, String] = Map(
     "q70_label_centroids" ->

@@ -105,6 +105,32 @@ class ScaleSpec extends AnyFunSuite {
     assert(mh.getSeq[Long](0).length == 4)
   }
 
+  test("vec_sum aggregate equals explode-based element-wise sums, ignores NULL vectors") {
+    val s = spark; import s.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val rows = (0 until 90).map { i =>
+      val v = if (i % 17 == 0) null
+        else Array.tabulate(8)(j => (i * 31 + j * 7 % 13).toFloat / 10f)
+      (i % 3, v)
+    }
+    val df = rows.toDF("g", "emb").repartition(4)
+    val viaAgg = df.groupBy("g").agg(expr("vec_sum(emb)").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val viaExplode = df.filter(col("emb").isNotNull)
+      .select(col("g"), posexplode(col("emb")).as(Seq("p", "x")))
+      .groupBy("g", "p").agg(sum(col("x").cast("double")).as("sx"))
+      .collect().groupBy(_.getInt(0))
+      .map { case (g, rs) => g -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+    viaAgg.foreach { case (g, got) =>
+      got.zip(viaExplode(g)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"group $g: $a vs $b")
+      }
+    }
+    // all-NULL group evaluates to NULL, not a crash
+    val allNull = Seq((1, null.asInstanceOf[Array[Float]])).toDF("g", "emb")
+    assert(allNull.groupBy("g").agg(expr("vec_sum(emb)").as("s")).collect().head.isNullAt(1))
+  }
+
   test("sketch audit: HLL and quantile sketch errors are bounded") {
     val rows = graft.queries.TextQueries2.q62SketchAudit(spark, "/root/testdata/sf0.001")
       .collect()
