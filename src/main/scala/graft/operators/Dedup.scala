@@ -197,6 +197,50 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Incremental near-dup detection: match a NEW batch of documents
+    * against an EXISTING corpus (and itself) without ever re-pairing
+    * the old corpus — the daily-ingest shape at 100 TB, where
+    * re-deduplicating the full corpus per batch is impossible. Both
+    * sides are sketched (the old side's signatures would be a persisted
+    * table in production — they are row-local to recompute or cheap to
+    * store), candidates come from the usual (band, hash) equi-shuffle,
+    * but old×old pairs are filtered out BEFORE pair generation, so
+    * bucket work is (new × bucket) not (bucket²). Returns verified
+    * pairs with `doc_a` ∈ new batch. */
+  def incrementalNearDups(newDocs: DataFrame, oldDocs: DataFrame,
+      threshold: Double = 0.5, k: Int = 32, bands: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, k, bands)
+      .withColumn("_new", lit(true))
+    val oldSigs = minhashSignatures(oldDocs, idCol, textCol, k, bands)
+      .withColumn("_new", lit(false))
+    val exploded = newSigs.unionByName(oldSigs)
+      .select(col(idCol).as("id"), col("_new"),
+        posexplode(col("bandhash")).as(Seq("band", "bh")))
+    // pair only (new, anything): the new side of each bucket is tiny
+    // relative to the corpus side, so the join is new×bucket, never
+    // bucket² — and a bucket with no new member produces nothing
+    val n = exploded.filter(col("_new")).select(col("band"), col("bh"), col("id").as("doc_a"))
+    val o = exploded.select(col("band"), col("bh"), col("id").as("doc_b"), col("_new").as("b_new"))
+    val pairs = n.join(o, Seq("band", "bh"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      // canonical orientation, and drop the mirrored new-new duplicate
+      .filter(!col("b_new") || (col("doc_a") < col("doc_b")))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .cache()
+    pairs.count() // eager: candIds + verify below would recompute the sketch join
+    val candIds = pairs.select(col("doc_a").as(idCol))
+      .union(pairs.select(col("doc_b").as(idCol)))
+    val all = newDocs.select(col(idCol), col(textCol))
+      .unionByName(oldDocs.select(col(idCol), col(textCol)))
+    val candSigs = all.join(candIds, Seq(idCol), "left_semi")
+      .withColumn("toks", tokens(textCol))
+      .withColumn("sh", shingles("toks"))
+      .select(col(idCol), col("sh"))
+    verifyJaccard(pairs, candSigs, idCol)
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** The end-user dedup operation: remove near-duplicates from a
     * corpus, keeping one survivor (min id) per duplicate cluster.
     * Pairs come from [[minhashNearDups]] (or any pair source via

@@ -105,6 +105,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept.subsetOf(Set(1L, 3L, 7L)))
   }
 
+  test("incremental near-dups: new batch matched against corpus and itself, old x old skipped") {
+    val base = "the quick brown fox jumps over the lazy dog again and again every single day"
+    val old = docsDf(Seq(
+      (1L, base),
+      (2L, base.replace("fox", "cat")), // old near-dup pair (1,2): must NOT be reported
+      (3L, "completely different content about spark catalyst expression codegen pipelines")))
+    val fresh = docsDf(Seq(
+      (10L, base.replace("lazy", "sleepy")),   // dup of old 1
+      (11L, base.replace("lazy", "sleepy")),   // exact dup of new 10
+      (12L, "entirely novel text with no relation to anything already stored")))
+    val pairs = Dedup.incrementalNearDups(fresh, old, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 11L)), s"new-new dup missed: $pairs") // within-batch
+    assert(pairs.exists(p => p._1 == 10L && p._2 <= 2L), s"new-old dup missed: $pairs")
+    assert(!pairs.contains((1L, 2L)) && !pairs.contains((2L, 1L)),
+      s"old x old pair must not be reported: $pairs")
+    assert(!pairs.exists(p => p._1 == 12L || p._2 == 12L))
+  }
+
   test("edge cases: empty pair list, dup-free corpus, empty corpus") {
     val s = spark; import s.implicits._
     // connected components over no edges terminates and returns empty
