@@ -37,12 +37,29 @@ object AnalyticsQueries {
       s, StreamingOps.dailyAggStream(s, s"$d/events.parquet"), "graft_stream_daily")
       .orderBy("day", "event_type")
 
+  /** Stateful streaming exact-dedup drained to memory: the
+    * `flatMapGroupsWithState` path (per-fingerprint state) run over the
+    * documents table as a file stream and hash-checked against DuckDB's
+    * batch dedup — the whole custom-state machinery must agree with the
+    * relational answer. Single staged file → one micro-batch → the
+    * survivor is the global min doc_id, exactly the batch semantics. */
+  def q71StreamingDedup(s: SparkSession, d: String): DataFrame =
+    StreamingOps.runToMemory(
+      s,
+      StreamingOps.dedupStream(s, StreamingOps.documentStream(s, s"$d/documents.parquet")),
+      "graft_stream_dedup", outputMode = "append")
+      .orderBy("fingerprint")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_ols_ci" -> (q15OlsCi _),
-    "q22_streaming" -> (q22Streaming _)
+    "q22_streaming" -> (q22Streaming _),
+    "q71_streaming_dedup" -> (q71StreamingDedup _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q71_streaming_dedup" ->
+      """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q15_ols_ci" ->
       """WITH s AS (
         |  SELECT count(*) * 1.0 AS n,

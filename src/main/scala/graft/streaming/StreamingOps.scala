@@ -145,15 +145,28 @@ object StreamingOps {
   /** Drain a streaming aggregate to a memory sink synchronously
     * (complete mode) and return the result table — the local test/verify
     * harness for streaming queries. */
-  def runToMemory(spark: SparkSession, stream: DataFrame, name: String): DataFrame = {
+  def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
+      outputMode: String = "complete"): DataFrame = {
     try spark.catalog.dropTempView(name) catch { case _: Exception => () }
     val q = stream.writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(name)
       .start()
     q.processAllAvailable()
     q.stop()
     spark.table(name)
+  }
+
+  /** Streaming documents source: the documents table staged behind a
+    * file-stream directory with a pinned schema (file streams require
+    * a user schema). */
+  def documentStream(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.readStream.schema(schema).parquet(stageDir(path))
   }
 }
