@@ -50,16 +50,49 @@ object AnalyticsQueries {
       "graft_stream_dedup", outputMode = "append")
       .orderBy("fingerprint")
 
+  /** Stream-stream interval join drained to memory and hash-checked
+    * against DuckDB's batch inequality join: purchases × views of the
+    * same user within ±15 min, both sides watermarked (bounded state).
+    * Single staged file → all matches emitted in one micro-batch, so
+    * the streaming result IS the batch result. */
+  def q72StreamingJoin(s: SparkSession, d: String): DataFrame = {
+    val src = s"$d/events.parquet"
+    val p = StreamingOps.eventStream(s, src).filter(col("event_type") === "purchase")
+    val v = StreamingOps.eventStream(s, src).filter(col("event_type") === "view")
+    StreamingOps.runToMemory(
+      s, StreamingOps.purchaseViewJoin(p, v, toleranceSec = 900),
+      "graft_stream_join", outputMode = "append")
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts_s"),
+        date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss").as("v_ts_s"))
+      .orderBy("user_id", "purchase_id", "view_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_ols_ci" -> (q15OlsCi _),
     "q22_streaming" -> (q22Streaming _),
-    "q71_streaming_dedup" -> (q71StreamingDedup _)
+    "q71_streaming_dedup" -> (q71StreamingDedup _),
+    "q72_streaming_join" -> (q72StreamingJoin _)
   )
 
   val oracles: Map[String, String] = Map(
     "q71_streaming_dedup" ->
       """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q72_streaming_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_id, date_trunc('microseconds', ts) AS ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, event_id AS view_id, date_trunc('microseconds', ts) AS ts
+        |  FROM events WHERE event_type = 'view')
+        |SELECT p.user_id, p.purchase_id, v.view_id,
+        |  strftime(date_trunc('second', p.ts), '%Y-%m-%d %H:%M:%S') AS p_ts_s,
+        |  strftime(date_trunc('second', v.ts), '%Y-%m-%d %H:%M:%S') AS v_ts_s
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND p.ts >= v.ts - INTERVAL 900 SECONDS
+        |  AND p.ts <= v.ts + INTERVAL 900 SECONDS
+        |ORDER BY p.user_id, purchase_id, view_id""".stripMargin,
     "q15_ols_ci" ->
       """WITH s AS (
         |  SELECT count(*) * 1.0 AS n,

@@ -158,6 +158,17 @@ object StreamingOps {
     spark.table(name)
   }
 
+  /** Streaming events source: the events table staged behind a
+    * file-stream directory, nano ts floor-converted to a microsecond
+    * timestamp (same convention as [[dailyAggStream]]/Tables.events). */
+  def eventStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(stageDir(path))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Streaming documents source: the documents table staged behind a
     * file-stream directory with a pinned schema (file streams require
     * a user schema). */
