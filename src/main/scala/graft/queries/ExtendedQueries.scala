@@ -329,7 +329,48 @@ object ExtendedQueries {
       .orderBy("returnflag", "metric")
   }
 
+  /** Per-group OLS — one regression per segment in a single aggregate
+    * pass (the per-city/per-segment model fit; q14 is the global fit).
+    * `regr_*` are algebraic aggregates: map-side partials, one narrow
+    * shuffle, any group count. */
+  def q73GroupedRegression(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("intercept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"))
+      .orderBy("l_returnflag")
+
+  /** Robust outlier counts via median absolute deviation: |x − med| >
+    * 3·1.4826·MAD per event_type — the robust alternative to q54's
+    * z-score (immune to the outliers inflating the spread estimate).
+    * Exact medians on both engines (percentile ≡ quantile_cont, the
+    * q27-proven parity); two passes (stats, then flag) — at 100 TB the
+    * stats pass is a tiny aggregate broadcast back. */
+  def q74MadOutliers(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val stats = e.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val withMad = e.join(broadcast(stats), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
+        first("med").as("med"))
+    e.join(broadcast(withMad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(first("med"), 4).as("median"),
+        round(first("mad"), 4).as("mad"),
+        sum(when(abs(col("value") - col("med")) > lit(3 * 1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_grouped_regression" -> (q73GroupedRegression _),
+    "q74_mad_outliers" -> (q74MadOutliers _),
     "q63_grouping_sets" -> (q63GroupingSets _),
     "q64_rank_suite" -> (q64RankSuite _),
     "q65_unpivot" -> (q65Unpivot _),
@@ -353,6 +394,28 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q73_grouped_regression" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q74_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type, quantile_cont(abs(e.value - med.med), 0.5) AS mad,
+        |    any_value(med.med) AS med
+        |  FROM events e JOIN med ON e.event_type = med.event_type
+        |  GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |  round(any_value(mad.med), 4) AS median,
+        |  round(any_value(mad.mad), 4) AS mad,
+        |  CAST(sum(CASE WHEN abs(e.value - mad.med) > 3 * 1.4826 * mad.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN mad ON e.event_type = mad.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q63_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
