@@ -368,7 +368,49 @@ object ExtendedQueries {
       .orderBy("event_type")
   }
 
+  /** Conversion funnel: per user, did a purchase follow a view within
+    * 15 minutes — ordered-behavior analytics aggregated to one row.
+    * The existence test is a per-user min over the q53-style banded
+    * interval join, so it scales exactly like the range join (equi-
+    * shuffle on user, no per-key scan). */
+  def q75Funnel(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val converted = views.join(purchases, Seq("user_id"))
+      .filter(col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 15 MINUTES"))
+      .select("user_id").distinct()
+    val nViewers = views.select("user_id").distinct().count()
+    val nPurchasers = purchases.select("user_id").distinct().count()
+    val nConverted = converted.count()
+    val sess = s; import sess.implicits._
+    Seq((nViewers, nPurchasers, nConverted,
+      math.round(nConverted.toDouble / nViewers * 10000) / 10000.0))
+      .toDF("n_viewers", "n_purchasers", "n_converted", "conv_rate")
+  }
+
+  /** Cohort retention: users grouped by first-activity day (cohort),
+    * counted distinct per day-offset — the activity-retention matrix.
+    * Two narrow aggregates (first-day per user, then cohort × offset
+    * distinct counts); at 100 TB the distinct is the cost and is the
+    * place approx_count_distinct swaps in. Offsets 0-7 kept. */
+  def q76Cohort(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstDay = e.groupBy("user_id").agg(min("day").as("cohort"))
+    e.join(firstDay, Seq("user_id"))
+      .withColumn("offset", datediff(col("day"), col("cohort")))
+      .filter(col("offset") <= 7)
+      .groupBy("cohort", "offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort", "offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_funnel" -> (q75Funnel _),
+    "q76_cohort" -> (q76Cohort _),
     "q73_grouped_regression" -> (q73GroupedRegression _),
     "q74_mad_outliers" -> (q74MadOutliers _),
     "q63_grouping_sets" -> (q63GroupingSets _),
@@ -394,6 +436,32 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q75_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS v_ts
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |conv AS (
+        |  SELECT DISTINCT v.user_id
+        |  FROM v JOIN p ON v.user_id = p.user_id
+        |  WHERE p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 15 MINUTES)
+        |SELECT
+        |  (SELECT count(DISTINCT user_id) FROM v) AS n_viewers,
+        |  (SELECT count(DISTINCT user_id) FROM p) AS n_purchasers,
+        |  (SELECT count(*) FROM conv) AS n_converted,
+        |  round((SELECT count(*) FROM conv) * 1.0
+        |    / (SELECT count(DISTINCT user_id) FROM v), 4) AS conv_rate""".stripMargin,
+    "q76_cohort" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1)
+        |SELECT f.cohort, date_diff('day', f.cohort, e.day) AS "offset",
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |WHERE date_diff('day', f.cohort, e.day) <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q73_grouped_regression" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
