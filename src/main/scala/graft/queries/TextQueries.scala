@@ -61,6 +61,25 @@ object TextQueries {
     Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs(s, d), threshold = 0.8))
       .orderBy("doc_id")
 
+  /** Edit-distance verification of the near-dup pairs: levenshtein
+    * distance and a normalized similarity for every q57 pair — the
+    * character-level fuzzy-match family, run only on the candidate
+    * pairs (never all-pairs; levenshtein is O(len²) per comparison and
+    * must sit BEHIND a candidate generator at scale). */
+  def q77EditDistance(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docs(s, d), threshold = 0.8)
+      .select("doc_a", "doc_b")
+    val t = docs(s, d).select(col("doc_id"), col("text"))
+    pairs
+      .join(t.select(col("doc_id").as("doc_a"), col("text").as("text_a")), Seq("doc_a"))
+      .join(t.select(col("doc_id").as("doc_b"), col("text").as("text_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).as("edit_dist"),
+        round(lit(1.0) - levenshtein(col("text_a"), col("text_b")).cast("double") /
+          greatest(length(col("text_a")), length(col("text_b"))), 4).as("edit_sim"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Language-ID by marker-token counts, argmax with deterministic
     * tie-break (order of `TextFunctions.langMarkers`). */
   def q36LangId(s: SparkSession, d: String): DataFrame = {
@@ -139,6 +158,7 @@ object TextQueries {
     "q33_ngram_jaccard" -> (q33NgramJaccard _),
     "q57_ngram_prefix" -> (q57NgramPrefix _),
     "q61_dup_clusters" -> (q61DupClusters _),
+    "q77_edit_distance" -> (q77EditDistance _),
     "q36_langid" -> (q36LangId _),
     "q37_text_quality" -> (q37TextQuality _),
     "q38_token_count" -> (q38TokenCount _),
@@ -224,6 +244,32 @@ object TextQueries {
         |SELECT n.id AS doc_id, least(n.id, min(r.b)) AS cluster_id
         |FROM nodes n JOIN reach r ON r.a = n.id
         |GROUP BY n.id ORDER BY 1""".stripMargin,
+    "q77_edit_distance" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT doc_a, doc_b FROM cand
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.8)
+        |SELECT doc_a, doc_b,
+        |  levenshtein(ta.text, tb.text) AS edit_dist,
+        |  round(1.0 - levenshtein(ta.text, tb.text) * 1.0
+        |    / greatest(length(ta.text), length(tb.text)), 4) AS edit_sim
+        |FROM p
+        |JOIN documents ta ON ta.doc_id = doc_a
+        |JOIN documents tb ON tb.doc_id = doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q36_langid" -> {
       val scoreCols = TextFunctions.langMarkers.map { case (l, _) =>
         s"len(list_filter(t, x -> x IN (${markerSql(l)}))) AS score_$l"
