@@ -46,5 +46,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_sum"),
       info("vec_sum", "vec_sum(emb) - element-wise vector sum aggregate"),
       (exprs: Seq[Expression]) => VectorSum(exprs(0)).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints", "winnow_fingerprints(shingles, w) - winnowing fingerprint set"),
+      (exprs: Seq[Expression]) => WinnowFingerprints(exprs(0), intLit(exprs(1)))))
   }
 }

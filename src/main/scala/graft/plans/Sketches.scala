@@ -239,3 +239,64 @@ case class LshBucket(child: Expression, nBits: Int, table: Int)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Winnowing fingerprints (Schleimer, Wilkerson, Aiken: "Winnowing:
+  * Local Algorithms for Document Fingerprinting", SIGMOD 2003) of an
+  * array<string> shingle column: hash each k-gram once, slide a window
+  * of `w` hashes, keep each window's minimum (rightmost on ties — the
+  * paper's robust-winnowing rule), emit the distinct selected hashes in
+  * first-selection order.
+  *
+  * The guarantee that makes this the standard fingerprint for overlap
+  * detection: any shared substring of at least w+k-1 tokens between two
+  * documents produces at least one SHARED fingerprint, while the
+  * fingerprint density is ~2/(w+1) of the k-grams — position-robust
+  * partial-overlap detection (what a single whole-document rolling hash
+  * cannot give) at a fraction of the index size. Row-local primitive
+  * loop: one hash per shingle, O(n·w) long comparisons. */
+case class WinnowFingerprints(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val hs = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        hs(i) = SketchHash.hash(arr.getUTF8String(i), 42L)
+        i += 1
+      }
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      if (n <= w) {
+        // shorter than one window: keep the single global minimum
+        var min = hs(0); i = 1
+        while (i < n) { if (hs(i) <= min) min = hs(i); i += 1 }
+        seen.add(min)
+      } else {
+        var start = 0
+        while (start <= n - w) {
+          var min = hs(start)
+          var j = start + 1
+          while (j < start + w) {
+            if (hs(j) <= min) min = hs(j) // rightmost min on ties
+            j += 1
+          }
+          seen.add(min)
+          start += 1
+        }
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var o = 0
+      while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

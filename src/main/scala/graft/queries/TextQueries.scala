@@ -138,6 +138,37 @@ object TextQueries {
     fp.crossJoin(broadcast(chk)).orderBy("doc_id")
   }
 
+  /** Winnowing fingerprints (Schleimer et al. 2003) per document, with
+    * the algorithm's own guarantee surfaced in-row: two planted docs
+    * sharing a ≥(w+k−1)-token substring are unioned in-query, and every
+    * output row carries `planted_shared` = their common-fingerprint
+    * count, which winnowing guarantees ≥ 1 — a rows-only check that can
+    * never be vacuously green. `fp_checksum` (xor-fold) makes any
+    * fingerprint regression visible in the dump. */
+  def q78Winnow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftFunctions.register(s)
+    val common = "the shared boilerplate passage that both planted documents quote verbatim across many tokens"
+    val planted = Seq(
+      (-1L, s"first preamble words then $common and a unique first tail"),
+      (-2L, s"second intro differs here $common followed by another ending entirely")
+    ).toDF("doc_id", "text")
+    val all = docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
+    val fp = all
+      .withColumn("toks", TextFunctions.tokens("text"))
+      .withColumn("sh", TextFunctions.shingles("toks"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+        expr("winnow_fingerprints(sh, 4)").as("fps"))
+    val shared = fp.filter(col("doc_id") === -1L).select(col("fps").as("fa"))
+      .crossJoin(fp.filter(col("doc_id") === -2L).select(col("fps").as("fb")))
+      .select(size(array_intersect(col("fa"), col("fb"))).as("planted_shared"))
+    fp.select(col("doc_id"), col("n_shingles"), size(col("fps")).as("n_fingerprints"),
+      expr("aggregate(fps, 0L, (acc, x) -> acc ^ x)").as("fp_checksum"))
+      .crossJoin(broadcast(shared))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal stub pipeline: binary payload + partition-local decode.
     * The fake features are deterministic functions of payload length, so
     * the oracle CAN check the full plumbing end-to-end. */
@@ -159,6 +190,7 @@ object TextQueries {
     "q57_ngram_prefix" -> (q57NgramPrefix _),
     "q61_dup_clusters" -> (q61DupClusters _),
     "q77_edit_distance" -> (q77EditDistance _),
+    "q78_winnow" -> (q78Winnow _),
     "q36_langid" -> (q36LangId _),
     "q37_text_quality" -> (q37TextQuality _),
     "q38_token_count" -> (q38TokenCount _),

@@ -124,6 +124,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 12L || p._2 == 12L))
   }
 
+  test("winnowing: shared long substring guarantees a shared fingerprint; density bounded") {
+    val s = spark; import s.implicits._
+    GraftFunctions.register(spark)
+    val common = "one two three four five six seven eight nine ten eleven twelve"
+    val df = Seq(
+      (1L, s"prefix a b c $common suffix x y z"),
+      (2L, s"different start $common another finish q r"),
+      (3L, "totally unrelated material about catalyst codegen and shuffles everywhere"))
+      .toDF("doc_id", "text")
+    val fp = df.selectExpr("doc_id",
+      "winnow_fingerprints(shingles(split(lower(trim(text)), '\\\\s+'), 3), 4) AS fps")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // guarantee: >= (w + k - 1 = 6)-token shared run => >= 1 shared fingerprint
+    assert((fp(1L) & fp(2L)).nonEmpty, "planted overlap produced no shared fingerprint")
+    assert((fp(1L) & fp(3L)).isEmpty && (fp(2L) & fp(3L)).isEmpty)
+    // density: strictly fewer fingerprints than k-grams, at least one
+    fp.values.foreach(v => assert(v.nonEmpty))
+    assert(fp(1L).size < 17) // doc 1 has 19 tokens -> 17 shingles
+  }
+
   test("edge cases: empty pair list, dup-free corpus, empty corpus") {
     val s = spark; import s.implicits._
     // connected components over no edges terminates and returns empty
