@@ -36,9 +36,16 @@ object Bench {
         .write.mode("overwrite").parquet(warmDir)
       graft.streaming.StreamingOps.runToMemory(spark,
         graft.streaming.StreamingOps.dailyAggStream(spark, warmDir), "bench_warm_stream").count()
-      // NOT warmed: the stream-stream join — measured, a warm join query
-      // leaves extra loaded StateStoreProviders whose maintenance slows
-      // every later streaming query more than the warmup saves
+      // Warm the stream-stream join machinery too (symmetric hash join
+      // codegen + state store provider classes). Safe now: runToMemory
+      // unloads all providers after each drain, so the r2 reason not to
+      // warm — lingering maintenance threads taxing later queries — is
+      // gone.
+      val wp = graft.streaming.StreamingOps.eventStream(spark, warmDir)
+      val wv = graft.streaming.StreamingOps.eventStream(spark, warmDir)
+      graft.streaming.StreamingOps.runToMemory(spark,
+        graft.streaming.StreamingOps.purchaseViewJoin(wp, wv),
+        "bench_warm_join", outputMode = "append").count()
       graft.streaming.StreamingOps.stageDir(s"$sfDir/events.parquet")
       graft.streaming.StreamingOps.stageDir(s"$sfDir/documents.parquet")
     } catch { case e: Throwable => System.err.println(s"[bench] stream warmup skipped: ${e.getMessage}") }
@@ -56,7 +63,25 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val metricLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Driver contract: the metric JSON must be the LAST stdout line. The
+    // shutdown order below is deliberate (r2 post-mortem: StateStore
+    // maintenance threads stack-traced during spark.stop() and flooded
+    // the captured output tail past the metric line):
+    //   1. stop StateStore maintenance + unload providers while SparkEnv
+    //      is still alive (so nothing later hits a stopped RpcEnv),
+    //   2. stop the session,
+    //   3. print the metric line and flush,
+    //   4. halt(0) — skips JVM shutdown hooks, so no hook can print
+    //      after the metric line.
+    try org.apache.spark.sql.graft.StateStoreHooks.stopAll()
+    catch { case e: Throwable => System.err.println(s"[bench] state-store stop: ${e.getMessage}") }
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] spark stop: ${e.getMessage}") }
+    System.out.println(metricLine)
+    System.out.flush()
+    System.err.flush()
+    Runtime.getRuntime.halt(0)
   }
 }

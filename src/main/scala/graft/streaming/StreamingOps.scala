@@ -144,17 +144,38 @@ object StreamingOps {
 
   /** Drain a streaming aggregate to a memory sink synchronously
     * (complete mode) and return the result table — the local test/verify
-    * harness for streaming queries. */
+    * harness for streaming queries.
+    *
+    * Two local-scale cost controls, both result-invariant:
+    *  - stateful-operator cost here is dominated by per-partition state
+    *    store init (one provider per shuffle partition per stateful
+    *    operator), not data — the drain runs at a reduced partition
+    *    count (restored after); at cluster scale the caller's session
+    *    setting applies unchanged because the reduction is `min`-ed;
+    *  - after the drain every loaded StateStoreProvider is unloaded and
+    *    the maintenance pool stopped, so background maintenance neither
+    *    taxes later queries nor stack-traces into the session's
+    *    shutdown (the r2 BENCH artifact failure). Providers reload
+    *    lazily if another streaming query runs. */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
-      outputMode: String = "complete"): DataFrame = {
+      outputMode: String = "complete", drainPartitions: Int = 8): DataFrame = {
     try spark.catalog.dropTempView(name) catch { case _: Exception => () }
-    val q = stream.writeStream
-      .outputMode(outputMode)
-      .format("memory")
-      .queryName(name)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(prev.toInt, drainPartitions).toString)
+    try {
+      val q = stream.writeStream
+        .outputMode(outputMode)
+        .format("memory")
+        .queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      spark.conf.set(key, prev)
+      try org.apache.spark.sql.graft.StateStoreHooks.stopAll()
+      catch { case _: Exception => () }
+    }
     spark.table(name)
   }
 
