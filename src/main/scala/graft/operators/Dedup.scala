@@ -210,9 +210,14 @@ object Dedup {
   def incrementalNearDups(newDocs: DataFrame, oldDocs: DataFrame,
       threshold: Double = 0.5, k: Int = 32, bands: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // re-ingest guard: an id present in BOTH batches would fan the
+    // verification joins out over duplicate ids — the new batch wins,
+    // the old copy is dropped before sketching (left_anti is
+    // broadcast-sized: the new batch is the small side by construction)
+    val oldOnly = oldDocs.join(newDocs.select(col(idCol)), Seq(idCol), "left_anti")
     val newSigs = minhashSignatures(newDocs, idCol, textCol, k, bands)
       .withColumn("_new", lit(true))
-    val oldSigs = minhashSignatures(oldDocs, idCol, textCol, k, bands)
+    val oldSigs = minhashSignatures(oldOnly, idCol, textCol, k, bands)
       .withColumn("_new", lit(false))
     val exploded = newSigs.unionByName(oldSigs)
       .select(col(idCol).as("id"), col("_new"),
@@ -232,12 +237,54 @@ object Dedup {
     val candIds = pairs.select(col("doc_a").as(idCol))
       .union(pairs.select(col("doc_b").as(idCol)))
     val all = newDocs.select(col(idCol), col(textCol))
-      .unionByName(oldDocs.select(col(idCol), col(textCol)))
+      .unionByName(oldOnly.select(col(idCol), col(textCol)))
     val candSigs = all.join(candIds, Seq(idCol), "left_semi")
       .withColumn("toks", tokens(textCol))
       .withColumn("sh", shingles("toks"))
       .select(col(idCol), col("sh"))
     verifyJaccard(pairs, candSigs, idCol)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental near-dup detection with EXACT recall: the same
+    * new-batch-vs-corpus shape as [[incrementalNearDups]], but
+    * candidates come from the inverted n-gram shingle index (any pair
+    * with J > 0 shares a shingle, so nothing with J ≥ threshold can be
+    * missed) instead of MinHash banding (whose recall at J near the
+    * threshold is probabilistic — e.g. ~0.4 at J = 0.5 with k=32/b=8).
+    * The incremental scale property is identical: the index join is
+    * (new side × posting list), old×old postings never pair, and a
+    * posting with no new member produces nothing. Shared-count
+    * aggregation yields exact Jaccard directly (shingle sets are
+    * distinct per doc), so no separate verify pass is needed.
+    * Prefer this variant when missing a qualifying pair is not
+    * acceptable (auditable dedup); prefer the MinHash variant when the
+    * corpus-side index must stay sketch-sized. Output orientation:
+    * `doc_a` ∈ new batch; for new-new pairs, doc_a < doc_b. */
+  def incrementalNearDupsExact(newDocs: DataFrame, oldDocs: DataFrame,
+      threshold: Double = 0.5, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.plans.GraftFunctions.register(newDocs.sparkSession)
+    val oldOnly = oldDocs.join(newDocs.select(col(idCol)), Seq(idCol), "left_anti")
+    def index(docs: DataFrame, isNew: Boolean) = docs
+      .withColumn("toks", tokens(textCol))
+      .withColumn("sh", shingles("toks", n))
+      .filter(size(col("sh")) > 0)
+      .select(col(idCol).as("id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("shingle"), lit(isNew).as("_new"))
+    val inv = index(newDocs, isNew = true).unionByName(index(oldOnly, isNew = false))
+    val a = inv.filter(col("_new"))
+      .select(col("shingle"), col("id").as("doc_a"), col("n_sh").as("na"))
+    val b = inv.select(col("shingle"), col("id").as("doc_b"),
+      col("n_sh").as("nb"), col("_new").as("b_new"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      // canonical orientation; drops the mirrored new-new duplicate
+      .filter(!col("b_new") || (col("doc_a") < col("doc_b")))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("shared"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared").cast("double") / (col("na") + col("nb") - col("shared"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

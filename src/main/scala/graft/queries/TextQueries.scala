@@ -61,6 +61,34 @@ object TextQueries {
     Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs(s, d), threshold = 0.8))
       .orderBy("doc_id")
 
+  /** Incremental near-dup detection (the daily-ingest shape): the
+    * doc_id % 5 == 0 slice plays the NEW batch, the rest the existing
+    * corpus; matches come from [[Dedup.incrementalNearDupsExact]], so
+    * old×old is never paired and recall is exact — which is what lets
+    * the DuckDB oracle (full batch pair join, reoriented so the new
+    * member is doc_a) hash-match. The MinHash-candidate variant of the
+    * same operator is spec-covered (probabilistic recall ⇒ no SQL
+    * oracle can replicate its candidate set). */
+  def q79IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    Dedup.incrementalNearDupsExact(
+      all.filter(col("doc_id") % 5 === 0),
+      all.filter(col("doc_id") % 5 =!= 0),
+      threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Survivor election end-to-end: near-dup pairs (t=0.8) → connected
+    * components → drop every non-min cluster member — the corpus a
+    * dedup pipeline actually ships. Oracle: recursive-CTE closure (q61
+    * machinery) + min-id anti-join. */
+  def q80DedupSurvivors(s: SparkSession, d: String): DataFrame =
+    Dedup.dedupSurvivors(docs(s, d),
+      pairsOf = Dedup.ngramJaccardPairs(_, threshold = 0.8))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
   /** Edit-distance verification of the near-dup pairs: levenshtein
     * distance and a normalized similarity for every q57 pair — the
     * character-level fuzzy-match family, run only on the candidate
@@ -189,6 +217,8 @@ object TextQueries {
     "q33_ngram_jaccard" -> (q33NgramJaccard _),
     "q57_ngram_prefix" -> (q57NgramPrefix _),
     "q61_dup_clusters" -> (q61DupClusters _),
+    "q79_incremental_dedup" -> (q79IncrementalDedup _),
+    "q80_dedup_survivors" -> (q80DedupSurvivors _),
     "q77_edit_distance" -> (q77EditDistance _),
     "q78_winnow" -> (q78Winnow _),
     "q36_langid" -> (q36LangId _),
@@ -276,6 +306,64 @@ object TextQueries {
         |SELECT n.id AS doc_id, least(n.id, min(r.b)) AS cluster_id
         |FROM nodes n JOIN reach r ON r.a = n.id
         |GROUP BY n.id ORDER BY 1""".stripMargin,
+    "q79_incremental_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT doc_a, doc_b,
+        |    round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard
+        |  FROM cand
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5),
+        |o AS (
+        |  SELECT CASE WHEN p.doc_a % 5 = 0 THEN p.doc_a ELSE p.doc_b END AS da,
+        |         CASE WHEN p.doc_a % 5 = 0 THEN p.doc_b ELSE p.doc_a END AS db,
+        |         jaccard
+        |  FROM p WHERE p.doc_a % 5 = 0 OR p.doc_b % 5 = 0)
+        |SELECT da AS doc_a, db AS doc_b, jaccard FROM o
+        |ORDER BY 1, 2""".stripMargin,
+    "q80_dedup_survivors" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT doc_a, doc_b FROM cand
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.8),
+        |und AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |        UNION SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |nodes AS (SELECT DISTINCT a AS id FROM und),
+        |cl AS (
+        |  SELECT n.id AS did, least(n.id, min(r.b)) AS cluster_id
+        |  FROM nodes n JOIN reach r ON r.a = n.id GROUP BY n.id)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT did FROM cl WHERE cluster_id <> did)
+        |ORDER BY doc_id""".stripMargin,
     "q77_edit_distance" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),

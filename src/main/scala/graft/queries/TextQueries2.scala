@@ -124,6 +124,30 @@ object TextQueries2 {
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("cum_tokens"), col("seq_id"))
       .orderBy("doc_id")
 
+  /** Stratified sampling + ratio-controlled mixing — the corpus-
+    * composition move: per-language keep fractions (zh absent from the
+    * map ⇒ dropped, proving the default-drop path), then the sampled
+    * corpus is split into two disjoint "sources" (even/odd source id)
+    * and re-mixed at 0.9 / 0.35 weights. All keep decisions are md5
+    * hash-bucket arithmetic on doc_id (deterministic across engines,
+    * runs, and cluster sizes — no RNG state), which is exactly what
+    * lets the DuckDB oracle replicate the sample membership bit for
+    * bit. Summarized per (lang, source parity). */
+  def q81StratifiedMix(s: SparkSession, d: String): DataFrame = {
+    val sampled = graft.operators.Curation.stratifiedSample(
+      docs(s, d), "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.8, "fr" -> 0.25, "es" -> 0.6))
+    val srcParity = pmod(expr("CAST(substr(source, 4, 10) AS INT)"), lit(2))
+    val even = sampled.filter(srcParity === 0)
+    val odd = sampled.filter(srcParity === 1)
+    graft.operators.Curation.mix(Seq((even, 0.9), (odd, 0.35)), "doc_id")
+      .groupBy(col("lang"), srcParity.as("src_parity"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        round(avg("n_chars"), 2).as("avg_chars"))
+      .orderBy("lang", "src_parity")
+  }
+
   /** Sketch-accuracy audit — the 100 TB cardinality toolkit, checked
     * against itself: per event_type, HLL++ distinct counts
     * (`approx_count_distinct`) and quantile sketches
@@ -206,6 +230,7 @@ object TextQueries2 {
     "q69_corpus_build" -> (q69CorpusBuild _),
     "q67_normalize_redact" -> (q67NormalizeRedact _),
     "q56_split" -> (q56Split _),
+    "q81_stratified_mix" -> (q81StratifiedMix _),
     "q58_weighted_sample" -> (q58WeightedSample _),
     "q59_contamination" -> (q59Contamination _),
     "q60_pack" -> (q60Pack _),
@@ -265,6 +290,23 @@ object TextQueries2 {
         |  length(redacted) AS n_chars_redacted,
         |  md5(redacted) AS redacted_fp
         |FROM r ORDER BY doc_id""".stripMargin,
+    "q81_stratified_mix" ->
+      """WITH b AS (
+        |  SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 AS bucket,
+        |    CAST(substr(source, 4) AS INT) % 2 AS src_parity
+        |  FROM documents),
+        |sampled AS (
+        |  SELECT * FROM b
+        |  WHERE bucket < CASE lang
+        |    WHEN 'en' THEN 50 WHEN 'de' THEN 80
+        |    WHEN 'fr' THEN 25 WHEN 'es' THEN 60 ELSE 0 END),
+        |mixed AS (
+        |  SELECT * FROM sampled
+        |  WHERE bucket < CASE WHEN src_parity = 0 THEN 90 ELSE 35 END)
+        |SELECT lang, src_parity, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(avg(n_chars), 2) AS avg_chars
+        |FROM mixed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q56_split" ->
       """WITH b AS (
         |  SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 AS bucket

@@ -124,6 +124,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 12L || p._2 == 12L))
   }
 
+  test("incremental exact variant: recall equals the batch join restricted to new-side pairs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again every single day"
+    val old = docsDf(Seq(
+      (1L, base),
+      (2L, base.replace("fox", "cat")),
+      (3L, "completely different content about spark catalyst expression codegen pipelines")))
+    val fresh = docsDf(Seq(
+      (10L, base.replace("lazy", "sleepy")),
+      (11L, base.replace("lazy", "sleepy")),
+      (12L, "entirely novel text with no relation to anything already stored")))
+    val inc = Dedup.incrementalNearDupsExact(fresh, old, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: the full batch pair join, reoriented so doc_a is new
+    val newIds = Set(10L, 11L, 12L)
+    val batch = Dedup.ngramJaccardPairs(
+      fresh.unionByName(old), threshold = 0.3, prefixFilter = Some(false)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => newIds.contains(p._1) || newIds.contains(p._2))
+      .map(p => if (newIds.contains(p._1)) p else (p._2, p._1, p._3)).toSet
+    assert(inc == batch, s"incremental=$inc batch=$batch")
+    // re-ingest guard: doc 10 re-delivered in the new batch must not
+    // fan out duplicate rows against its stale old copy
+    val reIngest = Dedup.incrementalNearDupsExact(
+      fresh, old.unionByName(fresh.filter(org.apache.spark.sql.functions.col("doc_id") === 10L)),
+      threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reIngest == inc.map(p => (p._1, p._2)),
+      s"re-ingested id changed the pair set: $reIngest")
+  }
+
   test("winnowing: shared long substring guarantees a shared fingerprint; density bounded") {
     val s = spark; import s.implicits._
     GraftFunctions.register(spark)
