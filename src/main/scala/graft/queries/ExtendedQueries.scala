@@ -383,13 +383,19 @@ object ExtendedQueries {
       .filter(col("p_ts") >= col("v_ts") &&
         col("p_ts") <= col("v_ts") + expr("INTERVAL 15 MINUTES"))
       .select("user_id").distinct()
-    val nViewers = views.select("user_id").distinct().count()
-    val nPurchasers = purchases.select("user_id").distinct().count()
-    val nConverted = converted.count()
-    val sess = s; import sess.implicits._
-    Seq((nViewers, nPurchasers, nConverted,
-      math.round(nConverted.toDouble / nViewers * 10000) / 10000.0))
-      .toDF("n_viewers", "n_purchasers", "n_converted", "conv_rate")
+    // ONE plan, one action: viewer/purchaser counts come from a single
+    // conditional-distinct aggregate over one events scan (not one scan
+    // per count), the conversion count from the interval-join branch;
+    // both sides are 1-row aggregates, so the final join is a
+    // broadcast-1-row cross — total 3 filtered scans in 1 job vs the
+    // previous 3 driver actions over 4 scans.
+    val stats = e.agg(
+      countDistinct(when(col("event_type") === "view", col("user_id"))).as("n_viewers"),
+      countDistinct(when(col("event_type") === "purchase", col("user_id"))).as("n_purchasers"))
+    val conv = converted.agg(count(lit(1)).as("n_converted"))
+    stats.crossJoin(broadcast(conv))
+      .select(col("n_viewers"), col("n_purchasers"), col("n_converted"),
+        round(col("n_converted").cast("double") / col("n_viewers"), 4).as("conv_rate"))
   }
 
   /** Cohort retention: users grouped by first-activity day (cohort),
