@@ -25,16 +25,60 @@ object TextQueries {
   def q30DedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exactGroups(docs(s, d)).orderBy("fingerprint")
 
-  /** MinHash+LSH near-dup pairs, Jaccard-verified (threshold 0.5). */
-  def q31DedupMinhash(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashNearDups(docs(s, d), threshold = 0.5)
+  /** MinHash+LSH near-dup pairs, Jaccard-verified (threshold 0.5).
+    *
+    * Rows-only for the driver (xxhash64 sketches aren't replicable in
+    * DuckDB SQL), so the check carries its own guarantee in-row: two
+    * planted pairs with negative ids are unioned in-query — (-1,-2)
+    * identical text, and (-3,-4) DIFFERENT texts (3 vs 4 repetitions of
+    * the same token cycle) whose distinct-shingle SETS are identical.
+    * Set-equal inputs produce identical MinHash signatures, identical
+    * band hashes, and therefore a guaranteed shared bucket — recovery
+    * is deterministic, not probabilistic — and verification yields
+    * jaccard exactly 1.0. `planted_recovered` (constant across rows)
+    * counts recovered planted pairs; 2 is the only correct value, so
+    * the query can never go vacuously green at any scale factor. */
+  def q31DedupMinhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      (-4L, "zzqa zzqb zzqc zzqa zzqb zzqc zzqa zzqb zzqc"),
+      (-3L, "zzqa zzqb zzqc zzqa zzqb zzqc zzqa zzqb zzqc zzqa zzqb zzqc"),
+      (-2L, "yyra yyrb yyrc yyrd yyre yyrf yyrg yyrh yyri yyrj"),
+      (-1L, "yyra yyrb yyrc yyrd yyre yyrf yyrg yyrh yyri yyrj"))
+      .toDF("doc_id", "text")
+    val all = docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
+    val pairs = Dedup.minhashNearDups(all, threshold = 0.5)
+    val guarantee = pairs.agg(
+      sum(when(col("doc_a") < 0 && col("doc_b") < 0, 1).otherwise(0))
+        .as("planted_recovered"))
+    pairs
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .crossJoin(broadcast(guarantee))
       .orderBy("doc_a", "doc_b")
+  }
 
-  /** SimHash fingerprints + near-dup pairs within Hamming distance 3. */
-  def q32DedupSimhash(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashNearDups(docs(s, d), maxHamming = 3)
+  /** SimHash fingerprints + near-dup pairs within Hamming distance 3.
+    *
+    * Same self-evidencing pattern as q31: the planted pair (-2,-1) has
+    * the same token MULTISET in a different order, and SimHash is a
+    * per-token bit-vote sum — order-invariant — so the fingerprints are
+    * bit-identical (Hamming 0) and chunk banding MUST propose the pair.
+    * `planted_recovered` = 1 is guaranteed by the algorithm. */
+  def q32DedupSimhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      (-2L, "wwsa wwsb wwsc wwsd wwse wwsf wwsg wwsh"),
+      (-1L, "wwsh wwsg wwsf wwse wwsd wwsc wwsb wwsa"))
+      .toDF("doc_id", "text")
+    val all = docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
+    val pairs = Dedup.simhashNearDups(all, maxHamming = 3)
+    val guarantee = pairs.agg(
+      sum(when(col("doc_a") < 0 && col("doc_b") < 0, 1).otherwise(0))
+        .as("planted_recovered"))
+    pairs
+      .crossJoin(broadcast(guarantee))
       .orderBy("doc_a", "doc_b")
+  }
 
   /** Exact n-gram Jaccard similarity join (inverted shingle index). */
   def q33NgramJaccard(s: SparkSession, d: String): DataFrame =

@@ -154,6 +154,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"re-ingested id changed the pair set: $reIngest")
   }
 
+  test("q31/q32 guarantee columns: planted pairs recovered deterministically") {
+    val q31 = graft.queries.TextQueries.q31DedupMinhash(spark, "/root/testdata/sf0.001")
+    val r31 = q31.select("planted_recovered").head.getLong(0)
+    assert(r31 == 2L, s"q31 planted_recovered=$r31, want 2 (set-equal + identical-text pairs)")
+    assert(q31.filter(col("doc_a") === -4L && col("doc_b") === -3L)
+      .head.getAs[Double]("jaccard") == 1.0)
+    val q32 = graft.queries.TextQueries.q32DedupSimhash(spark, "/root/testdata/sf0.001")
+    val r32 = q32.select("planted_recovered").head.getLong(0)
+    assert(r32 == 1L, s"q32 planted_recovered=$r32, want 1 (multiset-permuted pair)")
+    assert(q32.filter(col("doc_a") === -2L && col("doc_b") === -1L)
+      .head.getAs[Int]("hamming") == 0)
+  }
+
   test("winnowing: shared long substring guarantees a shared fingerprint; density bounded") {
     val s = spark; import s.implicits._
     GraftFunctions.register(spark)
