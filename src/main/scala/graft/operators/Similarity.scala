@@ -27,6 +27,8 @@ import graft.plans.GraftFunctions
   */
 object Similarity {
 
+  private val ivfCallCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def ranked(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(round(col("sim"), 6).desc, col("vec_id"))
@@ -124,14 +126,19 @@ object Similarity {
     // reached production counts (judge round-1 finding).
     val ids = centroidVecs.map(_._1).toArray
     val vecs = centroidVecs.map(_._2).toArray
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction("ivf_cells",
+    // per-call unique registration: the function closes over THIS call's
+    // centroid table, so a session-global name would make two
+    // interleaved ivfTopK calls (or lazy re-evaluation of an earlier
+    // result after a later call) resolve against the wrong centroids
+    val fn = s"ivf_cells_${ivfCallCounter.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(fn,
       exprs => org.apache.spark.sql.catalyst.expressions.graft.NearestCells(
         exprs.head, ids, vecs, nProbe), "built-in")
     val cells = corpus.select(col("vec_id"), col("embedding"))
-      .withColumn("cell", expr("element_at(ivf_cells(embedding), 1)"))
+      .withColumn("cell", expr(s"element_at($fn(embedding), 1)"))
     val q = broadcast(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-        .withColumn("cell", explode(expr("ivf_cells(q_emb)"))))
+        .withColumn("cell", explode(expr(s"$fn(q_emb)"))))
     val scored = cells.join(q, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", expr("cosine_sim(embedding, q_emb)"))

@@ -13,8 +13,13 @@ import org.apache.spark.sql.DataFrame
   * }}}
   */
 object SimilarityJoinApi {
+  /** `strategy`: "auto" (default — corpus size statistics pick exact
+    * brute-force, multiprobe LSH, or IVF; thresholds via the
+    * `spark.graft.simjoin.{bruteMaxBytes,ivfMinBytes}` confs) or a
+    * forced "brute" / "lsh" / "ivf". */
   def similarityJoin(corpus: DataFrame, queries: DataFrame,
-      k: Int = 10, nBits: Int = 8, tables: Int = 4): DataFrame =
+      k: Int = 10, nBits: Int = 8, tables: Int = 4,
+      strategy: String = "auto"): DataFrame =
     org.apache.spark.sql.graft.SimilarityJoinApiInternal
-      .build(corpus, queries, k, nBits, tables)
+      .build(corpus, queries, k, nBits, tables, strategy)
 }

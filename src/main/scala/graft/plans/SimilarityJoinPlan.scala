@@ -14,14 +14,16 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType}
   * rewritten into an LSH-bucketed equi-join plan" — the one place the
   * survey justifies a custom Catalyst node for the 100 TB extensions).
   *
-  * The node itself carries only semantics (k, nBits, tables); the
-  * physical strategy — multi-table multiprobe LSH + native cosine
-  * rerank — is chosen by [[RewriteSimilarityJoin]] at optimization
-  * time. Swapping in a different ANN plan (IVF, exact) is a rule
-  * change, invisible to callers. */
+  * The node itself carries only semantics (k, nBits, tables, and a
+  * strategy HINT); the physical strategy — exact broadcast scoring,
+  * multi-table multiprobe LSH, or IVF — is chosen by
+  * [[RewriteSimilarityJoin]] at optimization time from the corpus
+  * plan's size statistics, mirroring how Spark itself picks broadcast
+  * vs shuffle joins from `plan.stats`. `strategy` is "auto" (stats
+  * decide) or a forced "brute" / "lsh" / "ivf". */
 case class SimilarityJoinPlan(
     corpus: LogicalPlan, queries: LogicalPlan,
-    k: Int, nBits: Int, tables: Int,
+    k: Int, nBits: Int, tables: Int, strategy: String,
     output: Seq[Attribute]) extends BinaryNode {
   override def left: LogicalPlan = corpus
   override def right: LogicalPlan = queries
@@ -53,18 +55,53 @@ object SimilarityJoinPlan {
     AttributeReference("rank", IntegerType)())
 }
 
-/** Optimizer rule: replace the logical similarity join with the
-  * fully-built (and internally optimized) LSH plan, aliasing the
+/** Optimizer rule: replace the logical similarity join with a
+  * fully-built (and internally optimized) ANN plan, aliasing the
   * rewritten plan's output to the node's original attribute ids so
-  * upstream references stay bound. */
+  * upstream references stay bound.
+  *
+  * Strategy selection (when the node's hint is "auto") is cost-based on
+  * `corpus.stats.sizeInBytes` — the same statistic Spark's own join
+  * planning consults:
+  *   - corpus ≤ `spark.graft.simjoin.bruteMaxBytes` (default 8 MiB):
+  *     exact brute-force — at broadcast-hash-join scale the exact scan
+  *     is cheaper than any index and has recall 1;
+  *   - corpus ≥ `spark.graft.simjoin.ivfMinBytes` (default 256 MiB):
+  *     IVF — the training pass (two nCentroids-sized jobs) amortizes,
+  *     and density-adapted cells probe a smaller corpus fraction than
+  *     data-oblivious hyperplanes;
+  *   - in between: multiprobe LSH — no training pass, bounded probe
+  *     fan-out.
+  * The thresholds are session confs so deployments (and the spec) can
+  * tune where the cutovers sit. */
 case class RewriteSimilarityJoin(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case sj: SimilarityJoinPlan =>
       val corpusDf = SimilarityJoinApiInternal.ofRows(spark, sj.corpus)
       val queriesDf = SimilarityJoinApiInternal.ofRows(spark, sj.queries)
-      val rewritten = graft.operators.Similarity
-        .lshTopK(spark, corpusDf, queriesDf, sj.k, sj.nBits, sj.tables)
-        .queryExecution.optimizedPlan
+      val chosen = sj.strategy match {
+        case "auto" =>
+          val bytes = sj.corpus.stats.sizeInBytes
+          val bruteMax = BigInt(spark.conf.get(
+            "spark.graft.simjoin.bruteMaxBytes", (8L << 20).toString))
+          val ivfMin = BigInt(spark.conf.get(
+            "spark.graft.simjoin.ivfMinBytes", (256L << 20).toString))
+          val pick =
+            if (bytes <= bruteMax) "brute"
+            else if (bytes >= ivfMin) "ivf"
+            else "lsh"
+          logInfo(s"similarity join: corpus ~$bytes bytes -> strategy '$pick'")
+          pick
+        case s => s
+      }
+      val rewritten = (chosen match {
+        case "brute" =>
+          graft.operators.Similarity.bruteForceTopK(spark, corpusDf, queriesDf, sj.k)
+        case "ivf" =>
+          graft.operators.Similarity.ivfTopK(spark, corpusDf, queriesDf, sj.k)
+        case _ =>
+          graft.operators.Similarity.lshTopK(spark, corpusDf, queriesDf, sj.k, sj.nBits, sj.tables)
+      }).queryExecution.optimizedPlan
       val aliases: Seq[NamedExpression] = sj.output.map { out =>
         val src = rewritten.output.find(_.name == out.name).getOrElse(
           throw new IllegalStateException(s"rewrite lost column ${out.name}"))
@@ -84,14 +121,17 @@ object SimilarityJoinApiInternal {
 
   private[graft] def logicalPlan(df: DataFrame): LogicalPlan = df.queryExecution.logical
 
-  def build(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int, tables: Int): DataFrame = {
+  def build(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int, tables: Int,
+      strategy: String = "auto"): DataFrame = {
+    require(Set("auto", "brute", "lsh", "ivf")(strategy),
+      s"unknown similarity-join strategy '$strategy'")
     val spark = corpus.sparkSession
     // self-contained: make sure the rewrite rule is installed
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[RewriteSimilarityJoin]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteSimilarityJoin(spark)
     val node = SimilarityJoinPlan(
-      logicalPlan(corpus), logicalPlan(queries), k, nBits, tables,
+      logicalPlan(corpus), logicalPlan(queries), k, nBits, tables, strategy,
       SimilarityJoinPlan.outputAttrs(corpus.schema("vec_id").dataType))
     ofRows(spark, node)
   }
