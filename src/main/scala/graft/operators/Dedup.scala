@@ -163,26 +163,54 @@ object Dedup {
     * the step that turns pairwise matches into duplicate CLUSTERS so a
     * survivor can be elected per cluster (cluster_id = min member id).
     *
-    * Iterative min-label propagation: each round, every node adopts the
-    * smallest label among itself and its neighbours; converges in
-    * O(cluster diameter) rounds — near-dup clusters are
-    * diameter-bounded in practice (a dup of a dup of X is a dup of X),
-    * so typically 2-4 rounds. Each round is one equi-shuffle groupBy;
-    * `localCheckpoint` cuts the growing lineage so round N's plan does
-    * not replay rounds 1..N-1. The driver-side loop iterates a handful
-    * of times over COUNTS only (no data collected) — the standard shape
-    * for iterative graph algorithms on DataFrames; at extreme graph
-    * sizes the same loop upgrades to the large-star/small-star
-    * alternation (Kiveris et al., "Connected Components in MapReduce
-    * and Beyond", SoCC 2014) without changing the API. */
+    * Two algorithms behind one API, chosen by measured edge count
+    * (cheap: the edge list is eagerly checkpointed either way):
+    *   - below `starThreshold`: iterative min-label propagation — one
+    *     equi-shuffle per round, converges in O(cluster diameter)
+    *     rounds. Near-dup clusters are diameter-bounded in practice (a
+    *     dup of a dup of X is a dup of X), so typically 2-4 rounds and
+    *     the lowest constant factor.
+    *   - at/above `starThreshold`: the large-star/small-star
+    *     alternation (Kiveris et al., "Connected Components in
+    *     MapReduce and Beyond", SoCC 2014) — O(log d) rounds
+    *     (DedupClusterSpec proves the round-count drop on a long
+    *     chain), which is what survives a 100 TB web graph where a
+    *     pathological chain would cost label propagation hundreds of
+    *     shuffles.
+    * Both loops iterate driver-side over COUNTS/checksums only (no data
+    * collected) and `localCheckpoint` each round so round N's plan does
+    * not replay rounds 1..N-1. */
   def connectedComponents(pairs: DataFrame,
-      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
-    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      starThreshold: Long = 1L << 22): DataFrame = {
+    val edges = symmetrized(pairs, aCol, bCol)
+    if (edges.count() >= starThreshold) starContract(edges)._1
+    else propagateMinLabels(edges)._1
+  }
+
+  /** Force the large-star/small-star algorithm regardless of size. */
+  def connectedComponentsStar(pairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
+    starContract(symmetrized(pairs, aCol, bCol))._1
+
+  /** Both orientations of the pair list, self-loops dropped; eagerly
+    * checkpointed because pairs is usually an expensive sketch
+    * pipeline that must run exactly once. */
+  private[operators] def symmetrized(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
-      .localCheckpoint() // pairs may be an expensive sketch pipeline: run it once
+      .filter(col("a") =!= col("b"))
+      .localCheckpoint()
+
+  /** Min-label propagation over a symmetric edge list; returns (labels,
+    * rounds). One groupBy shuffle per round; a label travels one hop
+    * per round, so rounds = max cluster diameter (+1 to detect
+    * quiescence). */
+  private[operators] def propagateMinLabels(edges: DataFrame): (DataFrame, Int) = {
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
@@ -191,10 +219,61 @@ object Dedup {
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
         .localCheckpoint()
+      rounds += 1
       changed = updated.filter(col("new_label") < col("label")).count()
       labels = updated.select(col("id"), col("new_label").as("label"))
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    (labels.select(col("id").as("doc_id"), col("label").as("cluster_id")), rounds)
+  }
+
+  /** Large-star/small-star contraction (Kiveris et al. 2014) over a
+    * symmetric edge list; returns (labels, rounds). Per round:
+    *   large-star — every node u links its LARGER neighbors to
+    *     m(u) = min(u ∪ Γ(u)): edges halve long chains;
+    *   small-star — every node u links its smaller-or-equal neighbors
+    *     (and itself) to their minimum: locally stars the graph.
+    * The alternation converges to per-component stars rooted at the
+    * component minimum in O(log d) rounds; convergence is detected by a
+    * (count, hash-sum) signature of the directed star edges, so the
+    * driver never sees data. Every step is an equi-shuffle groupBy/join
+    * on the node id — the same scale shape as one propagation round,
+    * just fewer rounds. */
+  private[operators] def starContract(edges0: DataFrame): (DataFrame, Int) = {
+    var e = edges0.distinct().localCheckpoint()
+    var rounds = 0
+    var prevSig: Option[(Long, Long)] = None
+    var directed: DataFrame = null
+    var done = false
+    while (!done) {
+      val minsL = e.groupBy("a").agg(least(min(col("b")), col("a")).as("m"))
+      val ls = e.filter(col("b") > col("a")).join(minsL, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+      val lsSym = ls.union(ls.select(col("b").as("a"), col("a").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+      val se = lsSym.filter(col("b") < col("a"))
+      val minsS = se.groupBy("a").agg(min(col("b")).as("m"))
+      val ss = se.join(minsS, "a").filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(minsS.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint()
+      rounds += 1
+      // bit_xor, not sum: ANSI mode makes a long sum of hashes overflow;
+      // xor is order-independent and closed over Long (edge set is
+      // distinct, so no self-cancelling duplicates)
+      val sigRow = ss.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).head()
+      val sig = (sigRow.getLong(0), if (sigRow.isNullAt(1)) 0L else sigRow.getLong(1))
+      directed = ss
+      if (prevSig.contains(sig)) done = true
+      else {
+        prevSig = Some(sig)
+        e = ss.union(ss.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
+      }
+    }
+    val labels = directed.select(col("a").as("doc_id"), col("b").as("cluster_id"))
+      .union(directed.select(col("b").as("doc_id"), col("b").as("cluster_id")))
+      .distinct()
+    (labels, rounds)
   }
 
   /** Incremental near-dup detection: match a NEW batch of documents
