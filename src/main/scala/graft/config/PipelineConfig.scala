@@ -141,16 +141,24 @@ private[config] object MiniYaml {
     else t
   }
 
-  /** Strip a trailing comment that is OUTSIDE quotes. */
+  /** Strip a trailing comment that is OUTSIDE quotes. Per YAML, '#'
+    * opens a comment only at line start or after whitespace — an
+    * unquoted value like `abc#def` (a credential, an anchor URL) must
+    * NOT be truncated. */
   private def stripComment(s: String): String = {
     var inS = false; var inD = false
-    val i = s.indexWhere {
-      case '\'' if !inD => inS = !inS; false
-      case '"' if !inS => inD = !inD; false
-      case '#' => !inS && !inD
-      case _ => false
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' if !inD => inS = !inS
+        case '"' if !inS => inD = !inD
+        case '#' if !inS && !inD && (i == 0 || s.charAt(i - 1).isWhitespace) =>
+          return s.substring(0, i)
+        case _ =>
+      }
+      i += 1
     }
-    if (i >= 0) s.substring(0, i) else s
+    s
   }
 
   private final case class Line(indent: Int, isItem: Boolean, key: String, value: String)

@@ -26,6 +26,13 @@ object TextFunctions {
   def shingles(toksCol: String, n: Int = 3): Column =
     expr(s"shingles($toksCol, $n)")
 
+  /** POSITIONAL n-token shingles — one entry per token position,
+    * duplicates preserved. The required input for winnowing (window
+    * positions must be text positions); use [[shingles]] for
+    * set-similarity sketches. Native [[ShingleSeq]] expression. */
+  def shingleSeq(toksCol: String, n: Int = 3): Column =
+    expr(s"shingle_seq($toksCol, $n)")
+
   /** MinHash signature of a shingle-set column: k independent universal
     * hashes h_j(s) = (h32(s) * (2j+1) + j) mod 2^61-1, minimized over
     * the set. Backed by the native [[MinHashSig]] expression (each

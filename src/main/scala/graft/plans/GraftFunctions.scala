@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.catalyst.expressions.graft.{CosineSimilarity, LshBucket, MinHashBands, MinHashSig, Shingles, SimHash64, VectorSum, WinnowFingerprints}
+import org.apache.spark.sql.catalyst.expressions.graft.{CosineSimilarity, LshBucket, MinHashBands, MinHashSig, ShingleSeq, Shingles, SimHash64, VectorSum, WinnowFingerprints}
 
 /** Session-scoped registration of graft's native Catalyst expressions,
   * so they are callable from `expr("cosine_sim(a, b)")` / SQL text.
@@ -24,6 +24,8 @@ object GraftFunctions {
       "lsh_bucket", exprs => LshBucket(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "built-in")
     reg.createOrReplaceTempFunction(
       "shingles", exprs => Shingles(exprs(0), intLit(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingle_seq", exprs => ShingleSeq(exprs(0), intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_bands", exprs => MinHashBands(exprs(0), intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(

@@ -89,6 +89,41 @@ case class Shingles(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** POSITIONAL n-token shingles: one entry per token position, duplicates
+  * preserved — the input winnowing requires. [[Shingles]] dedups to
+  * first occurrence (right for set-similarity sketches), but winnowing's
+  * w+k-1 shared-substring guarantee needs window positions to BE text
+  * positions: with a deduped sequence a repeated k-gram is absent from
+  * its later positions, which can break a consecutive shared run. */
+case class ShingleSeq(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_seq"
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    if (m < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](m - n + 1)
+      var i = 0
+      while (i <= m - n) {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(space, parts: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 64-bit SimHash of an array<string> token stream: per-bit vote of the
   * token hash, sign → bit. One hash per token, 64 bit-tests per token. */
 case class SimHash64(child: Expression)
@@ -253,7 +288,12 @@ case class LshBucket(child: Expression, nBits: Int, table: Int)
   * fingerprint density is ~2/(w+1) of the k-grams — position-robust
   * partial-overlap detection (what a single whole-document rolling hash
   * cannot give) at a fraction of the index size. Row-local primitive
-  * loop: one hash per shingle, O(n·w) long comparisons. */
+  * loop: one hash per shingle, O(n·w) long comparisons.
+  *
+  * The guarantee requires the POSITIONAL shingle sequence
+  * ([[ShingleSeq]]) as input — one entry per token position, duplicates
+  * preserved. Feeding the deduped [[Shingles]] set breaks window/text
+  * position alignment for documents with repeated k-grams. */
 case class WinnowFingerprints(child: Expression, w: Int)
     extends UnaryExpression with CodegenFallback {
 

@@ -29,9 +29,13 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * boxing), serialized compactly only when a partial crosses the
   * shuffle.
   *
-  * Ragged inputs fold by shared prefix (min length wins per pair),
-  * matching CosineSimilarity's min-length convention; NULL vectors are
-  * ignored (same as built-in sum over NULLs). Empty groups yield NULL.
+  * Ragged inputs zero-extend: the buffer grows to the LONGEST vector
+  * seen and every vector contributes to its own prefix. max-length and
+  * per-dimension sums are both order- and partitioning-independent, so
+  * the result is deterministic across runs and cluster layouts (a
+  * first-vector-sized buffer would truncate later, longer vectors —
+  * making the answer depend on row order). NULL vectors are ignored
+  * (same as built-in sum over NULLs). Empty groups yield NULL.
   */
 case class VectorSum(
     child: Expression,
@@ -60,11 +64,11 @@ case class VectorSum(
     else {
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
-      val buf = if (buffer.isEmpty) new Array[Double](n) else buffer
-      val m = math.min(n, buf.length)
+      val buf = if (buffer.length >= n) buffer
+                else java.util.Arrays.copyOf(buffer, n) // zero-extends
       val dbl = childIsDouble
       var i = 0
-      while (i < m) {
+      while (i < n) {
         buf(i) += (if (dbl) arr.getDouble(i) else arr.getFloat(i).toDouble)
         i += 1
       }
@@ -76,10 +80,11 @@ case class VectorSum(
     if (other.isEmpty) buffer
     else if (buffer.isEmpty) other
     else {
-      val m = math.min(buffer.length, other.length)
+      val (long, short) =
+        if (buffer.length >= other.length) (buffer, other) else (other, buffer)
       var i = 0
-      while (i < m) { buffer(i) += other(i); i += 1 }
-      buffer
+      while (i < short.length) { long(i) += short(i); i += 1 }
+      long
     }
   }
 

@@ -226,9 +226,11 @@ object TextQueries {
       (-2L, s"second intro differs here $common followed by another ending entirely")
     ).toDF("doc_id", "text")
     val all = docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
+    // POSITIONAL shingle sequence (not the deduped set): winnowing's
+    // shared-substring guarantee needs window positions = text positions
     val fp = all
       .withColumn("toks", TextFunctions.tokens("text"))
-      .withColumn("sh", TextFunctions.shingles("toks"))
+      .withColumn("sh", TextFunctions.shingleSeq("toks"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), size(col("sh")).as("n_shingles"),
         expr("winnow_fingerprints(sh, 4)").as("fps"))

@@ -75,6 +75,12 @@ class ConfigPipelineSpec extends AnyFunSuite {
     assert(PipelineConfig.masked("key-abcdef") == "ke******ef")
   }
 
+  test("unquoted '#' with no preceding whitespace is value text, not a comment (YAML rule)") {
+    val cfg = PipelineConfig.fromYaml(
+      yamlText.replace("\"tok-123456\"", "tok#123456   # trailing comment"))
+    assert(cfg.noaa.credential == "tok#123456")
+  }
+
   test("config cityDim yields the broadcast-able dimension frame") {
     val dim = PipelineConfig.fromYaml(yamlText).cityDim(spark)
     assert(dim.schema == graft.domain.Schemas.cityDim)

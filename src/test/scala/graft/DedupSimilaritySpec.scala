@@ -171,16 +171,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val s = spark; import s.implicits._
     GraftFunctions.register(spark)
     val common = "one two three four five six seven eight nine ten eleven twelve"
+    // docs 4/5: repetition-heavy prefixes of DIFFERENT lengths before the
+    // shared run — the case where winnowing over the deduped shingle SET
+    // loses the guarantee (repeated k-grams vanish from later positions);
+    // the positional shingle_seq input must keep it
     val df = Seq(
       (1L, s"prefix a b c $common suffix x y z"),
       (2L, s"different start $common another finish q r"),
-      (3L, "totally unrelated material about catalyst codegen and shuffles everywhere"))
+      (3L, "totally unrelated material about catalyst codegen and shuffles everywhere"),
+      (4L, s"rep rep rep rep rep rep rep rep $common tail one"),
+      (5L, s"rep rep rep rep $common other end"))
       .toDF("doc_id", "text")
     val fp = df.selectExpr("doc_id",
-      "winnow_fingerprints(shingles(split(lower(trim(text)), '\\\\s+'), 3), 4) AS fps")
+      "winnow_fingerprints(shingle_seq(split(lower(trim(text)), '\\\\s+'), 3), 4) AS fps")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     // guarantee: >= (w + k - 1 = 6)-token shared run => >= 1 shared fingerprint
     assert((fp(1L) & fp(2L)).nonEmpty, "planted overlap produced no shared fingerprint")
+    assert((fp(4L) & fp(5L)).nonEmpty, "repeated-shingle docs lost the winnowing guarantee")
     assert((fp(1L) & fp(3L)).isEmpty && (fp(2L) & fp(3L)).isEmpty)
     // density: strictly fewer fingerprints than k-grams, at least one
     fp.values.foreach(v => assert(v.nonEmpty))

@@ -129,6 +129,16 @@ class ScaleSpec extends AnyFunSuite {
     // all-NULL group evaluates to NULL, not a crash
     val allNull = Seq((1, null.asInstanceOf[Array[Float]])).toDF("g", "emb")
     assert(allNull.groupBy("g").agg(expr("vec_sum(emb)").as("s")).collect().head.isNullAt(1))
+    // ragged lengths zero-extend to the longest vector, independent of
+    // row order / partitioning (a short first vector must not truncate)
+    val ragged = Seq(
+      (1, Array(1f, 2f)), (1, Array(10f, 20f, 30f, 40f)), (1, Array(100f)))
+    Seq(ragged, ragged.reverse).foreach { order =>
+      val got = order.toDF("g", "emb").repartition(3)
+        .groupBy("g").agg(expr("vec_sum(emb)").as("s"))
+        .collect().head.getSeq[Double](1)
+      assert(got == Seq(111.0, 22.0, 30.0, 40.0), s"order=$order got=$got")
+    }
   }
 
   test("sketch audit: HLL and quantile sketch errors are bounded") {
