@@ -68,11 +68,29 @@ object AnalyticsQueries {
       .orderBy("user_id", "purchase_id", "view_id")
   }
 
+  /** Streaming partition-upsert sink end-to-end: the daily aggregate
+    * stream lands via foreachBatch + dynamic partition overwrite into a
+    * fresh directory, and the landed table is read back — so the whole
+    * sink path (update-mode aggregate → idempotent per-partition
+    * overwrite → partitioned parquet round-trip, partition column
+    * type-inferred back to DATE) is what the DuckDB batch oracle
+    * hash-checks. Single staged file → one micro-batch → the landed
+    * table IS the batch aggregate. */
+  def q82UpsertSink(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_q82_upsert").toString
+    val landed = StreamingOps.runUpsertToDir(
+      s, StreamingOps.dailyAggStream(s, s"$d/events.parquet"), out)
+    landed
+      .select(col("day"), col("event_type"), col("n_events"), col("total_value"))
+      .orderBy("day", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_ols_ci" -> (q15OlsCi _),
     "q22_streaming" -> (q22Streaming _),
     "q71_streaming_dedup" -> (q71StreamingDedup _),
-    "q72_streaming_join" -> (q72StreamingJoin _)
+    "q72_streaming_join" -> (q72StreamingJoin _),
+    "q82_upsert_sink" -> (q82UpsertSink _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -128,6 +146,10 @@ object AnalyticsQueries {
         |      WHERE l_quantity IS NOT NULL) g CROSS JOIN tq
         |ORDER BY x""".stripMargin,
     "q22_streaming" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        | count(*) AS n_events, round(sum(value),2) AS total_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q82_upsert_sink" ->
       """SELECT CAST(ts AS DATE) AS day, event_type,
         | count(*) AS n_events, round(sum(value),2) AS total_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin

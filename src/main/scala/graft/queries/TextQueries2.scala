@@ -201,6 +201,34 @@ object TextQueries2 {
       .orderBy("doc_id")
   }
 
+  /** Zero-pass quality counters via the Observation API: the metrics
+    * accumulate WHILE the frame's one materializing action runs (here a
+    * count standing in for the production write), so the quality gate
+    * costs no second scan — at 100 TB the difference between
+    * instrumented and un-instrumented pipelines. Null rows are planted
+    * in-query (q67 pattern) so the null counters are provably non-zero,
+    * and the oracle recomputes every metric relationally. The single
+    * driver action is intrinsic to the operator: Observation metrics
+    * are defined as "read after the action completes". */
+  def q83ObserveQuality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      (-1L, null.asInstanceOf[String], "en"),
+      (-2L, "text present lang missing", null.asInstanceOf[String]),
+      (-3L, null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "lang")
+    val all = docs(s, d).select(col("doc_id"), col("text"), col("lang"))
+      .unionByName(planted)
+    val (framed, obs) = graft.operators.QualityOps.observeQuality(all, Seq("text", "lang"))
+    val nLongDocs = framed.filter(coalesce(length(col("text")), lit(0)) >= 100).count()
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("nulls_text").asInstanceOf[Long],
+      m("nulls_lang").asInstanceOf[Long],
+      nLongDocs))
+      .toDF("n_rows", "nulls_text", "nulls_lang", "n_long_docs")
+  }
+
   /** End-to-end corpus build — the flagship curation composition:
     * quality gate (≥20 tokens) → exact dedup (min-id survivor per
     * content hash) → deterministic train/val/test split → per-(split,
@@ -231,6 +259,7 @@ object TextQueries2 {
     "q67_normalize_redact" -> (q67NormalizeRedact _),
     "q56_split" -> (q56Split _),
     "q81_stratified_mix" -> (q81StratifiedMix _),
+    "q83_observe_quality" -> (q83ObserveQuality _),
     "q58_weighted_sample" -> (q58WeightedSample _),
     "q59_contamination" -> (q59Contamination _),
     "q60_pack" -> (q60Pack _),
@@ -290,6 +319,21 @@ object TextQueries2 {
         |  length(redacted) AS n_chars_redacted,
         |  md5(redacted) AS redacted_fp
         |FROM r ORDER BY doc_id""".stripMargin,
+    "q83_observe_quality" ->
+      """WITH allr AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(-1 AS BIGINT), CAST(NULL AS VARCHAR), 'en'),
+        |    (CAST(-2 AS BIGINT), 'text present lang missing', CAST(NULL AS VARCHAR)),
+        |    (CAST(-3 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
+        |  ) AS t(doc_id, text, lang))
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_text,
+        |  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_lang,
+        |  CAST(sum(CASE WHEN coalesce(length(text), 0) >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_long_docs
+        |FROM allr""".stripMargin,
     "q81_stratified_mix" ->
       """WITH b AS (
         |  SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 AS bucket,

@@ -179,6 +179,27 @@ object StreamingOps {
     spark.table(name)
   }
 
+  /** Drain a stream through [[partitionUpsertSink]] synchronously and
+    * read the landed table back — the test/verify harness for the
+    * sink, with the same drain-cost discipline as [[runToMemory]]
+    * (reduced partition count, providers unloaded after). */
+  def runUpsertToDir(spark: SparkSession, stream: DataFrame, path: String,
+      partitionCol: String = "day", drainPartitions: Int = 8): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(prev.toInt, drainPartitions).toString)
+    try {
+      val q = partitionUpsertSink(stream, path, partitionCol)
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      spark.conf.set(key, prev)
+      try org.apache.spark.sql.graft.StateStoreHooks.stopAll()
+      catch { case _: Exception => () }
+    }
+    spark.read.parquet(path)
+  }
+
   /** Streaming events source: the events table staged behind a
     * file-stream directory, nano ts floor-converted to a microsecond
     * timestamp (same convention as [[dailyAggStream]]/Tables.events). */
