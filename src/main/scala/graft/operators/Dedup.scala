@@ -193,14 +193,17 @@ object Dedup {
       aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
     starContract(symmetrized(pairs, aCol, bCol))._1
 
-  /** Both orientations of the pair list, self-loops dropped; eagerly
-    * checkpointed because pairs is usually an expensive sketch
-    * pipeline that must run exactly once. */
-  private[operators] def symmetrized(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
-    pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+  /** Both orientations of the pair list, self-loops dropped. The narrow
+    * (a, b) projection is checkpointed BEFORE the union: pairs is
+    * usually an expensive sketch pipeline, and a union of two branches
+    * over the un-materialized plan would execute it twice (once per
+    * orientation). After the checkpoint the swap is a re-read, not a
+    * recompute. */
+  private[operators] def symmetrized(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint()
+    p.union(p.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b"))
-      .localCheckpoint()
+  }
 
   /** Min-label propagation over a symmetric edge list; returns (labels,
     * rounds). One groupBy shuffle per round; a label travels one hop
