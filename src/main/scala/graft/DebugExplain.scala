@@ -2,8 +2,16 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dump formatted physical plans for plan-quality review (dev tool). */
+/** Dump formatted physical plans for plan-quality review (dev tool).
+  * Besides `SparkEntry.queries` names, accepts `op_*` pseudo-names for
+  * operator-level plans that a driver query hides behind a
+  * localCheckpoint (the checkpoint truncates the visible plan to an
+  * RDD scan; the operator form shows the full pipeline). */
 object DebugExplain {
+  private val opPlans: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "op_minhash_pairs" -> ((sp, dir) => graft.operators.Dedup.minhashNearDups(
+      graft.sources.Tables.documents(sp, dir), threshold = 0.5)))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.tail.toSeq
@@ -16,7 +24,9 @@ object DebugExplain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"========== $n ==========")
-      println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
+      val df = opPlans.get(n).map(_(spark, sfDir))
+        .getOrElse(SparkEntry.queries(n)(spark, sfDir))
+      println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()

@@ -47,7 +47,10 @@ object TextQueries {
       (-1L, "yyra yyrb yyrc yyrd yyre yyrf yyrg yyrh yyri yyrj"))
       .toDF("doc_id", "text")
     val all = docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
-    val pairs = Dedup.minhashNearDups(all, threshold = 0.5)
+    // checkpoint the (tiny) verified pair set before branching: the
+    // guarantee aggregate and the main output would otherwise each
+    // re-run the verification join
+    val pairs = Dedup.minhashNearDups(all, threshold = 0.5).localCheckpoint()
     val guarantee = pairs.agg(
       sum(when(col("doc_a") < 0 && col("doc_b") < 0, 1).otherwise(0))
         .as("planted_recovered"))
@@ -71,7 +74,7 @@ object TextQueries {
       (-1L, "wwsh wwsg wwsf wwse wwsd wwsc wwsb wwsa"))
       .toDF("doc_id", "text")
     val all = docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
-    val pairs = Dedup.simhashNearDups(all, maxHamming = 3)
+    val pairs = Dedup.simhashNearDups(all, maxHamming = 3).localCheckpoint()
     val guarantee = pairs.agg(
       sum(when(col("doc_a") < 0 && col("doc_b") < 0, 1).otherwise(0))
         .as("planted_recovered"))
