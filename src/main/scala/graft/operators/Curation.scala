@@ -96,6 +96,51 @@ object Curation {
         coalesce(col("max_shared"), lit(0L)).as("max_shared"))
   }
 
+  /** Bloom-filter decontamination PRE-filter: build one Bloom filter
+    * over the TEST split's n-gram shingles (a mergeable sketch built in
+    * a single pass, then broadcast to executors) and probe every
+    * training document's shingles row-locally. Returns the train side
+    * with a `bloom_hit` flag; only flagged docs need to enter the exact
+    * contamination join ([[contaminationReport]]).
+    *
+    * Why this is the 100 TB shape: the exact check is a shingle-index
+    * equi-join — a full shuffle of the training corpus's shingles. The
+    * bloom probe is a scan with NO shuffle and no join; with leakage
+    * rates in the per-mille range it prunes the join's input by orders
+    * of magnitude. The Bloom guarantee (no false negatives) means the
+    * funnel is sound: every truly-contaminated doc carries
+    * `bloom_hit = true`; false positives only cost extra work in the
+    * exact stage, bounded by `fpp` per probed shingle. The probe UDF is
+    * the deliberate exception to the no-UDF rule: Spark has no public
+    * bloom-probe expression (`might_contain` is internal to runtime
+    * filtering), the filter rides a broadcast variable, and the lambda
+    * is a row-local bit test.
+    *
+    * Determinism: `DataFrameStatFunctions.bloomFilter` uses a fixed
+    * seed, so the same corpus + fpp gives the same filter bits on every
+    * run and cluster layout. */
+  def bloomContaminationPrefilter(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.TextFunctions._
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val tagged = split(docs, idCol)
+      .withColumn("toks", tokens(textCol))
+      .withColumn("sh", shingles("toks", n))
+      .filter(size(col("sh")) > 0)
+      .select(col(idCol), col("split"), col("sh"))
+    val testSh = tagged.filter(col("split") === "test")
+      .select(explode(col("sh")).as("shingle"))
+    // expectedNumItems sizes the filter; the count is one narrow
+    // aggregate over the (small) test split
+    val nItems = math.max(testSh.count(), 1L)
+    val bf = testSh.stat.bloomFilter("shingle", nItems, fpp)
+    val bfBc = docs.sparkSession.sparkContext.broadcast(bf)
+    val probe = udf((shs: Seq[String]) =>
+      shs != null && shs.exists(bfBc.value.mightContainString))
+    tagged.filter(col("split") === "train")
+      .select(col(idCol).as("train_doc"), col("sh"), probe(col("sh")).as("bloom_hit"))
+  }
+
   /** Deterministic sequence packing: assign documents to fixed-token-
     * budget training sequences by running a per-shard cumulative token
     * count and cutting at budget boundaries — the streaming "concat

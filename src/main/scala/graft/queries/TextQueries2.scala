@@ -201,6 +201,36 @@ object TextQueries2 {
       .orderBy("doc_id")
   }
 
+  /** Bloom decontamination funnel, self-evidencing: every train doc
+    * with its exact shared-shingle count against the test split AND the
+    * bloom pre-filter verdict. The Bloom no-false-negative guarantee is
+    * surfaced in-row: `n_missed` (docs with exact hits but no bloom
+    * hit) is 0 by construction of the sketch — any other value is a
+    * bug — and `n_pruned` shows the work the funnel saves the exact
+    * join. Rows-only for the driver (bloom bits aren't replicable in
+    * DuckDB SQL), but the exact columns carry the ground truth. */
+  def q84BloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val pre = graft.operators.Curation.bloomContaminationPrefilter(all, fpp = 0.01)
+      .select(col("train_doc"), col("bloom_hit"))
+    val tagged = graft.operators.Curation.split(all, "doc_id")
+      .withColumn("toks", TextFunctions.tokens("text"))
+      .withColumn("sh", TextFunctions.shingles("toks"))
+      .select(col("doc_id"), col("split"), col("sh"))
+    val inv = tagged.select(col("doc_id"), col("split"), explode(col("sh")).as("shingle"))
+    val exact = inv.filter(col("split") === "train")
+      .select(col("shingle"), col("doc_id").as("train_doc"))
+      .join(inv.filter(col("split") === "test").select(col("shingle")), Seq("shingle"))
+      .groupBy("train_doc").agg(count(lit(1)).as("n_exact_hits"))
+    val rows = pre.join(exact, Seq("train_doc"), "left")
+      .select(col("train_doc"), coalesce(col("n_exact_hits"), lit(0L)).as("n_exact_hits"),
+        col("bloom_hit"))
+    val guarantee = rows.agg(
+      sum(when(col("n_exact_hits") > 0 && !col("bloom_hit"), 1).otherwise(0)).as("n_missed"),
+      sum(when(!col("bloom_hit"), 1).otherwise(0)).as("n_pruned"))
+    rows.crossJoin(broadcast(guarantee)).orderBy("train_doc")
+  }
+
   /** Zero-pass quality counters via the Observation API: the metrics
     * accumulate WHILE the frame's one materializing action runs (here a
     * count standing in for the production write), so the quality gate
@@ -260,6 +290,7 @@ object TextQueries2 {
     "q56_split" -> (q56Split _),
     "q81_stratified_mix" -> (q81StratifiedMix _),
     "q83_observe_quality" -> (q83ObserveQuality _),
+    "q84_bloom_decontaminate" -> (q84BloomDecontaminate _),
     "q58_weighted_sample" -> (q58WeightedSample _),
     "q59_contamination" -> (q59Contamination _),
     "q60_pack" -> (q60Pack _),

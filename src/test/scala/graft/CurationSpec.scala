@@ -103,6 +103,33 @@ class CurationSpec extends AnyFunSuite {
     assert(report.map(_._1).toSet == buckets.collect { case (id, "test") => id }.toSet)
   }
 
+  test("bloom prefilter: no false negatives on a planted leak, clean docs pruned") {
+    val s = spark; import s.implicits._
+    // fully disjoint per-doc vocabulary: the ONLY cross-split shingle
+    // overlap is the planted leak, so clean train docs must be prunable
+    def text(i: Long) = s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g w${i}h"
+    val base = (0L until 300L).map(i => (i, text(i))).toDF("doc_id", "text")
+    val buckets = Curation.split(base, "doc_id").select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainId = buckets.collectFirst { case (id, "train") => id }.get
+    val testId = buckets.collectFirst { case (id, "test") => id }.get
+    val planted = base.withColumn("text",
+      when(col("doc_id") === testId, lit(text(trainId))).otherwise(col("text")))
+    val pre = Curation.bloomContaminationPrefilter(planted, fpp = 0.001)
+      .select("train_doc", "bloom_hit").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // the Bloom guarantee: the leaking train doc MUST be flagged
+    assert(pre(trainId), "bloom pre-filter missed the planted leak (false negative)")
+    // the funnel must actually prune: most train docs share nothing with
+    // the test split beyond common filler, and at fpp=0.001 the chance
+    // of every clean doc false-positive-ing is astronomically small
+    val pruned = pre.count(!_._2)
+    assert(pruned > 0, s"bloom pre-filter pruned nothing (${pre.size} train docs)")
+    // q84's in-row guarantee column: n_missed must be 0
+    val q84 = graft.queries.TextQueries2.q84BloomDecontaminate(spark, "/root/testdata/sf0.001")
+    assert(q84.select("n_missed").head.getLong(0) == 0L)
+  }
+
   test("sequence packing: budget respected within shards, deterministic, partition-local") {
     val s = spark; import s.implicits._
     val df = (0L until 1000L).map(i => (i, 100L + (i % 7) * 30)).toDF("doc_id", "nt")
