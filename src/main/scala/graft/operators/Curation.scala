@@ -125,8 +125,8 @@ object Curation {
     graft.plans.GraftFunctions.register(docs.sparkSession)
     val tagged = split(docs, idCol)
       .withColumn("toks", tokens(textCol))
+      .filter(size(col("toks")) >= n) // token-count filter: see Dedup.minhashSignatures
       .withColumn("sh", shingles("toks", n))
-      .filter(size(col("sh")) > 0)
       .select(col(idCol), col("split"), col("sh"))
     val testSh = tagged.filter(col("split") === "test")
       .select(explode(col("sh")).as("shingle"))

@@ -26,14 +26,21 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-doc MinHash signature + LSH band hashes. Row-local, no shuffle. */
+  /** Per-doc MinHash signature + LSH band hashes. Row-local, no shuffle.
+    *
+    * The empty-doc filter tests the TOKEN count, not `size(sh) > 0`
+    * (equivalent: the shingle set is empty iff tokens < n): a filter on
+    * the shingle column gets predicate-pushed below the projection with
+    * the shingle expression substituted in, so the scan-level Filter
+    * would re-run tokenize+shingle per row before the Project runs the
+    * full chain again — measured ~2× sketch CPU for nothing. */
   def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 32, bands: Int = 8): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
     docs
       .withColumn("toks", tokens(textCol))
+      .filter(size(col("toks")) >= 3)
       .withColumn("sh", shingles("toks"))
-      .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature("sh", k))
       .withColumn("bandhash", bandHashes("sig", k, bands))
       .select(col(idCol), col("sh"), col("sig"), col("bandhash"))
@@ -350,8 +357,8 @@ object Dedup {
     val oldOnly = oldDocs.join(newDocs.select(col(idCol)), Seq(idCol), "left_anti")
     def index(docs: DataFrame, isNew: Boolean) = docs
       .withColumn("toks", tokens(textCol))
+      .filter(size(col("toks")) >= n) // token-count filter: see minhashSignatures
       .withColumn("sh", shingles("toks", n))
-      .filter(size(col("sh")) > 0)
       .select(col(idCol).as("id"), size(col("sh")).as("n_sh"),
         explode(col("sh")).as("shingle"), lit(isNew).as("_new"))
     val inv = index(newDocs, isNew = true).unionByName(index(oldOnly, isNew = false))
@@ -435,8 +442,8 @@ object Dedup {
     val usePrefix = prefixFilter.getOrElse(threshold >= 0.5)
     val sh = docs
       .withColumn("toks", tokens(textCol))
+      .filter(size(col("toks")) >= n) // token-count filter: see minhashSignatures
       .withColumn("sh", shingles("toks", n))
-      .filter(size(col("sh")) > 0)
       .select(col(idCol).as("id"), col("sh"), size(col("sh")).as("n_sh"))
     if (!usePrefix) {
       val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))

@@ -233,8 +233,8 @@ object TextQueries {
     // shared-substring guarantee needs window positions = text positions
     val fp = all
       .withColumn("toks", TextFunctions.tokens("text"))
+      .filter(size(col("toks")) >= 3) // token-count filter: see Dedup.minhashSignatures
       .withColumn("sh", TextFunctions.shingleSeq("toks"))
-      .filter(size(col("sh")) > 0)
       .select(col("doc_id"), size(col("sh")).as("n_shingles"),
         expr("winnow_fingerprints(sh, 4)").as("fps"))
     val shared = fp.filter(col("doc_id") === -1L).select(col("fps").as("fa"))
