@@ -13,6 +13,17 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // InferFiltersFromGenerate adds isnotnull/size>0 above every
+      // explode; predicate pushdown then substitutes the generator
+      // input's DEFINING EXPRESSION into a scan-level Filter, so for
+      // the sketch queries the full tokenize→shingle→minhash chain
+      // would run once in the Filter and again in the Project. Every
+      // exploded array in this engine is built in-plan and never null,
+      // so the inference is pure per-row overhead (measured ~35% extra
+      // on the sketch-explode stage) — excluded in both Verify and
+      // Bench so the two sessions plan identically.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
