@@ -72,6 +72,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(p64.contains("In(event_type"), s"q64 pushdown regressed: ${p64.take(1500)}")
   }
 
+  test("sketch chain evaluates once: no sketch expressions in Filter operators (regression guard)") {
+    // (a) the operator's own empty-doc filter tests the token count, so
+    // pushdown substitution cannot drag shingle/minhash evaluation into
+    // a scan-level Filter — holds in any session
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    def filterLines(plan: String) = plan.split('\n').filter(_.contains("Filter"))
+    val sigsPlan = graft.operators.Dedup.minhashSignatures(docs)
+      .queryExecution.executedPlan.toString
+    assert(!filterLines(sigsPlan).exists(l => l.contains("minhash") || l.contains("shingles")),
+      s"sketch chain leaked into a Filter:\n${filterLines(sigsPlan).mkString("\n")}")
+    // (b) under the engine sessions' conf (generate-filter inference
+    // excluded — Verify/Bench/DebugExplain), the candidate explode adds
+    // no inferred sketch-evaluating filter either
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    try {
+      val candPlan = graft.operators.Dedup
+        .minhashCandidates(graft.operators.Dedup.minhashSignatures(docs))
+        .queryExecution.executedPlan.toString
+      assert(!filterLines(candPlan).exists(l => l.contains("minhash") || l.contains("shingles")),
+        s"inferred generate filter re-runs the sketch chain:\n${filterLines(candPlan).mkString("\n")}")
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
   test("salted join returns identical results to the plain join") {
     val s = spark; import s.implicits._
     // heavy skew: 90% of big rows share one key
