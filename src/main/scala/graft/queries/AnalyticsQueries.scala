@@ -85,12 +85,42 @@ object AnalyticsQueries {
       .orderBy("day", "event_type")
   }
 
+  /** Streaming sessionization: the `session_window` aggregate run as a
+    * STREAM with event-time watermark — merging session state across
+    * events is the hardest stateful-streaming shape (dynamic,
+    * gap-merged windows, not fixed buckets), and Spark only supports it
+    * in APPEND mode, where a session emits when the watermark passes
+    * its end. A far-future sentinel row (negative ids, filtered here)
+    * advances the watermark past every real session, the trailing
+    * no-data micro-batch emits them, and the batch q29 oracle
+    * hash-checks the whole path — watermark mechanics included. */
+  def q85StreamingSessions(s: SparkSession, d: String): DataFrame = {
+    val dir = StreamingOps.stageWithSentinel(s, s"$d/events.parquet")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = s.readStream
+      .schema(StreamingOps.eventsRawSchema)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+    StreamingOps.runToMemory(s, stream, "graft_stream_sessions",
+      outputMode = "append", awaitRows = 1L)
+      .filter(col("user_id") >= 0)
+      .select(
+        col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_ols_ci" -> (q15OlsCi _),
     "q22_streaming" -> (q22Streaming _),
     "q71_streaming_dedup" -> (q71StreamingDedup _),
     "q72_streaming_join" -> (q72StreamingJoin _),
-    "q82_upsert_sink" -> (q82UpsertSink _)
+    "q82_upsert_sink" -> (q82UpsertSink _),
+    "q85_streaming_sessions" -> (q85StreamingSessions _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -152,6 +182,23 @@ object AnalyticsQueries {
     "q82_upsert_sink" ->
       """SELECT CAST(ts AS DATE) AS day, event_type,
         | count(*) AS n_events, round(sum(value),2) AS total_value
-        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // session_window's gap boundary is >= (exclusive window end) — the
+    // same cumsum-lag formulation as q29's oracle
+    "q85_streaming_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, value, date_trunc('microseconds', ts) AS ts,
+        |    CASE WHEN date_trunc('microseconds', ts)
+        |           - lag(date_trunc('microseconds', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id)
+        |           >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id,
+        |  strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events, round(sum(value),2) AS total_value
+        |FROM s GROUP BY user_id, session_id ORDER BY 1,2""".stripMargin
   )
 }

@@ -158,7 +158,8 @@ object StreamingOps {
     *    shutdown (the r2 BENCH artifact failure). Providers reload
     *    lazily if another streaming query runs. */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
-      outputMode: String = "complete", drainPartitions: Int = 8): DataFrame = {
+      outputMode: String = "complete", drainPartitions: Int = 8,
+      awaitRows: Long = 0L): DataFrame = {
     try spark.catalog.dropTempView(name) catch { case _: Exception => () }
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
@@ -170,6 +171,13 @@ object StreamingOps {
         .queryName(name)
         .start()
       q.processAllAvailable()
+      // append-mode emission of watermark-closed windows happens in the
+      // trailing NO-DATA micro-batch, which processAllAvailable does not
+      // wait for — callers that rely on it pass awaitRows > 0 and we
+      // poll (bounded) until the sink has the rows
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (awaitRows > 0 && spark.table(name).count() < awaitRows &&
+        System.nanoTime() < deadline) Thread.sleep(200)
       q.stop()
     } finally {
       spark.conf.set(key, prev)
@@ -177,6 +185,31 @@ object StreamingOps {
       catch { case _: Exception => () }
     }
     spark.table(name)
+  }
+
+  /** Stage a single events parquet file behind a fresh directory PLUS a
+    * one-row far-future sentinel file: an append-mode session/window
+    * aggregate only emits windows the WATERMARK has closed, and with
+    * one real file everything lands in micro-batch 1 while the
+    * watermark (which lags a batch) is still at zero — nothing would
+    * ever emit. The sentinel (negative ids, filtered by the caller)
+    * pushes the watermark a day past the last real event, so the
+    * trailing no-data batch emits every real window. */
+  def stageWithSentinel(spark: SparkSession, path: String): String = {
+    import java.nio.file._
+    val dir = Files.createTempDirectory("graft_stream_sentinel").toString
+    val p = Paths.get(path)
+    val link = Paths.get(dir).resolve(p.getFileName)
+    try Files.createSymbolicLink(link, p)
+    catch { case _: Exception => Files.copy(p, link) }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val maxTs = spark.read.schema(eventsRawSchema).parquet(path)
+      .agg(max("ts")).head().getLong(0)
+    import spark.implicits._
+    Seq((-1L, maxTs + 86400L * 1000000000L, -1L, "sentinel", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(dir)
+    dir
   }
 
   /** Drain a stream through [[partitionUpsertSink]] synchronously and
