@@ -97,8 +97,11 @@ class PropertySpec extends AnyFunSuite {
       }
       val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
         .map(n => n -> find(n)).toMap
+      // localThreshold = 0 forces the DISTRIBUTED propagation path —
+      // the default would route these tiny graphs through the driver
+      // union-find, which is the same algorithm as this reference
       val got = graft.operators.Dedup
-        .connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .connectedComponents(edges.toDF("doc_a", "doc_b"), localThreshold = 0)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       // min-label CC and union-find with min-root merging agree exactly
       assert(got == expected, s"edges=$edges")

@@ -49,14 +49,17 @@ class DedupClusterSpec extends AnyFunSuite {
     }
   }
 
-  test("threshold dispatch and empty input") {
+  test("threshold dispatch: all three paths agree; empty input") {
     val pairs = edgesDf(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
-    val viaStar = Dedup.connectedComponents(pairs, starThreshold = 1)
+    val expect = Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+    val viaLocal = Dedup.connectedComponents(pairs) // tiny -> driver union-find
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val viaProp = Dedup.connectedComponents(pairs)
+    val viaProp = Dedup.connectedComponents(pairs, localThreshold = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(viaStar == viaProp)
-    assert(viaStar == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+    val viaStar = Dedup.connectedComponents(pairs, starThreshold = 1, localThreshold = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLocal == expect && viaProp == expect && viaStar == expect)
     assert(Dedup.connectedComponentsStar(edgesDf(Seq.empty)).count() == 0)
+    assert(Dedup.connectedComponents(edgesDf(Seq.empty)).count() == 0)
   }
 }
