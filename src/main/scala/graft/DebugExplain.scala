@@ -10,7 +10,14 @@ import org.apache.spark.sql.SparkSession
 object DebugExplain {
   private val opPlans: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
     "op_minhash_pairs" -> ((sp, dir) => graft.operators.Dedup.minhashNearDups(
-      graft.sources.Tables.documents(sp, dir), threshold = 0.5)))
+      graft.sources.Tables.documents(sp, dir), threshold = 0.5)),
+    // distributed CC path (localThreshold = 0): the default would route
+    // a testdata-sized pair list through the driver union-find, whose
+    // plan is a LocalTableScan — not the shape worth auditing
+    "op_cc_distributed" -> ((sp, dir) => graft.operators.Dedup.connectedComponents(
+      graft.operators.Dedup.ngramJaccardPairs(
+        graft.sources.Tables.documents(sp, dir), threshold = 0.8),
+      localThreshold = 0)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
