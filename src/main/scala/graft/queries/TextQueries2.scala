@@ -201,6 +201,36 @@ object TextQueries2 {
       .orderBy("doc_id")
   }
 
+  /** Single-pass heavy hitters vs exact counts — the remaining member
+    * of the 100 TB sketch toolkit (q62 covers HLL + quantile sketches,
+    * q84 Bloom membership): `stat.freqItems` implements the
+    * Karp-Papadimitriou-Shenker one-pass algorithm, whose contract is
+    * NO FALSE NEGATIVES — every token with frequency > support·N must
+    * be in the sketch result (false positives allowed). The query
+    * surfaces that contract in-row: for each exact heavy hitter,
+    * `in_sketch`; `n_missed` (constant) must be 0. At 100 TB the
+    * sketch is one mergeable pass with a 1/support-bounded result —
+    * no full token aggregation, no sort. Rows-only for the driver
+    * (the sketch's extras aren't replicable in SQL), but the exact
+    * columns carry the ground truth. */
+  def q86HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val support = 0.02
+    val toks = docs(s, d)
+      .select(explode(TextFunctions.tokens("text")).as("token"))
+    val total = toks.count()
+    // 1-row result, ≤ 1/support items — a bounded sketch artifact, same
+    // driver-size class as IVF centroids
+    val sketch = toks.stat.freqItems(Seq("token"), support)
+      .head().getSeq[String](0).toSet
+    val hitters = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") > support * total)
+      .select(col("token"), col("n").as("exact_count"),
+        col("token").isin(sketch.toSeq: _*).as("in_sketch"))
+    val guarantee = hitters.agg(
+      sum(when(!col("in_sketch"), 1).otherwise(0)).as("n_missed"))
+    hitters.crossJoin(broadcast(guarantee)).orderBy("token")
+  }
+
   /** Bloom decontamination funnel, self-evidencing: every train doc
     * with its exact shared-shingle count against the test split AND the
     * bloom pre-filter verdict. The Bloom no-false-negative guarantee is
@@ -291,6 +321,7 @@ object TextQueries2 {
     "q81_stratified_mix" -> (q81StratifiedMix _),
     "q83_observe_quality" -> (q83ObserveQuality _),
     "q84_bloom_decontaminate" -> (q84BloomDecontaminate _),
+    "q86_heavy_hitters" -> (q86HeavyHitters _),
     "q58_weighted_sample" -> (q58WeightedSample _),
     "q59_contamination" -> (q59Contamination _),
     "q60_pack" -> (q60Pack _),

@@ -165,6 +165,15 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy hitters: KPS sketch misses no exact heavy hitter") {
+    val rows = graft.queries.TextQueries2.q86HeavyHitters(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty, "no heavy hitters found at support 0.02")
+    assert(rows.head.getAs[Long]("n_missed") == 0L,
+      "freqItems violated its no-false-negative contract")
+    assert(rows.forall(_.getAs[Boolean]("in_sketch")))
+  }
+
   test("sketch audit: HLL and quantile sketch errors are bounded") {
     val rows = graft.queries.TextQueries2.q62SketchAudit(spark, "/root/testdata/sf0.001")
       .collect()
