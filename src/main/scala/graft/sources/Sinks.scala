@@ -50,6 +50,33 @@ object Sinks {
   def writeRawJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Format-parameterized sink: parquet and ORC are interchangeable
+    * columnar formats in this engine (both get predicate pushdown,
+    * column pruning, and partition pruning through Spark's file source;
+    * ORC is the right choice next to a Hive/LLAP estate, parquet
+    * elsewhere); json/csv are interchange formats. Same
+    * dynamic-partition-overwrite semantics as
+    * `PipelineOps.writePartitioned`, so a daily re-run refreshes only
+    * the partitions it touches in any format. */
+  def writeFormatted(df: DataFrame, path: String, format: String = "parquet",
+      partitionCols: Seq[String] = Nil): Unit = {
+    require(Set("parquet", "orc", "json", "csv")(format), s"unsupported format: $format")
+    val w = df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .option("header", "true") // no-op outside csv
+      .format(format)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).save(path)
+  }
+
+  /** Source counterpart of [[writeFormatted]]. Pass the schema for the
+    * text formats (csv/json infer otherwise — a full extra scan). */
+  def readFormatted(spark: SparkSession, path: String, format: String = "parquet",
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.option("header", "true").format(format)
+    schema.fold(r)(r.schema).load(path)
+  }
+
   /** Equi-join with key salting: each `big` row gets a salt in
     * [0, salts) derived from a high-cardinality row attribute (NOT the
     * join key — salting by the key would map a hot key to one salt and

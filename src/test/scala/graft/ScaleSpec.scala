@@ -165,6 +165,33 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("ORC is a first-class columnar format: round-trip, pushdown, partition pruning") {
+    import graft.sources.Sinks
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    // nested array<float> round-trips bit-exact
+    Sinks.writeFormatted(emb, s"$dir/emb", "orc")
+    val embBack = Sinks.readFormatted(spark, s"$dir/emb", "orc")
+    assert(embBack.schema("embedding").dataType == emb.schema("embedding").dataType)
+    assert(embBack.count() == emb.count())
+    val a = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = embBack.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a == b, "ORC round-trip changed embedding values")
+    // partitioned ORC: pruning + predicate pushdown reach the ORC scan
+    Sinks.writeFormatted(docs, s"$dir/docs", "orc", partitionCols = Seq("lang"))
+    val scan = Sinks.readFormatted(spark, s"$dir/docs", "orc")
+      .filter(col("lang") === "en" && col("n_chars") > 500)
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+      s"ORC partition pruning missing: ${scan.take(1500)}")
+    assert(scan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,500)]") ||
+      scan.contains("GreaterThan(n_chars,500)"),
+      s"ORC predicate pushdown missing: ${scan.take(1500)}")
+  }
+
   test("heavy hitters: KPS sketch misses no exact heavy hitter") {
     val rows = graft.queries.TextQueries2.q86HeavyHitters(spark, "/root/testdata/sf0.001")
       .collect()
