@@ -132,13 +132,19 @@ object Curation {
       .select(explode(col("sh")).as("shingle"))
     // expectedNumItems sizes the filter; the count is one narrow
     // aggregate over the (small) test split
-    val nItems = math.max(testSh.count(), 1L)
-    val bf = testSh.stat.bloomFilter("shingle", nItems, fpp)
-    val bfBc = docs.sparkSession.sparkContext.broadcast(bf)
-    val probe = udf((shs: Seq[String]) =>
-      shs != null && shs.exists(bfBc.value.mightContainString))
-    tagged.filter(col("split") === "train")
-      .select(col(idCol).as("train_doc"), col("sh"), probe(col("sh")).as("bloom_hit"))
+    val nItems = testSh.count()
+    val train = tagged.filter(col("split") === "train")
+    if (nItems == 0) {
+      // empty test split: Spark's stat.bloomFilter NPEs on an empty
+      // frame, and semantically nothing can be contaminated
+      train.select(col(idCol).as("train_doc"), col("sh"), lit(false).as("bloom_hit"))
+    } else {
+      val bf = testSh.stat.bloomFilter("shingle", nItems, fpp)
+      val bfBc = docs.sparkSession.sparkContext.broadcast(bf)
+      val probe = udf((shs: Seq[String]) =>
+        shs != null && shs.exists(bfBc.value.mightContainString))
+      train.select(col(idCol).as("train_doc"), col("sh"), probe(col("sh")).as("bloom_hit"))
+    }
   }
 
   /** Deterministic sequence packing: assign documents to fixed-token-

@@ -130,6 +130,25 @@ class CurationSpec extends AnyFunSuite {
     assert(q84.select("n_missed").head.getLong(0) == 0L)
   }
 
+  test("bloom prefilter: empty test split prunes everything; empty new batch matches nothing") {
+    val s = spark; import s.implicits._
+    // doc_ids chosen all-train under the hash split would be fragile;
+    // instead drop every test doc from the corpus — the filter is built
+    // over an EMPTY test shingle set and must flag nothing
+    val base = (0L until 200L)
+      .map(i => (i, s"t${i}a t${i}b t${i}c t${i}d t${i}e")).toDF("doc_id", "text")
+    val buckets = Curation.split(base, "doc_id").select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainOnly = base.filter(!col("doc_id").isin(
+      buckets.collect { case (id, "test") => id }.toSeq: _*))
+    val pre = Curation.bloomContaminationPrefilter(trainOnly, fpp = 0.001).collect()
+    assert(pre.nonEmpty && pre.forall(!_.getAs[Boolean]("bloom_hit")),
+      "empty test split must flag no train doc")
+    // incremental exact dedup with an empty new batch yields no pairs
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.Dedup.incrementalNearDupsExact(empty, base).count() == 0)
+  }
+
   test("sequence packing: budget respected within shards, deterministic, partition-local") {
     val s = spark; import s.implicits._
     val df = (0L until 1000L).map(i => (i, 100L + (i % 7) * 30)).toDF("doc_id", "nt")

@@ -192,6 +192,21 @@ class ScaleSpec extends AnyFunSuite {
       s"ORC predicate pushdown missing: ${scan.take(1500)}")
   }
 
+  test("text interchange formats round-trip through writeFormatted with a pinned schema") {
+    import graft.sources.Sinks
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang", "n_chars") // no free text: csv-safe columns
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    for (fmt <- Seq("json", "csv")) {
+      Sinks.writeFormatted(docs, s"$dir/$fmt", fmt)
+      val back = Sinks.readFormatted(spark, s"$dir/$fmt", fmt, Some(docs.schema))
+      assert(back.schema == docs.schema, s"$fmt schema drift")
+      val a = docs.collect().map(_.toSeq).toSet
+      val b = back.collect().map(_.toSeq).toSet
+      assert(a == b, s"$fmt round-trip changed values")
+    }
+  }
+
   test("heavy hitters: KPS sketch misses no exact heavy hitter") {
     val rows = graft.queries.TextQueries2.q86HeavyHitters(spark, "/root/testdata/sf0.001")
       .collect()
