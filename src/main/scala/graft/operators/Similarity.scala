@@ -111,9 +111,15 @@ object Similarity {
     // low ids). Collecting nCentroids ids + vectors to the driver is
     // the training artifact of IVF — small by construction.
     val qs = (0 until nCentroids).map(i => (i + 0.5) / nCentroids)
-    val centroidIds = corpus
+    val centroidRow = corpus
       .select(expr(s"percentile_approx(vec_id, array(${qs.mkString(",")}), 10000)"))
-      .collect().head.getSeq[Long](0).distinct
+      .collect().head
+    if (centroidRow.isNullAt(0)) { // empty corpus: no centroids to train
+      return queries.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("vec_id"),
+          lit(0.0).as("sim"), lit(0).as("rank"))
+    }
+    val centroidIds = centroidRow.getSeq[Long](0).distinct
     val centroidVecs: Seq[(Long, Array[Float])] = corpus
       .filter(col("vec_id").isin(centroidIds: _*))
       .select(col("vec_id"), col("embedding"))

@@ -194,6 +194,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(fp(1L).size < 17) // doc 1 has 19 tokens -> 17 shingles
   }
 
+  test("ANN on an empty corpus returns empty, not a crash") {
+    val s = spark; import s.implicits._
+    GraftFunctions.register(spark)
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val q = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    assert(Similarity.ivfTopK(spark, empty, q).count() == 0)
+    assert(Similarity.lshTopK(spark, empty, q).count() == 0)
+    assert(Similarity.bruteForceTopK(spark, empty, q).count() == 0)
+  }
+
   test("edge cases: empty pair list, dup-free corpus, empty corpus") {
     val s = spark; import s.implicits._
     // connected components over no edges terminates and returns empty
