@@ -203,12 +203,15 @@ object StreamingOps {
     try Files.createSymbolicLink(link, p)
     catch { case _: Exception => Files.copy(p, link) }
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val maxTs = spark.read.schema(eventsRawSchema).parquet(path)
-      .agg(max("ts")).head().getLong(0)
-    import spark.implicits._
-    Seq((-1L, maxTs + 86400L * 1000000000L, -1L, "sentinel", 0.0, ""))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.mode("append").parquet(dir)
+    val maxRow = spark.read.schema(eventsRawSchema).parquet(path)
+      .agg(max("ts")).head()
+    if (!maxRow.isNullAt(0)) { // empty source: no sessions, no sentinel needed
+      val maxTs = maxRow.getLong(0)
+      import spark.implicits._
+      Seq((-1L, maxTs + 86400L * 1000000000L, -1L, "sentinel", 0.0, ""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(dir)
+    }
     dir
   }
 
