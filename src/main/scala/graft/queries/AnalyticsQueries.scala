@@ -95,7 +95,7 @@ object AnalyticsQueries {
     * no-data micro-batch emits them, and the batch q29 oracle
     * hash-checks the whole path — watermark mechanics included. */
   def q85StreamingSessions(s: SparkSession, d: String): DataFrame = {
-    val dir = StreamingOps.stageWithSentinel(s, s"$d/events.parquet")
+    val (dir, _) = StreamingOps.stageWithSentinel(s, s"$d/events.parquet")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = s.readStream
       .schema(StreamingOps.eventsRawSchema)
@@ -114,13 +114,62 @@ object AnalyticsQueries {
       .orderBy("user_id", "session_start")
   }
 
+  /** LEFT-OUTER stream-stream interval join — the hardest emission path
+    * in Structured Streaming: matched pairs emit as they join, but an
+    * UNMATCHED left row emits (null-extended) only when the watermark
+    * proves no future match can arrive and the join state evicts it.
+    * The sentinel row advances the watermark past every real event;
+    * the drain waits until a batch has run whose planning watermark
+    * passed the real data (matched rows land in batch 1, evicted
+    * unmatched rows in the trailing no-data batch). Hash-checked
+    * against DuckDB's batch LEFT JOIN, so both emission paths — and
+    * the eviction timing logic — must agree with the relational
+    * answer. The nullable view id is coalesced to -1 on both sides
+    * (a null bigint degrades to float in the comparator's pandas). */
+  def q87StreamingLeftJoin(s: SparkSession, d: String): DataFrame = {
+    // purchase/view-typed sentinels (user_id = -1): the optimizer pushes
+    // the event_type filter below the watermark operator, so an
+    // off-type sentinel would never advance the watermark — see
+    // stageWithSentinel scaladoc
+    val (dir, maxTs) = StreamingOps.stageWithSentinel(s, s"$d/events.parquet",
+      sentinelTypes = Seq("purchase", "view"))
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src() = s.readStream
+      .schema(StreamingOps.eventsRawSchema)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+    val p = src().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val v = src().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+    val joined = p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 900 SECONDS") &&
+        col("v_ts") <= col("p_ts") + expr("INTERVAL 900 SECONDS"),
+      "left_outer")
+    // wait until the planning watermark passed the real data + join
+    // tolerance — by then every unmatched purchase has been evicted
+    val wmTarget = maxTs.map(ns => ns / 1000L + 2L * 3600L * 1000000L)
+    StreamingOps.runToMemory(s, joined, "graft_stream_left_join",
+      outputMode = "append", awaitWatermarkMicros = wmTarget)
+      .filter(col("p_user") >= 0) // drop the sentinel pair
+      .select(
+        col("p_user").as("user_id"), col("purchase_id"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts_s"),
+        date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss").as("v_ts_s"))
+      .orderBy("user_id", "purchase_id", "view_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_ols_ci" -> (q15OlsCi _),
     "q22_streaming" -> (q22Streaming _),
     "q71_streaming_dedup" -> (q71StreamingDedup _),
     "q72_streaming_join" -> (q72StreamingJoin _),
     "q82_upsert_sink" -> (q82UpsertSink _),
-    "q85_streaming_sessions" -> (q85StreamingSessions _)
+    "q85_streaming_sessions" -> (q85StreamingSessions _),
+    "q87_streaming_left_join" -> (q87StreamingLeftJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -183,6 +232,21 @@ object AnalyticsQueries {
       """SELECT CAST(ts AS DATE) AS day, event_type,
         | count(*) AS n_events, round(sum(value),2) AS total_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q87_streaming_left_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_id, date_trunc('microseconds', ts) AS ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, event_id AS view_id, date_trunc('microseconds', ts) AS ts
+        |  FROM events WHERE event_type = 'view')
+        |SELECT p.user_id, p.purchase_id,
+        |  coalesce(v.view_id, -1) AS view_id,
+        |  strftime(date_trunc('second', p.ts), '%Y-%m-%d %H:%M:%S') AS p_ts_s,
+        |  strftime(date_trunc('second', v.ts), '%Y-%m-%d %H:%M:%S') AS v_ts_s
+        |FROM p LEFT JOIN v ON p.user_id = v.user_id
+        |  AND v.ts >= p.ts - INTERVAL 900 SECONDS
+        |  AND v.ts <= p.ts + INTERVAL 900 SECONDS
+        |ORDER BY 1, 2, 3""".stripMargin,
     // session_window's gap boundary is >= (exclusive window end) — the
     // same cumsum-lag formulation as q29's oracle
     "q85_streaming_sessions" ->

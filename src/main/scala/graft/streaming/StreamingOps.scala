@@ -159,7 +159,7 @@ object StreamingOps {
     *    lazily if another streaming query runs. */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
       outputMode: String = "complete", drainPartitions: Int = 8,
-      awaitRows: Long = 0L): DataFrame = {
+      awaitRows: Long = 0L, awaitWatermarkMicros: Option[Long] = None): DataFrame = {
     try spark.catalog.dropTempView(name) catch { case _: Exception => () }
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
@@ -171,13 +171,35 @@ object StreamingOps {
         .queryName(name)
         .start()
       q.processAllAvailable()
-      // append-mode emission of watermark-closed windows happens in the
-      // trailing NO-DATA micro-batch, which processAllAvailable does not
-      // wait for — callers that rely on it pass awaitRows > 0 and we
-      // poll (bounded) until the sink has the rows
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      // append-mode emission of watermark-closed windows/evicted outer
+      // rows happens in the trailing NO-DATA micro-batch, which
+      // processAllAvailable does not wait for. Two bounded wait modes:
+      //  - awaitRows: until the sink holds >= N rows (single-emission
+      //    drains, e.g. session windows);
+      //  - awaitWatermarkMicros: until a batch has RUN whose planning
+      //    watermark passed the target (multi-emission drains, e.g.
+      //    outer joins that emit matches first and evictions later).
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
       while (awaitRows > 0 && spark.table(name).count() < awaitRows &&
         System.nanoTime() < deadline) Thread.sleep(200)
+      awaitWatermarkMicros.foreach { wm =>
+        val target = java.time.Instant.ofEpochSecond(wm / 1000000L, (wm % 1000000L) * 1000L)
+        def current: Option[java.time.Instant] =
+          Option(q.lastProgress)
+            .flatMap(p => Option(p.eventTime.get("watermark")))
+            .map(java.time.Instant.parse)
+        while (current.forall(_.isBefore(target)) && System.nanoTime() < deadline)
+          Thread.sleep(200)
+        // state EVICTION lags the watermark update by a further no-data
+        // batch — wait until the sink row count holds still for ~1 s
+        var last = -1L
+        var stable = 0
+        while (stable < 4 && System.nanoTime() < deadline) {
+          val n = spark.table(name).count()
+          if (n == last) stable += 1 else { stable = 0; last = n }
+          Thread.sleep(250)
+        }
+      }
       q.stop()
     } finally {
       spark.conf.set(key, prev)
@@ -195,7 +217,16 @@ object StreamingOps {
     * ever emit. The sentinel (negative ids, filtered by the caller)
     * pushes the watermark a day past the last real event, so the
     * trailing no-data batch emits every real window. */
-  def stageWithSentinel(spark: SparkSession, path: String): String = {
+  /** `sentinelTypes`: event_type value(s) for the sentinel row(s). A
+    * query that filters the stream by event_type needs sentinels OF
+    * THOSE TYPES — the optimizer pushes a non-ts predicate BELOW the
+    * EventTimeWatermark operator, so an off-type sentinel is filtered
+    * before watermark tracking ever sees it and the watermark never
+    * advances (observed: the last watermark-delay's worth of rows
+    * never evicted). Sentinels carry user_id = -1 for the caller to
+    * filter from the OUTPUT instead. */
+  def stageWithSentinel(spark: SparkSession, path: String,
+      sentinelTypes: Seq[String] = Seq("sentinel")): (String, Option[Long]) = {
     import java.nio.file._
     val dir = Files.createTempDirectory("graft_stream_sentinel").toString
     val p = Paths.get(path)
@@ -205,14 +236,15 @@ object StreamingOps {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val maxRow = spark.read.schema(eventsRawSchema).parquet(path)
       .agg(max("ts")).head()
-    if (!maxRow.isNullAt(0)) { // empty source: no sessions, no sentinel needed
-      val maxTs = maxRow.getLong(0)
+    val maxTs = if (maxRow.isNullAt(0)) None else Some(maxRow.getLong(0))
+    maxTs.foreach { ts => // empty source: no sessions, no sentinel needed
       import spark.implicits._
-      Seq((-1L, maxTs + 86400L * 1000000000L, -1L, "sentinel", 0.0, ""))
+      sentinelTypes.zipWithIndex
+        .map { case (t, i) => (-(i + 1).toLong, ts + 86400L * 1000000000L, -1L, t, 0.0, "") }
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .write.mode("append").parquet(dir)
     }
-    dir
+    (dir, maxTs)
   }
 
   /** Drain a stream through [[partitionUpsertSink]] synchronously and
