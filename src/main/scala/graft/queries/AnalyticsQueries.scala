@@ -162,6 +162,42 @@ object AnalyticsQueries {
       .orderBy("user_id", "purchase_id", "view_id")
   }
 
+  /** FULL-outer stream-stream join — completes the streaming join-mode
+    * matrix (inner q72, left q87): BOTH sides' unmatched rows emit
+    * null-extended on their own state eviction, so the check exercises
+    * eviction on the purchase AND view state stores. Same typed-
+    * sentinel + watermark-wait drain as q87. */
+  def q88StreamingFullJoin(s: SparkSession, d: String): DataFrame = {
+    val (dir, maxTs) = StreamingOps.stageWithSentinel(s, s"$d/events.parquet",
+      sentinelTypes = Seq("purchase", "view"))
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src() = s.readStream
+      .schema(StreamingOps.eventsRawSchema)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+    val p = src().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val v = src().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+    val joined = p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 900 SECONDS") &&
+        col("v_ts") <= col("p_ts") + expr("INTERVAL 900 SECONDS"),
+      "full_outer")
+    val wmTarget = maxTs.map(ns => ns / 1000L + 2L * 3600L * 1000000L)
+    StreamingOps.runToMemory(s, joined, "graft_stream_full_join",
+      outputMode = "append", awaitWatermarkMicros = wmTarget)
+      .filter(coalesce(col("p_user"), col("v_user")) >= 0) // drop the sentinel pair
+      .select(
+        coalesce(col("p_user"), col("v_user")).as("user_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts_s"),
+        date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss").as("v_ts_s"))
+      .orderBy("user_id", "purchase_id", "view_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_ols_ci" -> (q15OlsCi _),
     "q22_streaming" -> (q22Streaming _),
@@ -169,7 +205,8 @@ object AnalyticsQueries {
     "q72_streaming_join" -> (q72StreamingJoin _),
     "q82_upsert_sink" -> (q82UpsertSink _),
     "q85_streaming_sessions" -> (q85StreamingSessions _),
-    "q87_streaming_left_join" -> (q87StreamingLeftJoin _)
+    "q87_streaming_left_join" -> (q87StreamingLeftJoin _),
+    "q88_streaming_full_join" -> (q88StreamingFullJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -232,6 +269,22 @@ object AnalyticsQueries {
       """SELECT CAST(ts AS DATE) AS day, event_type,
         | count(*) AS n_events, round(sum(value),2) AS total_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q88_streaming_full_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_id, date_trunc('microseconds', ts) AS ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, event_id AS view_id, date_trunc('microseconds', ts) AS ts
+        |  FROM events WHERE event_type = 'view')
+        |SELECT coalesce(p.user_id, v.user_id) AS user_id,
+        |  coalesce(p.purchase_id, -1) AS purchase_id,
+        |  coalesce(v.view_id, -1) AS view_id,
+        |  strftime(date_trunc('second', p.ts), '%Y-%m-%d %H:%M:%S') AS p_ts_s,
+        |  strftime(date_trunc('second', v.ts), '%Y-%m-%d %H:%M:%S') AS v_ts_s
+        |FROM p FULL JOIN v ON p.user_id = v.user_id
+        |  AND v.ts >= p.ts - INTERVAL 900 SECONDS
+        |  AND v.ts <= p.ts + INTERVAL 900 SECONDS
+        |ORDER BY 1, 2, 3""".stripMargin,
     "q87_streaming_left_join" ->
       """WITH p AS (
         |  SELECT user_id, event_id AS purchase_id, date_trunc('microseconds', ts) AS ts
