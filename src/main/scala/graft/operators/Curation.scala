@@ -168,6 +168,52 @@ object Curation {
         floor((col("cum_tokens") - col("n_tokens")) / budgetTokens).cast("long"))
   }
 
+  /** Overlapping token-window chunking — the context-window shaping
+    * step of RAG indexing and long-document pretraining: each document
+    * becomes ceil-spaced windows of `chunkSize` tokens advancing by
+    * `stride` (stride < chunkSize ⇒ overlap preserves cross-boundary
+    * context). Entirely row-local — tokenize, a generated start-index
+    * sequence, and an explode; no shuffle at any scale, and chunk
+    * text/ids are pure arithmetic both engines replicate (full hash
+    * oracle). Documents shorter than one window yield exactly one
+    * chunk; `chunk_id` counts from 0 in token order. */
+  def chunkTokens(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && chunkSize > 0, "chunkSize and stride must be positive")
+    df.withColumn("toks", graft.functions.TextFunctions.tokens(textCol))
+      .withColumn("n_toks", size(col("toks")))
+      .filter(col("n_toks") >= 1)
+      .withColumn("n_chunks",
+        (lit(1) + ceil(greatest(col("n_toks") - chunkSize, lit(0)).cast("double") / stride))
+          .cast("int"))
+      .select(col(idCol), col("toks"), col("n_toks"),
+        posexplode(expr(s"transform(sequence(0, n_chunks - 1), i -> i * $stride)"))
+          .as(Seq("chunk_id", "start_tok")))
+      .select(col(idCol), col("chunk_id"), col("start_tok"),
+        expr(s"slice(toks, start_tok + 1, $chunkSize)").as("chunk_toks"))
+      .select(col(idCol), col("chunk_id"), col("start_tok"),
+        size(col("chunk_toks")).as("chunk_len"),
+        md5(array_join(col("chunk_toks"), " ")).as("chunk_fp"))
+  }
+
+  /** Deterministic epoch shuffle WITHOUT a global sort — the
+    * 100 TB-correct way to randomize training-example order: each row
+    * gets an epoch-salted hash `sort_key` and a `batch_id` (hash
+    * bucket of the sort key); readers consume batches in id order,
+    * each batch internally ordered by sort_key. That is a full
+    * permutation delivered by ONE narrow map pass — at scale the
+    * batch id becomes the repartition/write key and in-batch ordering
+    * is a partition-local sort, so nothing ever single-partition
+    * sorts. Different epochs produce different permutations; the same
+    * epoch always produces the same one (resumable training). */
+  def epochShuffle(df: DataFrame, key: String, epoch: Int,
+      nBatches: Int = 1024): DataFrame = {
+    val sk = md5(concat_ws(":", lit("epoch"), lit(epoch), col(key).cast("string")))
+    df.withColumn("sort_key", sk)
+      .withColumn("batch_id",
+        pmod(conv(substring(col("sort_key"), 1, 6), 16, 10).cast("long"), lit(nBatches)))
+  }
+
   /** Compact a DataFrame to ~targetMB output files using the
     * optimizer's size estimate — the small-files remedy at the end of
     * any large pipeline stage. */

@@ -539,4 +539,90 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
     }
   }
+
+  /** Paragraph-level exact dedup (the CCNet/Dolma move): every paragraph
+    * that already appeared earlier in the corpus — in ANY document — is
+    * removed, keeping the first occurrence by (doc id, paragraph
+    * position); documents are reassembled from their surviving
+    * paragraphs. Boilerplate (headers, footers, license blocks) is
+    * corpus-wide duplicated at the paragraph grain even when no two
+    * documents are near-duplicates, which is why pre-training corpora
+    * dedup at this level in addition to the document level.
+    *
+    * Scale shape: explode to (doc, pos, paragraph) → ONE equi-shuffle on
+    * the paragraph hash for the keep-first window → one shuffle back on
+    * the doc id to reassemble. The paragraph TEXT never shuffles twice:
+    * the second shuffle carries only surviving rows. Total over the
+    * input (every doc appears in the output, possibly with zero kept
+    * paragraphs), deterministic, and expressible in plain SQL — which is
+    * what makes the driver's q89 a full hash-oracle check. */
+  def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sep: String = "\n"): DataFrame = {
+    val paras = docs
+      .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("pos", "para_raw")))
+      .select(col(idCol), col("pos"), trim(col("para_raw")).as("para"))
+      .filter(col("para") =!= "")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("para"))).orderBy(col(idCol), col("pos"))
+    val kept = paras
+      .withColumn("rn", row_number().over(w))
+      .withColumn("is_kept", col("rn") === 1)
+    val perDoc = kept
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("is_kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          expr("transform(array_sort(collect_list(CASE WHEN is_kept THEN struct(pos, para) END)), x -> x.para)"),
+          sep).as("text_dedup"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): spherical
+    * k-means partitions the embedding space, then near-duplicate pairs
+    * are searched ONLY within each cluster — the clustering is what
+    * keeps the pair search linear-ish at corpus scale (pairs are
+    * cluster-local, and k grows with the corpus so cluster sizes stay
+    * bounded). Within a cluster, pairs above the cosine threshold form
+    * duplicate components; the min-id member survives.
+    *
+    * Returns the removed rows: (vec_id, survivor_id, cluster) — every
+    * non-survivor member of a duplicate component, labeled with its
+    * component's min id. `maxCluster` is the same skew guard as the
+    * sketch dedups: a degenerate cluster (all-zero embeddings) must not
+    * go quadratic. */
+  def semanticDedup(emb: DataFrame, eps: Double = 0.97,
+      k: Int = 16, maxIter: Int = 8,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      maxCluster: Int = 10000): DataFrame = {
+    val spark = emb.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val centroids = Similarity.kmeansFit(spark, emb, k, maxIter, idCol, embCol)
+    val assigned = Similarity.kmeansAssign(spark, emb, centroids, embCol)
+      .select(col(idCol).as("id"), col(embCol).as("e"), col("cell"))
+    // cluster-local pair generation, bucket-capped — identical shape to
+    // embeddingNearDups but keyed by the learned cell instead of an LSH
+    // bucket, so recall inside a cluster is exact (every within-cluster
+    // pair is scored, none sampled away)
+    val pairs = assigned
+      .groupBy("cell")
+      .agg(sort_array(collect_list(struct(col("id"), col("e")))).as("xs"))
+      .filter(size(col("xs")).between(2, maxCluster))
+      .select(col("cell"), explode(expr(
+        """flatten(transform(xs, (x, i) ->
+          |  transform(slice(xs, i + 2, size(xs)), y -> struct(x.id AS doc_a, x.e AS ea, y.id AS doc_b, y.e AS eb))))""".stripMargin))
+        .as("p"))
+      .select(col("cell"), col("p.doc_a"), col("p.doc_b"),
+        expr("cosine_sim(p.ea, p.eb)").as("cosine"))
+      .filter(col("cosine") >= eps)
+    val labels = connectedComponents(pairs.select("doc_a", "doc_b"))
+    labels.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol), col("cluster_id").as("survivor_id"))
+      .join(assigned.select(col("id").as(idCol), col("cell")), Seq(idCol))
+  }
 }

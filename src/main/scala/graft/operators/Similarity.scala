@@ -151,6 +151,77 @@ object Similarity {
     ranked(scored, k).select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** Spherical k-means (cosine assignment — the metric embeddings are
+    * trained under, and what SemDeDup clusters with): Lloyd's
+    * iterations expressed as DataFrame passes. Per round, assignment is
+    * one map-side pass (centroids ride in the [[NearestCells]]
+    * expression object, nProbe=1 — no shuffle of the corpus) and the
+    * update is one `vec_sum` group-by whose shuffle carries k×d partial
+    * sums, not rows×d. The driver holds only the k×d centroid table —
+    * the training artifact, same size class as IVF's — and the loop
+    * stops on centroid movement below `tol` or `maxIter`.
+    *
+    * Deterministic end to end: seeds are percentile-spread corpus
+    * vectors (IVF's init) ordered by id, assignment ties break on a
+    * fixed cell-id order inside [[NearestCells]], and `vec_sum`
+    * addition is order-independent (ragged inputs zero-extend). Same
+    * data + params ⇒ same centroids on any cluster size. */
+  def kmeansFit(spark: SparkSession, emb: DataFrame, k: Int,
+      maxIter: Int = 10, idCol: String = "vec_id", embCol: String = "embedding",
+      tol: Double = 1e-4): Array[Array[Float]] = {
+    GraftFunctions.register(spark)
+    val qs = (0 until k).map(i => (i + 0.5) / k)
+    val seedRow = emb
+      .select(expr(s"percentile_approx($idCol, array(${qs.mkString(",")}), 10000)"))
+      .collect().head
+    if (seedRow.isNullAt(0)) return Array.empty
+    val seedIds = seedRow.getSeq[Long](0).distinct
+    // sort by id: collect() order is partition-dependent, and the array
+    // index becomes the cell id — an unordered seed table would make
+    // cell assignments run-dependent
+    var centroids: Array[Array[Float]] = emb
+      .filter(col(idCol).isin(seedIds: _*))
+      .select(col(idCol), col(embCol)).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).toArray)
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIter && moved > tol) {
+      val assigned = kmeansAssign(spark, emb, centroids, embCol)
+      // update: one aggregate, k rows back to the driver (k×d doubles —
+      // the centroid table itself, not data)
+      val sums = assigned.groupBy("cell")
+        .agg(expr(s"vec_sum($embCol)").as("vsum"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        val cell = r.getLong(0).toInt
+        val s = r.getSeq[Double](1)
+        val n = r.getLong(2).toDouble
+        next(cell) = s.map(x => (x / n).toFloat).toArray
+      }
+      moved = centroids.zip(next).map { case (a, b) =>
+        val m = math.min(a.length, b.length)
+        (0 until m).map(i => math.abs(a(i) - b(i)).toDouble).foldLeft(0.0)(math.max)
+      }.foldLeft(0.0)(math.max)
+      centroids = next
+      iter += 1
+    }
+    centroids
+  }
+
+  /** Nearest-centroid (cosine) assignment: adds a `cell` column (index
+    * into `centroids`) via the same map-side [[NearestCells]] pass IVF
+    * uses — no shuffle, centroid table in the expression object. */
+  def kmeansAssign(spark: SparkSession, df: DataFrame,
+      centroids: Array[Array[Float]], embCol: String = "embedding"): DataFrame = {
+    val fn = s"kmeans_cells_${ivfCallCounter.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(fn,
+      exprs => org.apache.spark.sql.catalyst.expressions.graft.NearestCells(
+        exprs.head, Array.tabulate(centroids.length)(_.toLong), centroids, 1), "built-in")
+    df.withColumn("cell", expr(s"element_at($fn($embCol), 1)"))
+  }
+
   /** Multi-table multiprobe LSH ANN. `tables` independent hash tables
     * (the classic recall amplifier: P(hit) = 1-(1-p)^L), and within each
     * table the query probes its own sign bucket plus all buckets at

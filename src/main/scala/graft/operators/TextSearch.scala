@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions
+
+/** Full-text relevance search over the document corpus: BM25 ranking
+  * (Robertson & Zaragoza 2009, the Lucene-default scoring function).
+  *
+  * Scale shape — the inverted-index discipline:
+  *   - the query term table is tiny and BROADCAST; the corpus token
+  *     explode is immediately joined against it, so only tokens that
+  *     match some query term survive into any aggregation — the heavy
+  *     side never shuffles unfiltered;
+  *   - document length and corpus statistics (N, avgdl) are one narrow
+  *     aggregate each; N/avgdl join back as a broadcast 1-row cross;
+  *   - document frequency per term is computed from the matched tokens
+  *     only (a matched token's doc IS a doc containing the term, so the
+  *     restriction loses nothing);
+  *   - final scoring is one (query, doc) aggregate plus a per-query
+  *     top-k window — the same TakeOrdered shape as q19.
+  *
+  * At 100 TB the (term → postings) side would be a pre-built bucketed
+  * table; this operator IS that plan with the index built inline.
+  * Scores are plain arithmetic (ln, tf, dl) — fully replicable in
+  * ANSI SQL, which is what makes the driver check a full hash oracle.
+  */
+object TextSearch {
+
+  /** BM25 top-k documents per query. `queries` is (query_id,
+    * query_text); scoring uses the Lucene/Robertson idf
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))` and the standard saturation
+    * `tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))`. Ranking orders by
+    * the score rounded to 1e-6 with doc id tie-break (the engine's
+    * deterministic-top-k convention). */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(TextFunctions.tokens(textCol)).as("term"))
+    val qTerms = broadcast(
+      queries.select(col("query_id"),
+        explode(array_distinct(TextFunctions.tokens("query_text"))).as("term")))
+    // per-doc length BEFORE the query filter (dl is a property of the
+    // document, not of the matched subset)
+    val docLen = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val corpusStats = broadcast(
+      docLen.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl")))
+    // broadcast-join the tiny term table first: everything downstream is
+    // linear in the MATCHED tokens only
+    val matched = toks.join(qTerms.select("term").distinct().hint("broadcast"), Seq("term"))
+    val tf = matched.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df_), Seq("term"))
+      .join(docLen, Seq(idCol))
+      .crossJoin(corpusStats)
+      .join(qTerms, Seq("term"))
+      .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("query_id", idCol)
+      .agg(sum("term_score").as("score"), count(lit(1)).as("n_terms_matched"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("score"), 6).desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("rank"),
+        round(col("score"), 6).as("score"), col("n_terms_matched"))
+  }
+}

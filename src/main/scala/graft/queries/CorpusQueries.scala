@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Curation, Dedup, TextSearch}
+
+/** Third tranche of training-data-pipeline operators: paragraph-level
+  * exact dedup (q89), semantic dedup over embeddings (q90), BM25
+  * full-text relevance search (q91), overlapping token-window chunking
+  * (q92), and the sort-free deterministic epoch shuffle (q93).
+  *
+  * All but q90 are full hash oracles — the operators are deterministic
+  * relational arithmetic DuckDB replicates exactly. q90 is rows-only
+  * (k-means cell geometry is an engine detail) but guarantee-carrying
+  * in the q31/q84 pattern: planted exact-copy embeddings MUST be
+  * removed (same vector ⇒ same cell, cosine 1 ≥ eps, component min-id
+  * survivor is the original), surfaced as an in-row `planted_removed`
+  * count the spec asserts.
+  */
+object CorpusQueries {
+
+  private val PlantedBase = 10000000L
+
+  /** Paragraph-level corpus-wide dedup. The real documents are
+    * single-paragraph rows (they carry the scale shape and any exact
+    * full-text duplicates); multi-paragraph docs with known shared
+    * paragraphs are planted in-query (q67 pattern) so the
+    * paragraph-grain semantics — keep-first by (doc, position),
+    * reassembly in original order, total output — can never go
+    * vacuously green. */
+  def q89ParagraphDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      (-3L, "common paragraph two\ncommon paragraph one\ntail text unique to minus three"),
+      (-2L, "common paragraph one\nunique middle paragraph\ncommon paragraph two"),
+      (-1L, "alpha beta gamma\ncommon paragraph one\nzeta eta theta"))
+      .toDF("doc_id", "text")
+    val all = Tables.documents(s, d).select(col("doc_id"), col("text")).unionByName(planted)
+    Dedup.paragraphDedup(all)
+      .select(col("doc_id"), col("n_paras"), col("n_kept"),
+        length(col("text_dedup")).as("n_chars_dedup"),
+        md5(col("text_dedup")).as("dedup_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** SemDeDup over the embeddings table: spherical k-means clusters,
+    * within-cluster cosine pairs ≥ eps, min-id survivor per duplicate
+    * component; output = the removed rows. k scales with the corpus
+    * (n/200, floor 8) so cluster sizes — and with them the pair work —
+    * stay bounded at any scale factor. */
+  def q90SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val planted = emb.filter(col("vec_id") < 4)
+      .select((col("vec_id") + PlantedBase).as("vec_id"), col("embedding"))
+    val all = emb.select("vec_id", "embedding").unionByName(planted)
+    val k = math.max(8, (all.count() / 200).toInt)
+    val removed = Dedup.semanticDedup(all, eps = 0.97, k = k, maxIter = 5)
+      .withColumn("is_planted", (col("vec_id") >= PlantedBase).cast("int"))
+    val g = removed.agg(sum("is_planted").as("planted_removed"))
+    removed.crossJoin(broadcast(g))
+      .select(col("vec_id"), col("survivor_id"), col("cell"),
+        col("is_planted"), col("planted_removed"))
+      .orderBy("vec_id")
+  }
+
+  /** BM25 top-10 per query over the corpus, three fixed queries against
+    * the synthetic vocabulary. Fully hash-checked: idf/tf saturation is
+    * plain arithmetic and DuckDB replicates it term for term. */
+  def q91Bm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qdf = Seq(
+      (0L, "scan filter merge"),
+      (1L, "hash join"),
+      (2L, "stream window batch"))
+      .toDF("query_id", "query_text")
+    TextSearch.bm25TopK(Tables.documents(s, d), qdf, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Overlapping token-window chunking (64-token windows, stride 48)
+    * over the corpus — row-local, shuffle-free, full hash oracle. */
+  def q92Chunk(s: SparkSession, d: String): DataFrame =
+    Curation.chunkTokens(Tables.documents(s, d), chunkSize = 64, stride = 48)
+      .orderBy("doc_id", "chunk_id")
+
+  /** Deterministic epoch shuffle summarized per (epoch, batch): two
+    * epochs of the same corpus produce two different — but each
+    * individually reproducible — permutations, with no global sort
+    * anywhere in the plan. The per-batch min sort_key pins the
+    * in-batch ordering into the hash check. */
+  def q93EpochShuffle(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Seq(0, 1).map { ep =>
+      Curation.epochShuffle(docs, "doc_id", ep, nBatches = 16)
+        .withColumn("epoch", lit(ep))
+    }.reduce(_ unionByName _)
+      .groupBy("epoch", "batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("doc_id").as("sum_ids"),
+        min("sort_key").as("first_key"))
+      .orderBy("epoch", "batch_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_paragraph_dedup" -> (q89ParagraphDedup _),
+    "q90_semantic_dedup" -> (q90SemanticDedup _),
+    "q91_bm25" -> (q91Bm25 _),
+    "q92_chunk" -> (q92Chunk _),
+    "q93_epoch_shuffle" -> (q93EpochShuffle _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q89_paragraph_dedup" ->
+      """WITH allr AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(-3 AS BIGINT), 'common paragraph two' || chr(10) ||
+        |      'common paragraph one' || chr(10) || 'tail text unique to minus three'),
+        |    (CAST(-2 AS BIGINT), 'common paragraph one' || chr(10) ||
+        |      'unique middle paragraph' || chr(10) || 'common paragraph two'),
+        |    (CAST(-1 AS BIGINT), 'alpha beta gamma' || chr(10) ||
+        |      'common paragraph one' || chr(10) || 'zeta eta theta')
+        |  ) AS t(doc_id, text)),
+        |p AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM allr),
+        |e AS (SELECT doc_id, unnest(list_transform(range(1, len(ps) + 1),
+        |        i -> {'pos': i, 'para': trim(ps[i])})) AS s FROM p),
+        |f AS (SELECT doc_id, s.pos AS pos, s.para AS para FROM e WHERE s.para <> ''),
+        |kf AS (SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+        |  FROM f),
+        |agg AS (SELECT doc_id, count(*) AS n_paras,
+        |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10) ORDER BY pos), '') AS txt
+        |  FROM kf GROUP BY 1)
+        |SELECT a.doc_id,
+        |  coalesce(agg.n_paras, 0) AS n_paras,
+        |  coalesce(agg.n_kept, 0) AS n_kept,
+        |  length(coalesce(agg.txt, '')) AS n_chars_dedup,
+        |  md5(coalesce(agg.txt, '')) AS dedup_fp
+        |FROM allr a LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q91_bm25" ->
+      """WITH q(query_id, query_text) AS (VALUES
+        |    (CAST(0 AS BIGINT), 'scan filter merge'),
+        |    (CAST(1 AS BIGINT), 'hash join'),
+        |    (CAST(2 AS BIGINT), 'stream window batch')),
+        |qt AS (SELECT query_id,
+        |    unnest(list_distinct(string_split_regex(lower(trim(query_text)), '\s+'))) AS term
+        |  FROM q),
+        |toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |cs AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT t.doc_id, t.term, count(*) AS tf
+        |  FROM toks t JOIN (SELECT DISTINCT term FROM qt) u USING (term)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    sum( ln(1 + (cs.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |       * (tf.tf * 2.2)
+        |       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / cs.avgdl)) ) AS score,
+        |    count(*) AS n_terms_matched
+        |  FROM tf
+        |  JOIN df USING (term)
+        |  JOIN dl USING (doc_id)
+        |  CROSS JOIN cs
+        |  JOIN qt USING (term)
+        |  GROUP BY 1, 2)
+        |SELECT query_id, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(score, 6) DESC, doc_id) AS INT) AS rank,
+        |  round(score, 6) AS score, n_terms_matched
+        |FROM scored
+        |QUALIFY rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    "q92_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n_toks FROM t WHERE len(toks) >= 1),
+        |c AS (SELECT doc_id, toks,
+        |    CAST(1 + ceil(greatest(n_toks - 64, 0) / 48.0) AS INT) AS n_chunks
+        |  FROM n),
+        |e AS (SELECT doc_id, toks,
+        |    unnest(list_transform(range(0, n_chunks), i -> {'cid': i, 'st': i * 48})) AS s
+        |  FROM c),
+        |f AS (SELECT doc_id,
+        |    CAST(s.cid AS INT) AS chunk_id, CAST(s.st AS INT) AS start_tok,
+        |    list_slice(toks, s.st + 1, s.st + 64) AS chunk_toks
+        |  FROM e)
+        |SELECT doc_id, chunk_id, start_tok,
+        |  CAST(len(chunk_toks) AS INT) AS chunk_len,
+        |  md5(array_to_string(chunk_toks, ' ')) AS chunk_fp
+        |FROM f ORDER BY doc_id, chunk_id""".stripMargin,
+    "q93_epoch_shuffle" ->
+      """WITH e AS (
+        |  SELECT doc_id, ep AS epoch,
+        |    md5('epoch:' || ep || ':' || CAST(doc_id AS VARCHAR)) AS sort_key
+        |  FROM documents CROSS JOIN (VALUES (0), (1)) AS t(ep)),
+        |b AS (SELECT epoch, doc_id, sort_key,
+        |    ('0x' || substr(sort_key, 1, 6))::BIGINT % 16 AS batch_id
+        |  FROM e)
+        |SELECT epoch, batch_id, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  min(sort_key) AS first_key
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Paragraph-level dedup, spherical k-means + SemDeDup, and BM25 —
+  * hand-computed fixtures for each, plus the planted-recovery
+  * guarantees the rows-only driver check (q90) relies on. */
+class CorpusOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("paragraphDedup: corpus-wide keep-first by (doc, pos), order-preserving reassembly") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "shared one\nkeep a\nshared two"),
+      (2L, "shared one\nkeep b"),
+      (3L, "shared two\nshared one"),
+      (4L, "  \n\n"), // whitespace-only: zero paragraphs
+      (5L, "keep a")  // dup of doc 1's middle paragraph
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out === Array(
+      (1L, 3L, 3L, "shared one\nkeep a\nshared two"), // first occurrences all kept
+      (2L, 2L, 1L, "keep b"),                          // "shared one" seen at (1,0)
+      (3L, 2L, 0L, ""),                                // both paragraphs seen in doc 1
+      (4L, 0L, 0L, ""),                                // nothing to keep
+      (5L, 1L, 0L, "")))                               // "keep a" seen at (1,1)
+  }
+
+  test("paragraphDedup trims paragraphs before hashing and reassembly") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "  padded para  \nx"), (2L, "padded para")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(out === Array((1L, 2L, "padded para\nx"), (2L, 0L, "")))
+  }
+
+  test("kmeansFit converges on two well-separated blobs and assignment is deterministic") {
+    val s = spark; import s.implicits._
+    // two orthogonal directions with small jitter: cosine k-means must
+    // split them perfectly whatever the seed draw
+    val blobA = (0L until 20L).map(i => (i, Array(1f, 0.01f * i, 0f, 0f)))
+    val blobB = (100L until 120L).map(i => (i, Array(0f, 0f, 1f, 0.01f * (i - 100))))
+    val emb = (blobA ++ blobB).toDF("vec_id", "embedding")
+    val cs = Similarity.kmeansFit(spark, emb, k = 2, maxIter = 10)
+    assert(cs.length === 2)
+    val assigned = Similarity.kmeansAssign(spark, emb, cs)
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cellsA = blobA.map(v => assigned(v._1)).toSet
+    val cellsB = blobB.map(v => assigned(v._1)).toSet
+    assert(cellsA.size === 1 && cellsB.size === 1 && cellsA != cellsB,
+      s"blobs not separated: A→$cellsA B→$cellsB")
+    // determinism: a second fit over the same data yields the same table
+    val cs2 = Similarity.kmeansFit(spark, emb, k = 2, maxIter = 10)
+    assert(cs.map(_.toSeq).toSeq === cs2.map(_.toSeq).toSeq)
+  }
+
+  test("kmeansFit on an empty corpus returns no centroids") {
+    val s = spark; import s.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.kmeansFit(spark, empty, k = 4).isEmpty)
+  }
+
+  test("semanticDedup removes planted exact copies with the original as survivor") {
+    val s = spark; import s.implicits._
+    val base = (0L until 40L).map { i =>
+      val angle = i.toDouble / 40.0 * math.Pi / 2
+      (i, Array(math.cos(angle).toFloat, math.sin(angle).toFloat, (i % 7).toFloat / 10f, 1f))
+    }
+    val copies = Seq(3L, 17L).map(i => (i + 1000L, base(i.toInt)._2))
+    val emb = (base ++ copies).toDF("vec_id", "embedding")
+    val removed = Dedup.semanticDedup(emb, eps = 0.999, k = 4, maxIter = 5)
+      .select("vec_id", "survivor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(removed.contains(1003L), s"planted copy 1003 not removed: $removed")
+    assert(removed.contains(1017L), s"planted copy 1017 not removed: $removed")
+    // survivor is the min id of the duplicate component — the original,
+    // unless the original itself chains to a smaller near-identical id
+    assert(removed(1003L) <= 3L && removed(1017L) <= 17L)
+    assert(!removed.values.exists(removed.keySet.contains),
+      "a survivor appears as removed")
+  }
+
+  test("q90's in-row planted_removed guarantee holds on real testdata") {
+    val out = graft.queries.CorpusQueries.q90SemanticDedup(spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // every row carries the same corpus-wide constant; all 4 planted
+    // exact copies must be removed — the guarantee that keeps the
+    // driver's rows-only check from going vacuously green
+    assert(rows.map(_.getAs[Long]("planted_removed")).distinct.toSeq === Seq(4L))
+  }
+
+  test("chunkTokens: window arithmetic, overlap, and the short-doc single chunk") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      (2L, "a b")                             // shorter than one window
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkTokens(docs, chunkSize = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // doc 1: n_chunks = 1 + ceil((10-4)/3) = 3 → starts 0, 3, 6
+    assert(out === Array(
+      (1L, 0, 0, 4), (1L, 1, 3, 4), (1L, 2, 6, 4),
+      (2L, 0, 0, 2)))
+    // consecutive windows overlap by chunkSize - stride = 1 token
+    val fps = Curation.chunkTokens(docs, chunkSize = 4, stride = 3)
+      .filter($"doc_id" === 1L).select("chunk_fp").collect().map(_.getString(0))
+    assert(fps.distinct.length === 3)
+  }
+
+  test("epochShuffle: reproducible within an epoch, different across epochs, no sort in plan") {
+    val s = spark; import s.implicits._
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val e0a = Curation.epochShuffle(docs, "doc_id", epoch = 0, nBatches = 8)
+      .select("doc_id", "batch_id", "sort_key").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val e0b = Curation.epochShuffle(docs, "doc_id", epoch = 0, nBatches = 8)
+      .select("doc_id", "batch_id", "sort_key").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(e0a === e0b, "same epoch must reproduce the same permutation")
+    val e1 = Curation.epochShuffle(docs, "doc_id", epoch = 1, nBatches = 8)
+      .select("doc_id", "batch_id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val e0m = e0a.map(t => (t._1, t._2)).toMap
+    assert((0L until 200L).exists(i => e0m(i) != e1(i)), "epochs must differ")
+    // the operator is a pure map: no Exchange/Sort node may appear
+    val nodes = Curation.epochShuffle(docs, "doc_id", 0)
+      .queryExecution.executedPlan.collect { case p => p.getClass.getSimpleName }
+    assert(!nodes.exists(n => n.contains("Exchange") || n.startsWith("Sort")),
+      s"epoch shuffle must not shuffle or sort: $nodes")
+  }
+
+  test("bm25TopK matches a hand-computed score") {
+    val s = spark; import s.implicits._
+    // 3 docs, query "apple": df=2, N=3, avgdl = (4+2+3)/3 = 3
+    // idf = ln(1 + (3-2+0.5)/(2+0.5)) = ln(1.6)
+    // doc 1: tf=2, dl=4 → 2·2.2/(2 + 1.2·(0.25 + 0.75·4/3)) = 4.4/3.5
+    // doc 2: tf=1, dl=2 → 2.2/(1 + 1.2·(0.25 + 0.75·2/3)) = 2.2/1.9
+    val docs = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "apple date"),
+      (3L, "banana cherry fig")).toDF("doc_id", "text")
+    val q = Seq((0L, "apple")).toDF("query_id", "query_text")
+    val out = TextSearch.bm25TopK(docs, q, k = 10)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 2L))
+    val idf = math.log(1.6)
+    val exp1 = idf * 4.4 / 3.5
+    val exp2 = idf * 2.2 / 1.9
+    assert(math.abs(out(0).getDouble(3) - exp1) < 1e-5, s"${out(0)} vs $exp1")
+    assert(math.abs(out(1).getDouble(3) - exp2) < 1e-5, s"${out(1)} vs $exp2")
+  }
+
+  test("bm25TopK multi-term: scores add per matched term, rank ties break on doc id") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "x y"),
+      (2L, "x y"),
+      (3L, "x z")).toDF("doc_id", "text")
+    val q = Seq((7L, "x y")).toDF("query_id", "query_text")
+    val out = TextSearch.bm25TopK(docs, q, k = 10).orderBy("rank").collect()
+    // docs 1 and 2 are identical → equal scores, doc id breaks the tie
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 2L, 3L))
+    assert(out(0).getDouble(3) === out(1).getDouble(3))
+    assert(out(0).getLong(4) === 2L && out(2).getLong(4) === 1L) // n_terms_matched
+  }
+}
