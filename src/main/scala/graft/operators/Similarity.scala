@@ -151,6 +151,39 @@ object Similarity {
     ranked(scored, k).select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** MMR diversity re-rank of a top-N result: joins candidate
+    * embeddings back in (a semi-join-sized set — candidates only, never
+    * the corpus), folds each query's candidates into one row, and runs
+    * the native [[MmrSelect]] greedy selection row-locally. The
+    * distributed part of the plan ends at candidate generation; the
+    * inherently-sequential-in-k greedy tail costs O(k·N·d) per query
+    * with no further shuffle.
+    *
+    * `topk` is (query_id, vec_id, sim[, ...]) from any ranker
+    * ([[bruteForceTopK]], [[lshTopK]], [[ivfTopK]]); `corpus` supplies
+    * the embeddings. Output: (query_id, vec_id, mmr, rank) in selection
+    * order. */
+  def mmrRerank(spark: SparkSession, topk: DataFrame, corpus: DataFrame,
+      k: Int = 10, lambda: Double = 0.7,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(spark)
+    val cands = topk.select(col("query_id"), col(idCol), col("sim"))
+      .join(corpus.select(col(idCol), col(embCol)), Seq(idCol))
+      .groupBy("query_id")
+      // sort_array: collect_list order is partition-dependent; the
+      // greedy selection is order-independent given its id tie-break,
+      // but a sorted candidate array keeps plans/explains reproducible
+      .agg(sort_array(collect_list(struct(
+        col(idCol).cast("long").as("id"),
+        col(embCol).as("emb"),
+        col("sim").cast("double").as("score")))).as("cands"))
+    cands
+      .select(col("query_id"),
+        posexplode(expr(s"mmr_select(cands, $k, ${lambda}D)")).as(Seq("i", "m")))
+      .select(col("query_id"), col("m.id").as(idCol),
+        round(col("m.mmr"), 6).as("mmr"), col("m.rank").as("rank"))
+  }
+
   /** Spherical k-means (cosine assignment — the metric embeddings are
     * trained under, and what SemDeDup clusters with): Lloyd's
     * iterations expressed as DataFrame passes. Per round, assignment is

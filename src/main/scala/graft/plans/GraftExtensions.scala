@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def intLit(e: Expression): Int =
     e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
 
+  private def dblLit(e: Expression): Double =
+    e.asInstanceOf[Literal].value.asInstanceOf[Number].doubleValue()
+
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
@@ -49,5 +52,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints", "winnow_fingerprints(shingles, w) - winnowing fingerprint set"),
       (exprs: Seq[Expression]) => WinnowFingerprints(exprs(0), intLit(exprs(1)))))
+    ext.injectFunction((FunctionIdentifier("mmr_select"),
+      info("mmr_select", "mmr_select(candidates, k, lambda) - maximal-marginal-relevance top-k"),
+      (exprs: Seq[Expression]) => MmrSelect(exprs(0), intLit(exprs(1)), dblLit(exprs(2)))))
   }
 }

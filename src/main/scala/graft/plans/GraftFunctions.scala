@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.catalyst.expressions.graft.{CosineSimilarity, LshBucket, MinHashBands, MinHashSig, ShingleSeq, Shingles, SimHash64, VectorSum, WinnowFingerprints}
+import org.apache.spark.sql.catalyst.expressions.graft.{CosineSimilarity, LshBucket, MinHashBands, MinHashSig, MmrSelect, ShingleSeq, Shingles, SimHash64, VectorSum, WinnowFingerprints}
 
 /** Session-scoped registration of graft's native Catalyst expressions,
   * so they are callable from `expr("cosine_sim(a, b)")` / SQL text.
@@ -11,6 +11,9 @@ object GraftFunctions {
 
   private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
+
+  private def dblLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Double =
+    e.asInstanceOf[Literal].value.asInstanceOf[Number].doubleValue()
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -33,5 +36,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "winnow_fingerprints",
       exprs => WinnowFingerprints(exprs(0), intLit(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "mmr_select",
+      exprs => MmrSelect(exprs(0), intLit(exprs(1)), dblLit(exprs(2))), "built-in")
   }
 }

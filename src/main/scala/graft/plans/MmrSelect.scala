@@ -1,0 +1,109 @@
+// Same package rationale as CosineSimilarity.scala: native expressions
+// live under org.apache.spark.sql so they can use catalyst internals.
+// graft-facing registration is in graft.plans.GraftFunctions.
+package org.apache.spark.sql.catalyst.expressions.graft
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+
+/** Maximal-marginal-relevance selection (Carbonell & Goldstein, SIGIR
+  * 1998) over a per-query candidate list: greedily pick `k` items
+  * maximizing `lambda·relevance − (1−lambda)·max_cosine_to_selected` —
+  * the diversity re-rank that keeps a retrieval result from returning
+  * k near-copies of the same document (for RAG context assembly, the
+  * failure mode is real: near-dup corpus chunks otherwise fill the
+  * whole context window).
+  *
+  * Input: `array<struct<id: bigint, emb: array<float>, score:
+  * double>>` — the candidate set ALREADY reduced to per-query top-N by
+  * a (distributed) ANN/exact ranker; this expression is the row-local
+  * O(k·N·d) greedy tail, which is exactly where it belongs at scale —
+  * MMR is inherently sequential in k, so the distributed part of the
+  * plan produces candidates and the expression folds them per query
+  * row with no further shuffle. Output: `array<struct<id, mmr, rank>>`
+  * in selection order.
+  *
+  * Deterministic: the first pick is the pure-relevance argmax, ties
+  * break on the lower id; embeddings are L2-normalized once so the
+  * inner loop is a dot product. `lambda = 1` degenerates to plain
+  * relevance top-k (the equivalence the spec asserts against the
+  * exact ranker). */
+case class MmrSelect(child: Expression, k: Int, lambda: Double)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("mmr", DoubleType, nullable = false),
+    StructField("rank", IntegerType, nullable = false))), containsNull = false)
+  override def prettyName: String = "mmr_select"
+  override def stringArgs: Iterator[Any] = Iterator(child, k, lambda)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val ids = new Array[Long](n)
+    val scores = new Array[Double](n)
+    val embs = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) {
+      val r = arr.getStruct(i, 3)
+      ids(i) = r.getLong(0)
+      val e = r.getArray(1)
+      val d = e.numElements()
+      val v = new Array[Double](d)
+      var j = 0
+      while (j < d) { v(j) = e.getFloat(j).toDouble; j += 1 }
+      var nrm = 0.0
+      j = 0
+      while (j < d) { nrm += v(j) * v(j); j += 1 }
+      if (nrm > 0) { nrm = math.sqrt(nrm); j = 0; while (j < d) { v(j) /= nrm; j += 1 } }
+      embs(i) = v
+      scores(i) = r.getDouble(2)
+      i += 1
+    }
+    val nOut = math.min(k, n)
+    val used = new Array[Boolean](n)
+    val maxSim = new Array[Double](n) // max cosine to any selected item
+    val out = new Array[Any](nOut)
+    var sel = 0
+    while (sel < nOut) {
+      var best = -1
+      var bestVal = Double.NegativeInfinity
+      var c = 0
+      while (c < n) {
+        if (!used(c)) {
+          val v =
+            if (sel == 0) scores(c)
+            else lambda * scores(c) - (1.0 - lambda) * maxSim(c)
+          if (v > bestVal || (v == bestVal && (best < 0 || ids(c) < ids(best)))) {
+            best = c; bestVal = v
+          }
+        }
+        c += 1
+      }
+      used(best) = true
+      out(sel) = new GenericInternalRow(Array[Any](ids(best), bestVal, sel + 1))
+      val bv = embs(best)
+      c = 0
+      while (c < n) {
+        if (!used(c)) {
+          val cv = embs(c)
+          val d = math.min(bv.length, cv.length)
+          var dot = 0.0
+          var j = 0
+          while (j < d) { dot += bv(j) * cv(j); j += 1 }
+          if (dot > maxSim(c)) maxSim(c) = dot
+        }
+        c += 1
+      }
+      sel += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

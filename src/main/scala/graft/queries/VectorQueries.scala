@@ -54,12 +54,37 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** MMR diversity re-rank (native [[MmrSelect]] greedy tail over the
+    * exact top-50 candidates, λ=0.7). Rows-only — the greedy recursion
+    * is not SQL-expressible — but guarantee-carrying: MMR's first pick
+    * per query is BY CONSTRUCTION the exact top-1 (pure-relevance
+    * argmax with the same tie-break), surfaced as the in-row constant
+    * `n_first_matches_top1` = number of queries; the spec additionally
+    * proves λ=1 degenerates to the exact ranking. */
+  def q94Mmr(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < NQueries)
+    val top50 = Similarity.bruteForceTopK(s, emb, q, k = 50)
+    val mmr = Similarity.mmrRerank(s, top50, emb, k = 10, lambda = 0.7)
+    val exact1 = top50.filter(col("rank") === 1)
+      .select(col("query_id"), col("vec_id").as("top1_id"))
+    val rows = mmr.join(broadcast(exact1), Seq("query_id"))
+      .withColumn("first_is_top1",
+        when(col("rank") === 1, (col("vec_id") === col("top1_id")).cast("int")))
+    val g = rows.agg(sum("first_is_top1").as("n_first_matches_top1"))
+    rows.crossJoin(broadcast(g))
+      .select(col("query_id"), col("vec_id"), col("mmr"), col("rank"),
+        col("n_first_matches_top1"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_knn_bruteforce" -> (q34KnnBruteForce _),
     "q35_knn_lsh" -> (q35KnnLsh _),
     "q43_knn_ivf" -> (q43KnnIvf _),
     "q66_quantized_knn" -> (q66QuantizedKnn _),
-    "q70_label_centroids" -> (q70LabelCentroids _)
+    "q70_label_centroids" -> (q70LabelCentroids _),
+    "q94_mmr" -> (q94Mmr _)
   )
 
   /** Int8-quantized brute-force top-10: corpus vectors scalar-quantized

@@ -136,6 +136,44 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"epoch shuffle must not shuffle or sort: $nodes")
   }
 
+  test("mmrRerank with lambda=1 reproduces the exact relevance ranking") {
+    val s = spark; import s.implicits._
+    val emb = (0L until 30L).map { i =>
+      val a = i.toDouble / 30.0 * math.Pi / 2
+      (i, Array(math.cos(a).toFloat, math.sin(a).toFloat, (i % 5).toFloat / 8f))
+    }.toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 0L)
+    val exact = Similarity.bruteForceTopK(spark, emb, q, k = 8)
+    val viaMmr = Similarity.mmrRerank(spark, exact, emb, k = 8, lambda = 1.0)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3)))
+    val direct = exact.orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(viaMmr.toSeq === direct.toSeq)
+  }
+
+  test("mmrRerank diversifies: a near-copy of the top hit is deferred at low lambda") {
+    val s = spark; import s.implicits._
+    // candidates: 10/11 nearly identical high scorers, 12 orthogonal-ish
+    // lower scorer. Pure relevance picks (10, 11, 12); MMR at λ=0.3
+    // must defer the near-copy 11 behind the diverse 12.
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)),       // query
+      (10L, Array(0.99f, 0.14f, 0f)),
+      (11L, Array(0.99f, 0.141f, 0f)),
+      (12L, Array(0.5f, 0f, 0.87f))).toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 0L)
+    val top = Similarity.bruteForceTopK(spark, emb, q, k = 3)
+    assert(top.orderBy("rank").collect().map(_.getLong(1)).toSeq === Seq(10L, 11L, 12L))
+    val mmr = Similarity.mmrRerank(spark, top, emb, k = 3, lambda = 0.3)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(mmr.toSeq === Seq(10L, 12L, 11L), s"MMR did not diversify: ${mmr.toSeq}")
+  }
+
+  test("q94's in-row first-pick guarantee holds on real testdata") {
+    val out = graft.queries.VectorQueries.q94Mmr(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("n_first_matches_top1")).distinct.toSeq === Seq(5L))
+  }
+
   test("bm25TopK matches a hand-computed score") {
     val s = spark; import s.implicits._
     // 3 docs, query "apple": df=2, N=3, avgdl = (4+2+3)/3 = 3
