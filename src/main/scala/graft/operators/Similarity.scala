@@ -103,27 +103,42 @@ object Similarity {
     * [[lshTopK]]: IVF adapts to the data distribution (cells follow
     * density), LSH needs no training pass. */
   def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-      k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+      k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
+      trainIters: Int = 0): DataFrame = {
     GraftFunctions.register(spark)
     // deterministic coarse centroids spread across the FULL id range:
     // approx-percentile picks actual observed vec_ids at evenly-spaced
     // quantiles (an id-prefix sample would bias every cell toward the
     // low ids). Collecting nCentroids ids + vectors to the driver is
     // the training artifact of IVF — small by construction.
-    val qs = (0 until nCentroids).map(i => (i + 0.5) / nCentroids)
-    val centroidRow = corpus
-      .select(expr(s"percentile_approx(vec_id, array(${qs.mkString(",")}), 10000)"))
-      .collect().head
-    if (centroidRow.isNullAt(0)) { // empty corpus: no centroids to train
+    // trainIters > 0 upgrades the sampled seeds to spherical-k-means
+    // cells ([[kmeansFit]] starts from the same seeds): cells then
+    // follow the data DENSITY, which is the actual IVF design — denser
+    // regions get more cells, so probe recall at fixed nProbe rises on
+    // clustered corpora (spec-measured).
+    val centroidVecs: Seq[(Long, Array[Float])] =
+      if (trainIters > 0) {
+        val cs = kmeansFit(spark, corpus, nCentroids, trainIters)
+        cs.indices.map(i => (i.toLong, cs(i)))
+      } else {
+        val qs = (0 until nCentroids).map(i => (i + 0.5) / nCentroids)
+        val centroidRow = corpus
+          .select(expr(s"percentile_approx(vec_id, array(${qs.mkString(",")}), 10000)"))
+          .collect().head
+        if (centroidRow.isNullAt(0)) Nil
+        else {
+          val centroidIds = centroidRow.getSeq[Long](0).distinct
+          corpus
+            .filter(col("vec_id").isin(centroidIds: _*))
+            .select(col("vec_id"), col("embedding"))
+            .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        }
+      }
+    if (centroidVecs.isEmpty) { // empty corpus: no centroids to train
       return queries.sparkSession.emptyDataFrame
         .select(lit(0L).as("query_id"), lit(0L).as("vec_id"),
           lit(0.0).as("sim"), lit(0).as("rank"))
     }
-    val centroidIds = centroidRow.getSeq[Long](0).distinct
-    val centroidVecs: Seq[(Long, Array[Float])] = corpus
-      .filter(col("vec_id").isin(centroidIds: _*))
-      .select(col("vec_id"), col("embedding"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
     // map-side assignment: per-row argmax over the centroid table, NO
     // shuffle of the corpus. The centroids ride in the NearestCells
     // expression OBJECT (a ~nCentroids·dim float table serialized with

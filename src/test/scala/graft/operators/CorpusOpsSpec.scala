@@ -136,6 +136,32 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"epoch shuffle must not shuffle or sort: $nodes")
   }
 
+  test("k-means-trained IVF recall is at least the sampled-seed recall on a clustered corpus") {
+    val s = spark; import s.implicits._
+    // 4 tight direction-clusters, ids interleaved so id-percentile
+    // seeding cannot align with cluster structure by accident
+    val dirs = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f), Array(0f, 0f, 0f, 1f))
+    val emb = (0L until 200L).map { i =>
+      val d = dirs((i % 4).toInt)
+      (i, d.zipWithIndex.map { case (x, j) => x + 0.05f * ((i + j) % 5) })
+    }.toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" < 4)
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val exact = Similarity.bruteForceTopK(spark, emb, q, k = 5)
+        .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val untrained = recall(Similarity.ivfTopK(spark, emb, q, k = 5, nCentroids = 8, nProbe = 1))
+    val trained = recall(
+      Similarity.ivfTopK(spark, emb, q, k = 5, nCentroids = 8, nProbe = 1, trainIters = 5))
+    assert(trained >= untrained, s"training degraded recall: $trained < $untrained")
+    assert(trained >= 0.8, s"trained IVF recall too low on a cleanly clustered corpus: $trained")
+  }
+
   test("mmrRerank with lambda=1 reproduces the exact relevance ranking") {
     val s = spark; import s.implicits._
     val emb = (0L until 30L).map { i =>
