@@ -168,6 +168,34 @@ object Curation {
         floor((col("cum_tokens") - col("n_tokens")) / budgetTokens).cast("long"))
   }
 
+  /** Exact-size deterministic per-stratum sample: exactly
+    * `min(k, |stratum|)` rows per group, chosen by hash rank — the
+    * fixed-budget counterpart of [[stratifiedSample]] (which keeps a
+    * FRACTION). "Exactly 100k docs per language" is the usual corpus
+    * spec, and a fraction can't deliver it. Hash-ranked, so the chosen
+    * set is stable across runs/engines/cluster sizes AND stable under
+    * corpus growth in the sense that membership changes only at the
+    * rank boundary. One window shuffle on the stratum key. */
+  def fixedSizeSample(df: DataFrame, key: String, stratum: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratum)).orderBy(md5(col(key).cast("string")), col(key))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .drop("sample_rank")
+  }
+
+  /** Per-stratum quality calibration: percent_rank of a raw quality
+    * signal WITHIN each stratum — the cross-language comparability move
+    * (a length/quality threshold tuned on English silently drops most
+    * of a lower-resource language unless scores are calibrated
+    * per-language first). Pure window pass; `calibrated` ∈ [0, 1]. */
+  def calibrateQuality(df: DataFrame, stratum: String, quality: Column,
+      tieBreak: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratum)).orderBy(quality, tieBreak)
+    df.withColumn("calibrated", round(percent_rank().over(w), 6))
+  }
+
   /** Overlapping token-window chunking — the context-window shaping
     * step of RAG indexing and long-document pretraining: each document
     * becomes ceil-spaced windows of `chunkSize` tokens advancing by

@@ -102,12 +102,30 @@ object CorpusQueries {
       .orderBy("epoch", "batch_id")
   }
 
+  /** Exact-size deterministic per-language sample (30 docs per lang,
+    * hash-ranked): the fixed-budget corpus spec a fraction-based sample
+    * cannot deliver. Membership itself is hash-checked. */
+  def q95FixedSizeSample(s: SparkSession, d: String): DataFrame =
+    Curation.fixedSizeSample(Tables.documents(s, d), "doc_id", "lang", k = 30)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .orderBy("lang", "doc_id")
+
+  /** Per-language quality calibration: percent_rank of n_chars within
+    * each language — the cross-language threshold-comparability move. */
+  def q96QualityCalibration(s: SparkSession, d: String): DataFrame =
+    Curation.calibrateQuality(Tables.documents(s, d), "lang",
+      col("n_chars"), col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("calibrated"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_paragraph_dedup" -> (q89ParagraphDedup _),
     "q90_semantic_dedup" -> (q90SemanticDedup _),
     "q91_bm25" -> (q91Bm25 _),
     "q92_chunk" -> (q92Chunk _),
-    "q93_epoch_shuffle" -> (q93EpochShuffle _)
+    "q93_epoch_shuffle" -> (q93EpochShuffle _),
+    "q95_fixed_size_sample" -> (q95FixedSizeSample _),
+    "q96_quality_calibration" -> (q96QualityCalibration _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -207,6 +225,19 @@ object CorpusQueries {
         |SELECT epoch, batch_id, count(*) AS n_docs,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
         |  min(sort_key) AS first_key
-        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q95_fixed_size_sample" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, doc_id, n_chars FROM r
+        |WHERE rn <= 30 ORDER BY lang, doc_id""".stripMargin,
+    "q96_quality_calibration" ->
+      """SELECT doc_id, lang, n_chars,
+        |  round(percent_rank() OVER (PARTITION BY lang
+        |    ORDER BY n_chars, doc_id), 6) AS calibrated
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -136,6 +136,29 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"epoch shuffle must not shuffle or sort: $nodes")
   }
 
+  test("fixedSizeSample: exactly min(k, |stratum|) per group, deterministic membership") {
+    val s = spark; import s.implicits._
+    val docs = (0L until 50L).map(i => (i, if (i < 40) "en" else "fr")).toDF("doc_id", "lang")
+    val a = Curation.fixedSizeSample(docs, "doc_id", "lang", k = 15)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.count(_._2 == "en") === 15)
+    assert(a.count(_._2 == "fr") === 10) // stratum smaller than k: all kept
+    val b = Curation.fixedSizeSample(docs, "doc_id", "lang", k = 15)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.toSet === b.toSet, "membership must be deterministic")
+  }
+
+  test("calibrateQuality: per-stratum percent_rank lands in [0,1] with max 1 per stratum") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "en", 100L), (2L, "en", 200L), (3L, "en", 300L),
+      (4L, "fr", 10L), (5L, "fr", 20L)).toDF("doc_id", "lang", "n_chars")
+    val out = Curation.calibrateQuality(docs, "lang", $"n_chars", $"doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(out(1L) === 0.0 && out(3L) === 1.0 && out(2L) === 0.5)
+    assert(out(4L) === 0.0 && out(5L) === 1.0) // fr's 20 chars calibrates to 1.0
+  }
+
   test("k-means-trained IVF recall is at least the sampled-seed recall on a clustered corpus") {
     val s = spark; import s.implicits._
     // 4 tight direction-clusters, ids interleaved so id-percentile
