@@ -70,4 +70,44 @@ object TextSearch {
       .select(col("query_id"), col(idCol), col("rank"),
         round(col("score"), 6).as("score"), col("n_terms_matched"))
   }
+
+  /** Bigram language-model perplexity per document — the CCNet-style
+    * fluency filter (Wenzek et al. 2020 score documents with a KenLM
+    * n-gram model; the standard pre-training quality gate between
+    * heuristics and classifier-based filtering). The LM here is trained
+    * ON the corpus itself in the same plan: corpus bigram/unigram
+    * counts with add-half smoothing give P(w2|w1), and each document's
+    * perplexity is exp(mean −ln P) over its bigram positions.
+    *
+    * Scale shape: one positional-bigram explode feeds BOTH the count
+    * aggregation and the scoring join — every shuffle is an equi-shuffle
+    * on a bigram/unigram/doc key with map-side partial aggregation; the
+    * model "parameters" (count tables) stay distributed, joined by key,
+    * never collected. Smoothing keeps the score total (no −∞ rows), so
+    * the operator is pure arithmetic — fully DuckDB-replicable. */
+  def bigramPerplexity(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .withColumn("toks", TextFunctions.tokens(textCol))
+      .filter(size(col("toks")) >= 2)
+    val bigrams = toks.select(col(idCol),
+      explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) AS w1, concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)) AS bg))"))
+        .as("b"))
+      .select(col(idCol), col("b.w1"), col("b.bg"))
+    val c2 = bigrams.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = bigrams.agg(countDistinct("bg").as("vocab"))
+    bigrams
+      .join(c2, Seq("bg"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("neg_logp",
+        -log((col("c2") + 0.5) / (col("c1") + lit(0.5) * col("vocab"))))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), avg("neg_logp").as("m"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("m"), 4).as("avg_neg_logp"),
+        round(exp(col("m")), 2).as("perplexity"))
+  }
 }

@@ -118,6 +118,13 @@ object CorpusQueries {
       .select(col("doc_id"), col("lang"), col("n_chars"), col("calibrated"))
       .orderBy("doc_id")
 
+  /** Bigram LM perplexity per document (CCNet-style fluency gate),
+    * model trained on the corpus in the same plan. Full hash oracle —
+    * counts are exact on both engines and the log/exp arithmetic is
+    * identical. */
+  def q97BigramPerplexity(s: SparkSession, d: String): DataFrame =
+    TextSearch.bigramPerplexity(Tables.documents(s, d)).orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_paragraph_dedup" -> (q89ParagraphDedup _),
     "q90_semantic_dedup" -> (q90SemanticDedup _),
@@ -125,7 +132,8 @@ object CorpusQueries {
     "q92_chunk" -> (q92Chunk _),
     "q93_epoch_shuffle" -> (q93EpochShuffle _),
     "q95_fixed_size_sample" -> (q95FixedSizeSample _),
-    "q96_quality_calibration" -> (q96QualityCalibration _)
+    "q96_quality_calibration" -> (q96QualityCalibration _),
+    "q97_bigram_perplexity" -> (q97BigramPerplexity _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -238,6 +246,26 @@ object CorpusQueries {
       """SELECT doc_id, lang, n_chars,
         |  round(percent_rank() OVER (PARTITION BY lang
         |    ORDER BY n_chars, doc_id), 6) AS calibrated
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q97_bigram_perplexity" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+        |e AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> {'w1': toks[i], 'bg': toks[i] || ' ' || toks[i+1]})) AS s
+        |  FROM f),
+        |b AS (SELECT doc_id, s.w1 AS w1, s.bg AS bg FROM e),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM b GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+        |v AS (SELECT count(DISTINCT bg) AS vocab FROM b),
+        |sc AS (SELECT b.doc_id,
+        |    -ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.vocab)) AS nlp
+        |  FROM b JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(nlp), 4) AS avg_neg_logp,
+        |  round(exp(avg(nlp)), 2) AS perplexity
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -223,6 +223,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_first_matches_top1")).distinct.toSeq === Seq(5L))
   }
 
+  test("bigramPerplexity matches hand-computed add-half-smoothed scores") {
+    val s = spark; import s.implicits._
+    // corpus: doc 1 "x y x y", doc 2 "x z"
+    // bigram counts: "x y"→2, "y x"→1, "x z"→1; unigram-position counts:
+    // x→3, y→1; vocab = 3 distinct bigrams
+    val docs = Seq((1L, "x y x y"), (2L, "x z")).toDF("doc_id", "text")
+    val out = TextSearch.bigramPerplexity(docs).orderBy("doc_id").collect()
+    val pXY = (2 + 0.5) / (3 + 0.5 * 3)
+    val pYX = (1 + 0.5) / (1 + 0.5 * 3)
+    val pXZ = (1 + 0.5) / (3 + 0.5 * 3)
+    val m1 = (2 * -math.log(pXY) + -math.log(pYX)) / 3
+    val m2 = -math.log(pXZ)
+    assert(out(0).getLong(1) === 3L && out(1).getLong(1) === 1L)
+    assert(math.abs(out(0).getDouble(2) - m1) < 1e-3, s"${out(0)} vs $m1")
+    assert(math.abs(out(1).getDouble(3) - math.exp(m2)) < 1e-1, s"${out(1)} vs ${math.exp(m2)}")
+    // the repetitive doc is more probable under the corpus LM than the
+    // singleton bigram doc
+    assert(out(0).getDouble(3) < out(1).getDouble(3))
+  }
+
   test("bm25TopK matches a hand-computed score") {
     val s = spark; import s.implicits._
     // 3 docs, query "apple": df=2, N=3, avgdl = (4+2+3)/3 = 3
