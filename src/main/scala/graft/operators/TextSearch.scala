@@ -90,24 +90,54 @@ object TextSearch {
     val toks = docs
       .withColumn("toks", TextFunctions.tokens(textCol))
       .filter(size(col("toks")) >= 2)
+    // w1/bg are wrapped non-null (coalesce with a literal): an inner
+    // equi-join otherwise pushes per-branch isnotnull(key) filters into
+    // the shared subtree, making the branches canonically DIFFERENT and
+    // defeating exchange reuse — with non-null keys no such filter is
+    // inserted. The values are never null anyway (concat_ws/element_at
+    // over a non-null token array).
     val bigrams = toks.select(col(idCol),
       explode(expr(
         "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) AS w1, concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)) AS bg))"))
         .as("b"))
-      .select(col(idCol), col("b.w1"), col("b.bg"))
-    val c2 = bigrams.groupBy("bg").agg(count(lit(1)).as("c2"))
-    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val v = bigrams.agg(countDistinct("bg").as("vocab"))
-    bigrams
-      .join(c2, Seq("bg"))
+      .select(col(idCol),
+        coalesce(col("b.w1"), lit("")).as("w1"),
+        coalesce(col("b.bg"), lit("")).as("bg"))
+    // Derivation chain built for exchange reuse — the naive
+    // per-consumer formulation re-exploded the corpus once per count
+    // table (4 scans):
+    //   docBg  (doc, w1, bg) → nb      the ONE corpus explode+shuffle
+    //   bgStats (w1, bg) → c2          from docBg (bg determines w1,
+    //                                  so |bgStats| = vocab size)
+    //   c1t / vocab                    from bgStats (bigram-level)
+    // Every consumer embeds the identical docBg exchange subtree, so
+    // ReuseExchange (AQE: the runtime stage cache) runs the corpus
+    // pass once.
+    val docBg = bigrams.groupBy(col(idCol), col("w1"), col("bg"))
+      .agg(count(lit(1)).as("nb"))
+    val bgStats = docBg.groupBy("w1", "bg").agg(sum("nb").as("c2"))
+    val c1 = bgStats.groupBy("w1").agg(sum("c2").as("c1"))
+    // vocab (distinct bigrams) PLUS the nb-dependent total: without an
+    // aggregate that needs the counts, RemoveRedundantAggregates
+    // collapses this branch to a bare distinct-over-explode — a
+    // canonically different subtree that forces a second corpus scan.
+    // total_bigrams is also a legitimate corpus stat, surfaced in-row
+    // (q86 pattern), so the model scale is visible next to each score.
+    val v = bgStats.agg(count(lit(1)).as("vocab"), sum("c2").as("total_bigrams"))
+    docBg
+      .join(bgStats.select("bg", "c2"), Seq("bg"))
       .join(c1, Seq("w1"))
       .crossJoin(broadcast(v))
       .withColumn("neg_logp",
         -log((col("c2") + 0.5) / (col("c1") + lit(0.5) * col("vocab"))))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"), avg("neg_logp").as("m"))
+      .agg(sum("nb").as("n_bigrams"),
+        (sum(col("nb") * col("neg_logp")) / sum("nb")).as("m"),
+        first("vocab").as("vocab"),
+        first("total_bigrams").as("total_bigrams"))
       .select(col(idCol), col("n_bigrams"),
         round(col("m"), 4).as("avg_neg_logp"),
-        round(exp(col("m")), 2).as("perplexity"))
+        round(exp(col("m")), 2).as("perplexity"),
+        col("vocab"), col("total_bigrams"))
   }
 }

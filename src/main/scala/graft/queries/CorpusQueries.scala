@@ -257,15 +257,20 @@ object CorpusQueries {
         |      i -> {'w1': toks[i], 'bg': toks[i] || ' ' || toks[i+1]})) AS s
         |  FROM f),
         |b AS (SELECT doc_id, s.w1 AS w1, s.bg AS bg FROM e),
-        |c2 AS (SELECT bg, count(*) AS c2 FROM b GROUP BY 1),
-        |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
-        |v AS (SELECT count(DISTINCT bg) AS vocab FROM b),
-        |sc AS (SELECT b.doc_id,
-        |    -ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.vocab)) AS nlp
-        |  FROM b JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN v)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(avg(nlp), 4) AS avg_neg_logp,
-        |  round(exp(avg(nlp)), 2) AS perplexity
+        |db AS (SELECT doc_id, w1, bg, count(*) AS nb FROM b GROUP BY 1, 2, 3),
+        |bs AS (SELECT w1, bg, sum(nb) AS c2 FROM db GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c2) AS c1 FROM bs GROUP BY 1),
+        |v AS (SELECT count(*) AS vocab, CAST(sum(c2) AS BIGINT) AS total_bigrams FROM bs),
+        |sc AS (SELECT db.doc_id, db.nb, v.vocab, v.total_bigrams,
+        |    -ln((bs.c2 + 0.5) / (c1.c1 + 0.5 * v.vocab)) AS nlp
+        |  FROM db
+        |  JOIN (SELECT bg, c2 FROM bs) bs USING (bg)
+        |  JOIN c1 ON db.w1 = c1.w1
+        |  CROSS JOIN v)
+        |SELECT doc_id, CAST(sum(nb) AS BIGINT) AS n_bigrams,
+        |  round(sum(nb * nlp) / sum(nb), 4) AS avg_neg_logp,
+        |  round(exp(sum(nb * nlp) / sum(nb)), 2) AS perplexity,
+        |  min(vocab) AS vocab, min(total_bigrams) AS total_bigrams
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

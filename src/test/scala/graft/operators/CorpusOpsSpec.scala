@@ -241,6 +241,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     // the repetitive doc is more probable under the corpus LM than the
     // singleton bigram doc
     assert(out(0).getDouble(3) < out(1).getDouble(3))
+    // in-row corpus stats: 3 distinct bigrams over 4 positions
+    assert(out(0).getLong(4) === 3L && out(0).getLong(5) === 4L)
+    // the whole model trains in ONE corpus pass: with AQE off (so reuse
+    // is visible statically) the executed plan must contain exactly one
+    // parquet scan — every count table rides on ReusedExchange
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = TextSearch.bigramPerplexity(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+        .queryExecution.executedPlan.toString
+      val scans = "Scan parquet".r.findAllIn(plan).length
+      assert(scans === 1,
+        s"bigram LM should derive every count table from one corpus pass, saw $scans scans")
+      assert("ReusedExchange".r.findAllIn(plan).length >= 3)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("bm25TopK matches a hand-computed score") {
