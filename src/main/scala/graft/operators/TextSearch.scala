@@ -37,20 +37,35 @@ object TextSearch {
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol), explode(TextFunctions.tokens(textCol)).as("term"))
+    // non-null id/term (coalesce with literals): join-inserted
+    // isnotnull filters would otherwise differ per branch and defeat
+    // the exchange reuse this plan is shaped for (see bigramPerplexity)
+    val toks = docs.select(
+      coalesce(col(idCol), lit(-1L)).as(idCol),
+      explode(TextFunctions.tokens(textCol)).as("term0"))
+      .select(col(idCol), coalesce(col("term0"), lit("")).as("term"))
     val qTerms = broadcast(
       queries.select(col("query_id"),
         explode(array_distinct(TextFunctions.tokens("query_text"))).as("term")))
-    // per-doc length BEFORE the query filter (dl is a property of the
-    // document, not of the matched subset)
-    val docLen = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    // ONE corpus explode+aggregate — doc length, corpus stats, and the
+    // matched term frequencies all derive from tokCounts, so the
+    // explode's exchange is computed once (ReuseExchange; spec-asserted
+    // single scan). dl is the total token count per doc (sum of tf over
+    // ALL terms — a property of the document, not the matched subset).
+    val tokCounts = toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val docLen = tokCounts.groupBy(idCol).agg(sum("tf").as("dl"))
+    // avg(dl) is tf-dependent, which also keeps the optimizer from
+    // collapsing this branch into a separate distinct-over-explode
     val corpusStats = broadcast(
       docLen.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl")))
-    // broadcast-join the tiny term table first: everything downstream is
-    // linear in the MATCHED tokens only
-    val matched = toks.join(qTerms.select("term").distinct().hint("broadcast"), Seq("term"))
-    val tf = matched.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // broadcast-join the tiny term table: everything downstream is
+    // linear in the MATCHED (doc, term) groups only
+    val tf = tokCounts.join(qTerms.select("term").distinct().hint("broadcast"), Seq("term"))
+    // tf > 0 is always true (counts are ≥ 1) but the optimizer cannot
+    // prove it, so RemoveRedundantAggregates can't collapse this branch
+    // into a separate distinct-over-explode corpus scan — it must reuse
+    // the tokCounts exchange like everything else
+    val df_ = tf.filter(col("tf") > 0).groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(df_), Seq("term"))
       .join(docLen, Seq(idCol))

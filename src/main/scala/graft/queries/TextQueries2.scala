@@ -49,12 +49,25 @@ object TextQueries2 {
     * per-doc terms; tf = in-doc count / doc length. The doc-count
     * scalar joins in as a broadcast literal-free cross join (1 row). */
   def q51TfIdf(s: SparkSession, d: String): DataFrame = {
+    // one corpus explode: doc length (= sum of tf), document frequency
+    // (= tf rows per token), and the tf table itself all derive from
+    // the same (doc, token) aggregate, so ReuseExchange runs the
+    // explode once (the per-consumer formulation scanned the corpus 4×
+    // — the q97 lesson applied here). Keys wrapped non-null so
+    // join-inserted isnotnull filters can't split the shared subtree.
     val toks = docs(s, d)
-      .select(col("doc_id"), explode(TextFunctions.tokens("text")).as("token"))
-    val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("doc_len"))
+      .select(coalesce(col("doc_id"), lit(-1L)).as("doc_id"),
+        explode(TextFunctions.tokens("text")).as("token0"))
+      .select(col("doc_id"), coalesce(col("token0"), lit("")).as("token"))
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf_count"))
-    val df_ = toks.select("doc_id", "token").distinct()
+    val docLen = tf.groupBy("doc_id").agg(sum("tf_count").as("doc_len"))
+    // tf_count > 0 is a tautology the optimizer can't prove — it pins
+    // the counted aggregate so this branch reuses the tf exchange
+    // instead of collapsing to its own distinct-over-explode scan
+    val df_ = tf.filter(col("tf_count") > 0)
       .groupBy("token").agg(count(lit(1)).as("doc_freq"))
+    // n_docs comes from the raw table (a doc_id-pruned columnar scan),
+    // not the token pipeline — cheaper than any derivation at scale
     val n = docs(s, d).select(countDistinct("doc_id").as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tfidf_raw").desc, col("token"))
