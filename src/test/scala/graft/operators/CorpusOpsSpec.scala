@@ -258,6 +258,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("bm25 and tf-idf run one corpus explode (exchange reuse, AQE off)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val bm25Plan = graft.queries.CorpusQueries.q91Bm25(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert("Scan parquet".r.findAllIn(bm25Plan).length === 1,
+        "BM25 must derive doc length, df, and corpus stats from one corpus pass")
+      val tfidfPlan = graft.queries.TextQueries2.q51TfIdf(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      // 2 scans: the token pipeline + the intentional doc_id-pruned n_docs count
+      assert("Scan parquet".r.findAllIn(tfidfPlan).length <= 2,
+        "TF-IDF must derive doc length and df from one token explode")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("bm25TopK matches a hand-computed score") {
     val s = spark; import s.implicits._
     // 3 docs, query "apple": df=2, N=3, avgdl = (4+2+3)/3 = 3
