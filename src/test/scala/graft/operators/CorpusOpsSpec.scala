@@ -35,6 +35,18 @@ class CorpusOpsSpec extends AnyFunSuite {
       (5L, 1L, 0L, "")))                               // "keep a" seen at (1,1)
   }
 
+  test("paragraphDedup is idempotent: a second pass keeps every surviving paragraph") {
+    val s = spark; import s.implicits._
+    val docs = (0L until 40L).map { i =>
+      (i, s"shared intro paragraph\nbody $i text\n${if (i % 3 == 0) "common footer block" else s"tail $i"}")
+    }.toDF("doc_id", "text")
+    val once = Dedup.paragraphDedup(docs)
+      .select(col("doc_id"), col("text_dedup").as("text"))
+    val twice = Dedup.paragraphDedup(once).collect()
+    assert(twice.forall(r => r.getLong(1) === r.getLong(2)),
+      "second pass must keep every paragraph (n_paras == n_kept)")
+  }
+
   test("paragraphDedup trims paragraphs before hashing and reassembly") {
     val s = spark; import s.implicits._
     val docs = Seq((1L, "  padded para  \nx"), (2L, "padded para")).toDF("doc_id", "text")
