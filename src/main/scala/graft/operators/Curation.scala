@@ -179,9 +179,10 @@ object Curation {
   def fixedSizeSample(df: DataFrame, key: String, stratum: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(stratum)).orderBy(md5(col(key).cast("string")), col(key))
-    df.withColumn("sample_rank", row_number().over(w))
-      .filter(col("sample_rank") <= k)
-      .drop("sample_rank")
+    val rank = "__graft_sample_rank" // avoid colliding with caller columns
+    df.withColumn(rank, row_number().over(w))
+      .filter(col(rank) <= k)
+      .drop(rank)
   }
 
   /** Per-stratum quality calibration: percent_rank of a raw quality

@@ -558,8 +558,11 @@ object Dedup {
     * what makes the driver's q89 a full hash-oracle check. */
   def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", sep: String = "\n"): DataFrame = {
+    // sep is a LITERAL separator (quoted before the regex-based split):
+    // a caller passing "." or "|" must not silently split on every char
     val paras = docs
-      .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("pos", "para_raw")))
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("pos", "para_raw")))
       .select(col(idCol), col("pos"), trim(col("para_raw")).as("para"))
       .filter(col("para") =!= "")
     val w = org.apache.spark.sql.expressions.Window
