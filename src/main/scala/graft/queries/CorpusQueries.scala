@@ -125,7 +125,32 @@ object CorpusQueries {
   def q97BigramPerplexity(s: SparkSession, d: String): DataFrame =
     TextSearch.bigramPerplexity(Tables.documents(s, d)).orderBy("doc_id")
 
+  /** Capstone composition over the round's NEW operators — the q69
+    * pattern applied to the second generation: paragraph-level dedup →
+    * per-language calibrated quality gate (≥ 0.2) → overlapping
+    * token-window chunking → epoch-shuffled batch assignment, all in
+    * ONE plan with no driver-side data movement; every stage is an
+    * already-verified operator and the whole chain is hash-checked
+    * end-to-end. */
+  def q98CorpusBuild2(s: SparkSession, d: String): DataFrame = {
+    val deduped = Dedup.paragraphDedup(Tables.documents(s, d))
+      .filter(col("n_kept") >= 1)
+      .join(Tables.documents(s, d).select("doc_id", "lang"), Seq("doc_id"))
+    val gated = Curation.calibrateQuality(deduped, "lang",
+      length(col("text_dedup")), col("doc_id"))
+      .filter(col("calibrated") >= 0.2)
+    val chunks = Curation.chunkTokens(
+      gated.select(col("doc_id"), col("text_dedup").as("text")),
+      chunkSize = 64, stride = 48)
+      .withColumn("chunk_key", concat_ws(":", col("doc_id"), col("chunk_id")))
+    Curation.epochShuffle(chunks, "chunk_key", epoch = 0, nBatches = 16)
+      .select(col("doc_id"), col("chunk_id"), col("batch_id"),
+        col("chunk_len"), col("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_corpus_build2" -> (q98CorpusBuild2 _),
     "q89_paragraph_dedup" -> (q89ParagraphDedup _),
     "q90_semantic_dedup" -> (q90SemanticDedup _),
     "q91_bm25" -> (q91Bm25 _),
@@ -137,6 +162,44 @@ object CorpusQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q98_corpus_build2" ->
+      """WITH p AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM documents),
+        |e AS (SELECT doc_id, unnest(list_transform(range(1, len(ps) + 1),
+        |        i -> {'pos': i, 'para': trim(ps[i])})) AS s FROM p),
+        |f AS (SELECT doc_id, s.pos AS pos, s.para AS para FROM e WHERE s.para <> ''),
+        |kf AS (SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+        |  FROM f),
+        |agg AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10) ORDER BY pos), '') AS txt
+        |  FROM kf GROUP BY 1),
+        |base AS (SELECT a.doc_id, d.lang, a.txt
+        |  FROM agg a JOIN documents d USING (doc_id)
+        |  WHERE a.n_kept >= 1),
+        |cal AS (SELECT doc_id, txt,
+        |    round(percent_rank() OVER (PARTITION BY lang
+        |      ORDER BY length(txt), doc_id), 6) AS q
+        |  FROM base),
+        |kept AS (SELECT doc_id, txt FROM cal WHERE q >= 0.2),
+        |t AS (SELECT doc_id, string_split_regex(lower(trim(txt)), '\s+') AS toks FROM kept),
+        |n AS (SELECT doc_id, toks, len(toks) AS n_toks FROM t WHERE len(toks) >= 1),
+        |c AS (SELECT doc_id, toks,
+        |    CAST(1 + ceil(greatest(n_toks - 64, 0) / 48.0) AS INT) AS n_chunks FROM n),
+        |ch AS (SELECT doc_id, toks,
+        |    unnest(list_transform(range(0, n_chunks), i -> {'cid': i, 'st': i * 48})) AS s
+        |  FROM c),
+        |fc AS (SELECT doc_id, CAST(s.cid AS INT) AS chunk_id,
+        |    list_slice(toks, s.st + 1, s.st + 64) AS chunk_toks FROM ch),
+        |sh AS (SELECT doc_id, chunk_id,
+        |    CAST(len(chunk_toks) AS INT) AS chunk_len,
+        |    md5(array_to_string(chunk_toks, ' ')) AS chunk_fp,
+        |    md5('epoch:0:' || doc_id || ':' || chunk_id) AS sk
+        |  FROM fc)
+        |SELECT doc_id, chunk_id,
+        |  ('0x' || substr(sk, 1, 6))::BIGINT % 16 AS batch_id,
+        |  chunk_len, chunk_fp
+        |FROM sh ORDER BY doc_id, chunk_id""".stripMargin,
     "q89_paragraph_dedup" ->
       """WITH allr AS (
         |  SELECT doc_id, text FROM documents
