@@ -27,7 +27,9 @@ object Curation {
   def stratifiedSample(df: DataFrame, key: String, stratum: String,
       fractions: Map[String, Double]): DataFrame = {
     val keep = fractions.foldLeft(lit(false)) { case (acc, (value, frac)) =>
-      when(col(stratum) === value, hashBucket(col(key)) < (frac * 100).toInt).otherwise(acc)
+      // round, don't truncate: (0.29 * 100).toInt is 28 in IEEE doubles
+      when(col(stratum) === value,
+        hashBucket(col(key)) < math.round(frac * 100).toInt).otherwise(acc)
     }
     df.filter(keep)
   }
@@ -36,7 +38,7 @@ object Curation {
     * weight, then union — the standard corpus-mixing shape. */
   def mix(sources: Seq[(DataFrame, Double)], key: String): DataFrame =
     sources.map { case (df, weight) =>
-      df.filter(hashBucket(col(key)) < (weight * 100).toInt)
+      df.filter(hashBucket(col(key)) < math.round(weight * 100).toInt)
     }.reduce(_ unionByName _)
 
   /** Deterministic uniform unit-interval draw in [0, 1) from a key:
@@ -248,7 +250,11 @@ object Curation {
     * any large pipeline stage. */
   def compact(df: DataFrame, targetMB: Int = 128): DataFrame = {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val parts = math.max(1, (bytes / (targetMB.toLong * 1024 * 1024)).toInt)
+    // clamp BEFORE narrowing: a no-stats plan reports Long.MaxValue
+    // bytes, whose partition count wraps negative under .toInt and
+    // would silently collapse the frame to one partition
+    val parts = (bytes / (targetMB.toLong * 1024 * 1024))
+      .min(BigInt(1 << 20)).max(BigInt(1)).toInt
     df.repartition(parts)
   }
 }

@@ -27,6 +27,12 @@ import graft.plans.GraftFunctions
   */
 object Similarity {
 
+  // Per-call unique temp-function names (ivf_cells_N / kmeans_cells_N)
+  // are never deregistered: an earlier call's lazily re-evaluated result
+  // must keep resolving against ITS centroid table (deregistering
+  // reintroduces the r2 wrong-centroids bug as a function-not-found
+  // error). The cost is one k×d float table per call held by the
+  // session registry — bounded by calls per session, freed with it.
   private val ivfCallCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
   private def ranked(scored: DataFrame, k: Int): DataFrame = {
@@ -75,11 +81,17 @@ object Similarity {
     * side is tiny (nQueries·k rows) and broadcast. */
   def recallVsExact(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     val hits = broadcast(exact.select(col("query_id"), col("vec_id"), lit(1).as("hit")))
+    // denominator = the exact result's ACTUAL per-query size, not k: on
+    // a corpus smaller than k the exact top-k has fewer rows, and a
+    // perfect approx result must read recall 1.0, not |exact|/k
+    val exactN = broadcast(exact.groupBy("query_id").agg(count(lit(1)).as("n_exact")))
     val w = Window.partitionBy("query_id")
     approx.join(hits, Seq("query_id", "vec_id"), "left")
+      .join(exactN, Seq("query_id"))
       .withColumn("in_exact", coalesce(col("hit"), lit(0)))
-      .withColumn("recall_vs_exact", round(sum("in_exact").over(w) / k.toDouble, 2))
-      .drop("hit")
+      .withColumn("recall_vs_exact",
+        round(sum("in_exact").over(w) / col("n_exact"), 2))
+      .drop("hit", "n_exact")
   }
 
   /** Deterministic pseudo-random hyperplane sign-bucket: hash of

@@ -39,7 +39,10 @@ object TextSearch {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // non-null id/term (coalesce with literals): join-inserted
     // isnotnull filters would otherwise differ per branch and defeat
-    // the exchange reuse this plan is shaped for (see bigramPerplexity)
+    // the exchange reuse this plan is shaped for (see bigramPerplexity).
+    // PRECONDITION: document ids are non-null (the engine's pinned
+    // schemas guarantee it) — with null ids present, every null-id doc
+    // would merge into the -1 sentinel and corrupt its dl/tf stats
     val toks = docs.select(
       coalesce(col(idCol), lit(-1L)).as(idCol),
       explode(TextFunctions.tokens(textCol)).as("term0"))

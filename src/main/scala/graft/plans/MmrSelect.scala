@@ -41,6 +41,18 @@ case class MmrSelect(child: Expression, k: Int, lambda: Double)
   override def prettyName: String = "mmr_select"
   override def stringArgs: Iterator[Any] = Iterator(child, k, lambda)
 
+  // emb may arrive as array<float> (raw embeddings) or array<double>
+  // (e.g. dequantized vectors) — a float-only read would silently
+  // reinterpret doubles at the wrong stride
+  @transient private lazy val embIsDouble: Boolean = child.dataType match {
+    case ArrayType(StructType(fields), _) if fields.length >= 2 =>
+      fields(1).dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      }
+    case _ => false
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -56,18 +68,28 @@ case class MmrSelect(child: Expression, k: Int, lambda: Double)
       val d = e.numElements()
       val v = new Array[Double](d)
       var j = 0
-      while (j < d) { v(j) = e.getFloat(j).toDouble; j += 1 }
+      while (j < d) {
+        v(j) = if (embIsDouble) e.getDouble(j) else e.getFloat(j).toDouble
+        j += 1
+      }
       var nrm = 0.0
       j = 0
       while (j < d) { nrm += v(j) * v(j); j += 1 }
       if (nrm > 0) { nrm = math.sqrt(nrm); j = 0; while (j < d) { v(j) /= nrm; j += 1 } }
       embs(i) = v
-      scores(i) = r.getDouble(2)
+      // NaN relevance ranks LAST (NaN fails every comparison, which
+      // would otherwise leave the argmax empty and crash the loop)
+      val s = r.getDouble(2)
+      scores(i) = if (s.isNaN) Double.NegativeInfinity else s
       i += 1
     }
     val nOut = math.min(k, n)
     val used = new Array[Boolean](n)
-    val maxSim = new Array[Double](n) // max cosine to any selected item
+    // max cosine to any selected item; initialized to cosine's true
+    // lower bound so anti-correlated candidates keep their (negative)
+    // diversity bonus instead of being clamped to 0 — and so a NaN dot
+    // (bad embedding) cannot grant an unbounded bonus
+    val maxSim = Array.fill(n)(-1.0)
     val out = new Array[Any](nOut)
     var sel = 0
     while (sel < nOut) {
@@ -76,6 +98,8 @@ case class MmrSelect(child: Expression, k: Int, lambda: Double)
       var c = 0
       while (c < n) {
         if (!used(c)) {
+          // first pick: pure-relevance argmax (the conventional seed of
+          // the greedy — at lambda=0 the formula alone would tie at 0)
           val v =
             if (sel == 0) scores(c)
             else lambda * scores(c) - (1.0 - lambda) * maxSim(c)
@@ -86,7 +110,12 @@ case class MmrSelect(child: Expression, k: Int, lambda: Double)
         c += 1
       }
       used(best) = true
-      out(sel) = new GenericInternalRow(Array[Any](ids(best), bestVal, sel + 1))
+      // emitted value is the MMR objective on a single scale: for the
+      // first pick the selected-set max is empty (taken as 0), so the
+      // value is lambda·relevance like every later rank — not the raw
+      // relevance, which would mix scales within one output column
+      val emitVal = if (sel == 0) lambda * scores(best) else bestVal
+      out(sel) = new GenericInternalRow(Array[Any](ids(best), emitVal, sel + 1))
       val bv = embs(best)
       c = 0
       while (c < n) {

@@ -54,7 +54,8 @@ object TextQueries2 {
     // the same (doc, token) aggregate, so ReuseExchange runs the
     // explode once (the per-consumer formulation scanned the corpus 4×
     // — the q97 lesson applied here). Keys wrapped non-null so
-    // join-inserted isnotnull filters can't split the shared subtree.
+    // join-inserted isnotnull filters can't split the shared subtree
+    // (precondition: doc ids non-null, guaranteed by the pinned schema).
     val toks = docs(s, d)
       .select(coalesce(col("doc_id"), lit(-1L)).as("doc_id"),
         explode(TextFunctions.tokens("text")).as("token0"))
