@@ -245,6 +245,43 @@ object TextQueries2 {
     hitters.crossJoin(broadcast(guarantee)).orderBy("token")
   }
 
+  /** Count-min sketch vs exact counts — completes the mergeable-sketch
+    * toolkit (q62 HLL + quantile, q84 Bloom, q86 KPS frequent items):
+    * one `count_min_sketch` aggregate pass over the token stream (a
+    * fixed d×w counter grid, mergeable across partitions — at 100 TB
+    * the frequency table that never materializes per-key state), then
+    * the driver probes the sketch artifact (a few KB, the same driver
+    * size class as IVF centroids) for each exact heavy hitter. The CMS
+    * contract — estimates NEVER underestimate, and overestimate by at
+    * most eps·N with probability 1−delta — is surfaced in-row:
+    * `n_underestimates` must be 0, `rel_err` shows the collision
+    * inflation next to ground truth. Rows-only for the driver (the
+    * sketch's hash layout isn't SQL-replicable), self-evidencing. */
+  def q99CountMin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val support = 0.02
+    val toks = docs(s, d)
+      .select(explode(TextFunctions.tokens("text")).as("token"))
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_count"))
+    val total = exact.agg(sum("exact_count")).head().getLong(0)
+    val hitters = exact.filter(col("exact_count") > support * total)
+    val sketchBytes = toks
+      .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    // the probe set is the bounded heavy-hitter list (≤ 1/support),
+    // not the token universe — driver work stays sketch-sized
+    val probed = hitters.collect().map { r =>
+      (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0)))
+    }.toSeq.toDF("token", "exact_count", "cms_estimate")
+      .withColumn("underestimated", (col("cms_estimate") < col("exact_count")).cast("int"))
+      .withColumn("rel_err",
+        round((col("cms_estimate") - col("exact_count")) / col("exact_count"), 4))
+    val g = probed.agg(sum("underestimated").as("n_underestimates"))
+    probed.crossJoin(broadcast(g)).drop("underestimated").orderBy("token")
+  }
+
   /** Bloom decontamination funnel, self-evidencing: every train doc
     * with its exact shared-shingle count against the test split AND the
     * bloom pre-filter verdict. The Bloom no-false-negative guarantee is
@@ -336,6 +373,7 @@ object TextQueries2 {
     "q83_observe_quality" -> (q83ObserveQuality _),
     "q84_bloom_decontaminate" -> (q84BloomDecontaminate _),
     "q86_heavy_hitters" -> (q86HeavyHitters _),
+    "q99_count_min" -> (q99CountMin _),
     "q58_weighted_sample" -> (q58WeightedSample _),
     "q59_contamination" -> (q59Contamination _),
     "q60_pack" -> (q60Pack _),

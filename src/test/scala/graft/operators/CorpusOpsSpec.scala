@@ -235,6 +235,15 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_first_matches_top1")).distinct.toSeq === Seq(5L))
   }
 
+  test("q99's count-min no-underestimate guarantee holds on real testdata") {
+    val out = graft.queries.TextQueries2.q99CountMin(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("n_underestimates")).distinct.toSeq === Seq(0L),
+      "CMS must never underestimate a count")
+    // at eps=0.001 over a small corpus, estimates should be near-exact
+    assert(out.forall(_.getAs[Double]("rel_err") <= 0.05))
+  }
+
   test("bigramPerplexity matches hand-computed add-half-smoothed scores") {
     val s = spark; import s.implicits._
     // corpus: doc 1 "x y x y", doc 2 "x z"
