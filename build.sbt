@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify stdout contract: the metric JSON must be the LAST stdout
+// line the driver captures. Three sbt behaviors break that when the
+// driver invokes `sbt "runMain graft.Bench"`:
+//   1. sbt's logger prefixes forked-process stdout with "[info] "
+//      -> StdoutOutput passes the forked stream through verbatim;
+//   2. sbt prints "[success]" after the forked JVM halts
+//      -> Global / showSuccess := false;
+//   3. sbt prints "Total time: N s" after that -> showTiming := false.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
