@@ -160,10 +160,41 @@ object StreamingOps {
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
       outputMode: String = "complete", drainPartitions: Int = 8,
       awaitRows: Long = 0L, awaitWatermarkMicros: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
     try spark.catalog.dropTempView(name) catch { case _: Exception => () }
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, math.min(prev.toInt, drainPartitions).toString)
+    // append-mode emission of watermark-closed windows/evicted outer
+    // rows happens in the trailing NO-DATA micro-batch, which
+    // processAllAvailable does not wait for. Primary wait: a listener
+    // latch — QueryProgressEvent posts AFTER a batch commits (sink rows
+    // visible), so a zero-input batch whose planning watermark passed
+    // the target IS the terminal eviction batch; once it commits there
+    // is nothing left to emit (the watermark cannot advance again
+    // without new data). Registered BEFORE start() so the event cannot
+    // be missed. The pre-r4 sleep-polls (watermark poll + row-count
+    // stillness) remain as a bounded fallback — they cost a fixed ~1 s+
+    // per drain, which dominated the streaming bench queries.
+    val needsDrainWait = awaitRows > 0 || awaitWatermarkMicros.isDefined
+    val target = awaitWatermarkMicros.map(wm =>
+      java.time.Instant.ofEpochSecond(wm / 1000000L, (wm % 1000000L) * 1000L))
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val listener: StreamingQueryListener = if (!needsDrainWait) null else
+      new StreamingQueryListener {
+        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+          val p = e.progress
+          if (p.name == name && p.numInputRows == 0L) {
+            val wmOk = target.forall(t =>
+              Option(p.eventTime.get("watermark"))
+                .map(java.time.Instant.parse).exists(!_.isBefore(t)))
+            if (wmOk) latch.countDown()
+          }
+        }
+        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+    if (listener != null) spark.streams.addListener(listener)
     try {
       val q = stream.writeStream
         .outputMode(outputMode)
@@ -171,37 +202,37 @@ object StreamingOps {
         .queryName(name)
         .start()
       q.processAllAvailable()
-      // append-mode emission of watermark-closed windows/evicted outer
-      // rows happens in the trailing NO-DATA micro-batch, which
-      // processAllAvailable does not wait for. Two bounded wait modes:
-      //  - awaitRows: until the sink holds >= N rows (single-emission
-      //    drains, e.g. session windows);
-      //  - awaitWatermarkMicros: until a batch has RUN whose planning
-      //    watermark passed the target (multi-emission drains, e.g.
-      //    outer joins that emit matches first and evictions later).
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      while (awaitRows > 0 && spark.table(name).count() < awaitRows &&
-        System.nanoTime() < deadline) Thread.sleep(200)
-      awaitWatermarkMicros.foreach { wm =>
-        val target = java.time.Instant.ofEpochSecond(wm / 1000000L, (wm % 1000000L) * 1000L)
-        def current: Option[java.time.Instant] =
-          Option(q.lastProgress)
-            .flatMap(p => Option(p.eventTime.get("watermark")))
-            .map(java.time.Instant.parse)
-        while (current.forall(_.isBefore(target)) && System.nanoTime() < deadline)
-          Thread.sleep(200)
-        // state EVICTION lags the watermark update by a further no-data
-        // batch — wait until the sink row count holds still for ~1 s
-        var last = -1L
-        var stable = 0
-        while (stable < 4 && System.nanoTime() < deadline) {
-          val n = spark.table(name).count()
-          if (n == last) stable += 1 else { stable = 0; last = n }
-          Thread.sleep(250)
+      if (needsDrainWait) {
+        val drained =
+          latch.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        if (!drained) {
+          // fallback: the original bounded sleep-polls
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          while (awaitRows > 0 && spark.table(name).count() < awaitRows &&
+            System.nanoTime() < deadline) Thread.sleep(200)
+          target.foreach { t =>
+            def current: Option[java.time.Instant] =
+              Option(q.lastProgress)
+                .flatMap(p => Option(p.eventTime.get("watermark")))
+                .map(java.time.Instant.parse)
+            while (current.forall(_.isBefore(t)) && System.nanoTime() < deadline)
+              Thread.sleep(200)
+            // state EVICTION lags the watermark update by a further
+            // no-data batch — wait until the sink count holds still
+            var last = -1L
+            var stable = 0
+            while (stable < 4 && System.nanoTime() < deadline) {
+              val n = spark.table(name).count()
+              if (n == last) stable += 1 else { stable = 0; last = n }
+              Thread.sleep(250)
+            }
+          }
         }
       }
       q.stop()
     } finally {
+      if (listener != null)
+        try spark.streams.removeListener(listener) catch { case _: Exception => () }
       spark.conf.set(key, prev)
       try org.apache.spark.sql.graft.StateStoreHooks.stopAll()
       catch { case _: Exception => () }
