@@ -112,15 +112,24 @@ object Curation {
     * of magnitude. The Bloom guarantee (no false negatives) means the
     * funnel is sound: every truly-contaminated doc carries
     * `bloom_hit = true`; false positives only cost extra work in the
-    * exact stage, bounded by `fpp` per probed shingle. The probe UDF is
-    * the deliberate exception to the no-UDF rule: Spark has no public
-    * bloom-probe expression (`might_contain` is internal to runtime
-    * filtering), the filter rides a broadcast variable, and the lambda
-    * is a row-local bit test.
+    * exact stage, bounded by `fpp` per probed shingle.
     *
-    * Determinism: `DataFrameStatFunctions.bloomFilter` uses a fixed
-    * seed, so the same corpus + fpp gives the same filter bits on every
-    * run and cluster layout. */
+    * Fully native since r4: the sketch is built by `bloom_filter_agg`
+    * over `xxhash64(shingle)` — a distributed mergeable aggregate
+    * (partial sketches bit-OR on executors; only the final KB-sized
+    * binary reaches the driver, vs `stat.bloomFilter`'s driver-side
+    * `treeAggregate` merge of per-partition filters) — and the probe is
+    * Spark's own `BloomFilterMightContain` expression (registered as
+    * `might_contain` by [[graft.plans.GraftFunctions]]) inside a
+    * codegen'd `exists` lambda. The probe expression requires a
+    * FOLDABLE sketch side, so the one-row binary is inlined as a
+    * literal — the same KB-scale driver materialization every sketch
+    * op here makes, not a data collect.
+    *
+    * Determinism: bloom insertion order is irrelevant (bit-OR), and
+    * both the per-item hashing and `xxhash64` are seed-fixed, so the
+    * same corpus + fpp gives the same filter bits on every run and
+    * cluster layout. */
   def bloomContaminationPrefilter(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, fpp: Double = 0.01): DataFrame = {
     import graft.functions.TextFunctions._
@@ -137,15 +146,22 @@ object Curation {
     val nItems = testSh.count()
     val train = tagged.filter(col("split") === "train")
     if (nItems == 0) {
-      // empty test split: Spark's stat.bloomFilter NPEs on an empty
-      // frame, and semantically nothing can be contaminated
+      // empty test split: a zero-item sketch is degenerate, and
+      // semantically nothing can be contaminated
       train.select(col(idCol).as("train_doc"), col("sh"), lit(false).as("bloom_hit"))
     } else {
-      val bf = testSh.stat.bloomFilter("shingle", nItems, fpp)
-      val bfBc = docs.sparkSession.sparkContext.broadcast(bf)
-      val probe = udf((shs: Seq[String]) =>
-        shs != null && shs.exists(bfBc.value.mightContainString))
-      train.select(col(idCol).as("train_doc"), col("sh"), probe(col("sh")).as("bloom_hit"))
+      // optimal bit count for the target fpp (standard Bloom formula),
+      // floored at 64 so tiny test splits still get a valid sketch
+      val numBits = math.max(64L,
+        math.ceil(-nItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+      val bfBytes = testSh
+        .agg(call_function("bloom_filter_agg",
+          xxhash64(col("shingle")), lit(nItems), lit(numBits)).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      val probe = exists(col("sh"),
+        s => call_function("might_contain", lit(bfBytes), xxhash64(s)))
+      train.select(col(idCol).as("train_doc"), col("sh"),
+        coalesce(probe, lit(false)).as("bloom_hit"))
     }
   }
 

@@ -39,5 +39,20 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "mmr_select",
       exprs => MmrSelect(exprs(0), intLit(exprs(1)), dblLit(exprs(2))), "built-in")
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain (the
+    // distributed sketch build + codegen'd probe behind runtime
+    // row-group filtering) but keeps both in its INTERNAL function
+    // registry, off the SQL search path. Exposing them makes the
+    // build+probe pair fully native: no UDF, no broadcast variable.
+    // The probe's sketch side must be foldable (a collected literal)
+    // or a scalar subquery per the expression's own input check.
+    reg.createOrReplaceTempFunction(
+      "bloom_filter_agg",
+      exprs => org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2), 0, 0).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
   }
 }
