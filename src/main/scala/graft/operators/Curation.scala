@@ -266,11 +266,17 @@ object Curation {
     * any large pipeline stage. */
   def compact(df: DataFrame, targetMB: Int = 128): DataFrame = {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    // clamp BEFORE narrowing: a no-stats plan reports Long.MaxValue
-    // bytes, whose partition count wraps negative under .toInt and
-    // would silently collapse the frame to one partition
-    val parts = (bytes / (targetMB.toLong * 1024 * 1024))
-      .min(BigInt(1 << 20)).max(BigInt(1)).toInt
-    df.repartition(parts)
+    // a no-stats plan reports ~Long.MaxValue bytes — any partition
+    // count derived from it is garbage in BOTH directions (one
+    // partition after a negative .toInt wrap, or a 2^20-partition
+    // shuffle after a naive cap), so keep the frame's current
+    // partitioning instead of inventing one
+    if (bytes >= BigInt(Long.MaxValue) / 2) {
+      df.repartition(math.max(1, df.rdd.getNumPartitions))
+    } else {
+      val parts = (bytes / (targetMB.toLong * 1024 * 1024))
+        .min(BigInt(1 << 20)).max(BigInt(1)).toInt
+      df.repartition(parts)
+    }
   }
 }

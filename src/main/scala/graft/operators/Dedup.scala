@@ -598,7 +598,12 @@ object Dedup {
     * non-survivor member of a duplicate component, labeled with its
     * component's min id. `maxCluster` is the same skew guard as the
     * sketch dedups: a degenerate cluster (all-zero embeddings) must not
-    * go quadratic. */
+    * go quadratic. The cap trades recall for boundedness, so the trade
+    * is made VISIBLE: every output row carries `capped_clusters` /
+    * `capped_rows` (clusters skipped by the cap and the rows inside
+    * them — rows whose duplicates, if any, were not searched). Zero
+    * means full within-cluster recall; the audit comes from a cheap
+    * per-cell count aggregate, not the heavy embedding-list branch. */
   def semanticDedup(emb: DataFrame, eps: Double = 0.97,
       k: Int = 16, maxIter: Int = 8,
       idCol: String = "vec_id", embCol: String = "embedding",
@@ -624,8 +629,15 @@ object Dedup {
         expr("cosine_sim(p.ea, p.eb)").as("cosine"))
       .filter(col("cosine") >= eps)
     val labels = connectedComponents(pairs.select("doc_a", "doc_b"))
+    // skew-cap audit: one light count-by-cell pass (partial-aggregated,
+    // no embedding arrays), reduced to a single broadcastable row
+    val capAudit = assigned.groupBy("cell").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > maxCluster)
+      .agg(count(lit(1)).as("capped_clusters"),
+        coalesce(sum("sz"), lit(0L)).as("capped_rows"))
     labels.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as(idCol), col("cluster_id").as("survivor_id"))
       .join(assigned.select(col("id").as(idCol), col("cell")), Seq(idCol))
+      .crossJoin(broadcast(capAudit))
   }
 }

@@ -83,7 +83,7 @@ case class MmrSelect(child: Expression, k: Int, lambda: Double)
       scores(i) = if (s.isNaN) Double.NegativeInfinity else s
       i += 1
     }
-    val nOut = math.min(k, n)
+    var nOut = math.min(k, n)
     val used = new Array[Boolean](n)
     // max cosine to any selected item; initialized to cosine's true
     // lower bound so anti-correlated candidates keep their (negative)
@@ -109,6 +109,11 @@ case class MmrSelect(child: Expression, k: Int, lambda: Double)
         }
         c += 1
       }
+      // every remaining candidate can be objective-NaN (e.g. lambda = 0
+      // with a -Inf-mapped NaN relevance: 0 * -Inf = NaN, which no
+      // comparison admits) — emit the shorter ranking instead of
+      // indexing used(-1)
+      if (best < 0) { nOut = sel } else {
       used(best) = true
       // emitted value is the MMR objective on a single scale: for the
       // first pick the selected-set max is empty (taken as 0), so the
@@ -130,8 +135,9 @@ case class MmrSelect(child: Expression, k: Int, lambda: Double)
         c += 1
       }
       sel += 1
+      }
     }
-    new GenericArrayData(out)
+    new GenericArrayData(if (nOut < out.length) out.take(nOut) else out)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

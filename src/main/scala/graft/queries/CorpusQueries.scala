@@ -60,7 +60,8 @@ object CorpusQueries {
     val g = removed.agg(sum("is_planted").as("planted_removed"))
     removed.crossJoin(broadcast(g))
       .select(col("vec_id"), col("survivor_id"), col("cell"),
-        col("is_planted"), col("planted_removed"))
+        col("is_planted"), col("planted_removed"),
+        col("capped_clusters"), col("capped_rows"))
       .orderBy("vec_id")
   }
 
