@@ -32,17 +32,36 @@ object Analytics {
 
   /** Q-timeseries (A3/W1): all-cities daily series (mean temp, summed
     * energy), optionally first-differenced for the stationarity toggle
-    * (reference dashboards/app.py:701-716). */
+    * (reference dashboards/app.py:701-716).
+    *
+    * The diff lag runs over a YEAR-partitioned window, not a global
+    * `Window.orderBy` (which moves the whole series to one partition —
+    * harmless at rows = #days, but the wrong template to copy into a
+    * per-key series at scale). Year boundaries stay exact: each year's
+    * last row is unioned into the NEXT year's partition as a carry row
+    * that feeds the lag and is dropped from the output, so the
+    * partitioned diff equals the global one row-for-row. */
   def timeSeries(fact: DataFrame, diff: Boolean = false): DataFrame = {
     val daily = fact.groupBy("date")
       .agg(avg("temp_avg_f").as("temp_avg_f"), sum("energy_demand_gwh").as("energy_demand_gwh"))
     if (!diff) daily.orderBy("date")
     else {
-      val w = Window.orderBy("date")
-      daily
+      val keyed = daily.withColumn("yr", year(col("date")))
+        .withColumn("carry", lit(false))
+      // max over (date-first) structs = the latest row of each year
+      val carry = keyed.groupBy("yr")
+        .agg(max(struct(col("date"), col("temp_avg_f"), col("energy_demand_gwh"))).as("s"))
+        .select((col("yr") + 1).as("yr"), col("s.date").as("date"),
+          col("s.temp_avg_f").as("temp_avg_f"),
+          col("s.energy_demand_gwh").as("energy_demand_gwh"),
+          lit(true).as("carry"))
+      val w = Window.partitionBy("yr").orderBy("date")
+      keyed.unionByName(carry)
         .withColumn("temp_avg_f", col("temp_avg_f") - lag("temp_avg_f", 1).over(w))
         .withColumn("energy_demand_gwh",
           col("energy_demand_gwh") - lag("energy_demand_gwh", 1).over(w))
+        .filter(!col("carry"))
+        .drop("yr", "carry")
         .na.drop(Seq("temp_avg_f", "energy_demand_gwh"))
         .orderBy("date")
     }

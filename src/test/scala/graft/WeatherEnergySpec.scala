@@ -158,6 +158,33 @@ class WeatherEnergySpec extends AnyFunSuite {
     assert(out("B").getAs[Double]("pct_change") == 0.0) // no prev day → fillna(0) → guard → 0
   }
 
+  test("timeSeries diff: year-partitioned lag matches the global diff across boundaries") {
+    val s = spark; import s.implicits._
+    // daily series spanning a year boundary; values chosen so every
+    // first-difference is distinct and sign-mixed
+    val days = Seq(
+      ("2023-12-29", 40.0, 100.0), ("2023-12-30", 42.0, 90.0),
+      ("2023-12-31", 39.0, 95.0), ("2024-01-01", 45.0, 120.0),
+      ("2024-01-02", 44.0, 80.0))
+    val fact = days.map { case (d, t, e) => (d, "X", t, e) }
+      .toDF("date", "city", "temp_avg_f", "energy_demand_gwh")
+      .withColumn("date", to_date(col("date")))
+    val out = Analytics.timeSeries(fact, diff = true).collect()
+    // first row drops (no predecessor); 2024-01-01 must diff against
+    // 2023-12-31 — the carry row across the year partition boundary
+    assert(out.length == days.length - 1)
+    val expected = days.sliding(2).map { case Seq((_, t0, e0), (d1, t1, e1)) =>
+      (d1, t1 - t0, e1 - e0) }.toSeq
+    val got = out.map(r => (r.getAs[java.sql.Date]("date").toString,
+      r.getAs[Double]("temp_avg_f"), r.getAs[Double]("energy_demand_gwh"))).toSeq
+    assert(got == expected, s"got $got expected $expected")
+    // and the window is partitioned — no single-partition WindowExec
+    val plan = Analytics.timeSeries(fact, diff = true).queryExecution
+      .optimizedPlan.toString()
+    assert(!plan.contains("windowspecdefinition(date"),
+      "diff window must not be globally ordered without a partition key")
+  }
+
   test("temperature bins are left-closed with <50°F included; NULL stays NULL") {
     val s = spark; import s.implicits._
     val out = Seq(Some(49.9), Some(50.0), Some(59.999), Some(60.0), Some(95.0), None).toDF("t")
