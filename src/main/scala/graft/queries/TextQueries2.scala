@@ -169,9 +169,12 @@ object TextQueries2 {
     * error columns in the output. Rows-only for the driver (DuckDB's
     * HLL/quantile sketches are a different implementation), but
     * self-evidencing: the dumped frame carries its own ground truth,
-    * and the spec bounds the errors. At 100 TB the approx side is one
-    * mergeable pass (no distinct shuffle explosion, no full sort) —
-    * that is the point of shipping both. */
+    * and the spec bounds the errors. The exact half IS
+    * DuckDB-replicable, so it is split out as [[q62bSketchExact]] and
+    * hash-checked there; only the sketch columns stay rows-only here.
+    * At 100 TB the approx side is one mergeable pass (no distinct
+    * shuffle explosion, no full sort) — that is the point of shipping
+    * both. */
   def q62SketchAudit(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy("event_type")
@@ -187,6 +190,22 @@ object TextQueries2 {
         round(col("exact_p50"), 4).as("exact_p50"),
         round(col("approx_p50"), 4).as("approx_p50"),
         round(abs(col("approx_p50") - col("exact_p50")), 4).as("p50_abs_err"))
+      .orderBy("event_type")
+
+  /** The exact half of the q62 audit, split out for the hash oracle:
+    * per event_type, exact distinct users and the exact interpolated
+    * median — both engine-replicable (Spark `percentile` and DuckDB
+    * `quantile_cont` share the rank = p·(n−1) linear-interpolation
+    * definition). Aggregated doubles rounded per the oracle
+    * discipline. */
+  def q62bSketchExact(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        countDistinct("user_id").as("exact_users"),
+        expr("percentile(value, 0.5)").as("p50"))
+      .select(col("event_type"), col("exact_users"),
+        round(col("p50"), 4).as("exact_p50"))
       .orderBy("event_type")
 
   /** Text normalization + PII redaction: whitespace-squash + lowercase,
@@ -366,6 +385,7 @@ object TextQueries2 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_sketch_audit" -> (q62SketchAudit _),
+    "q62b_sketch_exact" -> (q62bSketchExact _),
     "q69_corpus_build" -> (q69CorpusBuild _),
     "q67_normalize_redact" -> (q67NormalizeRedact _),
     "q56_split" -> (q56Split _),
@@ -384,6 +404,11 @@ object TextQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q62b_sketch_exact" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  round(quantile_cont(value, 0.5), 4) AS exact_p50
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q69_corpus_build" ->
       """WITH base AS (
         |  SELECT doc_id, text,
