@@ -228,13 +228,29 @@ object Similarity {
     * data + params ⇒ same centroids on any cluster size. */
   def kmeansFit(spark: SparkSession, emb: DataFrame, k: Int,
       maxIter: Int = 10, idCol: String = "vec_id", embCol: String = "embedding",
-      tol: Double = 1e-4): Array[Array[Float]] = {
+      tol: Double = 1e-4): Array[Array[Float]] =
+    kmeansFitTrace(spark, emb, k, maxIter, idCol, embCol, tol)._1
+
+  /** [[kmeansFit]] plus the per-iteration objective trace: element t is
+    * J(a_t, c_t) = Σ_cells (n_cell − vsum_cell · ĉ_cell), computed
+    * driver-side from the SAME (vec_sum, count) aggregate each Lloyd's
+    * round already collects — zero extra distributed passes. For
+    * unit-norm inputs this is exactly Σ_i (1 − cos(x_i, c_{a(i)})), the
+    * spherical k-means objective, and Lloyd's guarantees it
+    * non-increasing (assignment picks the max-cosine cell given
+    * centroids; the mean update maximizes Σcos given assignment since
+    * the maximizing direction of Σ_i x_i·ĉ is Σ_i x_i). For raw inputs
+    * it is the same quantity on the projection scale (each point
+    * weighted by its norm). */
+  def kmeansFitTrace(spark: SparkSession, emb: DataFrame, k: Int,
+      maxIter: Int = 10, idCol: String = "vec_id", embCol: String = "embedding",
+      tol: Double = 1e-4): (Array[Array[Float]], Array[Double]) = {
     GraftFunctions.register(spark)
     val qs = (0 until k).map(i => (i + 0.5) / k)
     val seedRow = emb
       .select(expr(s"percentile_approx($idCol, array(${qs.mkString(",")}), 10000)"))
       .collect().head
-    if (seedRow.isNullAt(0)) return Array.empty
+    if (seedRow.isNullAt(0)) return (Array.empty, Array.empty)
     val seedIds = seedRow.getSeq[Long](0).distinct
     // sort by id: collect() order is partition-dependent, and the array
     // index becomes the cell id — an unordered seed table would make
@@ -246,6 +262,7 @@ object Similarity {
       .map(_.getSeq[Float](1).toArray)
     var iter = 0
     var moved = Double.MaxValue
+    val inertia = scala.collection.mutable.ArrayBuffer.empty[Double]
     while (iter < maxIter && moved > tol) {
       val assigned = kmeansAssign(spark, emb, centroids, embCol)
       // update: one aggregate, k rows back to the driver (k×d doubles —
@@ -253,6 +270,22 @@ object Similarity {
       val sums = assigned.groupBy("cell")
         .agg(expr(s"vec_sum($embCol)").as("vsum"), count(lit(1)).as("n"))
         .collect()
+      // objective at (a_t, c_t) from the collected partials: for each
+      // cell, Σ_i∈cell cos-numerator = vsum · c/|c|
+      val objT = sums.map { r =>
+        val cell = r.getLong(0).toInt
+        val s = r.getSeq[Double](1)
+        val n = r.getLong(2).toDouble
+        val c = centroids(cell)
+        val m = math.min(s.length, c.length)
+        var dot = 0.0; var nrm = 0.0
+        var i = 0
+        while (i < c.length) { nrm += c(i).toDouble * c(i); i += 1 }
+        i = 0
+        while (i < m) { dot += s(i) * c(i); i += 1 }
+        if (nrm == 0.0) n else n - dot / math.sqrt(nrm)
+      }.sum
+      inertia += objT
       val next = centroids.map(_.clone())
       sums.foreach { r =>
         val cell = r.getLong(0).toInt
@@ -267,7 +300,7 @@ object Similarity {
       centroids = next
       iter += 1
     }
-    centroids
+    (centroids, inertia.toArray)
   }
 
   /** Nearest-centroid (cosine) assignment: adds a `cell` column (index

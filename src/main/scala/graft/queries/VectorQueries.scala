@@ -78,7 +78,81 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Spherical k-means training surfaced as a driver query — the last
+    * spec-only operator gets a guarantee-carrying gate entry. Two
+    * guarantees, both in-row:
+    *
+    *  - `monotone_ok`/`n_violations`: the per-iteration objective
+    *    J(a_t, c_t) = Σ(1 − cos) over the UNIT-NORMALIZED corpus
+    *    (normalization is what makes [[Similarity.kmeansFitTrace]]'s
+    *    driver-side inertia identity exact) must be non-increasing —
+    *    Lloyd's convergence guarantee, checked row by row with a 1e-9
+    *    float-noise epsilon.
+    *  - `blobs_pure`/`blobs_recovered`: on three planted orthogonal
+    *    blobs (20 points each, deterministic in-blob spread, cross-blob
+    *    cosine 0) a k=3 fit must assign each blob to its own cell
+    *    (purity) and learn a centroid within cosine 0.99 of the blob
+    *    mean (recovery).
+    *
+    * The trace rows are driver-assembled scalars (one per Lloyd's
+    * round) — the distributed work is the per-round assign + aggregate
+    * inside kmeansFitTrace, identical to production use. */
+  def q100KmeansTrace(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val norm2 = "aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * x)"
+    val unit = emb
+      .filter(expr(norm2) > 0)
+      .select(col("vec_id"),
+        expr(s"transform(embedding, v -> CAST(v / sqrt($norm2) AS FLOAT))").as("embedding"))
+    val (_, trace) = Similarity.kmeansFitTrace(s, unit, k = 8, maxIter = 6, tol = 0.0)
+    // planted blobs: unit axis pairs per blob, deterministic spread
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val blobPts = for (j <- 0 until 3; i <- 0 until 20) yield {
+      val a = Array.fill(dim)(0f)
+      a(2 * j) = 1f
+      a(2 * j + 1) = 0.05f * (i % 5)
+      (j * 100L + i, j, a)
+    }
+    val blobDf = blobPts.toDF("vec_id", "blob", "embedding")
+    val (bCentroids, _) = Similarity.kmeansFitTrace(s, blobDf, k = 3, maxIter = 5)
+    val cells = Similarity.kmeansAssign(s, blobDf, bCentroids)
+      .select("blob", "cell").collect().map(r => (r.getInt(0), r.getLong(1)))
+    val byBlob = cells.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val blobsPure =
+      if (byBlob.values.forall(_.length == 1) &&
+        byBlob.values.flatten.toSeq.distinct.length == 3) 3 else 0
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val blobMeans = blobPts.groupBy(_._2).view.mapValues { pts =>
+      val m = Array.fill(dim)(0f)
+      pts.foreach(p => (0 until dim).foreach(i => m(i) += p._3(i) / pts.length))
+      m
+    }.toMap
+    val blobsRecovered = (0 until 3).count { j =>
+      byBlob.get(j).exists(cs =>
+        cs.length == 1 && cos(bCentroids(cs.head.toInt), blobMeans(j)) >= 0.99)
+    }
+    val rows = trace.zipWithIndex.map { case (inertia, t) =>
+      val ok = t == 0 || inertia <= trace(t - 1) + 1e-9
+      (t + 1, BigDecimal(inertia).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, ok)
+    }
+    val nViolations = rows.count(!_._3)
+    rows.toSeq.toDF("iter", "inertia", "monotone_ok")
+      .withColumn("n_violations", lit(nViolations))
+      .withColumn("blobs_pure", lit(blobsPure))
+      .withColumn("blobs_recovered", lit(blobsRecovered))
+      .orderBy("iter")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_kmeans_trace" -> (q100KmeansTrace _),
     "q34_knn_bruteforce" -> (q34KnnBruteForce _),
     "q35_knn_lsh" -> (q35KnnLsh _),
     "q43_knn_ivf" -> (q43KnnIvf _),
