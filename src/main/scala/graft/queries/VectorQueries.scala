@@ -151,8 +151,28 @@ object VectorQueries {
       .orderBy("iter")
   }
 
+  /** IVF answered from a PERSISTED index (closes the "pre-built
+    * bucketed table" promise): the index — centroids + cell-bucketed
+    * postings — is written once via [[Similarity.writeIvfIndex]], then
+    * the query plan contains NO index-build stage: centroids load from
+    * the catalog, the postings scan bucket-prunes to the probed cells,
+    * and the postings side joins without an Exchange (ScaleSpec
+    * plan-asserted). Same sampled-seed centroids as q43, so the result
+    * — and its in-row recall_vs_exact — matches the inline path
+    * exactly; the rows-only guarantee is that equality plus recall. */
+  def q101IvfIndex(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < NQueries)
+    Similarity.writeIvfIndex(s, emb, "graft_ivf_emb", nCentroids = 16, buckets = 8)
+    Similarity.recallVsExact(
+        Similarity.ivfTopKFromIndex(s, "graft_ivf_emb", q, k = 10, nProbe = 4),
+        Similarity.bruteForceTopK(s, emb, q, k = 10), k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_kmeans_trace" -> (q100KmeansTrace _),
+    "q101_ivf_index" -> (q101IvfIndex _),
     "q34_knn_bruteforce" -> (q34KnnBruteForce _),
     "q35_knn_lsh" -> (q35KnnLsh _),
     "q43_knn_ivf" -> (q43KnnIvf _),

@@ -38,6 +38,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("persisted IVF index: postings side joins exchange-free with bucket pruning") {
+    val s = spark; import s.implicits._
+    val emb = (0L until 200L)
+      .map(i => (i, Array.tabulate(16)(j => math.sin(i * 0.7 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    graft.operators.Similarity.writeIvfIndex(spark, emb, "scale_ivf", nCentroids = 8, buckets = 8)
+    val q = emb.filter(col("vec_id") < 2)
+    val topk = graft.operators.Similarity.ivfTopKFromIndex(spark, "scale_ivf", q, k = 5, nProbe = 2)
+    val plan = topk.queryExecution.executedPlan.toString
+    // no index-build stage: the corpus-side NearestCells assignment and
+    // its shuffle happened at write time, so the postings scan must not
+    // re-shuffle on cell
+    assert(!plan.contains("Exchange hashpartitioning(cell"),
+      s"postings side must not shuffle on cell:\n${plan.take(3000)}")
+    // bucket pruning: the literal probe-cell filter must select a
+    // subset of the 8 buckets at planning time
+    val sel = "SelectedBucketsCount: (\\d+) out of 8".r
+    val m = sel.findFirstMatchIn(plan)
+    assert(m.isDefined, s"expected bucket pruning evidence in:\n${plan.take(3000)}")
+    assert(m.get.group(1).toInt < 8, "probe should scan a strict subset of buckets")
+    // and the index answers: same results as the inline IVF path given
+    // the same sampled-seed centroids
+    val inline = graft.operators.Similarity
+      .ivfTopK(spark, emb, q, k = 5, nCentroids = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val fromIdx = topk.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(fromIdx == inline, s"index path diverged: $fromIdx vs $inline")
+    assert(fromIdx.nonEmpty)
+  }
+
   test("city-partitioned fact table prunes partitions on a city filter") {
     val fact = graft.sources.SyntheticData.weatherEnergy(spark, "2024-01-01", nDays = 20)
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
