@@ -206,10 +206,9 @@ object Similarity {
     GraftFunctions.register(spark)
     val centroidVecs = trainIvfCentroids(spark, corpus, nCentroids, trainIters)
     import spark.implicits._
-    spark.sql(s"DROP TABLE IF EXISTS ${name}_centroids")
-    centroidVecs.map { case (id, v) => (id, v.toSeq) }
-      .toDF("cell", "embedding")
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_centroids")
+    graft.sources.Sinks.replaceManagedTable(
+      centroidVecs.map { case (id, v) => (id, v.toSeq) }.toDF("cell", "embedding"),
+      s"${name}_centroids")()
     val postings =
       if (centroidVecs.isEmpty)
         corpus.select(col("vec_id"), col("embedding"), lit(-1L).as("cell"))

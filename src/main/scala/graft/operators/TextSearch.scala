@@ -21,10 +21,13 @@ import graft.functions.TextFunctions
   *   - final scoring is one (query, doc) aggregate plus a per-query
   *     top-k window — the same TakeOrdered shape as q19.
   *
-  * At 100 TB the (term → postings) side would be a pre-built bucketed
-  * table; this operator IS that plan with the index built inline.
-  * Scores are plain arithmetic (ln, tf, dl) — fully replicable in
-  * ANSI SQL, which is what makes the driver check a full hash oracle.
+  * At 100 TB the (term → postings) side is a pre-built bucketed table:
+  * [[writeBm25Index]] builds and persists it (denormalized df/dl,
+  * term-bucketed) and [[bm25TopKFromIndex]] answers from it with no
+  * corpus scan; [[bm25TopK]] is the same plan with the index built
+  * inline. Scores are plain arithmetic (ln, tf, dl) — fully replicable
+  * in ANSI SQL, which is what makes the driver check a full hash
+  * oracle on BOTH paths.
   */
 object TextSearch {
 
@@ -74,6 +77,71 @@ object TextSearch {
       .join(docLen, Seq(idCol))
       .crossJoin(corpusStats)
       .join(qTerms, Seq("term"))
+      .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("query_id", idCol)
+      .agg(sum("term_score").as("score"), count(lit(1)).as("n_terms_matched"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("score"), 6).desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("rank"),
+        round(col("score"), 6).as("score"), col("n_terms_matched"))
+  }
+
+  /** Persist the BM25 inverted index — the query-side counterpart of
+    * [[graft.operators.Similarity.writeIvfIndex]] for text. The
+    * postings are fully DENORMALIZED, Lucene-style (term, doc, tf, df,
+    * dl): df and dl fold into each posting at build time, so a query
+    * against the index needs NO join except the broadcast of its own
+    * terms. df computed over ALL terms at build time equals the
+    * query-restricted df (the restriction is BY term), which is what
+    * keeps the from-index scores bit-identical to [[bm25TopK]].
+    * Postings are TERM-bucketed via `writeBucketed`: the corpus
+    * explode + shuffle is paid once here; a query's literal term set
+    * then bucket-prunes the scan. `<name>_stats` holds the 1-row
+    * (n_docs, avgdl) table. */
+  def writeBm25Index(docs: DataFrame, name: String, buckets: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val toks = docs.select(
+      coalesce(col(idCol), lit(-1L)).as(idCol),
+      explode(TextFunctions.tokens(textCol)).as("term0"))
+      .select(col(idCol), coalesce(col("term0"), lit("")).as("term"))
+    val tokCounts = toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val docLen = tokCounts.groupBy(idCol).agg(sum("tf").as("dl"))
+    val stats = docLen.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val df_ = tokCounts.groupBy("term").agg(count(lit(1)).as("df"))
+    val postings = tokCounts
+      .join(df_, Seq("term"))
+      .join(docLen, Seq(idCol))
+      .select(col("term"), col(idCol), col("tf"), col("df"), col("dl"))
+    graft.sources.Sinks.writeBucketed(postings, s"${name}_postings", buckets, Seq("term"))
+    graft.sources.Sinks.replaceManagedTable(stats, s"${name}_stats")()
+  }
+
+  /** BM25 top-k answered from a persisted [[writeBm25Index]] index: no
+    * corpus scan, no explode, no tf/df/dl aggregation at query time —
+    * the plan is (bucket-pruned postings scan) ⨝ broadcast(query terms)
+    * → arithmetic → one (query, doc) aggregate → top-k window. Scores
+    * are bit-identical to [[bm25TopK]] on the indexed corpus. */
+  def bm25TopKFromIndex(spark: SparkSession, name: String, queries: DataFrame,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id"): DataFrame = {
+    val qTerms = broadcast(
+      queries.select(col("query_id"),
+        explode(array_distinct(TextFunctions.tokens("query_text"))).as("term")))
+    // literal term set (tiny by definition — it is the query): lets the
+    // term-bucketed source prune buckets at planning time
+    val termLits = qTerms.select("term").distinct().collect().map(_.getString(0))
+    val postings = spark.table(s"${name}_postings")
+      .filter(col("term").isin(termLits.toSeq: _*))
+    val stats = broadcast(spark.table(s"${name}_stats"))
+    val scored = postings
+      .join(qTerms, Seq("term"))
+      .crossJoin(stats)
       .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("term_score",
         col("idf") * (col("tf") * (k1 + 1)) /

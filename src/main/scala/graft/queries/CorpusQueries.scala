@@ -79,6 +79,24 @@ object CorpusQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** q91's ranking answered from the PERSISTED BM25 index (built in
+    * this query via [[TextSearch.writeBm25Index]], then queried with no
+    * corpus scan in the answering plan). Hash-checked against the SAME
+    * DuckDB oracle as q91 — the strongest possible statement that the
+    * index round-trip loses nothing: build-time df/dl denormalization
+    * must reproduce the inline scores bit for bit. */
+  def q102Bm25Index(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qdf = Seq(
+      (0L, "scan filter merge"),
+      (1L, "hash join"),
+      (2L, "stream window batch"))
+      .toDF("query_id", "query_text")
+    TextSearch.writeBm25Index(Tables.documents(s, d), "graft_bm25_docs", buckets = 8)
+    TextSearch.bm25TopKFromIndex(s, "graft_bm25_docs", qdf, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   /** Overlapping token-window chunking (64-token windows, stride 48)
     * over the corpus — row-local, shuffle-free, full hash oracle. */
   def q92Chunk(s: SparkSession, d: String): DataFrame =
@@ -155,6 +173,7 @@ object CorpusQueries {
     "q89_paragraph_dedup" -> (q89ParagraphDedup _),
     "q90_semantic_dedup" -> (q90SemanticDedup _),
     "q91_bm25" -> (q91Bm25 _),
+    "q102_bm25_index" -> (q102Bm25Index _),
     "q92_chunk" -> (q92Chunk _),
     "q93_epoch_shuffle" -> (q93EpochShuffle _),
     "q95_fixed_size_sample" -> (q95FixedSizeSample _),
@@ -231,42 +250,10 @@ object CorpusQueries {
         |  md5(coalesce(agg.txt, '')) AS dedup_fp
         |FROM allr a LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
-    "q91_bm25" ->
-      """WITH q(query_id, query_text) AS (VALUES
-        |    (CAST(0 AS BIGINT), 'scan filter merge'),
-        |    (CAST(1 AS BIGINT), 'hash join'),
-        |    (CAST(2 AS BIGINT), 'stream window batch')),
-        |qt AS (SELECT query_id,
-        |    unnest(list_distinct(string_split_regex(lower(trim(query_text)), '\s+'))) AS term
-        |  FROM q),
-        |toks AS (SELECT doc_id,
-        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
-        |  FROM documents),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-        |cs AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-        |tf AS (SELECT t.doc_id, t.term, count(*) AS tf
-        |  FROM toks t JOIN (SELECT DISTINCT term FROM qt) u USING (term)
-        |  GROUP BY 1, 2),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |scored AS (
-        |  SELECT qt.query_id, tf.doc_id,
-        |    sum( ln(1 + (cs.n_docs - df.df + 0.5) / (df.df + 0.5))
-        |       * (tf.tf * 2.2)
-        |       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / cs.avgdl)) ) AS score,
-        |    count(*) AS n_terms_matched
-        |  FROM tf
-        |  JOIN df USING (term)
-        |  JOIN dl USING (doc_id)
-        |  CROSS JOIN cs
-        |  JOIN qt USING (term)
-        |  GROUP BY 1, 2)
-        |SELECT query_id, doc_id,
-        |  CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY round(score, 6) DESC, doc_id) AS INT) AS rank,
-        |  round(score, 6) AS score, n_terms_matched
-        |FROM scored
-        |QUALIFY rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
+    "q91_bm25" -> Bm25OracleSql,
+    // the from-index path must reproduce the inline ranking bit for
+    // bit, so it shares q91's oracle verbatim
+    "q102_bm25_index" -> Bm25OracleSql,
     "q92_chunk" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
@@ -337,4 +324,44 @@ object CorpusQueries {
         |  min(vocab) AS vocab, min(total_bigrams) AS total_bigrams
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
   )
+
+  /** Shared by q91 (inline index build) and q102 (persisted index):
+    * the from-index path must reproduce the inline ranking bit for
+    * bit, so both hash against the same SQL. */
+  private lazy val Bm25OracleSql: String =
+    """WITH q(query_id, query_text) AS (VALUES
+      |    (CAST(0 AS BIGINT), 'scan filter merge'),
+      |    (CAST(1 AS BIGINT), 'hash join'),
+      |    (CAST(2 AS BIGINT), 'stream window batch')),
+      |qt AS (SELECT query_id,
+      |    unnest(list_distinct(string_split_regex(lower(trim(query_text)), '\s+'))) AS term
+      |  FROM q),
+      |toks AS (SELECT doc_id,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |cs AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |tf AS (SELECT t.doc_id, t.term, count(*) AS tf
+      |  FROM toks t JOIN (SELECT DISTINCT term FROM qt) u USING (term)
+      |  GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |    sum( ln(1 + (cs.n_docs - df.df + 0.5) / (df.df + 0.5))
+      |       * (tf.tf * 2.2)
+      |       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / cs.avgdl)) ) AS score,
+      |    count(*) AS n_terms_matched
+      |  FROM tf
+      |  JOIN df USING (term)
+      |  JOIN dl USING (doc_id)
+      |  CROSS JOIN cs
+      |  JOIN qt USING (term)
+      |  GROUP BY 1, 2)
+      |SELECT query_id, doc_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY round(score, 6) DESC, doc_id) AS INT) AS rank,
+      |  round(score, 6) AS score, n_terms_matched
+      |FROM scored
+      |QUALIFY rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
 }

@@ -22,26 +22,32 @@ object Sinks {
   /** Write a table bucketed+sorted by the join key. Parquet + Hive-style
     * bucketing (requires saveAsTable; bucket metadata lives in the
     * session catalog). */
-  def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit = {
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit =
+    replaceManagedTable(df, table) {
+      _.bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+    }
+
+  /** Drop-and-recreate a managed parquet table, clearing any STALE
+    * LOCATION first: with the in-memory catalog, a previous JVM's
+    * managed directory survives while its table entry does not, and
+    * saveAsTable then fails on the orphaned path (e.g. from a killed
+    * run). `configure` customizes the writer (bucketing etc.). */
+  def replaceManagedTable(df: DataFrame, table: String)(
+      configure: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =>
+        org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = identity): Unit = {
     // db-qualified names live under <db>.db/ — unqualified only here,
     // and lowercase to match saveAsTable's identifier normalization
     // (otherwise the stale-location cleanup below misses the real path)
-    require(!table.contains('.'), s"writeBucketed takes an unqualified table name, got: $table")
+    require(!table.contains('.'), s"replaceManagedTable takes an unqualified table name, got: $table")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    // a stale managed-table location (e.g. from a killed run) blocks
-    // CREATE even after the DROP — clear it explicitly
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val loc = new java.net.URI(s"$warehouse/${table.toLowerCase}".replace(" ", "%20"))
     val path = new org.apache.hadoop.fs.Path(loc)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) fs.delete(path, true)
-    df.write
-      .mode(SaveMode.Overwrite)
-      .bucketBy(buckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
-      .format("parquet")
-      .saveAsTable(table)
+    configure(df.write.mode(SaveMode.Overwrite).format("parquet")).saveAsTable(table)
   }
 
   /** S4 — raw-zone landing sink: persist raw payloads as-is (JSON
