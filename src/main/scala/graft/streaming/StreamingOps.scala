@@ -158,7 +158,7 @@ object StreamingOps {
     *    shutdown (the r2 BENCH artifact failure). Providers reload
     *    lazily if another streaming query runs. */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
-      outputMode: String = "complete", drainPartitions: Int = 8,
+      outputMode: String = "complete", drainPartitions: Int = 4,
       awaitRows: Long = 0L, awaitWatermarkMicros: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     try spark.catalog.dropTempView(name) catch { case _: Exception => () }
@@ -283,7 +283,7 @@ object StreamingOps {
     * sink, with the same drain-cost discipline as [[runToMemory]]
     * (reduced partition count, providers unloaded after). */
   def runUpsertToDir(spark: SparkSession, stream: DataFrame, path: String,
-      partitionCol: String = "day", drainPartitions: Int = 8): DataFrame = {
+      partitionCol: String = "day", drainPartitions: Int = 4): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, math.min(prev.toInt, drainPartitions).toString)
