@@ -327,10 +327,29 @@ object Similarity {
     * the maximizing direction of Σ_i x_i·ĉ is Σ_i x_i). For raw inputs
     * it is the same quantity on the projection scale (each point
     * weighted by its norm). */
-  def kmeansFitTrace(spark: SparkSession, emb: DataFrame, k: Int,
+  def kmeansFitTrace(spark: SparkSession, emb0: DataFrame, k: Int,
       maxIter: Int = 10, idCol: String = "vec_id", embCol: String = "embedding",
       tol: Double = 1e-4): (Array[Array[Float]], Array[Double]) = {
     GraftFunctions.register(spark)
+    // Lloyd's scans the input maxIter+2 times (seeds + per-round
+    // assign/update) — cache it for the loop's duration, MLlib-KMeans
+    // style, unless the caller already did. MEMORY_AND_DISK: an input
+    // too big for executor memory spills rather than recomputing its
+    // upstream (possibly normalized/filtered) lineage every round.
+    val ownCache = emb0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val emb = if (ownCache)
+      emb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else emb0
+    try {
+      kmeansLloyd(spark, emb, k, maxIter, idCol, embCol, tol)
+    } finally {
+      if (ownCache) emb.unpersist(false)
+    }
+  }
+
+  private def kmeansLloyd(spark: SparkSession, emb: DataFrame, k: Int,
+      maxIter: Int, idCol: String, embCol: String,
+      tol: Double): (Array[Array[Float]], Array[Double]) = {
     val qs = (0 until k).map(i => (i + 0.5) / k)
     val seedRow = emb
       .select(expr(s"percentile_approx($idCol, array(${qs.mkString(",")}), 10000)"))
