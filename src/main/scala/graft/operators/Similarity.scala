@@ -225,6 +225,34 @@ object Similarity {
     graft.sources.Sinks.writeBucketed(postings, s"${name}_postings", buckets, Seq("cell"))
   }
 
+  /** Incremental maintenance of a persisted [[writeIvfIndex]] index —
+    * the daily-ingest shape: new vectors are assigned against the
+    * FROZEN centroid table (so existing postings stay valid — an IVF
+    * append never re-clusters; periodic re-training is a full
+    * [[writeIvfIndex]]) and appended to the bucketed postings table
+    * with the SAME bucket spec, keeping bucket pruning and the
+    * exchange-free probe join intact. One map-side assignment pass +
+    * one bucketed write of the new batch only. */
+  def appendToIvfIndex(spark: SparkSession, newVecs: DataFrame, name: String): Unit = {
+    GraftFunctions.register(spark)
+    val centroidRows = spark.table(s"${name}_centroids").collect().sortBy(_.getLong(0))
+    require(centroidRows.nonEmpty, s"index ${name} has no centroids — build it with writeIvfIndex first")
+    val ids = centroidRows.map(_.getLong(0))
+    val vecs = centroidRows.map(_.getSeq[Float](1).toArray)
+    val fn = s"ivf_cells_${ivfCallCounter.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(fn,
+      exprs => org.apache.spark.sql.catalyst.expressions.graft.NearestCells(
+        exprs.head, ids, vecs, 1), "built-in")
+    val buckets = spark.sql(s"DESCRIBE EXTENDED ${name}_postings")
+      .filter(col("col_name") === "Num Buckets")
+      .select("data_type").head().getString(0).trim.toInt
+    newVecs.select(col("vec_id"), col("embedding"))
+      .withColumn("cell", expr(s"element_at($fn(embedding), 1)"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .format("parquet").saveAsTable(s"${name}_postings")
+  }
+
   /** Top-k from a persisted [[writeIvfIndex]] index: NO index-build
     * stage in the plan — centroids come from the catalog (one KB-scale
     * collect), and the postings scan is restricted to the probed cells

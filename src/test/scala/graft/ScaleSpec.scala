@@ -68,6 +68,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(fromIdx.nonEmpty)
   }
 
+  test("IVF index append: new vectors searchable, bucket pruning intact, no re-cluster") {
+    val s = spark; import s.implicits._
+    val emb = (0L until 100L)
+      .map(i => (i, Array.tabulate(16)(j => math.cos(i * 0.3 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    graft.operators.Similarity.writeIvfIndex(spark, emb, "scale_ivf_app", nCentroids = 4, buckets = 4)
+    val before = spark.table("scale_ivf_app_centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    // new batch: an exact copy of vector 7 under a new id — it must be
+    // assigned to 7's cell and become 7's top neighbor
+    val newBatch = emb.filter(col("vec_id") === 7L)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    graft.operators.Similarity.appendToIvfIndex(spark, newBatch, "scale_ivf_app")
+    // centroids frozen: append never re-clusters
+    val after = spark.table("scale_ivf_app_centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    assert(after == before, "append must not retrain centroids")
+    assert(spark.table("scale_ivf_app_postings").count() == 101)
+    val q = emb.filter(col("vec_id") === 7L)
+    val topk = graft.operators.Similarity
+      .ivfTopKFromIndex(spark, "scale_ivf_app", q, k = 3, nProbe = 1)
+    val top1 = topk.filter(col("rank") === 1).head()
+    assert(top1.getLong(1) == 1007L && top1.getDouble(2) == 1.0,
+      s"appended copy should be the exact-cosine top hit, got ${top1}")
+    // bucket pruning still applies after the append
+    val plan = topk.queryExecution.executedPlan.toString
+    assert("SelectedBucketsCount: (\\d+) out of 4".r.findFirstMatchIn(plan)
+      .exists(_.group(1).toInt < 4), s"bucket pruning lost after append:\n${plan.take(2000)}")
+  }
+
   test("city-partitioned fact table prunes partitions on a city filter") {
     val fact = graft.sources.SyntheticData.weatherEnergy(spark, "2024-01-01", nDays = 20)
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
