@@ -38,8 +38,10 @@ object Analytics {
     * `Window.orderBy` (which moves the whole series to one partition —
     * harmless at rows = #days, but the wrong template to copy into a
     * per-key series at scale). Year boundaries stay exact: each year's
-    * last row is unioned into the NEXT year's partition as a carry row
-    * that feeds the lag and is dropped from the output, so the
+    * last row is unioned into the NEXT YEAR PRESENT IN THE DATA as a
+    * carry row that feeds the lag and is dropped from the output (the
+    * next-existing-year assignment — a tiny per-year self-join — is
+    * what keeps the diff exact across calendar-year gaps), so the
     * partitioned diff equals the global one row-for-row. */
   def timeSeries(fact: DataFrame, diff: Boolean = false): DataFrame = {
     val daily = fact.groupBy("date")
@@ -49,9 +51,18 @@ object Analytics {
       val keyed = daily.withColumn("yr", year(col("date")))
         .withColumn("carry", lit(false))
       // max over (date-first) structs = the latest row of each year
-      val carry = keyed.groupBy("yr")
+      val perYearLast = keyed.groupBy("yr")
         .agg(max(struct(col("date"), col("temp_avg_f"), col("energy_demand_gwh"))).as("s"))
-        .select((col("yr") + 1).as("yr"), col("s.date").as("date"),
+      // carry each year's last row into the next year PRESENT in the
+      // data (min existing year above it) — `yr + 1` would strand the
+      // carry in an empty partition across a calendar-year gap and
+      // silently drop the post-gap diff row. Rows here = #years.
+      val years = perYearLast.select(col("yr").as("later_yr"))
+      val carry = perYearLast
+        .join(years, col("later_yr") > col("yr"))
+        .groupBy(col("yr"), col("s"))
+        .agg(min("later_yr").as("target_yr"))
+        .select(col("target_yr").as("yr"), col("s.date").as("date"),
           col("s.temp_avg_f").as("temp_avg_f"),
           col("s.energy_demand_gwh").as("energy_demand_gwh"),
           lit(true).as("carry"))

@@ -154,10 +154,26 @@ object Curation {
       // floored at 64 so tiny test splits still get a valid sketch
       val numBits = math.max(64L,
         math.ceil(-nItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-      val bfBytes = testSh
-        .agg(call_function("bloom_filter_agg",
-          xxhash64(col("shingle")), lit(nItems), lit(numBits)).as("bf"))
-        .head().getAs[Array[Byte]]("bf")
+      // BloomFilterAggregate validates its sizes against the
+      // runtime-bloom-filter conf caps (default 4M items / 64M bits) —
+      // far below a large test split — and a clamped sketch would
+      // SILENTLY degrade the realized fpp. Raise the caps to this
+      // build's sizes for the aggregation, restore after.
+      val spark = docs.sparkSession
+      val capKeys = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> nItems,
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+      val prevCaps = capKeys.map { case (k, need) =>
+        val prev = spark.conf.get(k)
+        if (prev.toLong < need) spark.conf.set(k, need.toString)
+        k -> prev
+      }
+      val bfBytes =
+        try testSh
+          .agg(call_function("bloom_filter_agg",
+            xxhash64(col("shingle")), lit(nItems), lit(numBits)).as("bf"))
+          .head().getAs[Array[Byte]]("bf")
+        finally prevCaps.foreach { case (k, v) => spark.conf.set(k, v) }
       val probe = exists(col("sh"),
         s => call_function("might_contain", lit(bfBytes), xxhash64(s)))
       train.select(col(idCol).as("train_doc"), col("sh"),
@@ -269,10 +285,11 @@ object Curation {
     // a no-stats plan reports ~Long.MaxValue bytes — any partition
     // count derived from it is garbage in BOTH directions (one
     // partition after a negative .toInt wrap, or a 2^20-partition
-    // shuffle after a naive cap), so keep the frame's current
-    // partitioning instead of inventing one
+    // shuffle after a naive cap). Compacting blind would pay a full
+    // shuffle of an unknown-size frame for zero benefit, so return the
+    // frame unchanged.
     if (bytes >= BigInt(Long.MaxValue) / 2) {
-      df.repartition(math.max(1, df.rdd.getNumPartitions))
+      df
     } else {
       val parts = (bytes / (targetMB.toLong * 1024 * 1024))
         .min(BigInt(1 << 20)).max(BigInt(1)).toInt

@@ -110,16 +110,22 @@ object TextSearch {
       coalesce(col(idCol), lit(-1L)).as(idCol),
       explode(TextFunctions.tokens(textCol)).as("term0"))
       .select(col(idCol), coalesce(col("term0"), lit("")).as("term"))
+    // the postings and stats writes are two separate actions sharing
+    // the tokenize/explode/aggregate lineage — cache the (doc, term)
+    // counts so the corpus explode (the dominant build stage) runs once
     val tokCounts = toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
-    val docLen = tokCounts.groupBy(idCol).agg(sum("tf").as("dl"))
-    val stats = docLen.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-    val df_ = tokCounts.groupBy("term").agg(count(lit(1)).as("df"))
-    val postings = tokCounts
-      .join(df_, Seq("term"))
-      .join(docLen, Seq(idCol))
-      .select(col("term"), col(idCol), col("tf"), col("df"), col("dl"))
-    graft.sources.Sinks.writeBucketed(postings, s"${name}_postings", buckets, Seq("term"))
-    graft.sources.Sinks.replaceManagedTable(stats, s"${name}_stats")()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val docLen = tokCounts.groupBy(idCol).agg(sum("tf").as("dl"))
+      val stats = docLen.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+      val df_ = tokCounts.groupBy("term").agg(count(lit(1)).as("df"))
+      val postings = tokCounts
+        .join(df_, Seq("term"))
+        .join(docLen, Seq(idCol))
+        .select(col("term"), col(idCol), col("tf"), col("df"), col("dl"))
+      graft.sources.Sinks.writeBucketed(postings, s"${name}_postings", buckets, Seq("term"))
+      graft.sources.Sinks.replaceManagedTable(stats, s"${name}_stats")()
+    } finally tokCounts.unpersist(false)
   }
 
   /** BM25 top-k answered from a persisted [[writeBm25Index]] index: no

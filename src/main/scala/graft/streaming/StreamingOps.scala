@@ -180,12 +180,20 @@ object StreamingOps {
     val target = awaitWatermarkMicros.map(wm =>
       java.time.Instant.ofEpochSecond(wm / 1000000L, (wm % 1000000L) * 1000L))
     val latch = new java.util.concurrent.CountDownLatch(1)
+    // runId gate: the listener bus is async and query NAMES recur (the
+    // bench runs every drain twice back-to-back), so a still-queued
+    // terminal event from the PREVIOUS same-named run must not fire
+    // this run's latch. The runId is set right after start(), before
+    // processAllAvailable returns — no terminal no-data batch can
+    // commit before the first data batch completes, so no wanted event
+    // can be missed while the gate is empty.
+    val runIdRef = new java.util.concurrent.atomic.AtomicReference[java.util.UUID](null)
     val listener: StreamingQueryListener = if (!needsDrainWait) null else
       new StreamingQueryListener {
         override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
         override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
           val p = e.progress
-          if (p.name == name && p.numInputRows == 0L) {
+          if (p.runId == runIdRef.get() && p.numInputRows == 0L) {
             val wmOk = target.forall(t =>
               Option(p.eventTime.get("watermark"))
                 .map(java.time.Instant.parse).exists(!_.isBefore(t)))
@@ -201,10 +209,15 @@ object StreamingOps {
         .format("memory")
         .queryName(name)
         .start()
+      runIdRef.set(q.runId)
       q.processAllAvailable()
       if (needsDrainWait) {
         val drained =
-          latch.await(30, java.util.concurrent.TimeUnit.SECONDS)
+          latch.await(30, java.util.concurrent.TimeUnit.SECONDS) &&
+            // the latch proves the terminal eviction batch committed;
+            // in awaitRows mode additionally confirm the sink actually
+            // holds the promised rows before trusting it
+            (awaitRows <= 0 || spark.table(name).count() >= awaitRows)
         if (!drained) {
           // fallback: the original bounded sleep-polls
           val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000

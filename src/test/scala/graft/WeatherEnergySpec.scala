@@ -183,6 +183,18 @@ class WeatherEnergySpec extends AnyFunSuite {
       .optimizedPlan.toString()
     assert(!plan.contains("windowspecdefinition(date"),
       "diff window must not be globally ordered without a partition key")
+    // a calendar-year GAP must still diff across it (the carry targets
+    // the next year present in the data, not yr + 1)
+    val gapDays = Seq(("2022-12-30", 10.0, 1.0), ("2022-12-31", 12.0, 3.0),
+      ("2024-01-01", 20.0, 7.0), ("2024-01-02", 25.0, 6.0))
+    val gapFact = gapDays.map { case (d, t, e) => (d, "X", t, e) }
+      .toDF("date", "city", "temp_avg_f", "energy_demand_gwh")
+      .withColumn("date", to_date(col("date")))
+    val gapOut = Analytics.timeSeries(gapFact, diff = true).collect()
+      .map(r => (r.getAs[java.sql.Date]("date").toString,
+        r.getAs[Double]("temp_avg_f"), r.getAs[Double]("energy_demand_gwh"))).toSeq
+    assert(gapOut == Seq(("2022-12-31", 2.0, 2.0), ("2024-01-01", 8.0, 4.0),
+      ("2024-01-02", 5.0, -1.0)), s"gap diff wrong: $gapOut")
   }
 
   test("temperature bins are left-closed with <50°F included; NULL stays NULL") {
