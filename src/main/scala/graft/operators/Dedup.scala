@@ -105,6 +105,69 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** LSH banding calibration sweep — the (bands × rows-per-band) tuning
+    * run data engineers do BEFORE committing a near-dup config: for each
+    * candidate band count, the realized candidate volume (the cost
+    * knob), the share surviving exact-Jaccard verification at the
+    * target threshold (the precision knob), and the verified-pair count
+    * (the recall proxy). One row per config.
+    *
+    * Shape: the expensive part — tokenize → shingle → k-hash MinHash
+    * signature — runs ONCE and is cached; each config only re-slices
+    * the SAME signature array into its band hashes (a row-local
+    * transform) and pays its own (narrow) candidate shuffle + a
+    * candidates-only verify. Sweeping S configs costs one sketch pass
+    * plus S cheap banding passes, not S corpus sketches.
+    *
+    * Theory note surfaced by the output: with k fixed, more bands =
+    * shorter bands, and a pair matching a longer band necessarily
+    * matches its sub-bands — so (bucket caps aside) the candidate set
+    * at higher `bands` is a SUPERSET: `n_candidates` non-decreasing,
+    * verification share non-increasing. Exact duplicates collide at
+    * every config by construction. */
+  def minhashBandingSweep(docs: DataFrame, bandConfigs: Seq[Int] = Seq(4, 8, 16),
+      k: Int = 32, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBucket: Int = 100): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    bandConfigs.foreach(b => require(k % b == 0, s"bands=$b must divide k=$k"))
+    val sigs = docs
+      .withColumn("toks", tokens(textCol))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", shingles("toks"))
+      .withColumn("sig", minhashSignature("sh", k))
+      .select(col(idCol), col("sh"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      bandConfigs.map { b =>
+        val banded = sigs
+          .withColumn("bandhash", bandHashes("sig", k, b))
+          .select(col(idCol), col("bandhash"))
+        val pairs = minhashCandidates(banded, idCol, maxBucket)
+        verifyJaccard(pairs, sigs.select(col(idCol), col("sh")), idCol)
+          .agg(
+            count(lit(1)).as("n_candidates"),
+            // coalesce: sum over an empty candidate set is NULL, and a
+            // config that generates no candidates is a 0 row, not a gap
+            coalesce(sum(when(col("jaccard") >= threshold, 1L).otherwise(0L)), lit(0L))
+              .as("n_true_pairs"),
+            // negative ids are the engine's reserved planted-fixture
+            // convention (q16/q31/q41/q67) — count recovered plants
+            coalesce(sum(when(col("doc_a") < 0 && col("doc_b") < 0, 1L).otherwise(0L)), lit(0L))
+              .as("planted_recovered"))
+          .select(lit(b).as("bands"), lit(k / b).as("rows_per_band"),
+            col("n_candidates"), col("n_true_pairs"),
+            round(col("n_true_pairs") / greatest(col("n_candidates"), lit(1L)), 4)
+              .as("precision"),
+            col("planted_recovered"))
+      }.reduce(_ unionByName _)
+        // EAGER localCheckpoint: the result is one row per config — pin
+        // it before the finally drops the signature cache, else the
+        // caller's lazy execution would re-sketch the corpus per config
+        .localCheckpoint()
+    } finally sigs.unpersist(false)
+  }
+
   /** Per-doc 64-bit SimHash fingerprint. Row-local. */
   def simhashFingerprints(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

@@ -20,15 +20,25 @@ private[graft] object SketchHash {
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
 }
 
-/** MinHash signature of an array<string> shingle set: k universal
-  * hashes h_j(s) = (h32(s)·(2j+1) + j) mod 2^61-1, minimized over the
-  * set. Each shingle is hashed once; the k·n inner loop is primitive
-  * long arithmetic. CodegenFallback: the eval itself is a tight JVM
-  * loop, and sketching is bound by hashing, not expression dispatch. */
+/** MinHash signature of an array<string> shingle set: the j-th hash
+  * family member is `xxhash64(base, seed = j)` of the shingle's base
+  * hash, minimized over the set. Each shingle's STRING is hashed once;
+  * the k·n inner loop is primitive long-to-long xxhash.
+  *
+  * Why a real re-hash per j and not an affine family: the earlier
+  * `(h·(2j+1) + j) mod 2^61-1` family never wrapped the modulus
+  * (h·63 < 2^38 ≪ 2^61), so every member was MONOTONE in h — all k
+  * argmins picked the same shingle and the signature degenerated to a
+  * single-hash MinHash: any two docs agreed on all k positions or
+  * none, banding choice was a no-op, and pair recall followed p = J
+  * instead of the designed 1−(1−J^r)^b S-curve (found by the r4
+  * banding-sweep operator, whose per-config candidate counts came out
+  * identical). xxhash64-of-long members are genuinely independent.
+  * CodegenFallback: the eval itself is a tight JVM loop, and sketching
+  * is bound by hashing, not expression dispatch. */
 case class MinHashSig(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
 
-  private val P = 2305843009213693951L // 2^61 - 1
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
@@ -38,10 +48,10 @@ case class MinHashSig(child: Expression, k: Int)
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h32 = SketchHash.hash(arr.getUTF8String(i), 42L) & 0xffffffffL
+      val base = SketchHash.hash(arr.getUTF8String(i), 42L)
       var j = 0
       while (j < k) {
-        val h = (h32 * (2L * j + 1L) + j) % P
+        val h = XXH64.hashLong(base, j.toLong)
         if (h < mins(j)) mins(j) = h
         j += 1
       }

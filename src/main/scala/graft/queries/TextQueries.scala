@@ -60,6 +60,25 @@ object TextQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** LSH banding calibration sweep (bands ∈ {4, 8, 16}, k = 32): one
+    * sketch pass, per-config candidate volume / verified pairs /
+    * precision — the tuning table that picks a production (b, r).
+    * Rows-only (xxhash64), guarantee-carrying twice over: the planted
+    * exact-dup pair (identical sig ⇒ identical band hashes at EVERY
+    * config) makes `planted_recovered` = 1 on every row, and the
+    * sub-band superset property makes `n_candidates` non-decreasing in
+    * `bands` — both asserted by spec. */
+  def q103BandingSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      (-2L, "yyra yyrb yyrc yyrd yyre yyrf yyrg yyrh yyri yyrj"),
+      (-1L, "yyra yyrb yyrc yyrd yyre yyrf yyrg yyrh yyri yyrj"))
+      .toDF("doc_id", "text")
+    val all = docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
+    Dedup.minhashBandingSweep(all, bandConfigs = Seq(4, 8, 16), k = 32, threshold = 0.5)
+      .orderBy("bands")
+  }
+
   /** SimHash fingerprints + near-dup pairs within Hamming distance 3.
     *
     * Same self-evidencing pattern as q31: the planted pair (-2,-1) has
@@ -262,6 +281,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_dedup_minhash" -> (q31DedupMinhash _),
+    "q103_banding_sweep" -> (q103BandingSweep _),
     "q32_dedup_simhash" -> (q32DedupSimhash _),
     "q33_ngram_jaccard" -> (q33NgramJaccard _),
     "q57_ngram_prefix" -> (q57NgramPrefix _),

@@ -43,6 +43,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(j > 0.3 && j < 1.0)
   }
 
+  test("banding sweep: one sketch pass, planted dup at every config, candidate superset") {
+    val base = "the quick brown fox jumps over the lazy dog again and again every day"
+    val docs = (1L to 30L).map(i => (i, s"$base variant$i token$i filler${i % 7}")) ++
+      Seq((-2L, base), (-1L, base)) // planted exact dup
+    val out = docsDf(docs).transform(df =>
+      Dedup.minhashBandingSweep(df, bandConfigs = Seq(4, 8, 16), k = 32, threshold = 0.5))
+      .orderBy("bands").collect()
+    assert(out.map(_.getAs[Int]("bands")).toSeq == Seq(4, 8, 16))
+    // identical sig => identical band hashes at EVERY config
+    assert(out.forall(_.getAs[Long]("planted_recovered") == 1L),
+      s"planted dup must collide at every config: ${out.mkString(";")}")
+    // a longer matching band implies its sub-bands match => superset
+    val cands = out.map(_.getAs[Long]("n_candidates")).toSeq
+    assert(cands == cands.sorted, s"candidates must be non-decreasing in bands: $cands")
+    // rows_per_band bookkeeping
+    assert(out.map(_.getAs[Int]("rows_per_band")).toSeq == Seq(8, 4, 2))
+  }
+
   test("simhash: identical docs distance 0; near-dup within banding recall") {
     val base = "one two three four five six seven eight nine ten eleven twelve"
     val df = docsDf(Seq((1L, base), (2L, base), (3L, "alpha beta gamma delta epsilon zeta")))
