@@ -159,6 +159,11 @@ object Dedup {
             col("n_candidates"), col("n_true_pairs"),
             round(col("n_true_pairs") / greatest(col("n_candidates"), lit(1L)), 4)
               .as("precision"),
+            // the designed S-curve recall AT the threshold,
+            // 1 − (1 − t^r)^b — printed beside the realized counts so
+            // the table shows theory and practice in one row
+            round(lit(1.0 - math.pow(1.0 - math.pow(threshold, k / b), b)), 4)
+              .as("design_recall_at_t"),
             col("planted_recovered"))
       }.reduce(_ unionByName _)
         // EAGER localCheckpoint: the result is one row per config — pin
