@@ -173,6 +173,57 @@ object Dedup {
     } finally sigs.unpersist(false)
   }
 
+  /** Cross-document repeated-SPAN detection (the substring-dedup family
+    * of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): find maximal runs of ≥ `minSpanTokens`
+    * consecutive tokens shared verbatim between two documents — the
+    * boilerplate/quotation signal that document- and paragraph-level
+    * dedup both miss.
+    *
+    * Shape: positional n-gram shingles (md5-keyed) equi-shuffle once;
+    * buckets are capped (a common n-gram must not go quadratic); the
+    * diagonal trick merges matches into maximal spans WITHOUT any
+    * sequence alignment: a shared L-token run puts its L−n+1 shingle
+    * matches on one (doc_a, doc_b, pos_a − pos_b) diagonal at
+    * consecutive pos_a, so islands (pos_a − row_number constant) ARE
+    * the maximal spans. Window partitions are per-(pair, diagonal) —
+    * bounded by the bucket cap, never corpus-sized. Everything is
+    * md5 + integer arithmetic: fully DuckDB-replicable, so the driver
+    * check is a complete hash oracle (unlike the sketch dedups). */
+  def repeatedSpans(docs: DataFrame, n: Int = 8, minSpanTokens: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBucket: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val pos = docs
+      .withColumn("toks", tokens(textCol))
+      .filter(size(col("toks")) >= n)
+      .select(col(idCol).as("id"),
+        posexplode(expr(s"shingle_seq(toks, $n)")).as(Seq("pos", "sh")))
+      .select(col("id"), col("pos"), md5(col("sh")).as("h"))
+    val pairs = pos.groupBy("h")
+      .agg(sort_array(collect_list(struct(col("id"), col("pos")))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(xs, (x, i) ->
+          |  transform(filter(slice(xs, i + 2, size(xs)), y -> y.id != x.id),
+          |    y -> struct(x.id AS doc_a, x.pos AS pos_a, y.id AS doc_b, y.pos AS pos_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.pos_a"), col("p.doc_b"), col("p.pos_b"))
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    pairs
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("grp", col("pos_a") - col("rn"))
+      .groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg(min("pos_a").as("start_a"), min("pos_b").as("start_b"),
+        count(lit(1)).as("span_shingles"))
+      .withColumn("span_tokens", col("span_shingles") + lit(n - 1))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("span_shingles"), col("span_tokens"))
+  }
+
   /** Per-doc 64-bit SimHash fingerprint. Row-local. */
   def simhashFingerprints(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

@@ -79,6 +79,30 @@ object TextQueries {
       .orderBy("bands")
   }
 
+  /** Cross-document repeated spans (substring dedup, Lee et al. 2022):
+    * maximal runs of ≥20 consecutive tokens shared verbatim between two
+    * docs, via positional 8-gram shingles + diagonal island merging.
+    * Everything is md5 + integer arithmetic, so unlike the sketch
+    * dedups this one carries a FULL hash oracle. Planted: docs (-4,-3)
+    * share an exact 24-token run at different offsets (must appear as
+    * one span row, tokens = 24); docs (-2,-1) share only 12 tokens —
+    * above the shingle width, below the span threshold — and must NOT
+    * appear (the negative control that proves the threshold bites). */
+  def q104RepeatedSpans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val common = (1 to 24).map(i => s"span$i").mkString(" ")
+    val small = (1 to 12).map(i => s"sub$i").mkString(" ")
+    val planted = Seq(
+      (-4L, s"aleft1 aleft2 aleft3 $common atail1 atail2"),
+      (-3L, s"bhead1 $common btail1 btail2 btail3 btail4"),
+      (-2L, s"cfill1 cfill2 $small cfill3"),
+      (-1L, s"dfill1 $small dfill2 dfill3"))
+      .toDF("doc_id", "text")
+    val all = docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
+    Dedup.repeatedSpans(all, n = 8, minSpanTokens = 20)
+      .orderBy("doc_a", "doc_b", "start_a", "start_b")
+  }
+
   /** SimHash fingerprints + near-dup pairs within Hamming distance 3.
     *
     * Same self-evidencing pattern as q31: the planted pair (-2,-1) has
@@ -282,6 +306,7 @@ object TextQueries {
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_dedup_minhash" -> (q31DedupMinhash _),
     "q103_banding_sweep" -> (q103BandingSweep _),
+    "q104_repeated_spans" -> (q104RepeatedSpans _),
     "q32_dedup_simhash" -> (q32DedupSimhash _),
     "q33_ngram_jaccard" -> (q33NgramJaccard _),
     "q57_ngram_prefix" -> (q57NgramPrefix _),
@@ -304,6 +329,40 @@ object TextQueries {
     }.toMap
 
   val oracles: Map[String, String] = Map(
+    "q104_repeated_spans" ->
+      ("""WITH allr AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(-4 AS BIGINT), 'aleft1 aleft2 aleft3 SPAN atail1 atail2'),
+        |    (CAST(-3 AS BIGINT), 'bhead1 SPAN btail1 btail2 btail3 btail4'),
+        |    (CAST(-2 AS BIGINT), 'cfill1 cfill2 SUB cfill3'),
+        |    (CAST(-1 AS BIGINT), 'dfill1 SUB dfill2 dfill3')
+        |  ) AS t(doc_id, text)),
+        |tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM allr),
+        |f AS (SELECT * FROM tk WHERE len(toks) >= 8),
+        |s0 AS (SELECT doc_id, toks,
+        |    unnest(list_transform(range(0, len(toks) - 7), i -> {'p': i})) AS u
+        |  FROM f),
+        |s AS (SELECT doc_id, CAST(u.p AS INT) AS pos,
+        |    md5(array_to_string(list_slice(toks, u.p + 1, u.p + 8), ' ')) AS h
+        |  FROM s0),
+        |q AS (SELECT h FROM s GROUP BY h HAVING count(*) BETWEEN 2 AND 50),
+        |p AS (SELECT a.doc_id AS doc_a, a.pos AS pos_a, b.doc_id AS doc_b, b.pos AS pos_b
+        |  FROM q JOIN s a ON a.h = q.h JOIN s b ON b.h = q.h
+        |  WHERE a.doc_id < b.doc_id),
+        |dd AS (SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+        |    row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS rn
+        |  FROM p),
+        |g AS (SELECT doc_a, doc_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+        |    count(*) AS span_shingles
+        |  FROM dd GROUP BY doc_a, doc_b, diag, pos_a - rn)
+        |SELECT doc_a, doc_b, start_a, start_b, span_shingles,
+        |  span_shingles + 7 AS span_tokens
+        |FROM g WHERE span_shingles + 7 >= 20
+        |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
+        .replace("SPAN", (1 to 24).map(i => s"span$i").mkString(" "))
+        .replace("SUB", (1 to 12).map(i => s"sub$i").mkString(" "))),
     "q30_dedup_exact" ->
       """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -61,6 +61,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.map(_.getAs[Int]("rows_per_band")).toSeq == Seq(8, 4, 2))
   }
 
+  test("repeated spans: exact length/offsets, sub-threshold and repeats handled") {
+    val run = (1 to 24).map(i => s"r$i").mkString(" ")
+    val short = (1 to 12).map(i => s"s$i").mkString(" ")
+    val df = docsDf(Seq(
+      (1L, s"x1 x2 x3 $run y1 y2"),          // run at pos 3
+      (2L, s"z1 $run w1 w2 w3 w4"),          // same run at pos 1
+      (3L, s"a1 a2 $short a3"),              // 12-token share: below minSpan
+      (4L, s"b1 $short b2 b3"),
+      (5L, "only unique tokens here nothing shared at all padded to width")))
+    val spans = graft.operators.Dedup.repeatedSpans(df, n = 8, minSpanTokens = 20).collect()
+    assert(spans.length == 1, s"expected exactly the planted span: ${spans.mkString(";")}")
+    val r = spans.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getInt(2) == 3 && r.getInt(3) == 1)           // start_a, start_b
+    assert(r.getLong(5) == 24L, s"span_tokens: ${r.getLong(5)}")  // exact length
+    // a doc sharing the run TWICE reports two spans on two diagonals
+    val df2 = docsDf(Seq(
+      (1L, s"x1 x2 x3 $run y1 y2"),
+      (6L, s"q1 $run q2 q3 $run q4")))
+    val spans2 = graft.operators.Dedup.repeatedSpans(df2, n = 8, minSpanTokens = 20)
+      .collect().map(r => (r.getInt(2), r.getInt(3), r.getLong(5))).sorted
+    assert(spans2.toSeq == Seq((3, 1, 24L), (3, 27, 24L)), s"got ${spans2.toSeq}")
+  }
+
   test("simhash: identical docs distance 0; near-dup within banding recall") {
     val base = "one two three four five six seven eight nine ten eleven twelve"
     val df = docsDf(Seq((1L, base), (2L, base), (3L, "alpha beta gamma delta epsilon zeta")))
