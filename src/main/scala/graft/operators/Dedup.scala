@@ -224,6 +224,51 @@ object Dedup {
         col("span_shingles"), col("span_tokens"))
   }
 
+  /** Repeated-span REMOVAL — the corpus rewrite [[repeatedSpans]]
+    * detects for: every shared span is excised from the HIGHER-id doc
+    * (keep-first, deterministic; the lower-id occurrence survives),
+    * overlapping removal intervals are merged, and each doc's text is
+    * rebuilt minus the removed token ranges.
+    *
+    * Interval merging is RELATIONAL (sort by start, running max of end
+    * via a window, new island when start jumps past it) — the same
+    * plan shape both engines express, no array-algorithm expression —
+    * and the window partitions by doc. The rebuild is one row-local
+    * indexed `filter` over the token array. Output is a total report:
+    * every doc appears, with `n_removed` = 0 and the original text
+    * fingerprint when nothing was excised. */
+  def removeRepeatedSpans(docs: DataFrame, n: Int = 8, minSpanTokens: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBucket: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = repeatedSpans(docs, n, minSpanTokens, idCol, textCol, maxBucket)
+    // distinct: two different lower-id docs can contribute the SAME
+    // removal interval for one doc — dedupe before merging
+    val iv = spans.select(col("doc_b").as(idCol),
+      col("start_b").cast("long").as("s"),
+      (col("start_b") + col("span_tokens") - 1).cast("long").as("e"))
+      .distinct()
+    val w = Window.partitionBy(idCol).orderBy("s", "e")
+    val merged = iv
+      .withColumn("max_e_before",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_grp",
+        when(col("max_e_before").isNull || col("s") > col("max_e_before"), 1).otherwise(0))
+      .withColumn("grp", sum(col("new_grp")).over(w))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min("s").as("s"), max("e").as("e"))
+    val ivs = merged.groupBy(idCol).agg(collect_list(struct(col("s"), col("e"))).as("ivs"))
+    docs.select(col(idCol), col(textCol))
+      .join(ivs, Seq(idCol), "left")
+      .withColumn("toks", tokens(textCol))
+      .withColumn("kept", expr(
+        "filter(toks, (t, i) -> ivs IS NULL OR NOT exists(ivs, v -> i >= v.s AND i <= v.e))"))
+      .select(col(idCol),
+        size(col("toks")).as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).as("n_removed"),
+        md5(array_join(col("kept"), " ")).as("text_fp"))
+  }
+
   /** Per-doc 64-bit SimHash fingerprint. Row-local. */
   def simhashFingerprints(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

@@ -103,6 +103,28 @@ object TextQueries {
       .orderBy("doc_a", "doc_b", "start_a", "start_b")
   }
 
+  /** Repeated-span REMOVAL over the same corpus+plants as q104: the
+    * Lee et al. corpus rewrite — every shared span excised from the
+    * higher-id doc (keep-first), overlapping intervals merged
+    * relationally, text rebuilt minus the removed ranges. Total
+    * report (every doc appears; untouched docs carry their original
+    * fingerprint), FULL hash oracle — the md5 of every rebuilt text
+    * must match DuckDB's reconstruction token for token. */
+  def q105SpanRemoval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val common = (1 to 24).map(i => s"span$i").mkString(" ")
+    val small = (1 to 12).map(i => s"sub$i").mkString(" ")
+    val planted = Seq(
+      (-4L, s"aleft1 aleft2 aleft3 $common atail1 atail2"),
+      (-3L, s"bhead1 $common btail1 btail2 btail3 btail4"),
+      (-2L, s"cfill1 cfill2 $small cfill3"),
+      (-1L, s"dfill1 $small dfill2 dfill3"))
+      .toDF("doc_id", "text")
+    val all = docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
+    Dedup.removeRepeatedSpans(all, n = 8, minSpanTokens = 20)
+      .orderBy("doc_id")
+  }
+
   /** SimHash fingerprints + near-dup pairs within Hamming distance 3.
     *
     * Same self-evidencing pattern as q31: the planted pair (-2,-1) has
@@ -307,6 +329,7 @@ object TextQueries {
     "q31_dedup_minhash" -> (q31DedupMinhash _),
     "q103_banding_sweep" -> (q103BandingSweep _),
     "q104_repeated_spans" -> (q104RepeatedSpans _),
+    "q105_span_removal" -> (q105SpanRemoval _),
     "q32_dedup_simhash" -> (q32DedupSimhash _),
     "q33_ngram_jaccard" -> (q33NgramJaccard _),
     "q57_ngram_prefix" -> (q57NgramPrefix _),
@@ -328,41 +351,77 @@ object TextQueries {
       l -> ms.map(m => s"'$m'").mkString(", ")
     }.toMap
 
+
+  /** Shared CTE chain for q104/q105 (same planted corpus + parameters):
+    * positional 8-gram shingles → capped buckets → cross-doc position
+    * pairs → diagonal islands `g` (doc_a, doc_b, start_a, start_b,
+    * span_shingles). */
+  private lazy val SpanIslandsCte: String =
+    ("""WITH allr AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT * FROM (VALUES
+      |    (CAST(-4 AS BIGINT), 'aleft1 aleft2 aleft3 SPAN atail1 atail2'),
+      |    (CAST(-3 AS BIGINT), 'bhead1 SPAN btail1 btail2 btail3 btail4'),
+      |    (CAST(-2 AS BIGINT), 'cfill1 cfill2 SUB cfill3'),
+      |    (CAST(-1 AS BIGINT), 'dfill1 SUB dfill2 dfill3')
+      |  ) AS t(doc_id, text)),
+      |tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM allr),
+      |f AS (SELECT * FROM tk WHERE len(toks) >= 8),
+      |s0 AS (SELECT doc_id, toks,
+      |    unnest(list_transform(range(0, len(toks) - 7), i -> {'p': i})) AS u
+      |  FROM f),
+      |s AS (SELECT doc_id, CAST(u.p AS INT) AS pos,
+      |    md5(array_to_string(list_slice(toks, u.p + 1, u.p + 8), ' ')) AS h
+      |  FROM s0),
+      |q AS (SELECT h FROM s GROUP BY h HAVING count(*) BETWEEN 2 AND 50),
+      |p AS (SELECT a.doc_id AS doc_a, a.pos AS pos_a, b.doc_id AS doc_b, b.pos AS pos_b
+      |  FROM q JOIN s a ON a.h = q.h JOIN s b ON b.h = q.h
+      |  WHERE a.doc_id < b.doc_id),
+      |dd AS (SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+      |    row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS rn
+      |  FROM p),
+      |g AS (SELECT doc_a, doc_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+      |    count(*) AS span_shingles
+      |  FROM dd GROUP BY doc_a, doc_b, diag, pos_a - rn)""".stripMargin
+      .replace("SPAN", (1 to 24).map(i => s"span$i").mkString(" "))
+      .replace("SUB", (1 to 12).map(i => s"sub$i").mkString(" ")))
+
   val oracles: Map[String, String] = Map(
     "q104_repeated_spans" ->
-      ("""WITH allr AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT * FROM (VALUES
-        |    (CAST(-4 AS BIGINT), 'aleft1 aleft2 aleft3 SPAN atail1 atail2'),
-        |    (CAST(-3 AS BIGINT), 'bhead1 SPAN btail1 btail2 btail3 btail4'),
-        |    (CAST(-2 AS BIGINT), 'cfill1 cfill2 SUB cfill3'),
-        |    (CAST(-1 AS BIGINT), 'dfill1 SUB dfill2 dfill3')
-        |  ) AS t(doc_id, text)),
-        |tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM allr),
-        |f AS (SELECT * FROM tk WHERE len(toks) >= 8),
-        |s0 AS (SELECT doc_id, toks,
-        |    unnest(list_transform(range(0, len(toks) - 7), i -> {'p': i})) AS u
-        |  FROM f),
-        |s AS (SELECT doc_id, CAST(u.p AS INT) AS pos,
-        |    md5(array_to_string(list_slice(toks, u.p + 1, u.p + 8), ' ')) AS h
-        |  FROM s0),
-        |q AS (SELECT h FROM s GROUP BY h HAVING count(*) BETWEEN 2 AND 50),
-        |p AS (SELECT a.doc_id AS doc_a, a.pos AS pos_a, b.doc_id AS doc_b, b.pos AS pos_b
-        |  FROM q JOIN s a ON a.h = q.h JOIN s b ON b.h = q.h
-        |  WHERE a.doc_id < b.doc_id),
-        |dd AS (SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
-        |    row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS rn
-        |  FROM p),
-        |g AS (SELECT doc_a, doc_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
-        |    count(*) AS span_shingles
-        |  FROM dd GROUP BY doc_a, doc_b, diag, pos_a - rn)
+      (SpanIslandsCte +
+        """
         |SELECT doc_a, doc_b, start_a, start_b, span_shingles,
         |  span_shingles + 7 AS span_tokens
         |FROM g WHERE span_shingles + 7 >= 20
-        |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
-        .replace("SPAN", (1 to 24).map(i => s"span$i").mkString(" "))
-        .replace("SUB", (1 to 12).map(i => s"sub$i").mkString(" "))),
+        |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin),
+    "q105_span_removal" ->
+      (SpanIslandsCte +
+        """,
+        |iv0 AS (SELECT DISTINCT doc_b AS doc_id, CAST(start_b AS BIGINT) AS s,
+        |    CAST(start_b + span_shingles + 6 AS BIGINT) AS e
+        |  FROM g WHERE span_shingles + 7 >= 20),
+        |ivm AS (SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS meb
+        |  FROM iv0),
+        |ivg AS (SELECT doc_id, s, e,
+        |    sum(CASE WHEN meb IS NULL OR s > meb THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+        |  FROM ivm),
+        |ivm2 AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM ivg GROUP BY doc_id, grp),
+        |ivl AS (SELECT doc_id, list({'s': s, 'e': e}) AS ivs FROM ivm2 GROUP BY doc_id),
+        |kk AS (SELECT a.doc_id, string_split_regex(lower(trim(a.text)), '\s+') AS toks, ivl.ivs
+        |  FROM allr a LEFT JOIN ivl ON a.doc_id = ivl.doc_id),
+        |rr AS (SELECT doc_id, toks,
+        |    list_filter(list_transform(range(0, len(toks)), i ->
+        |      CASE WHEN ivs IS NOT NULL AND len(list_filter(ivs, v -> i >= v.s AND i <= v.e)) > 0
+        |        THEN NULL ELSE toks[i + 1] END),
+        |      x -> x IS NOT NULL) AS kept
+        |  FROM kk)
+        |SELECT doc_id, len(toks) AS n_tokens, len(toks) - len(kept) AS n_removed,
+        |  md5(coalesce(array_to_string(kept, ' '), '')) AS text_fp
+        |FROM rr ORDER BY doc_id""".stripMargin),
     "q30_dedup_exact" ->
       """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

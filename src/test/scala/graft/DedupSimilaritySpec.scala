@@ -85,6 +85,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(spans2.toSeq == Seq((3, 1, 24L), (3, 27, 24L)), s"got ${spans2.toSeq}")
   }
 
+  test("span removal: excises from higher doc only, keeps untouched docs verbatim") {
+    val s = spark; import s.implicits._
+    val run = (1 to 24).map(i => s"r$i").mkString(" ")
+    val df = docsDf(Seq(
+      (1L, s"x1 x2 x3 $run y1 y2"),   // keeper (lower id)
+      (2L, s"z1 $run w1 w2 w3 w4"),   // loses the run
+      (3L, "nothing shared with anyone at all in this particular document")))
+    val out = Dedup.removeRepeatedSpans(df, n = 8, minSpanTokens = 20).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L)._2 == 0, "lower-id doc must keep its copy")
+    assert(out(2L)._1 == 29 && out(2L)._2 == 24, s"doc 2: ${out(2L)}")
+    // doc 2 rebuilt = its tokens minus the run
+    val expected2 = java.security.MessageDigest.getInstance("MD5")
+      .digest("z1 w1 w2 w3 w4".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(2L)._3 == expected2, "rebuilt text must drop exactly the span tokens")
+    assert(out(3L)._2 == 0)
+    assert(out.size == 3, "total report: every doc appears")
+  }
+
   test("simhash: identical docs distance 0; near-dup within banding recall") {
     val base = "one two three four five six seven eight nine ten eleven twelve"
     val df = docsDf(Seq((1L, base), (2L, base), (3L, "alpha beta gamma delta epsilon zeta")))
