@@ -414,7 +414,40 @@ object ExtendedQueries {
       .orderBy("cohort", "offset")
   }
 
+  /** F9 — presentation-layer numeric formatting as engine strings (the
+    * reference's tooltip labels `'{:.1f}°F'`, `'{:,.0f} GWh'`,
+    * `'{:.1f}%'`, dashboards/app.py:618-620), composed on the q-geo
+    * chain: latest day per group + prev-day pct change + running total.
+    * Every number is `round()`ed to the displayed precision BEFORE
+    * formatting, so both engines format the SAME double and the printf
+    * rounding-mode difference (Java HALF_UP vs C half-even) never
+    * engages. Formatting is codegen'd `format_string`/`format_number` —
+    * row-local, free at any scale. */
+  def q106TooltipFormat(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum("value").as("v"))
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val wAll = Window.partitionBy("event_type")
+    daily
+      .withColumn("prev", lag("v", 1).over(wOrd))
+      .withColumn("total", sum("v").over(wAll))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("event_type").orderBy(col("day").desc)))
+      .filter(col("rn") === 1)
+      .select(
+        col("event_type"),
+        col("day"),
+        format_string("%.1f°F", round(col("v"), 1)).as("value_label"),
+        concat(format_number(round(col("total"), 0), 0), lit(" GWh")).as("total_label"),
+        format_string("%.1f%%",
+          round(when(col("prev") > 0, (col("v") - col("prev")) / col("prev") * 100)
+            .otherwise(0.0), 1)).as("pct_label"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_tooltip_format" -> (q106TooltipFormat _),
     "q75_funnel" -> (q75Funnel _),
     "q76_cohort" -> (q76Cohort _),
     "q73_grouped_regression" -> (q73GroupedRegression _),
@@ -442,6 +475,21 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q106_tooltip_format" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS v
+        | FROM events GROUP BY 1,2),
+        |x AS (
+        | SELECT event_type, day, v,
+        |   lag(v,1) OVER (PARTITION BY event_type ORDER BY day) AS prev,
+        |   sum(v) OVER (PARTITION BY event_type) AS total,
+        |   row_number() OVER (PARTITION BY event_type ORDER BY day DESC) AS rn
+        | FROM daily)
+        |SELECT event_type, day,
+        | printf('%.1f°F', round(v, 1)) AS value_label,
+        | format('{:,} GWh', CAST(round(total, 0) AS BIGINT)) AS total_label,
+        | printf('%.1f%%', round(CASE WHEN prev > 0 THEN (v - prev)/prev*100 ELSE 0 END, 1)) AS pct_label
+        |FROM x WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "q75_funnel" ->
       """WITH v AS (
         |  SELECT user_id, date_trunc('microseconds', ts) AS v_ts
