@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.functions.TextFunctions
+import graft.operators.Classifier
 import graft.plans.GraftFunctions
 
 /** Second tranche of text-analysis operators for the training-data
@@ -383,7 +384,58 @@ object TextQueries2 {
       .orderBy("doc_id")
   }
 
+  /** Trained quality classifier (CCNet-shape: logistic regression over
+    * hashed BOW, Wenzek et al. 2020 §4.3) — guarantee-carrying trace
+    * like q100's Lloyd's certificate. The training corpus is PLANTED
+    * and generated distributively (`range` → token synthesis in SQL,
+    * never a driver-side literal table): even ids draw 8 tokens from a
+    * 16-word "good" vocabulary, odd ids from a disjoint "junk" one,
+    * both share neutral filler — linearly separable by construction,
+    * and the xxhash64 feature bucketing is deterministic, so the
+    * learnability certificate is machine-stable.
+    *
+    * One row per GD iteration: (iter, loss, acc, monotone_ok) plus
+    * constant in-row guarantees — `final_acc` = 1.0 (separable data
+    * fully learned), `n_violations` = 0 (batch GD on L-smooth log-loss
+    * with in-bound lr is monotone), `probe_correct` = 2 (two UNSEEN
+    * token mixes classified right), and the real-corpus scoring pass
+    * (`n_scored_real`, `mean_real_score`) exercising the frozen-weights
+    * map-side path on the documents table. */
+  def q107QualityClassifier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val train = s.range(240).select(
+      (pmod(col("id"), lit(2)) === 0).cast("double").as("label"),
+      concat(
+        expr("concat_ws(' ', transform(sequence(0, 7), i -> concat(" +
+          "CASE WHEN id % 2 = 0 THEN 'good' ELSE 'junk' END, pmod(id * 7 + i, 16))))"),
+        lit(" the data of and")).as("text"))
+    val (w, trace) = Classifier.trainLogisticTrace(s, train, "label",
+      dim = 256, maxIter = 25, lr = 1.0)
+    val probes = Seq((1.0, "good1 good5 good9 good14 the data"),
+      (0.0, "junk2 junk6 junk11 junk15 of and")).toDF("want", "text")
+    val probeCorrect = Classifier.scoreLogistic(s, probes, w, dim = 256)
+      .filter(col("pred") === (col("want") === 1.0)).count()
+    val scored = Classifier.scoreLogistic(s, docs(s, d), w, dim = 256)
+      .agg(count(lit(1)).as("n"), avg("score").as("m")).head()
+    val rows = trace.zipWithIndex.map { case ((loss, acc), t) =>
+      val ok = t == 0 || loss <= trace(t - 1)._1 + 1e-12
+      (t + 1,
+        BigDecimal(loss).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(acc).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, ok)
+    }
+    val nViolations = rows.count(!_._4)
+    rows.toSeq.toDF("iter", "loss", "acc", "monotone_ok")
+      .withColumn("final_acc", lit(rows.last._3))
+      .withColumn("n_violations", lit(nViolations))
+      .withColumn("probe_correct", lit(probeCorrect))
+      .withColumn("n_scored_real", lit(scored.getLong(0)))
+      .withColumn("mean_real_score",
+        lit(BigDecimal(scored.getDouble(1)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .orderBy("iter")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_quality_classifier" -> (q107QualityClassifier _),
     "q62_sketch_audit" -> (q62SketchAudit _),
     "q62b_sketch_exact" -> (q62bSketchExact _),
     "q69_corpus_build" -> (q69CorpusBuild _),
