@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -572,6 +572,124 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("shared").cast("double") / (col("na") + col("nb") - col("shared"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Persisted MinHash-LSH near-dup index — the pre-built-table
+    * counterpart of [[incrementalNearDups]], completing the index
+    * triad with [[Similarity.writeIvfIndex]] and BM25's postings
+    * table: the corpus is sketched ONCE at build time, and every
+    * subsequent ingest batch probes the index without re-reading (or
+    * re-sketching) a byte of old corpus text. Three managed tables:
+    *  - `{name}_bands`    (bkey, doc_id), bucketed by `bkey` =
+    *    xxhash64(band, bandhash) — the candidate-join side. A single
+    *    combined key keeps the probe an exchange-free single-column
+    *    equi-join against the bucket layout.
+    *  - `{name}_shingles` (doc_id, sh_h array<long>), bucketed by
+    *    doc_id — the verification side. Shingle HASHES, not strings:
+    *    8 bytes/shingle vs the text-sized string set (the reason
+    *    [[minhashNearDups]] re-shingles candidates instead of caching;
+    *    an index gets to pay that storage once). Jaccard over the hash
+    *    sets is exact up to 64-bit collisions.
+    *  - `{name}_meta`     (k, bands, buckets) — the sketch config; a
+    *    probe MUST band identically or candidates are garbage.
+    */
+  def writeLshIndex(spark: SparkSession, docs: DataFrame, name: String,
+      k: Int = 32, bands: Int = 8, buckets: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    import spark.implicits._
+    val sigs = minhashSignatures(docs, idCol, textCol, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.sources.Sinks.writeBucketed(
+        sigs.select(col(idCol).as("doc_id"),
+            posexplode(col("bandhash")).as(Seq("band", "bh")))
+          .select(xxhash64(col("band"), col("bh")).as("bkey"), col("doc_id")),
+        s"${name}_bands", buckets, Seq("bkey"))
+      graft.sources.Sinks.writeBucketed(
+        sigs.select(col(idCol).as("doc_id"),
+          expr("transform(sh, x -> xxhash64(x))").as("sh_h")),
+        s"${name}_shingles", buckets, Seq("doc_id"))
+      graft.sources.Sinks.replaceManagedTable(
+        Seq((k, bands, buckets)).toDF("k", "bands", "buckets"), s"${name}_meta")()
+    } finally sigs.unpersist(false)
+  }
+
+  /** Probe a [[writeLshIndex]] index with an ingest batch: near-dup
+    * (new, indexed) pairs at `threshold`, with NO scan of old corpus
+    * text anywhere in the plan — candidates come from the bands table,
+    * verification shingles from the shingles table.
+    *
+    * Scale shape: the new batch is sketched inline (it is the small
+    * side by construction); when it stays under `pruneLimit` distinct
+    * band keys, the probe keys are collected as a LITERAL predicate so
+    * the bucketed bands scan prunes to the touched buckets before the
+    * broadcast join (the q101/IVF discipline — probed set known before
+    * the scan); past the limit it falls back to a plain equi-join,
+    * where the bands table's bucketing still absorbs its Exchange.
+    * Batch-internal (new×new) pairs are out of contract — the index
+    * answers "does this batch duplicate the CORPUS"; run
+    * [[minhashNearDups]] on the batch for intra-batch dups, then
+    * [[appendToLshIndex]] it. */
+  def nearDupsFromLshIndex(spark: SparkSession, newDocs: DataFrame, name: String,
+      threshold: Double = 0.5, idCol: String = "doc_id", textCol: String = "text",
+      pruneLimit: Int = 100000): DataFrame = {
+    val meta = spark.table(s"${name}_meta").head()
+    val (k, bands) = (meta.getInt(0), meta.getInt(1))
+    val sigs = minhashSignatures(newDocs, idCol, textCol, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val newBands = sigs
+        .select(col(idCol).as("doc_a"), posexplode(col("bandhash")).as(Seq("band", "bh")))
+        .select(xxhash64(col("band"), col("bh")).as("bkey"), col("doc_a"))
+      val probeKeys = newBands.select("bkey").distinct()
+        .limit(pruneLimit + 1).collect().map(_.getLong(0))
+      val bandsTable = spark.table(s"${name}_bands")
+      val candidates =
+        (if (probeKeys.length <= pruneLimit)
+          bandsTable.filter(col("bkey").isin(probeKeys: _*)).join(broadcast(newBands), Seq("bkey"))
+        else bandsTable.join(newBands, Seq("bkey")))
+          .filter(col("doc_a") =!= col("doc_id"))
+          .select(col("doc_a"), col("doc_id").as("doc_b")).distinct()
+          .cache()
+      candidates.count() // eager: the two verify joins below would re-probe
+      val newSh = sigs.select(col(idCol).as("doc_a"),
+        expr("transform(sh, x -> xxhash64(x))").as("sh_a"))
+      val oldSh = spark.table(s"${name}_shingles")
+        .select(col("doc_id").as("doc_b"), col("sh_h").as("sh_b"))
+      candidates
+        .join(broadcast(newSh), Seq("doc_a"))
+        .join(oldSh, Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    } finally sigs.unpersist(false)
+  }
+
+  /** Incremental maintenance: sketch the ingest batch and append it to
+    * both index tables with the SAME bucket spec (bucket pruning and
+    * the exchange-free probe stay intact — the [[Similarity
+    * .appendToIvfIndex]] discipline). One sketch pass over the new
+    * batch, two bucketed appends; the existing index is not read. */
+  def appendToLshIndex(spark: SparkSession, newDocs: DataFrame, name: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val meta = spark.table(s"${name}_meta").head()
+    val (k, bands, buckets) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val sigs = minhashSignatures(newDocs, idCol, textCol, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sigs.select(col(idCol).as("doc_id"),
+          posexplode(col("bandhash")).as(Seq("band", "bh")))
+        .select(xxhash64(col("band"), col("bh")).as("bkey"), col("doc_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(buckets, "bkey").sortBy("bkey")
+        .format("parquet").saveAsTable(s"${name}_bands")
+      sigs.select(col(idCol).as("doc_id"),
+          expr("transform(sh, x -> xxhash64(x))").as("sh_h"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .format("parquet").saveAsTable(s"${name}_shingles")
+    } finally sigs.unpersist(false)
   }
 
   /** The end-user dedup operation: remove near-duplicates from a

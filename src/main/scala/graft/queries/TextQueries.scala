@@ -125,6 +125,50 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Persisted LSH near-dup index: build over the corpus, probe with an
+    * ingest batch, APPEND the batch, probe again — the daily-ingest
+    * lifecycle against pre-built bucketed tables ([[Dedup
+    * .writeLshIndex]]), with no old-corpus text scan in any probe plan.
+    *
+    * Determinism uses q31's set-equality trick: each probe doc repeats
+    * a planted token cycle one more time than its indexed partner, so
+    * the distinct-shingle SETS are identical → identical signatures →
+    * a guaranteed shared band bucket and verified jaccard exactly 1.0.
+    * Guarantees (constant across rows): `planted_found` = 1 (the
+    * indexed partner is found at probe 1), `n_novel_pairs` = 0 (a
+    * disjoint-vocabulary doc matches nothing), `append_found` = 1
+    * (probe 2 finds the doc APPENDED in between — proving the
+    * append is visible to the probe path). */
+  def q108LshIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def rep(cycle: String, times: Int) = Array.fill(times)(cycle).mkString(" ")
+    val cycleA = "zzka zzkb zzkc zzkd zzke zzkf"
+    val cycleB = "qqna qqnb qqnc qqnd qqne qqnf"
+    val corpus = docs(s, d).select(col("doc_id"), col("text"))
+      .unionByName(Seq((-11L, rep(cycleA, 3))).toDF("doc_id", "text"))
+    Dedup.writeLshIndex(s, corpus, "graft_lsh_q108", buckets = 8)
+    val batch1 = Seq((-100L, rep(cycleA, 4)), (-101L, rep(cycleB, 3)))
+      .toDF("doc_id", "text")
+    val p1 = Dedup.nearDupsFromLshIndex(s, batch1, "graft_lsh_q108")
+      .withColumn("phase", lit(1)).localCheckpoint()
+    Dedup.appendToLshIndex(s, batch1, "graft_lsh_q108")
+    val batch2 = Seq((-200L, rep(cycleB, 4))).toDF("doc_id", "text")
+    val p2 = Dedup.nearDupsFromLshIndex(s, batch2, "graft_lsh_q108")
+      .withColumn("phase", lit(2)).localCheckpoint()
+    val all = p1.unionByName(p2)
+    val guarantee = all.agg(
+      sum(when(col("phase") === 1 && col("doc_a") === -100L && col("doc_b") === -11L, 1)
+        .otherwise(0)).as("planted_found"),
+      sum(when(col("phase") === 1 &&
+          (col("doc_a") === -101L || col("doc_b") === -101L), 1)
+        .otherwise(0)).as("n_novel_pairs"),
+      sum(when(col("phase") === 2 && col("doc_a") === -200L && col("doc_b") === -101L, 1)
+        .otherwise(0)).as("append_found"))
+    all.select(col("phase"), col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .crossJoin(broadcast(guarantee))
+      .orderBy("phase", "doc_a", "doc_b")
+  }
+
   /** SimHash fingerprints + near-dup pairs within Hamming distance 3.
     *
     * Same self-evidencing pattern as q31: the planted pair (-2,-1) has
@@ -330,6 +374,7 @@ object TextQueries {
     "q103_banding_sweep" -> (q103BandingSweep _),
     "q104_repeated_spans" -> (q104RepeatedSpans _),
     "q105_span_removal" -> (q105SpanRemoval _),
+    "q108_lsh_index" -> (q108LshIndex _),
     "q32_dedup_simhash" -> (q32DedupSimhash _),
     "q33_ngram_jaccard" -> (q33NgramJaccard _),
     "q57_ngram_prefix" -> (q57NgramPrefix _),

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** The persisted LSH near-dup index lifecycle (build → probe → append
+  * → probe) plus its plan discipline: a probe must not scan corpus
+  * text, and the pruned path must bucket-prune the bands table. */
+class LshIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_lsh_wh").toString)
+    .getOrCreate()
+
+  private def rep(cycle: String, times: Int) = Array.fill(times)(cycle).mkString(" ")
+  private val cycleA = "aa1 aa2 aa3 aa4 aa5 aa6"
+  private val cycleB = "bb1 bb2 bb3 bb4 bb5 bb6"
+
+  private def corpus = {
+    val s = spark; import s.implicits._
+    ((1L, rep(cycleA, 3)) +: (10L until 40L).map(i =>
+      (i, s"filler${i} x${i}a x${i}b x${i}c x${i}d x${i}e x${i}f x${i}g"))).toDF("doc_id", "text")
+  }
+
+  test("probe finds an indexed set-equal near-dup; novel doc matches nothing") {
+    val s = spark; import s.implicits._
+    Dedup.writeLshIndex(s, corpus, "lsh_spec_idx", buckets = 4)
+    val batch = Seq((100L, rep(cycleA, 4)), (101L, rep(cycleB, 3))).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupsFromLshIndex(s, batch, "lsh_spec_idx").collect()
+    assert(pairs.length == 1, s"got ${pairs.mkString(",")}")
+    assert(pairs.head.getLong(0) == 100L && pairs.head.getLong(1) == 1L)
+    assert(pairs.head.getDouble(2) == 1.0, "set-equal shingles must verify at J=1")
+  }
+
+  test("append makes a batch visible to subsequent probes") {
+    val s = spark; import s.implicits._
+    Dedup.writeLshIndex(s, corpus, "lsh_spec_idx2", buckets = 4)
+    val batch1 = Seq((101L, rep(cycleB, 3))).toDF("doc_id", "text")
+    assert(Dedup.nearDupsFromLshIndex(s, batch1, "lsh_spec_idx2").count() == 0)
+    Dedup.appendToLshIndex(s, batch1, "lsh_spec_idx2")
+    val batch2 = Seq((200L, rep(cycleB, 4))).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupsFromLshIndex(s, batch2, "lsh_spec_idx2").collect()
+    assert(pairs.length == 1 && pairs.head.getLong(1) == 101L)
+  }
+
+  test("pruned probe plan: bucket pruning on bands, no corpus text scan") {
+    val s = spark; import s.implicits._
+    Dedup.writeLshIndex(s, corpus, "lsh_spec_idx3", buckets = 4)
+    val batch = Seq((100L, rep(cycleA, 4))).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupsFromLshIndex(s, batch, "lsh_spec_idx3")
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"bands scan should bucket-prune via the literal probe keys:\n$plan")
+    // verification reads persisted shingle hashes, never corpus text
+    assert(plan.contains("lsh_spec_idx3_shingles"), "verify side must read the index")
+    assert(pairs.count() == 1)
+  }
+}
