@@ -17,7 +17,18 @@ object DebugExplain {
     "op_cc_distributed" -> ((sp, dir) => graft.operators.Dedup.connectedComponents(
       graft.operators.Dedup.ngramJaccardPairs(
         graft.sources.Tables.documents(sp, dir), threshold = 0.8),
-      localThreshold = 0)))
+      localThreshold = 0)),
+    // q108's probe plan (the driver query checkpoints each probe):
+    // build the index, then show one probe — the audit points are the
+    // bucket-pruned bands scan and the absence of any corpus text scan
+    "op_lsh_probe" -> { (sp, dir) =>
+      import sp.implicits._
+      graft.operators.Dedup.writeLshIndex(sp,
+        graft.sources.Tables.documents(sp, dir), "debug_lsh_idx", buckets = 8)
+      val probe = Seq((-1L, "aa1 aa2 aa3 aa4 aa5 aa6 aa1 aa2 aa3 aa4 aa5 aa6"))
+        .toDF("doc_id", "text")
+      graft.operators.Dedup.nearDupsFromLshIndex(sp, probe, "debug_lsh_idx")
+    })
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
