@@ -198,7 +198,53 @@ object AnalyticsQueries {
       .orderBy("user_id", "purchase_id", "view_id")
   }
 
+  /** Streaming ingest-dedup loop (the CCNet/Dolma daily-corpus shape)
+    * end-to-end, FULL hash oracle: index the corpus, stream an ingest
+    * batch through [[StreamingOps.lshDedupIngestSink]] (intra-batch
+    * dedup → index probe → land survivors → append to index), then
+    * report every batch doc's landed/dropped disposition.
+    *
+    * The batch is adversarial and fully determined: 500 RE-DELIVERED
+    * real docs (same text, shifted ids — identical shingle sets make
+    * the index catch deterministic at J = 1.0, so re-delivery NEVER
+    * lands twice), one near-dup of an indexed planted doc (set-equal
+    * trick), and an intra-duplicated novel pair of which only the
+    * min-id survivor may land. Every disposition is forced, so DuckDB
+    * can state the expected landed set exactly — the streaming
+    * machinery, the batch dedup, the index probe AND the append path
+    * all have to agree with it for the hash to match. */
+  def q109StreamingIngestDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def rep(cycle: String, times: Int) = Array.fill(times)(cycle).mkString(" ")
+    val cycleA = "zzia zzib zzic zzid zzie zzif"
+    val cycleB = "qqja qqjb qqjc qqjd qqje qqjf"
+    val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(Seq((-11L, rep(cycleA, 3))).toDF("doc_id", "text"))
+    graft.operators.Dedup.writeLshIndex(s, corpus, "graft_lsh_q109", buckets = 8)
+    val redelivered = Tables.documents(s, d)
+      .filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val batch = redelivered.unionByName(Seq(
+      (-100L, rep(cycleA, 4)), // near-dups the indexed -11 → dropped
+      (-101L, rep(cycleB, 3)), // intra-batch dup, loses to min id -102
+      (-102L, rep(cycleB, 4))) // novel survivor → lands, gets indexed
+      .toDF("doc_id", "text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q109").toString
+    batch.repartition(1).write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = s.readStream
+      .schema("doc_id LONG, text STRING").parquet(s"$tmp/in")
+    val q = StreamingOps.lshDedupIngestSink(stream, "graft_lsh_q109",
+      s"$tmp/landed", checkpoint = Some(s"$tmp/ckpt"))
+    try { q.processAllAvailable() } finally q.stop()
+    val landed = s.read.parquet(s"$tmp/landed")
+      .select(col("doc_id"), lit(true).as("landed"))
+    batch.select("doc_id").join(landed, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("landed"), lit(false)).as("landed"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_streaming_ingest_dedup" -> (q109StreamingIngestDedup _),
     "q15_ols_ci" -> (q15OlsCi _),
     "q22_streaming" -> (q22Streaming _),
     "q71_streaming_dedup" -> (q71StreamingDedup _),
@@ -210,6 +256,15 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q109_streaming_ingest_dedup" ->
+      """SELECT doc_id + 1000000 AS doc_id, false AS landed
+        |FROM documents WHERE doc_id % 10 = 0
+        |UNION ALL
+        |SELECT * FROM (VALUES
+        |  (CAST(-100 AS BIGINT), false),
+        |  (CAST(-101 AS BIGINT), false),
+        |  (CAST(-102 AS BIGINT), true)) AS t(doc_id, landed)
+        |ORDER BY doc_id""".stripMargin,
     "q71_streaming_dedup" ->
       """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

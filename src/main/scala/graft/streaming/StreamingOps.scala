@@ -326,6 +326,47 @@ object StreamingOps {
   /** Streaming documents source: the documents table staged behind a
     * file-stream directory with a pinned schema (file streams require
     * a user schema). */
+  /** Continuous ingest-dedup loop against a persisted
+    * [[graft.operators.Dedup.writeLshIndex]] index — the production
+    * corpus-building shape (CCNet/Dolma run exactly this daily): each
+    * micro-batch is (1) deduplicated WITHIN itself
+    * ([[graft.operators.Dedup.dedupSurvivors]] — min-id survivor per
+    * near-dup cluster), (2) probed against the index and stripped of
+    * docs that near-duplicate the already-ingested corpus — including
+    * re-deliveries, which the set-equal shingle property catches
+    * deterministically at J = 1.0, (3) landed to `survivorPath`, and
+    * (4) APPENDED to the index so the NEXT batch dedups against it.
+    * `foreachBatch` is the right vehicle: every step is a normal batch
+    * plan (AQE, broadcast, bucket pruning all apply), and the
+    * index-append makes the sink stateful across batches WITHOUT any
+    * streaming state store — the state IS the bucketed index tables.
+    * Survivors are persisted for the duration of the batch: land +
+    * append are two consumers of one sketch/probe pipeline. */
+  def lshDedupIngestSink(stream: DataFrame, indexName: String,
+      survivorPath: String, threshold: Double = 0.5,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val intra = graft.operators.Dedup.dedupSurvivors(batch, threshold = threshold)
+          val dupIds = graft.operators.Dedup
+            .nearDupsFromLshIndex(s, intra, indexName, threshold)
+            .select(col("doc_a").as("doc_id")).distinct()
+          val survivors = intra.join(dupIds, Seq("doc_id"), "left_anti")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            survivors.write.mode(org.apache.spark.sql.SaveMode.Append)
+              .parquet(survivorPath)
+            graft.operators.Dedup.appendToLshIndex(s, survivors, indexName)
+          } finally survivors.unpersist(false)
+        }
+      }
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
   def documentStream(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

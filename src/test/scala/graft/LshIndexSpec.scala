@@ -50,6 +50,28 @@ class LshIndexSpec extends AnyFunSuite {
     assert(pairs.length == 1 && pairs.head.getLong(1) == 101L)
   }
 
+  test("streaming ingest-dedup sink: re-delivery dropped, novel survivor lands and is indexed") {
+    val s = spark; import s.implicits._
+    Dedup.writeLshIndex(s, corpus, "lsh_spec_stream", buckets = 4)
+    val batch = Seq(
+      (500L, rep(cycleA, 4)),  // near-dups indexed doc 1 → dropped by probe
+      (501L, rep(cycleB, 3)),  // novel intra pair: min id 501 survives,
+      (502L, rep(cycleB, 4)))  // 502 dropped by intra-batch dedup
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("lsh_stream_spec").toString
+    batch.repartition(1).write.parquet(s"$tmp/in")
+    val stream = s.readStream.schema("doc_id LONG, text STRING").parquet(s"$tmp/in")
+    val q = graft.streaming.StreamingOps.lshDedupIngestSink(
+      stream, "lsh_spec_stream", s"$tmp/landed", checkpoint = Some(s"$tmp/ckpt"))
+    try q.processAllAvailable() finally q.stop()
+    val landed = s.read.parquet(s"$tmp/landed").select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(landed.toSeq == Seq(501L), s"got ${landed.toSeq}")
+    // the landed survivor is now indexed: a follow-up probe finds it
+    val followUp = Dedup.nearDupsFromLshIndex(s,
+      Seq((600L, rep(cycleB, 5))).toDF("doc_id", "text"), "lsh_spec_stream").collect()
+    assert(followUp.length == 1 && followUp.head.getLong(1) == 501L)
+  }
+
   test("pruned probe plan: bucket pruning on bands, no corpus text scan") {
     val s = spark; import s.implicits._
     Dedup.writeLshIndex(s, corpus, "lsh_spec_idx3", buckets = 4)
