@@ -597,17 +597,21 @@ object Dedup {
       k: Int = 32, bands: Int = 8, buckets: Int = 16,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     import spark.implicits._
+    // cache the HASHED projection, not the sketch output: the string
+    // shingle arrays are text-sized and feed nothing downstream — both
+    // index tables derive from (id, shingle hashes, band hashes)
     val sigs = minhashSignatures(docs, idCol, textCol, k, bands)
+      .select(col(idCol).as("doc_id"),
+        expr("transform(sh, x -> xxhash64(x))").as("sh_h"), col("bandhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       graft.sources.Sinks.writeBucketed(
-        sigs.select(col(idCol).as("doc_id"),
+        sigs.select(col("doc_id"),
             posexplode(col("bandhash")).as(Seq("band", "bh")))
           .select(xxhash64(col("band"), col("bh")).as("bkey"), col("doc_id")),
         s"${name}_bands", buckets, Seq("bkey"))
       graft.sources.Sinks.writeBucketed(
-        sigs.select(col(idCol).as("doc_id"),
-          expr("transform(sh, x -> xxhash64(x))").as("sh_h")),
+        sigs.select(col("doc_id"), col("sh_h")),
         s"${name}_shingles", buckets, Seq("doc_id"))
       graft.sources.Sinks.replaceManagedTable(
         Seq((k, bands, buckets)).toDF("k", "bands", "buckets"), s"${name}_meta")()
@@ -632,15 +636,25 @@ object Dedup {
     * [[appendToLshIndex]] it. */
   def nearDupsFromLshIndex(spark: SparkSession, newDocs: DataFrame, name: String,
       threshold: Double = 0.5, idCol: String = "doc_id", textCol: String = "text",
-      pruneLimit: Int = 100000): DataFrame = {
+      pruneLimit: Int = 64): DataFrame = {
     val meta = spark.table(s"${name}_meta").head()
     val (k, bands) = (meta.getInt(0), meta.getInt(1))
+    // same hashed-projection caching as the build: verification reads
+    // sh_a from here, the strings never leave the sketch pipeline
     val sigs = minhashSignatures(newDocs, idCol, textCol, k, bands)
+      .select(col(idCol).as("doc_a"),
+        expr("transform(sh, x -> xxhash64(x))").as("sh_a"), col("bandhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val newBands = sigs
-        .select(col(idCol).as("doc_a"), posexplode(col("bandhash")).as(Seq("band", "bh")))
+        .select(col("doc_a"), posexplode(col("bandhash")).as(Seq("band", "bh")))
         .select(xxhash64(col("band"), col("bh")).as("bkey"), col("doc_a"))
+      // literal-prune ONLY for genuinely tiny probes: past ~64 keys the
+      // IN list's analysis/canonicalization cost exceeds what bucket
+      // pruning saves (measured: a 4000-literal probe spent seconds in
+      // planning), and a batch that size touches every bucket anyway —
+      // the fallback equi-join still pays no Exchange on the bucketed
+      // index side
       val probeKeys = newBands.select("bkey").distinct()
         .limit(pruneLimit + 1).collect().map(_.getLong(0))
       val bandsTable = spark.table(s"${name}_bands")
@@ -652,8 +666,7 @@ object Dedup {
           .select(col("doc_a"), col("doc_id").as("doc_b")).distinct()
           .cache()
       candidates.count() // eager: the two verify joins below would re-probe
-      val newSh = sigs.select(col(idCol).as("doc_a"),
-        expr("transform(sh, x -> xxhash64(x))").as("sh_a"))
+      val newSh = sigs.select(col("doc_a"), col("sh_a"))
       val oldSh = spark.table(s"${name}_shingles")
         .select(col("doc_id").as("doc_b"), col("sh_h").as("sh_b"))
       candidates
@@ -676,16 +689,23 @@ object Dedup {
     val meta = spark.table(s"${name}_meta").head()
     val (k, bands, buckets) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val sigs = minhashSignatures(newDocs, idCol, textCol, k, bands)
+      .select(col(idCol).as("doc_id"),
+        expr("transform(sh, x -> xxhash64(x))").as("sh_h"), col("bandhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      sigs.select(col(idCol).as("doc_id"),
+      // repartition on the bucket key first — same file-count
+      // discipline as Sinks.writeBucketed (an unpartitioned bucketed
+      // append writes tasks × buckets files per batch, and a daily
+      // sink accretes them forever)
+      sigs.select(col("doc_id"),
           posexplode(col("bandhash")).as(Seq("band", "bh")))
         .select(xxhash64(col("band"), col("bh")).as("bkey"), col("doc_id"))
+        .repartition(buckets, col("bkey"))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .bucketBy(buckets, "bkey").sortBy("bkey")
         .format("parquet").saveAsTable(s"${name}_bands")
-      sigs.select(col(idCol).as("doc_id"),
-          expr("transform(sh, x -> xxhash64(x))").as("sh_h"))
+      sigs.select(col("doc_id"), col("sh_h"))
+        .repartition(buckets, col("doc_id"))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .bucketBy(buckets, "doc_id").sortBy("doc_id")
         .format("parquet").saveAsTable(s"${name}_shingles")

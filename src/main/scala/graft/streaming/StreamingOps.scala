@@ -350,17 +350,27 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
-          val intra = graft.operators.Dedup.dedupSurvivors(batch, threshold = threshold)
-          val dupIds = graft.operators.Dedup
-            .nearDupsFromLshIndex(s, intra, indexName, threshold)
-            .select(col("doc_a").as("doc_id")).distinct()
-          val survivors = intra.join(dupIds, Seq("doc_id"), "left_anti")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // an ingest batch is small relative to the corpus by
+          // construction, but its dedup/probe pipeline is MANY small
+          // jobs — run them at a reduced partition count (restored
+          // after; min-ed so a cluster-sized setting is untouched),
+          // the runToMemory drain discipline. Result-invariant.
+          val key = "spark.sql.shuffle.partitions"
+          val prev = s.conf.get(key)
+          s.conf.set(key, math.min(prev.toInt, 8).toString)
           try {
-            survivors.write.mode(org.apache.spark.sql.SaveMode.Append)
-              .parquet(survivorPath)
-            graft.operators.Dedup.appendToLshIndex(s, survivors, indexName)
-          } finally survivors.unpersist(false)
+            val intra = graft.operators.Dedup.dedupSurvivors(batch, threshold = threshold)
+            val dupIds = graft.operators.Dedup
+              .nearDupsFromLshIndex(s, intra, indexName, threshold)
+              .select(col("doc_a").as("doc_id")).distinct()
+            val survivors = intra.join(dupIds, Seq("doc_id"), "left_anti")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              survivors.write.mode(org.apache.spark.sql.SaveMode.Append)
+                .parquet(survivorPath)
+              graft.operators.Dedup.appendToLshIndex(s, survivors, indexName)
+            } finally survivors.unpersist(false)
+          } finally s.conf.set(key, prev)
         }
       }
     checkpoint.foreach(c => w.option("checkpointLocation", c))
