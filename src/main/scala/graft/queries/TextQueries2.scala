@@ -410,7 +410,7 @@ object TextQueries2 {
           "CASE WHEN id % 2 = 0 THEN 'good' ELSE 'junk' END, pmod(id * 7 + i, 16))))"),
         lit(" the data of and")).as("text"))
     val (w, trace) = Classifier.trainLogisticTrace(s, train, "label",
-      dim = 256, maxIter = 25, lr = 1.0)
+      dim = 256, maxIter = 15, lr = 1.0)
     val probes = Seq((1.0, "good1 good5 good9 good14 the data"),
       (0.0, "junk2 junk6 junk11 junk15 of and")).toDF("want", "text")
     val probeCorrect = Classifier.scoreLogistic(s, probes, w, dim = 256)
