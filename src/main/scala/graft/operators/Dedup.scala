@@ -646,26 +646,14 @@ object Dedup {
         expr("transform(sh, x -> xxhash64(x))").as("sh_a"), col("bandhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val newBands = sigs
-        .select(col("doc_a"), posexplode(col("bandhash")).as(Seq("band", "bh")))
-        .select(xxhash64(col("band"), col("bh")).as("bkey"), col("doc_a"))
-      // literal-prune ONLY for genuinely tiny probes: past ~64 keys the
-      // IN list's analysis/canonicalization cost exceeds what bucket
-      // pruning saves (measured: a 4000-literal probe spent seconds in
-      // planning), and a batch that size touches every bucket anyway —
-      // the fallback equi-join still pays no Exchange on the bucketed
-      // index side
-      val probeKeys = newBands.select("bkey").distinct()
-        .limit(pruneLimit + 1).collect().map(_.getLong(0))
-      val bandsTable = spark.table(s"${name}_bands")
-      val candidates =
-        (if (probeKeys.length <= pruneLimit)
-          bandsTable.filter(col("bkey").isin(probeKeys: _*)).join(broadcast(newBands), Seq("bkey"))
-        else bandsTable.join(newBands, Seq("bkey")))
-          .filter(col("doc_a") =!= col("doc_id"))
-          .select(col("doc_a"), col("doc_id").as("doc_b")).distinct()
-          .cache()
-      candidates.count() // eager: the two verify joins below would re-probe
+      // eager localCheckpoint, not cache(): the two verify joins
+      // below must not re-probe, AND the streaming ingest sink calls
+      // this once per micro-batch — cache() entries live in the
+      // CacheManager until explicitly dropped (a per-batch leak in a
+      // continuous stream), while checkpoint RDD blocks are
+      // ContextCleaner-managed once unreferenced
+      val candidates = lshIndexCandidates(spark, sigs, name, pruneLimit)
+        .localCheckpoint()
       val newSh = sigs.select(col("doc_a"), col("sh_a"))
       val oldSh = spark.table(s"${name}_shingles")
         .select(col("doc_id").as("doc_b"), col("sh_h").as("sh_b"))
@@ -677,6 +665,33 @@ object Dedup {
             size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
         .filter(col("jaccard") >= threshold)
     } finally sigs.unpersist(false)
+  }
+
+  /** Candidate (new, indexed) id pairs for an LSH-index probe — the
+    * pre-checkpoint plan, separated so the plan-shape specs can assert
+    * the bucket-pruning discipline directly (the checkpoint in
+    * [[nearDupsFromLshIndex]] truncates the visible plan, as with
+    * q31). `sigs` must carry (doc_a, bandhash).
+    *
+    * Literal-prune ONLY for genuinely tiny probes: past ~64 keys the
+    * IN list's analysis/canonicalization cost exceeds what bucket
+    * pruning saves (measured: a 4000-literal probe spent seconds in
+    * planning), and a batch that size touches every bucket anyway —
+    * the fallback equi-join still pays no Exchange on the bucketed
+    * index side. */
+  private[graft] def lshIndexCandidates(spark: SparkSession, sigs: DataFrame,
+      name: String, pruneLimit: Int): DataFrame = {
+    val newBands = sigs
+      .select(col("doc_a"), posexplode(col("bandhash")).as(Seq("band", "bh")))
+      .select(xxhash64(col("band"), col("bh")).as("bkey"), col("doc_a"))
+    val probeKeys = newBands.select("bkey").distinct()
+      .limit(pruneLimit + 1).collect().map(_.getLong(0))
+    val bandsTable = spark.table(s"${name}_bands")
+    (if (probeKeys.length <= pruneLimit)
+      bandsTable.filter(col("bkey").isin(probeKeys: _*)).join(broadcast(newBands), Seq("bkey"))
+    else bandsTable.join(newBands, Seq("bkey")))
+      .filter(col("doc_a") =!= col("doc_id"))
+      .select(col("doc_a"), col("doc_id").as("doc_b")).distinct()
   }
 
   /** Incremental maintenance: sketch the ingest batch and append it to

@@ -26,6 +26,8 @@ import org.apache.spark.sql.types._
 case class HashFeatures(child: Expression, dim: Int)
     extends UnaryExpression with CodegenFallback {
 
+  require(dim > 0, s"hash_features dim must be positive, got $dim")
+
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "hash_features"
 

@@ -76,11 +76,20 @@ class LshIndexSpec extends AnyFunSuite {
     val s = spark; import s.implicits._
     Dedup.writeLshIndex(s, corpus, "lsh_spec_idx3", buckets = 4)
     val batch = Seq((100L, rep(cycleA, 4))).toDF("doc_id", "text")
+    // candidate phase (pre-checkpoint — the probe's checkpoint
+    // truncates its visible plan): bands scan must bucket-prune
+    val sigs = Dedup.minhashSignatures(batch)
+      .select(col("doc_id").as("doc_a"),
+        expr("transform(sh, x -> xxhash64(x))").as("sh_a"), col("bandhash"))
+    val candPlan = Dedup.lshIndexCandidates(s, sigs, "lsh_spec_idx3", 64)
+      .queryExecution.executedPlan.toString
+    assert(candPlan.contains("SelectedBucketsCount"),
+      s"bands scan should bucket-prune via the literal probe keys:\n$candPlan")
+    // end-to-end probe: the verify joins sit ABOVE the candidate
+    // checkpoint, so the final plan must show the persisted
+    // shingle-hash table as its only text-free verification source
     val pairs = Dedup.nearDupsFromLshIndex(s, batch, "lsh_spec_idx3")
     val plan = pairs.queryExecution.executedPlan.toString
-    assert(plan.contains("SelectedBucketsCount"),
-      s"bands scan should bucket-prune via the literal probe keys:\n$plan")
-    // verification reads persisted shingle hashes, never corpus text
     assert(plan.contains("lsh_spec_idx3_shingles"), "verify side must read the index")
     assert(pairs.count() == 1)
   }
