@@ -170,9 +170,47 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF index APPEND lifecycle (daily-ingest shape, the vector twin
+    * of q108's LSH append): build the persisted index, probe, append a
+    * batch of exact copies of the query vectors under SHIFTED ids
+    * against the frozen centroids, probe again. Rows-only but
+    * guarantee-carrying by construction:
+    *
+    *  - `pre_copies` = 0 — before the append, no shifted-id vector can
+    *    appear (it is not in the index).
+    *  - `copies_found` = nQueries — an exact copy has cosine 1.0 and is
+    *    assigned (frozen centroids, deterministic nearest-cell) to the
+    *    SAME cell its source query probes first, so after the append
+    *    every probe must surface its copy at sim = 1.0.
+    *
+    * The append itself is one map-side assignment pass + one bucketed
+    * write of the batch only — probes after it keep bucket pruning and
+    * the exchange-free postings join (ScaleSpec-asserted for the same
+    * writer). */
+  def q110IvfAppend(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < NQueries)
+    Similarity.writeIvfIndex(s, emb, "graft_ivf_q110", nCentroids = 16, buckets = 8)
+    val pre = Similarity.ivfTopKFromIndex(s, "graft_ivf_q110", q, k = 10, nProbe = 4)
+      .withColumn("phase", lit(1)).localCheckpoint()
+    val batch = q.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfIndex(s, batch, "graft_ivf_q110")
+    val post = Similarity.ivfTopKFromIndex(s, "graft_ivf_q110", q, k = 10, nProbe = 4)
+      .withColumn("phase", lit(2)).localCheckpoint()
+    val all = pre.unionByName(post)
+    val guarantee = all.agg(
+      sum(when(col("phase") === 1 && col("vec_id") >= 1000000L, 1).otherwise(0))
+        .as("pre_copies"),
+      sum(when(col("phase") === 2 && col("vec_id") === col("query_id") + 1000000L &&
+          col("sim") === 1.0, 1).otherwise(0))
+        .as("copies_found"))
+    all.crossJoin(broadcast(guarantee)).orderBy("phase", "query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_kmeans_trace" -> (q100KmeansTrace _),
     "q101_ivf_index" -> (q101IvfIndex _),
+    "q110_ivf_append" -> (q110IvfAppend _),
     "q34_knn_bruteforce" -> (q34KnnBruteForce _),
     "q35_knn_lsh" -> (q35KnnLsh _),
     "q43_knn_ivf" -> (q43KnnIvf _),

@@ -98,6 +98,17 @@ class ScaleSpec extends AnyFunSuite {
       .exists(_.group(1).toInt < 4), s"bucket pruning lost after append:\n${plan.take(2000)}")
   }
 
+  test("q110 IVF append lifecycle: guarantees hold on real testdata") {
+    val rows = graft.queries.VectorQueries
+      .q110IvfAppend(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val g = rows.head
+    assert(g.getAs[Long]("pre_copies") == 0L,
+      "no shifted-id copy may surface before the append")
+    assert(g.getAs[Long]("copies_found") == 5L,
+      s"every probe must find its appended exact copy at sim=1.0, got ${g}")
+  }
+
   test("city-partitioned fact table prunes partitions on a city filter") {
     val fact = graft.sources.SyntheticData.weatherEnergy(spark, "2024-01-01", nDays = 20)
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
