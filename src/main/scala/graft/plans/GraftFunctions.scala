@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.catalyst.expressions.graft.{CosineSimilarity, HashFeatures, LshBucket, MinHashBands, MinHashSig, MmrSelect, ShingleSeq, Shingles, SimHash64, VectorSum, WinnowFingerprints}
+import org.apache.spark.sql.catalyst.expressions.graft.{CosineSimilarity, HashFeatures, LshBucket, MinHashBands, MinHashSig, MmrSelect, ShingleSeq, Shingles, SimHash64, SrpProject, VectorSum, WinnowFingerprints}
 
 /** Session-scoped registration of graft's native Catalyst expressions,
   * so they are callable from `expr("cosine_sim(a, b)")` / SQL text.
@@ -35,6 +35,8 @@ object GraftFunctions {
       "vec_sum", exprs => VectorSum(exprs(0)).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction(
       "hash_features", exprs => HashFeatures(exprs(0), intLit(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "srp_project", exprs => SrpProject(exprs(0), intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "winnow_fingerprints",
       exprs => WinnowFingerprints(exprs(0), intLit(exprs(1))), "built-in")

@@ -285,6 +285,63 @@ case class LshBucket(child: Expression, nBits: Int, table: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Signed random projection (Charikar, STOC 2002: SimHash for cosine)
+  * of an `array<float>` embedding onto `m` deterministic ±1
+  * hyperplanes: out[j] = Σ_i emb[i] · sign(i, j). Unlike
+  * [[LshBucket]]'s xxhash64 hyperplanes, the sign family here is the
+  * engine's cross-engine md5 idiom (same formula as
+  * `Curation.hashBucket`: parity of the first 6 md5 hex chars of
+  * "srp:i:j"), so an external SQL engine can replicate the projection
+  * bit-for-bit — this is what makes the SRP queries full
+  * hash-oracle-checkable where every other ANN query is rows-only.
+  *
+  * ±1 components need no scaling for sign-based codes, and the JL
+  * guarantee holds for Rademacher entries (Achlioptas, JCSS 2003) —
+  * E[⟨z_a, z_b⟩]/m recovers ⟨a, b⟩. Row-local primitive m×d loop,
+  * matrix materialized once per expression instance (row-invariant). */
+case class SrpProject(child: Expression, m: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(m > 0, s"srp_project m must be positive, got $m")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "srp_project"
+  override def stringArgs: Iterator[Any] = Iterator(child, s"m=$m")
+
+  private val MaxDim = 512
+
+  @transient private lazy val signs: Array[Array[Double]] = {
+    val mdg = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(m, MaxDim) { (j, i) =>
+      val hex = mdg.digest(s"srp:${i + 1}:${j + 1}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(3).map(b => f"${b & 0xff}%02x").mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val d = math.min(arr.numElements(), MaxDim)
+    val out = new Array[Double](m)
+    var j = 0
+    while (j < m) {
+      val row = signs(j)
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        acc += arr.getFloat(i).toDouble * row(i)
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken: "Winnowing:
   * Local Algorithms for Document Fingerprinting", SIGMOD 2003) of an
   * array<string> shingle column: hash each k-gram once, slide a window

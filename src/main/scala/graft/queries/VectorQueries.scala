@@ -207,10 +207,64 @@ object VectorQueries {
     all.crossJoin(broadcast(guarantee)).orderBy("phase", "query_id", "rank")
   }
 
+  /** Signed-random-projection dimensionality reduction (64-d float →
+    * 16-d, Charikar/Achlioptas — see [[org.apache.spark.sql.catalyst
+    * .expressions.graft.SrpProject]]): the JL-style compression step a
+    * training-data pipeline runs before storing or bucketing
+    * embeddings. FULL hash oracle — the ±1 hyperplanes derive from the
+    * engine's md5 parity idiom, which DuckDB replicates exactly, and
+    * both engines fold the 64 products in ascending-index order
+    * (identical double arithmetic; the projection is an aggregated sum
+    * → rounded 6 per discipline). Map-side only: no shuffle, no UDF,
+    * one native expression per row. */
+  def q111RandomProjection(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(
+          expr("transform(srp_project(embedding, 16), z -> round(z, 6))"))
+        .as(Seq("pos", "z")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"), col("z"))
+      .orderBy("vec_id", "dim")
+  }
+
+  /** ANN top-10 in the COMPRESSED domain: rank by Hamming distance
+    * between 16-bit SRP sign codes (bit j = sign of q111's projection),
+    * tie-break vec_id, with the exact cosine similarity annotated per
+    * retrieved pair. The scale story: the scan side touches a 16-bit
+    * code (512× smaller than the 64-float vector); exact vectors are
+    * read only for the retrieved candidates. FULL hash oracle — the
+    * first ANN query that is hash-checkable rather than rows-only:
+    * codes are deterministic md5-parity arithmetic, and the bit
+    * thresholds the ROUNDED projection (the value q111 proves equal
+    * across engines) so a borderline-zero component cannot flip a bit
+    * on one engine only. */
+  def q112SrpHammingTopK(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val coded = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        expr("transform(srp_project(embedding, 16), z -> CASE WHEN round(z, 6) >= 0 THEN 1 ELSE 0 END)")
+          .as("code"))
+    val qs = broadcast(coded.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("code").as("q_code")))
+    val scored = coded.crossJoin(qs)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("hamming",
+        expr("aggregate(zip_with(code, q_code, (a, b) -> CASE WHEN a <> b THEN 1 ELSE 0 END), 0, (acc, x) -> acc + x)"))
+      .withColumn("sim", round(expr("cosine_sim(embedding, q_emb)"), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("hamming"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id"), col("hamming"), col("sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_kmeans_trace" -> (q100KmeansTrace _),
     "q101_ivf_index" -> (q101IvfIndex _),
     "q110_ivf_append" -> (q110IvfAppend _),
+    "q111_random_projection" -> (q111RandomProjection _),
+    "q112_srp_hamming_topk" -> (q112SrpHammingTopK _),
     "q34_knn_bruteforce" -> (q34KnnBruteForce _),
     "q35_knn_lsh" -> (q35KnnLsh _),
     "q43_knn_ivf" -> (q43KnnIvf _),
@@ -315,6 +369,41 @@ object VectorQueries {
          |  WHERE e.vec_id <> q.query_id)
          |SELECT query_id, vec_id, sim,
          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+         |FROM scored
+         |QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+    // the ±1 hyperplane is the engine's md5 idiom: parity of the first
+    // 6 md5 hex chars of 'srp:i:j' — identical arithmetic to
+    // SrpProject's matrix, folded in the same ascending-i order
+    "q111_random_projection" ->
+      """SELECT vec_id, CAST(t.j AS INT) AS dim,
+        |  round(list_sum(list_transform(range(1, 65), i ->
+        |    CAST(embedding[i] AS DOUBLE) *
+        |    CASE WHEN ('0x' || substr(md5('srp:' || i || ':' || t.j), 1, 6))::BIGINT % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END)), 6) AS z
+        |FROM embeddings CROSS JOIN range(1, 17) t(j)
+        |ORDER BY vec_id, dim""".stripMargin,
+    "q112_srp_hamming_topk" ->
+      s"""WITH codes AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    list_transform(range(1, 17), j ->
+         |      CASE WHEN round(list_sum(list_transform(range(1, 65), i ->
+         |        CAST(embedding[i] AS DOUBLE) *
+         |        CASE WHEN ('0x' || substr(md5('srp:' || i || ':' || j), 1, 6))::BIGINT % 2 = 0
+         |          THEN 1.0 ELSE -1.0 END)), 6) >= 0 THEN 1 ELSE 0 END) AS code
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS query_id, emb AS q_emb, code AS q_code
+         |  FROM codes WHERE vec_id < $NQueries),
+         |scored AS (
+         |  SELECT q.query_id, c.vec_id,
+         |    CAST(list_sum(list_transform(range(1, 17), j ->
+         |      CASE WHEN c.code[j] <> q.q_code[j] THEN 1 ELSE 0 END)) AS INT) AS hamming,
+         |    round(list_cosine_similarity(c.emb, q.q_emb), 6) AS sim
+         |  FROM codes c CROSS JOIN q
+         |  WHERE c.vec_id <> q.query_id)
+         |SELECT query_id, vec_id, hamming, sim,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS INT) AS rank
          |FROM scored
          |QUALIFY rank <= 10
          |ORDER BY query_id, rank""".stripMargin

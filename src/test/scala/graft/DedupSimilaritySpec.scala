@@ -373,6 +373,58 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("srp_project: sign codes are scale-invariant and track the Charikar angle bound") {
+    GraftFunctions.register(spark)
+    val s = spark; import s.implicits._
+    // a, a positively scaled (angle 0), a negated (angle pi), and an
+    // orthogonal-by-construction partner (angle pi/2)
+    val a = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val scaled = a.map(_ * 2.5f)
+    val neg = a.map(-_)
+    val ortho = Array.tabulate(64)(i => if (i % 2 == 0) a(i + 1) else -a(i - 1))
+    val m = 64
+    val df = Seq((1L, a, scaled), (2L, a, neg), (3L, a, ortho))
+      .toDF("id", "u", "v")
+      .selectExpr("id",
+        s"zip_with(srp_project(u, $m), srp_project(v, $m), " +
+          "(x, y) -> CASE WHEN (x >= 0) <> (y >= 0) THEN 1 ELSE 0 END) AS diff")
+      .withColumn("hamming", expr("aggregate(diff, 0, (acc, x) -> acc + x)"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("hamming")).toMap
+    // P[bit differs] = angle/pi exactly (Charikar, STOC 2002): scaling
+    // never flips a sign (0 disagreement), negation always does (m),
+    // and a right angle disagrees on ~m/2 bits (binomial, 4-sigma band)
+    assert(df(1L) == 0, s"positive scaling flipped ${df(1L)} sign bits")
+    assert(df(2L) == m, s"negation must flip every bit, got ${df(2L)}")
+    assert(math.abs(df(3L) - m / 2) <= 2 * math.sqrt(m.toDouble),
+      s"orthogonal pair expected ~${m / 2} of $m bits, got ${df(3L)}")
+  }
+
+  test("srp_project: JL property - projected inner product estimates the exact one") {
+    GraftFunctions.register(spark)
+    val s = spark; import s.implicits._
+    // E[<Pa,Pb>/m] = <a,b> for Rademacher projections (Achlioptas, JCSS
+    // 2003); with m=256 the estimator's sd is ~||a||||b||/sqrt(m), so a
+    // 25% relative band is a ~4-sigma test on unit-ish vectors
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.tabulate(6) { p =>
+      val a = Array.fill(64)(rnd.nextGaussian().toFloat / 8f)
+      val b = Array.fill(64)(rnd.nextGaussian().toFloat / 8f)
+      (p.toLong, a, b)
+    }
+    val m = 256
+    val rows = pairs.toDF("id", "a", "b")
+      .selectExpr("id",
+        "aggregate(zip_with(a, b, (x, y) -> cast(x AS double) * y), 0D, (acc, z) -> acc + z) AS exact",
+        s"aggregate(zip_with(srp_project(a, $m), srp_project(b, $m), (x, y) -> x * y), 0D, (acc, z) -> acc + z) / $m AS est")
+      .collect()
+    rows.foreach { r =>
+      val (exact, est) = (r.getAs[Double]("exact"), r.getAs[Double]("est"))
+      val normBound = 64.0 / 64.0 // E||a||^2 = 64 * (1/8)^2 = 1
+      assert(math.abs(est - exact) < 0.25 * math.max(1.0, normBound),
+        s"id=${r.getLong(0)}: exact=$exact est=$est")
+    }
+  }
+
   test("multimodal stub pipeline: binary plumbing produces length-derived features") {
     val s = spark; import s.implicits._
     val df = Seq((7L, "abcdefgh", "en", "srcX", 8L)).toDF("doc_id", "text", "lang", "source", "n_chars")
