@@ -277,6 +277,53 @@ object Curation {
         pmod(conv(substring(col("sort_key"), 1, 6), 16, 10).cast("long"), lit(nBatches)))
   }
 
+  /** Greedy token-budget corpus cut: keep the best-scored documents,
+    * in (score DESC, tieBreak) order, until a global token budget is
+    * exhausted — the "top up to N tokens" selection every pretraining
+    * corpus spec ends with. The naive formulation is a running sum over
+    * one global ordering, i.e. a single-partition WindowExec that dies
+    * at scale; this is the standard two-phase distributed prefix sum
+    * instead:
+    *
+    *   1. bucket each row by a MONOTONE coarse function of the score
+    *      (fixed-width slices of the [0, 1] score range — same score ⇒
+    *      same bucket, so bucket order agrees with global order),
+    *   2. one tiny aggregate (≤ nBuckets rows) produces each bucket's
+    *      token total; a window over those ≤ nBuckets rows (driver-
+    *      scale, like a k×d centroid table) turns them into per-bucket
+    *      OFFSETS — the tokens consumed by all better buckets,
+    *   3. the per-row running sum is then a window PARTITIONED BY
+    *      bucket (parallel across buckets) plus the broadcast offset.
+    *
+    * The cut itself is exact and identical to the single-window answer;
+    * only the parallelism changed. `score` must be bounded in [0, 1]
+    * (use [[calibrateQuality]] first if it isn't); `budgetTokens` may
+    * reference any column of `df` (e.g. a crossJoined corpus total, so
+    * "60% of all tokens" needs no driver round-trip). Output keeps the
+    * caller's columns plus `cum_tokens`, the inclusive running total —
+    * a kept row's cum_tokens never exceeds the budget. */
+  def tokenBudgetCut(df: DataFrame, score: Column, tieBreak: Column,
+      nTokens: Column, budgetTokens: Column, nBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 1, "nBuckets must be positive")
+    val b = df.withColumn("__toks", nTokens.cast("long"))
+      .withColumn("__score", score)
+      .withColumn("__bucket",
+        greatest(lit(0), least(floor(col("__score") * nBuckets).cast("int"), lit(nBuckets - 1))))
+    // ≤ nBuckets rows: the unpartitioned window here is the legitimate
+    // driver-scale kind, not the per-row kind step 3 avoids
+    val offsets = b.groupBy("__bucket").agg(sum("__toks").as("__btotal"))
+      .withColumn("__offset", coalesce(
+        sum("__btotal").over(Window.orderBy(col("__bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__btotal")
+    val w = Window.partitionBy("__bucket").orderBy(col("__score").desc, tieBreak)
+    b.join(broadcast(offsets), "__bucket")
+      .withColumn("cum_tokens", col("__offset") + sum("__toks").over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .drop("__bucket", "__offset", "__toks", "__score")
+  }
+
   /** Compact a DataFrame to ~targetMB output files using the
     * optimizer's size estimate — the small-files remedy at the end of
     * any large pipeline stage. */

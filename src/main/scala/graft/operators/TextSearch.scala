@@ -232,4 +232,53 @@ object TextSearch {
         round(exp(col("m")), 2).as("perplexity"),
         col("vocab"), col("total_bigrams"))
   }
+
+  /** All-pairs TF-IDF cosine document similarity via the inverted
+    * index — the sparse-vector counterpart of the dense embedding
+    * pairs in [[graft.operators.Dedup.embeddingNearDups]]: weight each
+    * (doc, term) by tf·ln(N/df), then a pair's dot product is a sum
+    * over SHARED terms only, so the self-join on term materializes
+    * exactly the co-occurring pairs instead of n² rows.
+    *
+    * Two standard prunes keep the candidate volume linear at scale,
+    * and both are part of the operator's SEMANTICS (the oracle applies
+    * them identically, and text search engines define similarity in
+    * the pruned space):
+    *   - `df ≥ 2`: a term in one document can't produce a pair, and
+    *     such terms are the bulk of any corpus vocabulary (Zipf);
+    *   - `df ≤ dfCap`: stop-terms pair everything with everything —
+    *     one term of df = D contributes D·(D−1)/2 candidate rows.
+    *     Capping df bounds any term's fan-out (the equi-shuffle skew
+    *     cap, same role as maxBucket in the MinHash path) and removes
+    *     near-zero-idf noise from the similarity itself.
+    *
+    * Norms are computed over the surviving terms (similarity is
+    * DEFINED in the pruned vector space). The threshold compares the
+    * ROUNDED similarity, so a borderline pair cannot flip between
+    * engines. */
+  def tfidfCosinePairs(docs: DataFrame, threshold: Double, dfCap: Int = 100,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(idCol), explode(TextFunctions.tokens(textCol)).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).cast("double").as("tf"))
+    val nDocs = broadcast(docs.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_docs")))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+    val w = tf.join(broadcast(df_), Seq("term"))
+      .crossJoin(nDocs)
+      .withColumn("w", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .select(col(idCol), col("term"), col("w"))
+    val norms = w.groupBy(idCol).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val pairs = w.as("a").join(w.as("b"), Seq("term"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_terms"),
+        sum(col("a.w") * col("b.w")).as("dot"))
+    pairs
+      .join(norms.select(col(idCol).as("doc_a"), col("nrm").as("nrm_a")), Seq("doc_a"))
+      .join(norms.select(col(idCol).as("doc_b"), col("nrm").as("nrm_b")), Seq("doc_b"))
+      .withColumn("sim", round(col("dot") / (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_shared_terms"), col("sim"))
+  }
 }

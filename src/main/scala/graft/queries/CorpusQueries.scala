@@ -168,6 +168,42 @@ object CorpusQueries {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Global token-budget cut at 60% of the corpus's tokens, best
+    * quality first — [[Curation.tokenBudgetCut]]'s two-phase
+    * distributed prefix sum (bucketed running totals + broadcast
+    * offsets; NO single-partition window over the corpus). The budget
+    * is integer arithmetic (`total·6 ÷ 10` floored) and cum_tokens is
+    * a sum of longs, so the cut line is bit-exact on both engines;
+    * quality_score reuses q37's replicated formula. Full hash
+    * oracle: DuckDB states the same cut with one ordered window. */
+  def q113TokenBudget(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .withColumn("toks", graft.functions.TextFunctions.tokens("text"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("quality_score",
+        round(least(size(col("toks")).cast("double") / 50, lit(1.0)) *
+          (lit(1.0) - graft.functions.TextFunctions.markerCount("toks", Seq("the", "a"))
+            .cast("double") / size(col("toks"))), 4))
+      .select("doc_id", "n_tokens", "quality_score")
+    val total = scored.agg(sum("n_tokens").as("total_tokens"))
+    Curation.tokenBudgetCut(
+      scored.crossJoin(broadcast(total)),
+      score = col("quality_score"), tieBreak = col("doc_id"),
+      nTokens = col("n_tokens"), budgetTokens = floor(col("total_tokens") * 6 / 10).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"), col("cum_tokens"))
+      .orderBy("cum_tokens")
+  }
+
+  /** All-pairs sparse document similarity: TF-IDF cosine over the
+    * inverted index ([[TextSearch.tfidfCosinePairs]]) — only pairs
+    * sharing a surviving term materialize; df ∈ [2, 100] pruning is
+    * part of the similarity's definition and the skew cap. Full hash
+    * oracle (counts exact, ln/sqrt arithmetic identical, threshold on
+    * the rounded similarity). */
+  def q114TfidfPairs(s: SparkSession, d: String): DataFrame =
+    TextSearch.tfidfCosinePairs(Tables.documents(s, d), threshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_corpus_build2" -> (q98CorpusBuild2 _),
     "q89_paragraph_dedup" -> (q89ParagraphDedup _),
@@ -178,7 +214,9 @@ object CorpusQueries {
     "q93_epoch_shuffle" -> (q93EpochShuffle _),
     "q95_fixed_size_sample" -> (q95FixedSizeSample _),
     "q96_quality_calibration" -> (q96QualityCalibration _),
-    "q97_bigram_perplexity" -> (q97BigramPerplexity _)
+    "q97_bigram_perplexity" -> (q97BigramPerplexity _),
+    "q113_token_budget" -> (q113TokenBudget _),
+    "q114_tfidf_pairs" -> (q114TfidfPairs _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -363,5 +401,49 @@ object CorpusQueries {
       |  round(score, 6) AS score, n_terms_matched
       |FROM scored
       |QUALIFY rank <= 10
-      |ORDER BY query_id, rank""".stripMargin
+      |ORDER BY query_id, rank""".stripMargin,
+    // the oracle states the cut as ONE ordered window — the engine's
+    // bucketed two-phase prefix sum must agree row-for-row
+    "q113_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    round(least(len(toks) / 50.0, 1.0) *
+        |      (1.0 - len(list_filter(toks, x -> x IN ('the','a'))) * 1.0 / len(toks)), 4)
+        |      AS quality_score
+        |  FROM t),
+        |b AS (SELECT (sum(n_tokens) * 6) // 10 AS budget FROM s),
+        |c AS (
+        |  SELECT doc_id, n_tokens, quality_score,
+        |    CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM s)
+        |SELECT doc_id, n_tokens, quality_score, cum_tokens
+        |FROM c, b WHERE cum_tokens <= budget
+        |ORDER BY cum_tokens""".stripMargin,
+    "q114_tfidf_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM t GROUP BY 1, 2),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |  HAVING count(*) BETWEEN 2 AND 100),
+        |w AS (
+        |  SELECT doc_id, term, tf * ln(n_docs * 1.0 / df) AS w
+        |  FROM tf JOIN dft USING (term) CROSS JOIN n),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS n_shared_terms, sum(a.w * b.w) AS dot
+        |  FROM w a JOIN w b USING (term)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared_terms,
+        |  round(dot / (x.nrm * y.nrm), 6) AS sim
+        |FROM p JOIN nrm x ON p.doc_a = x.doc_id JOIN nrm y ON p.doc_b = y.doc_id
+        |WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin)
 }
