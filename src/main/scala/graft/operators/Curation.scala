@@ -303,22 +303,49 @@ object Curation {
     * caller's columns plus `cum_tokens`, the inclusive running total —
     * a kept row's cum_tokens never exceeds the budget. */
   def tokenBudgetCut(df: DataFrame, score: Column, tieBreak: Column,
-      nTokens: Column, budgetTokens: Column, nBuckets: Int = 32): DataFrame = {
+      nTokens: Column, budgetTokens: Column, nBuckets: Int = 32): DataFrame =
+    budgetPrefixCut(df, Nil, score, tieBreak, nTokens, budgetTokens, nBuckets)
+
+  /** Multi-source corpus mixing at declared TOKEN ratios (the
+    * Pile/Dolma recipe: per-source token budgets, not row fractions):
+    * within each source, keep best-quality-first until that source's
+    * budget is exhausted. Same two-phase prefix sum as
+    * [[tokenBudgetCut]] with every phase additionally keyed by the
+    * source column — the offsets frame grows to |sources|·nBuckets
+    * rows (still driver-scale) and the per-row running sums stay
+    * (source, bucket)-partitioned windows, so nothing becomes a
+    * single-partition pass however large one source is.
+    * `budgetTokens` may reference any input column, so per-source
+    * budgets arrive as a joined/derived column. */
+  def tokenBudgetMix(df: DataFrame, sourceCol: String, score: Column, tieBreak: Column,
+      nTokens: Column, budgetTokens: Column, nBuckets: Int = 32): DataFrame =
+    budgetPrefixCut(df, Seq(sourceCol), score, tieBreak, nTokens, budgetTokens, nBuckets)
+
+  /** Shared two-phase distributed prefix-sum core of
+    * [[tokenBudgetCut]] (partCols = none: one global cut) and
+    * [[tokenBudgetMix]] (partCols = source): quality-band buckets →
+    * per-(partCols, bucket) running sums → cross-bucket offsets from a
+    * tiny aggregate. */
+  private def budgetPrefixCut(df: DataFrame, partCols: Seq[String], score: Column,
+      tieBreak: Column, nTokens: Column, budgetTokens: Column, nBuckets: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nBuckets >= 1, "nBuckets must be positive")
     val b = df.withColumn("__toks", nTokens.cast("long"))
       .withColumn("__score", score)
       .withColumn("__bucket",
         greatest(lit(0), least(floor(col("__score") * nBuckets).cast("int"), lit(nBuckets - 1))))
-    // ≤ nBuckets rows: the unpartitioned window here is the legitimate
-    // driver-scale kind, not the per-row kind step 3 avoids
-    val offsets = b.groupBy("__bucket").agg(sum("__toks").as("__btotal"))
+    // ≤ |partCols groups|·nBuckets rows: the offsets window is the
+    // legitimate driver-scale kind, not the per-row kind step 3 avoids
+    val offsets = b.groupBy((partCols :+ "__bucket").map(col): _*)
+      .agg(sum("__toks").as("__btotal"))
       .withColumn("__offset", coalesce(
-        sum("__btotal").over(Window.orderBy(col("__bucket").desc)
+        sum("__btotal").over(Window.partitionBy(partCols.map(col): _*)
+          .orderBy(col("__bucket").desc)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop("__btotal")
-    val w = Window.partitionBy("__bucket").orderBy(col("__score").desc, tieBreak)
-    b.join(broadcast(offsets), "__bucket")
+    val w = Window.partitionBy((partCols :+ "__bucket").map(col): _*)
+      .orderBy(col("__score").desc, tieBreak)
+    b.join(broadcast(offsets), partCols :+ "__bucket")
       .withColumn("cum_tokens", col("__offset") + sum("__toks").over(w))
       .filter(col("cum_tokens") <= budgetTokens)
       .drop("__bucket", "__offset", "__toks", "__score")

@@ -20,6 +20,26 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Identifies the MinHash member-hash family baked into persisted
+    * LSH indexes (v2 = xxhash64(shingle-hash, j) members; v1 was the
+    * retired affine family). Bump whenever the signature arithmetic
+    * in [[graft.plans.Sketches]] changes: probing an index sketched
+    * under a different family would silently return garbage
+    * candidates instead of failing. */
+  private[graft] val SketchFormatVersion = 2
+
+  /** Fails fast when a persisted index's recorded sketch format does
+    * not match this build's. A meta table from before versioning
+    * (no `sketch_version` column) reads as v1. */
+  private def requireSketchVersion(spark: SparkSession, name: String): Unit = {
+    val meta = spark.table(s"${name}_meta")
+    val v = if (meta.columns.contains("sketch_version"))
+      meta.select("sketch_version").head().getInt(0) else 1
+    require(v == SketchFormatVersion,
+      s"index '$name' was sketched under format v$v but this build probes " +
+        s"v$SketchFormatVersion — rebuild it with writeLshIndex")
+  }
+
   /** Exact duplicate groups by content hash (md5 of the raw text).
     * One shuffle; `keep_id` is the deterministic survivor (min id). */
   def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
@@ -590,8 +610,10 @@ object Dedup {
     *    [[minhashNearDups]] re-shingles candidates instead of caching;
     *    an index gets to pay that storage once). Jaccard over the hash
     *    sets is exact up to 64-bit collisions.
-    *  - `{name}_meta`     (k, bands, buckets) — the sketch config; a
-    *    probe MUST band identically or candidates are garbage.
+    *  - `{name}_meta`     (k, bands, buckets, sketch_version) — the
+    *    sketch config; a probe MUST band identically AND hash with the
+    *    same member family or candidates are garbage, so probes and
+    *    appends fail fast on a [[SketchFormatVersion]] mismatch.
     */
   def writeLshIndex(spark: SparkSession, docs: DataFrame, name: String,
       k: Int = 32, bands: Int = 8, buckets: Int = 16,
@@ -614,7 +636,8 @@ object Dedup {
         sigs.select(col("doc_id"), col("sh_h")),
         s"${name}_shingles", buckets, Seq("doc_id"))
       graft.sources.Sinks.replaceManagedTable(
-        Seq((k, bands, buckets)).toDF("k", "bands", "buckets"), s"${name}_meta")()
+        Seq((k, bands, buckets, SketchFormatVersion))
+          .toDF("k", "bands", "buckets", "sketch_version"), s"${name}_meta")()
     } finally sigs.unpersist(false)
   }
 
@@ -637,6 +660,7 @@ object Dedup {
   def nearDupsFromLshIndex(spark: SparkSession, newDocs: DataFrame, name: String,
       threshold: Double = 0.5, idCol: String = "doc_id", textCol: String = "text",
       pruneLimit: Int = 64): DataFrame = {
+    requireSketchVersion(spark, name)
     val meta = spark.table(s"${name}_meta").head()
     val (k, bands) = (meta.getInt(0), meta.getInt(1))
     // same hashed-projection caching as the build: verification reads
@@ -701,6 +725,7 @@ object Dedup {
     * batch, two bucketed appends; the existing index is not read. */
   def appendToLshIndex(spark: SparkSession, newDocs: DataFrame, name: String,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    requireSketchVersion(spark, name)
     val meta = spark.table(s"${name}_meta").head()
     val (k, bands, buckets) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val sigs = minhashSignatures(newDocs, idCol, textCol, k, bands)

@@ -261,7 +261,7 @@ object Similarity {
     * broadcasts; the postings side joins with no Exchange (spec-
     * asserted). */
   def ivfTopKFromIndex(spark: SparkSession, name: String, queries: DataFrame,
-      k: Int = 10, nProbe: Int = 4): DataFrame = {
+      k: Int = 10, nProbe: Int = 4, pruneLimit: Int = 64): DataFrame = {
     GraftFunctions.register(spark)
     val centroidRows = spark.table(s"${name}_centroids")
       .collect().sortBy(_.getLong(0))
@@ -279,12 +279,22 @@ object Similarity {
     val qCells = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .withColumn("cell", explode(expr(s"$fn(q_emb)")))
-    // the probed cell set is tiny (≤ nQueries·nProbe) and KNOWN before
-    // the scan — materialize it as a literal IN so the bucketed source
-    // prunes buckets at planning time instead of scanning the index
-    val probeCells = qCells.select("cell").distinct().collect().map(_.getLong(0))
-    val postings = spark.table(s"${name}_postings")
-      .filter(col("cell").isin(probeCells: _*))
+    // the probed cell set is bounded by nQueries·nProbe and KNOWN
+    // before the scan — for genuinely tiny probes, materialize it as a
+    // literal IN so the bucketed source prunes buckets at planning
+    // time. Past ~pruneLimit keys the IN list's analysis cost exceeds
+    // what pruning saves (the 4000-literal planning stall measured on
+    // the LSH probe, Dedup.lshIndexCandidates), and a batch that size
+    // touches every bucket anyway — the fallback plain join still
+    // broadcasts the query side, so the postings side pays no Exchange
+    // either way.
+    val probeCells = qCells.select("cell").distinct()
+      .limit(pruneLimit + 1).collect().map(_.getLong(0))
+    val postingsTable = spark.table(s"${name}_postings")
+    val postings =
+      if (probeCells.length <= pruneLimit)
+        postingsTable.filter(col("cell").isin(probeCells: _*))
+      else postingsTable
     val scored = postings.join(broadcast(qCells), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", expr("cosine_sim(embedding, q_emb)"))

@@ -250,7 +250,10 @@ object TextSearch {
     *     one term of df = D contributes D·(D−1)/2 candidate rows.
     *     Capping df bounds any term's fan-out (the equi-shuffle skew
     *     cap, same role as maxBucket in the MinHash path) and removes
-    *     near-zero-idf noise from the similarity itself.
+    *     near-zero-idf noise from the similarity itself. Net bound:
+    *     candidates ≤ Σ_t df(t)·(df(t)−1)/2 ≤ (dfCap−1)/2 · Σ_t df(t)
+    *     — LINEAR in total postings with a dfCap constant, never the
+    *     n² of a naive all-pairs join.
     *
     * Norms are computed over the surviving terms (similarity is
     * DEFINED in the pruned vector space). The threshold compares the

@@ -298,7 +298,10 @@ case class LshBucket(child: Expression, nBits: Int, table: Int)
   * ±1 components need no scaling for sign-based codes, and the JL
   * guarantee holds for Rademacher entries (Achlioptas, JCSS 2003) —
   * E[⟨z_a, z_b⟩]/m recovers ⟨a, b⟩. Row-local primitive m×d loop,
-  * matrix materialized once per expression instance (row-invariant). */
+  * matrix materialized once per expression instance (row-invariant).
+  * Input dims are capped at MaxDim=512 (the precomputed sign matrix's
+  * width): wider embeddings FAIL rather than silently projecting from
+  * a prefix. */
 case class SrpProject(child: Expression, m: Int)
     extends UnaryExpression with CodegenFallback {
 
@@ -322,7 +325,11 @@ case class SrpProject(child: Expression, m: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val d = math.min(arr.numElements(), MaxDim)
+    // projecting a PREFIX of a wider embedding would silently change
+    // the sketch semantics — refuse rather than truncate
+    require(arr.numElements() <= MaxDim,
+      s"srp_project supports embeddings up to $MaxDim dims, got ${arr.numElements()}")
+    val d = arr.numElements()
     val out = new Array[Double](m)
     var j = 0
     while (j < m) {

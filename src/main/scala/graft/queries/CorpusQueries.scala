@@ -204,6 +204,40 @@ object CorpusQueries {
     TextSearch.tfidfCosinePairs(Tables.documents(s, d), threshold = 0.5)
       .orderBy("doc_a", "doc_b")
 
+  /** Multi-source weighted corpus composition at declared TOKEN ratios
+    * (the Pile/Dolma mixing recipe): a 50%-of-corpus token budget split
+    * en 40 / es 20 / de 20 / fr 10 / zh 10, each source cut
+    * best-quality-first by [[Curation.tokenBudgetMix]]'s per-source
+    * two-phase prefix sum. All budget arithmetic is integer (`div`
+    * floored at each step), cum_tokens a sum of longs — every cut line
+    * is bit-exact on both engines. Full hash oracle: DuckDB states
+    * each source's cut with one lang-partitioned ordered window. */
+  def q115TokenMix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ratios = Seq(("en", 4L), ("es", 2L), ("de", 2L), ("fr", 1L), ("zh", 1L))
+      .toDF("lang", "ratio_x10")
+    val scored = Tables.documents(s, d)
+      .withColumn("toks", graft.functions.TextFunctions.tokens("text"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("quality_score",
+        round(least(size(col("toks")).cast("double") / 50, lit(1.0)) *
+          (lit(1.0) - graft.functions.TextFunctions.markerCount("toks", Seq("the", "a"))
+            .cast("double") / size(col("toks"))), 4))
+      .select("doc_id", "lang", "n_tokens", "quality_score")
+    val total = scored.agg(sum("n_tokens").as("total_tokens"))
+    val withBudget = scored
+      .join(broadcast(ratios), Seq("lang"))
+      .crossJoin(broadcast(total))
+      .withColumn("src_budget",
+        expr("(((total_tokens * 5) div 10) * ratio_x10) div 10"))
+    Curation.tokenBudgetMix(withBudget, "lang",
+        score = col("quality_score"), tieBreak = col("doc_id"),
+        nTokens = col("n_tokens"), budgetTokens = col("src_budget"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"),
+        col("cum_tokens"), col("src_budget"))
+      .orderBy("lang", "cum_tokens")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_corpus_build2" -> (q98CorpusBuild2 _),
     "q89_paragraph_dedup" -> (q89ParagraphDedup _),
@@ -216,7 +250,8 @@ object CorpusQueries {
     "q96_quality_calibration" -> (q96QualityCalibration _),
     "q97_bigram_perplexity" -> (q97BigramPerplexity _),
     "q113_token_budget" -> (q113TokenBudget _),
-    "q114_tfidf_pairs" -> (q114TfidfPairs _)
+    "q114_tfidf_pairs" -> (q114TfidfPairs _),
+    "q115_token_mix" -> (q115TokenMix _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -404,7 +439,31 @@ object CorpusQueries {
         |  round(dot / (x.nrm * y.nrm), 6) AS sim
         |FROM p JOIN nrm x ON p.doc_a = x.doc_id JOIN nrm y ON p.doc_b = y.doc_id
         |WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // each source's cut is ONE lang-partitioned ordered window here —
+    // the engine's per-source bucketed prefix sum must agree
+    // row-for-row on every cut line
+    "q115_token_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    round(least(len(toks) / 50.0, 1.0) *
+        |      (1.0 - len(list_filter(toks, x -> x IN ('the','a'))) * 1.0 / len(toks)), 4)
+        |      AS quality_score
+        |  FROM t),
+        |tot AS (SELECT (sum(n_tokens) * 5) // 10 AS budget FROM s),
+        |r(lang, ratio_x10) AS (VALUES ('en', 4), ('es', 2), ('de', 2), ('fr', 1), ('zh', 1)),
+        |c AS (
+        |  SELECT doc_id, s.lang AS lang, n_tokens, quality_score,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY s.lang
+        |      ORDER BY quality_score DESC, doc_id) AS BIGINT) AS cum_tokens,
+        |    CAST((tot.budget * r.ratio_x10) // 10 AS BIGINT) AS src_budget
+        |  FROM s JOIN r USING (lang) CROSS JOIN tot)
+        |SELECT doc_id, lang, n_tokens, quality_score, cum_tokens, src_budget
+        |FROM c WHERE cum_tokens <= src_budget
+        |ORDER BY lang, cum_tokens""".stripMargin
   )
 
   /** Shared by q91 (inline index build) and q102 (persisted index):

@@ -188,17 +188,16 @@ object StreamingOps {
     // commit before the first data batch completes, so no wanted event
     // can be missed while the gate is empty.
     val runIdRef = new java.util.concurrent.atomic.AtomicReference[java.util.UUID](null)
+    def qualifies(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Boolean =
+      p.numInputRows == 0L && target.forall(t =>
+        Option(p.eventTime.get("watermark"))
+          .map(java.time.Instant.parse).exists(!_.isBefore(t)))
     val listener: StreamingQueryListener = if (!needsDrainWait) null else
       new StreamingQueryListener {
         override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
         override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
           val p = e.progress
-          if (p.runId == runIdRef.get() && p.numInputRows == 0L) {
-            val wmOk = target.forall(t =>
-              Option(p.eventTime.get("watermark"))
-                .map(java.time.Instant.parse).exists(!_.isBefore(t)))
-            if (wmOk) latch.countDown()
-          }
+          if (p.runId == runIdRef.get() && qualifies(p)) latch.countDown()
         }
         override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       }
@@ -210,6 +209,13 @@ object StreamingOps {
         .queryName(name)
         .start()
       runIdRef.set(q.runId)
+      // close the start()→set gap: a terminal zero-input batch that
+      // committed BEFORE the gate was armed (e.g. an empty source)
+      // posted its event against a null gate — without this retro
+      // check every such drain pays the full latch timeout before the
+      // sleep-poll fallback rescues it
+      if (needsDrainWait)
+        q.recentProgress.foreach(p => if (p.runId == q.runId && qualifies(p)) latch.countDown())
       q.processAllAvailable()
       if (needsDrainWait) {
         val drained =

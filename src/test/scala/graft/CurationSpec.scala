@@ -171,4 +171,92 @@ class CurationSpec extends AnyFunSuite {
       .select("doc_id", "seq_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == rows.map(r => (r._1, r._5)).toSet)
   }
+
+  test("tokenBudgetCut equals the single global ordered prefix sum, across bucket boundaries") {
+    val s = spark; import s.implicits._
+    // scores spread over [0,1) so every bucket of the 8 is populated and
+    // the cut line crosses a bucket boundary mid-bucket
+    val rows = (0L until 500L).map { i =>
+      (i, 1L + (i * 7 % 50), ((i * 31 % 100) / 100.0))
+    }
+    val df = rows.toDF("doc_id", "n_tokens", "quality_score")
+    val budget = rows.map(_._2).sum * 6 / 10
+    val got = Curation.tokenBudgetCut(df, col("quality_score"), col("doc_id"),
+        col("n_tokens"), lit(budget), nBuckets = 8)
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // local reference: ONE ordered prefix sum (the oracle's statement)
+    var cum = 0L
+    val expected = rows.sortBy { case (id, _, sc) => (-sc, id) }
+      .map { case (id, nt, _) => cum += nt; (id, cum) }
+      .takeWhile(_._2 <= budget).toMap
+    assert(got == expected, s"cut diverged: missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+  }
+
+  test("tokenBudgetMix: each source cut independently at its own budget, per-source prefix sums") {
+    val s = spark; import s.implicits._
+    val rows = (0L until 300L).map { i =>
+      val src = Seq("web", "code", "books")((i % 3).toInt)
+      (i, src, 1L + (i * 7 % 40), ((i * 31 % 100) / 100.0))
+    }
+    val df = rows.toDF("doc_id", "src", "n_tokens", "quality_score")
+    // uneven budgets: web gets 60% of its own tokens, code 30%, books 10%
+    val budgets = Map("web" -> 6L, "code" -> 3L, "books" -> 1L).map { case (k, tenths) =>
+      k -> rows.filter(_._2 == k).map(_._3).sum * tenths / 10
+    }
+    val withB = df.withColumn("src_budget",
+      when(col("src") === "web", lit(budgets("web")))
+        .when(col("src") === "code", lit(budgets("code")))
+        .otherwise(lit(budgets("books"))))
+    val got = Curation.tokenBudgetMix(withB, "src", col("quality_score"), col("doc_id"),
+        col("n_tokens"), col("src_budget"), nBuckets = 8)
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // local reference: one ordered prefix sum PER SOURCE
+    val expected = rows.groupBy(_._2).flatMap { case (src, rs) =>
+      var cum = 0L
+      rs.sortBy { case (id, _, _, sc) => (-sc, id) }
+        .map { case (id, _, nt, _) => cum += nt; (id, cum) }
+        .takeWhile(_._2 <= budgets(src))
+    }.toMap
+    assert(got == expected,
+      s"mix diverged: missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+    // the declared ratios actually hold: per-source kept tokens ≤ budget
+    // and within one document of it (the cut is exact, not approximate)
+    val keptBySrc = rows.filter(r => got.contains(r._1)).groupBy(_._2)
+      .view.mapValues(_.map(_._3).sum).toMap
+    keptBySrc.foreach { case (src, kept) => assert(kept <= budgets(src)) }
+  }
+
+  test("tokenBudgetCut plan: no single-partition window over the corpus (two-phase prefix sum)") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // AQE off so the window operators are statically visible
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = (0L until 100L).map(i => (i, 1L + i % 9, (i % 10) / 10.0))
+        .toDF("doc_id", "n_tokens", "quality_score")
+      val plan = Curation.tokenBudgetCut(df, col("quality_score"), col("doc_id"),
+          col("n_tokens"), lit(100L), nBuckets = 8)
+        .queryExecution.executedPlan
+      val wins = plan.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, "expected window operators in the plan")
+      val unpartitioned = wins.filter(_.partitionSpec.isEmpty)
+      // the only legitimate unpartitioned window is the offsets pass over
+      // the ≤ nBuckets aggregated rows — its subtree must contain the
+      // bucket group-by, never the raw corpus
+      unpartitioned.foreach { w =>
+        val bucketAgg = w.child.collect {
+          case a: BaseAggregateExec
+            if a.groupingExpressions.exists(_.toString.contains("__bucket")) => a
+        }
+        assert(bucketAgg.nonEmpty,
+          s"unpartitioned window runs over the corpus, not the bucket totals:\n$w")
+      }
+      // the per-row running sum must be partitioned (by __bucket)
+      assert(wins.exists(_.partitionSpec.nonEmpty),
+        "per-row prefix sum should be bucket-partitioned")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

@@ -72,6 +72,29 @@ class LshIndexSpec extends AnyFunSuite {
     assert(followUp.length == 1 && followUp.head.getLong(1) == 501L)
   }
 
+  test("probe and append fail fast on a sketch-format version mismatch") {
+    val s = spark; import s.implicits._
+    Dedup.writeLshIndex(s, corpus, "lsh_spec_ver", buckets = 4)
+    val batch = Seq((100L, rep(cycleA, 4))).toDF("doc_id", "text")
+    // sanity: the fresh index probes fine
+    assert(Dedup.nearDupsFromLshIndex(s, batch, "lsh_spec_ver").count() == 1)
+    // simulate an index persisted under the retired v1 affine family
+    graft.sources.Sinks.replaceManagedTable(
+      Seq((32, 8, 4, 1)).toDF("k", "bands", "buckets", "sketch_version"),
+      "lsh_spec_ver_meta")()
+    val e = intercept[IllegalArgumentException] {
+      Dedup.nearDupsFromLshIndex(s, batch, "lsh_spec_ver").collect()
+    }
+    assert(e.getMessage.contains("format v1"), e.getMessage)
+    // a pre-versioning meta (no sketch_version column) reads as v1:
+    // appends must refuse too, not silently mix hash families
+    graft.sources.Sinks.replaceManagedTable(
+      Seq((32, 8, 4)).toDF("k", "bands", "buckets"), "lsh_spec_ver_meta")()
+    intercept[IllegalArgumentException] {
+      Dedup.appendToLshIndex(s, batch, "lsh_spec_ver")
+    }
+  }
+
   test("pruned probe plan: bucket pruning on bands, no corpus text scan") {
     val s = spark; import s.implicits._
     Dedup.writeLshIndex(s, corpus, "lsh_spec_idx3", buckets = 4)

@@ -68,6 +68,40 @@ class ScaleSpec extends AnyFunSuite {
     assert(fromIdx.nonEmpty)
   }
 
+  test("IVF probe size-dispatch: literal prune below the limit, plain-join fallback above, same results") {
+    val s = spark; import s.implicits._
+    val emb = (0L until 200L)
+      .map(i => (i, Array.tabulate(16)(j => math.sin(i * 0.7 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    graft.operators.Similarity.writeIvfIndex(spark, emb, "scale_ivf_dsp", nCentroids = 8, buckets = 8)
+    val q = emb.filter(col("vec_id") < 3)
+    val pruned = graft.operators.Similarity
+      .ivfTopKFromIndex(spark, "scale_ivf_dsp", q, k = 5, nProbe = 2)
+    // pruneLimit = 0 forces the large-batch branch: no literal IN may be
+    // planted on the postings scan, so no bucket pruning either
+    val fallback = graft.operators.Similarity
+      .ivfTopKFromIndex(spark, "scale_ivf_dsp", q, k = 5, nProbe = 2, pruneLimit = 0)
+    val planP = pruned.queryExecution.executedPlan.toString
+    val planF = fallback.queryExecution.executedPlan.toString
+    // bucketed scans always report SelectedBucketsCount; pruning shows
+    // as a strict subset, the fallback as the full 8-of-8 with no IN
+    assert("SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(planP)
+      .exists(_.group(1).toInt < 8),
+      s"small probe lost its literal bucket pruning:\n${planP.take(2000)}")
+    assert(planF.contains("SelectedBucketsCount: 8 out of 8"),
+      s"fallback branch must scan all buckets (no literal prune):\n${planF.take(2000)}")
+    assert(!planF.contains("In(cell"),
+      s"fallback branch must not build a literal IN:\n${planF.take(2000)}")
+    // the fallback still pays no Exchange on the postings side: the
+    // query side broadcasts in both branches
+    assert(!planF.contains("Exchange hashpartitioning(cell"),
+      s"fallback postings side must not shuffle on cell:\n${planF.take(2000)}")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(pruned) == rows(fallback), "dispatch branches diverged")
+    assert(rows(pruned).nonEmpty)
+  }
+
   test("IVF index append: new vectors searchable, bucket pruning intact, no re-cluster") {
     val s = spark; import s.implicits._
     val emb = (0L until 100L)

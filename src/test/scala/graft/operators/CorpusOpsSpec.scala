@@ -315,6 +315,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(math.abs(out(1).getDouble(3) - exp2) < 1e-5, s"${out(1)} vs $exp2")
   }
 
+  test("tfidfCosinePairs df cap: a super-common term generates no candidate pairs") {
+    val s = spark; import s.implicits._
+    // every doc carries the stopword (df=120 > cap) — the quadratic
+    // guard: docs 0/1 share ONLY the stopword and must produce no pair;
+    // docs 2/3 additionally share a rare in-cap term and must pair at
+    // sim=1.0 (their pruned vectors are identical: the singleton
+    // unique terms fall to df>=2)
+    val docs = (0L until 120L).map { i =>
+      val extra = if (i == 2L || i == 3L) "rareterm" else s"unique$i"
+      (i, s"stopword $extra")
+    }.toDF("doc_id", "text")
+    val pairs = TextSearch.tfidfCosinePairs(docs, threshold = 0.0, dfCap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(pairs.toSeq == Seq((2L, 3L, 1L, 1.0)),
+      s"df cap failed to suppress the stopword candidates: ${pairs.toSeq}")
+  }
+
   test("bm25TopK multi-term: scores add per matched term, rank ties break on doc id") {
     val s = spark; import s.implicits._
     val docs = Seq(
