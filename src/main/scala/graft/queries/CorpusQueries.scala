@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Curation, Dedup, TextSearch}
+import graft.operators.{Curation, Dedup, QualityRules, TextSearch}
 
 /** Third tranche of training-data-pipeline operators: paragraph-level
   * exact dedup (q89), semantic dedup over embeddings (q90), BM25
@@ -238,6 +238,25 @@ object CorpusQueries {
       .orderBy("lang", "cum_tokens")
   }
 
+  /** Gopher quality/repetition filter suite (Rae et al. 2021 App. A)
+    * over the documents table: word/line-shape metrics, top-n-gram
+    * concentration (n = 2..4), duplicate n-gram mass (n = 5..10),
+    * per-doc failed-rule count and the keep decision. Every metric is
+    * row-local (run-length `aggregate` folds over the doc's own sorted
+    * shingles — ZERO exchanges, spec-asserted); fractions are exact
+    * integer-over-integer divisions, so the full report hash-matches
+    * DuckDB's unnest+group restatement unrounded. */
+  def q116GopherRules(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    QualityRules.gopherFilterReport(Tables.documents(s, d))
+      .select(Seq("doc_id", "n_words", "mean_word_len", "stop_hits", "alpha_frac",
+        "symbol_ratio", "n_lines", "dup_line_frac", "bullet_line_frac",
+        "ellipsis_line_frac", "top2_frac", "top3_frac", "top4_frac",
+        "dup5_frac", "dup6_frac", "dup7_frac", "dup8_frac", "dup9_frac",
+        "dup10_frac", "n_failed", "keep").map(col): _*)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_corpus_build2" -> (q98CorpusBuild2 _),
     "q89_paragraph_dedup" -> (q89ParagraphDedup _),
@@ -251,7 +270,8 @@ object CorpusQueries {
     "q97_bigram_perplexity" -> (q97BigramPerplexity _),
     "q113_token_budget" -> (q113TokenBudget _),
     "q114_tfidf_pairs" -> (q114TfidfPairs _),
-    "q115_token_mix" -> (q115TokenMix _)
+    "q115_token_mix" -> (q115TokenMix _),
+    "q116_gopher_rules" -> (q116GopherRules _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -463,7 +483,85 @@ object CorpusQueries {
         |  FROM s JOIN r USING (lang) CROSS JOIN tot)
         |SELECT doc_id, lang, n_tokens, quality_score, cum_tokens, src_budget
         |FROM c WHERE cum_tokens <= src_budget
-        |ORDER BY lang, cum_tokens""".stripMargin
+        |ORDER BY lang, cum_tokens""".stripMargin,
+    // unnest + per-(doc, n, gram) group restatement of the engine's
+    // row-local run-length folds; fractions are long/long divisions so
+    // both engines agree bit-exactly unrounded
+    "q116_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, n,
+        |    unnest(list_transform(range(0, greatest(len(toks) - n + 1, 0)),
+        |      i -> array_to_string(toks[i+1:i+n], ' '))) AS gram
+        |  FROM t CROSS JOIN (SELECT unnest(range(2, 11)) AS n)),
+        |c AS (
+        |  SELECT doc_id, n, gram, count(*) AS cnt, length(gram) - (n - 1) AS chars
+        |  FROM g GROUP BY doc_id, n, gram),
+        |st AS (
+        |  SELECT doc_id, n,
+        |    max(cnt * chars) AS top,
+        |    coalesce(sum(cnt * chars) FILTER (WHERE cnt >= 2), 0) AS dup,
+        |    sum(cnt * chars) AS tot
+        |  FROM c GROUP BY doc_id, n),
+        |p AS (
+        |  SELECT doc_id,
+        |    coalesce(max(CASE WHEN n = 2 THEN top / tot END), 0.0) AS top2_frac,
+        |    coalesce(max(CASE WHEN n = 3 THEN top / tot END), 0.0) AS top3_frac,
+        |    coalesce(max(CASE WHEN n = 4 THEN top / tot END), 0.0) AS top4_frac,
+        |    coalesce(max(CASE WHEN n = 5 THEN dup / tot END), 0.0) AS dup5_frac,
+        |    coalesce(max(CASE WHEN n = 6 THEN dup / tot END), 0.0) AS dup6_frac,
+        |    coalesce(max(CASE WHEN n = 7 THEN dup / tot END), 0.0) AS dup7_frac,
+        |    coalesce(max(CASE WHEN n = 8 THEN dup / tot END), 0.0) AS dup8_frac,
+        |    coalesce(max(CASE WHEN n = 9 THEN dup / tot END), 0.0) AS dup9_frac,
+        |    coalesce(max(CASE WHEN n = 10 THEN dup / tot END), 0.0) AS dup10_frac
+        |  FROM st GROUP BY doc_id),
+        |b AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_words,
+        |    list_sum(list_transform(toks, x -> length(x))) / len(toks) AS mean_word_len,
+        |    len(list_filter(list_distinct(toks),
+        |      x -> x IN ('the', 'a', 'data', 'table'))) AS stop_hits,
+        |    len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) / len(toks) AS alpha_frac,
+        |    len(regexp_extract_all(text, '#|\.\.\.')) / len(toks) AS symbol_ratio,
+        |    len(lines) AS n_lines,
+        |    1.0 - len(list_distinct(lines)) / len(lines) AS dup_line_frac,
+        |    len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %')) / len(lines) AS bullet_line_frac,
+        |    len(list_filter(lines, l -> l LIKE '%...')) / len(lines) AS ellipsis_line_frac
+        |  FROM t),
+        |m AS (
+        |  SELECT b.*, p.top2_frac, p.top3_frac, p.top4_frac, p.dup5_frac, p.dup6_frac,
+        |    p.dup7_frac, p.dup8_frac, p.dup9_frac, p.dup10_frac
+        |  FROM b JOIN p USING (doc_id)),
+        |f AS (
+        |  SELECT *,
+        |    (CASE WHEN n_words BETWEEN 50 AND 100000 THEN 0 ELSE 1 END) +
+        |    (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0 ELSE 1 END) +
+        |    (CASE WHEN symbol_ratio <= 0.1 THEN 0 ELSE 1 END) +
+        |    (CASE WHEN alpha_frac >= 0.8 THEN 0 ELSE 1 END) +
+        |    (CASE WHEN stop_hits >= 2 THEN 0 ELSE 1 END) +
+        |    (CASE WHEN bullet_line_frac <= 0.1 THEN 0 ELSE 1 END) +
+        |    (CASE WHEN ellipsis_line_frac <= 0.3 THEN 0 ELSE 1 END) +
+        |    (CASE WHEN dup_line_frac <= 0.3 THEN 0 ELSE 1 END) +
+        |    (CASE WHEN top2_frac <= 0.20 THEN 0 ELSE 1 END) +
+        |    (CASE WHEN top3_frac <= 0.18 THEN 0 ELSE 1 END) +
+        |    (CASE WHEN top4_frac <= 0.16 THEN 0 ELSE 1 END) +
+        |    (CASE WHEN dup5_frac <= 0.15 THEN 0 ELSE 1 END) +
+        |    (CASE WHEN dup6_frac <= 0.14 THEN 0 ELSE 1 END) +
+        |    (CASE WHEN dup7_frac <= 0.13 THEN 0 ELSE 1 END) +
+        |    (CASE WHEN dup8_frac <= 0.12 THEN 0 ELSE 1 END) +
+        |    (CASE WHEN dup9_frac <= 0.11 THEN 0 ELSE 1 END) +
+        |    (CASE WHEN dup10_frac <= 0.10 THEN 0 ELSE 1 END) AS n_failed
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_word_len, stop_hits, alpha_frac, symbol_ratio,
+        |  n_lines, dup_line_frac, bullet_line_frac, ellipsis_line_frac,
+        |  top2_frac, top3_frac, top4_frac, dup5_frac, dup6_frac, dup7_frac,
+        |  dup8_frac, dup9_frac, dup10_frac, n_failed,
+        |  CASE WHEN n_failed = 0 THEN 1 ELSE 0 END AS keep
+        |FROM f ORDER BY doc_id""".stripMargin
   )
 
   /** Shared by q91 (inline index build) and q102 (persisted index):
