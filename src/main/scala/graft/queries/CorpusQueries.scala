@@ -1,9 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Curation, Dedup, QualityRules, TextSearch}
+import graft.operators.{Curation, Dedup, Pii, QualityRules, TextSearch}
 
 /** Third tranche of training-data-pipeline operators: paragraph-level
   * exact dedup (q89), semantic dedup over embeddings (q90), BM25
@@ -257,6 +257,35 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** PII scrub over the documents table. The synthetic corpus carries
+    * no organic PII, so deterministic PII is PLANTED from doc_id
+    * arithmetic — identically in the oracle — making detection counts
+    * AND the redacted text itself (via md5 fingerprint) fully
+    * hash-checked: a regex-semantics divergence between engines, a
+    * missed occurrence, or a replacement-order change all flip the
+    * fingerprint. Scrub is a zero-exchange map-only pass
+    * (spec-asserted on the plan). */
+  def q117PiiScrub(s: SparkSession, d: String): DataFrame = {
+    def seg(mod: Int, body: Column): Column =
+      when(col("doc_id") % mod === 0, body).otherwise(lit(""))
+    val planted = Tables.documents(s, d).withColumn("pii_text", concat(
+      col("text"),
+      seg(3, concat(lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com now"))),
+      seg(5, concat(lit(" call 555-"),
+        lpad((col("doc_id") * 7 % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") * 13 % 10000).cast("string"), 4, "0"))),
+      seg(7, concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") * 3 % 256).cast("string"))),
+      seg(11, concat(lit(" ssn 123-45-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))))
+    Pii.scrub(planted, "pii_text")
+      .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+        col("n_ssn"), col("n_pii"), md5(col("redacted")).as("redacted_fp"),
+        length(col("redacted")).as("n_chars_redacted"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_corpus_build2" -> (q98CorpusBuild2 _),
     "q89_paragraph_dedup" -> (q89ParagraphDedup _),
@@ -271,7 +300,8 @@ object CorpusQueries {
     "q113_token_budget" -> (q113TokenBudget _),
     "q114_tfidf_pairs" -> (q114TfidfPairs _),
     "q115_token_mix" -> (q115TokenMix _),
-    "q116_gopher_rules" -> (q116GopherRules _)
+    "q116_gopher_rules" -> (q116GopherRules _),
+    "q117_pii_scrub" -> (q117PiiScrub _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -561,7 +591,38 @@ object CorpusQueries {
         |  top2_frac, top3_frac, top4_frac, dup5_frac, dup6_frac, dup7_frac,
         |  dup8_frac, dup9_frac, dup10_frac, n_failed,
         |  CASE WHEN n_failed = 0 THEN 1 ELSE 0 END AS keep
-        |FROM f ORDER BY doc_id""".stripMargin
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // plants the same doc_id-derived PII, then re-states detection and
+    // redaction with RE2 ('g' flag: DuckDB replaces first-only by
+    // default, Spark replaces all)
+    "q117_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id * 3 % 256 AS VARCHAR) ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    AS pii_text
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, pii_text,
+        |    len(regexp_extract_all(pii_text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+        |    len(regexp_extract_all(pii_text, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS n_ip,
+        |    len(regexp_extract_all(pii_text, '\d{3}-\d{3}-\d{4}')) AS n_phone,
+        |    len(regexp_extract_all(pii_text, '\d{3}-\d{2}-\d{4}')) AS n_ssn,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(pii_text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+        |          '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<ip>', 'g'),
+        |        '\d{3}-\d{3}-\d{4}', '<phone>', 'g'),
+        |      '\d{3}-\d{2}-\d{4}', '<ssn>', 'g') AS redacted
+        |  FROM p)
+        |SELECT doc_id, n_email, n_ip, n_phone, n_ssn,
+        |  n_email + n_ip + n_phone + n_ssn AS n_pii,
+        |  md5(redacted) AS redacted_fp, length(redacted) AS n_chars_redacted
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 
   /** Shared by q91 (inline index build) and q102 (persisted index):
