@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Curation, Dedup, Pii, QualityRules, TextSearch}
+import graft.operators.{Curation, Dedup, Dsir, Pii, QualityRules, TextSearch}
 
 /** Third tranche of training-data-pipeline operators: paragraph-level
   * exact dedup (q89), semantic dedup over embeddings (q90), BM25
@@ -286,6 +286,22 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** DSIR importance resampling (Xie et al. 2023) toward the `en`
+    * slice: hashed-bigram bag models fit in one corpus pass, row-local
+    * fold scoring, deterministic Gumbel-top-k (25% of the corpus).
+    * Full hash oracle — bucketing is the md5 idiom DuckDB replicates,
+    * scoring is an ORDERED left fold on both engines (Spark aggregate
+    * HOF vs DuckDB list_reduce, bit-identical summation), and the
+    * ranking cut uses rounded keys with id tie-breaks. The spec
+    * asserts the selection enriches the target slice. */
+  def q118Dsir(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val k = (docs.count() / 4).toInt
+    Dsir.select(s, docs, targetPred = col("lang") === "en", k = k)
+      .select(col("doc_id"), col("lang"), col("n_grams"), col("logw"), col("sel_key"))
+      .orderBy(col("sel_key").desc, col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_corpus_build2" -> (q98CorpusBuild2 _),
     "q89_paragraph_dedup" -> (q89ParagraphDedup _),
@@ -301,7 +317,8 @@ object CorpusQueries {
     "q114_tfidf_pairs" -> (q114TfidfPairs _),
     "q115_token_mix" -> (q115TokenMix _),
     "q116_gopher_rules" -> (q116GopherRules _),
-    "q117_pii_scrub" -> (q117PiiScrub _)
+    "q117_pii_scrub" -> (q117PiiScrub _),
+    "q118_dsir" -> (q118Dsir _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -622,7 +639,45 @@ object CorpusQueries {
         |SELECT doc_id, n_email, n_ip, n_phone, n_ssn,
         |  n_email + n_ip + n_phone + n_ssn AS n_pii,
         |  md5(redacted) AS redacted_fp, length(redacted) AS n_chars_redacted
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // same md5 bucketing, same ordered-fold scoring (list_reduce), same
+    // rounded-key Gumbel-top-k cut
+    "q118_dsir" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |    list_transform(range(0, greatest(len(toks) - 1, 0)),
+        |      i -> array_to_string(toks[i+1:i+2], ' ')) AS grams
+        |  FROM t),
+        |e AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g),
+        |cnt AS (
+        |  SELECT ('0x' || substr(md5(gram), 1, 6))::BIGINT % 256 AS b,
+        |    count(*) AS c_raw, count(*) FILTER (WHERE lang = 'en') AS c_t
+        |  FROM e GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_raw) AS DOUBLE) AS t_raw, CAST(sum(c_t) AS DOUBLE) AS t_t FROM cnt),
+        |ratio AS (
+        |  SELECT b, ln((c_t + 1.0) / (t_t + 256)) - ln((c_raw + 1.0) / (t_raw + 256)) AS lr
+        |  FROM cnt CROSS JOIN tot),
+        |rmap AS (SELECT map(list(b ORDER BY b), list(lr ORDER BY b)) AS m FROM ratio),
+        |sc AS (
+        |  SELECT doc_id, lang, len(grams) AS n_grams,
+        |    CASE WHEN len(grams) = 0 THEN 0.0 ELSE
+        |      list_reduce(list_transform(grams, x ->
+        |        m[('0x' || substr(md5(x), 1, 6))::BIGINT % 256][1]), (a, b) -> a + b)
+        |    END AS logw_raw
+        |  FROM g CROSS JOIN rmap),
+        |keyed AS (
+        |  SELECT doc_id, lang, n_grams, round(logw_raw, 4) AS logw,
+        |    round(logw_raw + (-ln(-ln(
+        |      ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000000) + 0.5)
+        |        / 1000000.0))), 4) AS sel_key
+        |  FROM sc),
+        |n AS (SELECT count(*) // 4 AS k FROM documents)
+        |SELECT doc_id, lang, n_grams, logw, sel_key
+        |FROM keyed CROSS JOIN n
+        |QUALIFY row_number() OVER (ORDER BY sel_key DESC, doc_id) <= k
+        |ORDER BY sel_key DESC, doc_id""".stripMargin
   )
 
   /** Shared by q91 (inline index build) and q102 (persisted index):
