@@ -496,4 +496,148 @@ object Similarity {
       .withColumn("sim", expr("cosine_sim(embedding, q_emb)"))
     ranked(scored, k).select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
+
+  // ---- Product quantization (Jégou et al., TPAMI 2011) ----
+
+  /** Train PQ codebooks: `m` contiguous subspaces, each quantized by
+    * its own `ks`-centroid squared-L2 Lloyd's. ALL subspaces train
+    * together in one loop — per iteration the corpus is encoded once
+    * (map-side [[PqCodes]] pass, codebooks in the expression object),
+    * posexploded to (sub, code, subvec), and aggregated with ONE
+    * `vec_sum` group-by whose shuffle carries m·ks partial sums — not
+    * one k-means job per subspace. The trained artifact is m·ks·dSub
+    * floats on the driver (IVF-centroid size class); at 100 TB the fit
+    * runs on a sample and scoring/encoding is map-only.
+    *
+    * Deterministic: percentile-spread seed vectors sorted by id (the
+    * kmeansLloyd discipline), strict-`<` assignment tie-break inside
+    * [[PqCodes]], order-independent `vec_sum` update. */
+  def pqFit(spark: SparkSession, emb0: DataFrame, m: Int = 8, ks: Int = 16,
+      maxIter: Int = 5, idCol: String = "vec_id", embCol: String = "embedding",
+      tol: Double = 1e-4): Array[Array[Array[Float]]] = {
+    GraftFunctions.register(spark)
+    val ownCache = emb0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val emb = if (ownCache)
+      emb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else emb0
+    try {
+      val d = emb.select(size(col(embCol))).head().getInt(0)
+      require(d % m == 0, s"embedding dim $d must divide into m=$m subspaces")
+      val dSub = d / m
+      val qs = (0 until ks).map(i => (i + 0.5) / ks)
+      val seedRow = emb
+        .select(expr(s"percentile_approx($idCol, array(${qs.mkString(",")}), 10000)"))
+        .collect().head
+      if (seedRow.isNullAt(0)) return Array.empty
+      val seedIds = seedRow.getSeq[Long](0).distinct
+      val seeds = emb.filter(col(idCol).isin(seedIds: _*))
+        .select(col(idCol), col(embCol)).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Float](1).toArray)
+      var codebooks: Array[Array[Array[Float]]] = Array.tabulate(m)(s =>
+        seeds.map(v => v.slice(s * dSub, (s + 1) * dSub)))
+      var iter = 0
+      var moved = Double.MaxValue
+      while (iter < maxIter && moved > tol) {
+        val fn = s"pq_codes_${ivfCallCounter.incrementAndGet()}"
+        val books = codebooks
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(fn,
+          exprs => org.apache.spark.sql.catalyst.expressions.graft.PqCodes(
+            exprs.head, books), "built-in")
+        val sums = emb
+          .select(col(embCol), posexplode(expr(s"$fn($embCol)")).as(Seq("sub", "code")))
+          .select(col("sub"), col("code"),
+            expr(s"slice($embCol, sub * $dSub + 1, $dSub)").as("subvec"))
+          .groupBy("sub", "code")
+          .agg(expr("vec_sum(subvec)").as("vsum"), count(lit(1)).as("n"))
+          .collect()
+        val next = codebooks.map(_.map(_.clone()))
+        sums.foreach { r =>
+          val sub = r.getInt(0)
+          val code = r.getInt(1)
+          val vs = r.getSeq[Double](2)
+          val n = r.getLong(3).toDouble
+          next(sub)(code) = Array.tabulate(dSub)(j =>
+            (if (j < vs.length) vs(j) / n else 0.0).toFloat)
+        }
+        moved = codebooks.zip(next).map { case (bs, ns) =>
+          bs.zip(ns).map { case (a, b) =>
+            (0 until dSub).map(j => math.abs(a(j) - b(j)).toDouble).foldLeft(0.0)(math.max)
+          }.foldLeft(0.0)(math.max)
+        }.foldLeft(0.0)(math.max)
+        codebooks = next
+        iter += 1
+      }
+      codebooks
+    } finally {
+      if (ownCache) emb.unpersist(false)
+    }
+  }
+
+  /** Encode an embedding column to its PQ codes (array<int>, m
+    * entries) — the 32× corpus shrink, map-only. */
+  def pqEncode(spark: SparkSession, df: DataFrame,
+      codebooks: Array[Array[Array[Float]]], embCol: String = "embedding",
+      outCol: String = "pq_code"): DataFrame = {
+    val fn = s"pq_codes_${ivfCallCounter.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(fn,
+      exprs => org.apache.spark.sql.catalyst.expressions.graft.PqCodes(
+        exprs.head, codebooks), "built-in")
+    df.withColumn(outCol, expr(s"$fn($embCol)"))
+  }
+
+  /** ADC top-k: queries build their m·ks dot-product tables once
+    * ([[PqTable]], broadcast); every corpus pair then costs m table
+    * lookups ([[PqAdcLookup]]) instead of a d-dim dot product — the
+    * asymmetric search of the PQ paper (query full-precision, corpus
+    * quantized). Scores approximate the inner product, which equals
+    * cosine for the engine's unit-norm embeddings. */
+  def pqTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      codebooks: Array[Array[Array[Float]]], k: Int = 10,
+      codesCol: Option[String] = None): DataFrame = {
+    GraftFunctions.register(spark)
+    val ks = codebooks(0).length
+    val tabFn = s"pq_table_${ivfCallCounter.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(tabFn,
+      exprs => org.apache.spark.sql.catalyst.expressions.graft.PqTable(
+        exprs.head, codebooks), "built-in")
+    val adcFn = s"pq_adc_${ivfCallCounter.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(adcFn,
+      exprs => org.apache.spark.sql.catalyst.expressions.graft.PqAdcLookup(
+        exprs(0), exprs(1), ks), "built-in")
+    val encoded = codesCol.fold(
+      pqEncode(spark, corpus, codebooks).select(col("vec_id"), col("pq_code")))(
+      c => corpus.select(col("vec_id"), col(c).as("pq_code")))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      expr(s"$tabFn(embedding)").as("q_tab")))
+    val scored = encoded.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", expr(s"$adcFn(pq_code, q_tab)"))
+    ranked(scored, k)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("adc"), col("rank"))
+  }
+
+  /** PQ search with exact re-ranking (the ADC+R deployment shape of
+    * the PQ paper): ADC shortlists `shortlist` candidates per query at
+    * m-lookup cost, then ONLY those candidates pay a full-precision
+    * cosine — corpus-scan cost stays quantized, re-rank cost is
+    * `shortlist` vectors per query. Output ranks by the exact score
+    * (rounded, id tie-break), so quality degrades only by shortlist
+    * misses — the recall lever is `shortlist`, not code length. */
+  def pqTopKRerank(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      codebooks: Array[Array[Array[Float]]], k: Int = 10,
+      shortlist: Int = 50): DataFrame = {
+    GraftFunctions.register(spark)
+    val cands = pqTopK(spark, corpus, queries, codebooks, k = shortlist)
+      .select(col("query_id"), col("vec_id"), col("adc"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val scored = cands
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("sim", expr("cosine_sim(embedding, q_emb)"))
+    ranked(scored, k)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"),
+        col("adc"), col("rank"))
+  }
 }

@@ -4,7 +4,7 @@
 // graft.plans.GraftFunctions.
 package org.apache.spark.sql.catalyst.expressions.graft
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.XXH64
@@ -413,4 +413,128 @@ case class WinnowFingerprints(child: Expression, w: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Product-quantization encoder (Jégou et al., "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011): the embedding splits into
+  * `m` contiguous subvectors of `dSub` dims; each maps to the index of
+  * its nearest (squared-L2) centroid in that subspace's codebook.
+  * Output: array<int> of m codes — the 100 TB memory lever: m bytes
+  * per vector instead of 4·d (a 32× shrink at d=64, m=8), so the whole
+  * corpus's codes fit in memory while the float vectors stay on disk.
+  * Codebooks ride in the expression object like [[NearestCells]]'
+  * centroids; row-local primitive loops, no shuffle. Ties break on the
+  * LOWEST code index (strict `<`), deterministic on any partitioning. */
+case class PqCodes(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression with CodegenFallback {
+
+  private val m = codebooks.length
+  private val dSub = if (m == 0) 0 else codebooks(0)(0).length
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"m=$m", s"ks=${if (m == 0) 0 else codebooks(0).length}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val book = codebooks(s)
+      val off = s * dSub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cen = book(c)
+        var d = 0.0
+        var j = 0
+        while (j < dSub) {
+          val x = (if (off + j < arr.numElements()) arr.getFloat(off + j) else 0f).toDouble
+          val diff = x - cen(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Query-side ADC table: for a query vector, the dot product of each
+  * subvector against every centroid of that subspace's codebook,
+  * flattened to array<double> of m·ks entries (entry s·ks + c). Built
+  * ONCE per query row — the precompute that makes each corpus pair a
+  * table lookup instead of a d-dim dot product. */
+case class PqTable(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression with CodegenFallback {
+
+  private val m = codebooks.length
+  private val ks = if (m == 0) 0 else codebooks(0).length
+  private val dSub = if (m == 0) 0 else codebooks(0)(0).length
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_table"
+  override def stringArgs: Iterator[Any] = Iterator(child, s"m=$m", s"ks=$ks")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[Any](m * ks)
+    var s = 0
+    while (s < m) {
+      val book = codebooks(s)
+      val off = s * dSub
+      var c = 0
+      while (c < ks) {
+        val cen = book(c)
+        var dot = 0.0
+        var j = 0
+        while (j < dSub) {
+          val x = (if (off + j < arr.numElements()) arr.getFloat(off + j) else 0f).toDouble
+          dot += x * cen(j)
+          j += 1
+        }
+        out(s * ks + c) = dot
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ADC score of one (corpus codes, query table) pair: Σ_s table[s·ks +
+  * codes[s]] — m array lookups and adds, no per-pair d-dim arithmetic.
+  * This is the asymmetric distance computation of PQ search: the query
+  * stays full-precision (its table), only the corpus is quantized. */
+case class PqAdcLookup(left: Expression, right: Expression, ks: Int)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override def nullSafeEval(codesAny: Any, tableAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val table = tableAny.asInstanceOf[ArrayData]
+    var sum = 0.0
+    var s = 0
+    val m = codes.numElements()
+    while (s < m) {
+      sum += table.getDouble(s * ks + codes.getInt(s))
+      s += 1
+    }
+    sum
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }

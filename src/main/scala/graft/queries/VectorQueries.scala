@@ -259,7 +259,37 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Product-quantization ADC search with exact re-rank (Jégou et al.
+    * 2011, ADC+R): codebooks trained in-query (m=8 subspaces × ks=16
+    * codes — a 32× corpus shrink at d=64), queries shortlist 50
+    * candidates via per-query dot tables + m-lookup ADC scoring, then
+    * only the shortlist pays a full-precision cosine. Rows-only but
+    * doubly guarantee-carrying, both in-row: `recall_vs_exact` against
+    * the brute-force ranking, and `n_planted_top1` — three exact
+    * duplicates of query vectors planted in the corpus share their
+    * query's codes, score at the query's own reconstruction dot in the
+    * ADC stage and at cosine 1 in the re-rank, so each must win rank 1. */
+  def q119PqAdc(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < NQueries)
+    val planted = q.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    val books = Similarity.pqFit(s, corpus, m = 8, ks = 16, maxIter = 5)
+    val approx = Similarity.pqTopKRerank(s, corpus, q, books, k = 10, shortlist = 50)
+    val exact = Similarity.bruteForceTopK(s, corpus, q, k = 10)
+    val top1 = approx.filter(col("rank") === 1 && col("query_id") < 3)
+      .withColumn("hit1", (col("vec_id") === col("query_id") + 10000000L).cast("int"))
+    val g = top1.agg(sum("hit1").as("n_planted_top1"))
+    Similarity.recallVsExact(approx, exact, 10)
+      .crossJoin(broadcast(g))
+      .select(col("query_id"), col("vec_id"), col("sim"), col("adc"), col("rank"),
+        col("in_exact"), col("recall_vs_exact"), col("n_planted_top1"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_pq_adc" -> (q119PqAdc _),
     "q100_kmeans_trace" -> (q100KmeansTrace _),
     "q101_ivf_index" -> (q101IvfIndex _),
     "q110_ivf_append" -> (q110IvfAppend _),
