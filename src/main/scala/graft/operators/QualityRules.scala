@@ -118,8 +118,10 @@ object QualityRules {
 
   /** Gopher A1 thresholds (paper values, except the stop-word list —
     * see [[DefaultStopWords]]). Keys are rule names; each value is the
-    * boolean pass predicate over [[gopherMetrics]] columns. */
-  private val rules: Seq[(String, Column)] = Seq(
+    * boolean pass predicate over [[gopherMetrics]] columns. ORDER is
+    * part of the contract: [[gopherFunnel]] reports attrition stage by
+    * stage in this sequence. */
+  val Rules: Seq[(String, Column)] = Seq(
     "r_word_count" -> col("n_words").between(50, 100000),
     "r_mean_word_len" -> col("mean_word_len").between(3.0, 10.0),
     "r_symbol_ratio" -> (col("symbol_ratio") <= 0.1),
@@ -138,12 +140,41 @@ object QualityRules {
     * and the overall `keep` decision. Still zero exchanges. */
   def gopherFilterReport(df: DataFrame, textCol: String = "text",
       stopWords: Seq[String] = DefaultStopWords): DataFrame = {
-    val withFlags = rules.foldLeft(gopherMetrics(df, textCol, stopWords)) {
+    val withFlags = Rules.foldLeft(gopherMetrics(df, textCol, stopWords)) {
       case (acc, (name, pred)) => acc.withColumn(name, pred.cast("int"))
     }
     withFlags
       .withColumn("n_failed",
-        rules.map { case (name, _) => lit(1) - col(name) }.reduce(_ + _))
+        Rules.map { case (name, _) => lit(1) - col(name) }.reduce(_ + _))
       .withColumn("keep", (col("n_failed") === 0).cast("int"))
+  }
+
+  /** Filter-funnel attrition report: for each rule, applied in
+    * [[Rules]] order, how many docs enter the stage, survive it, and
+    * drop — the corpus-curation dashboard every pipeline publishes
+    * (what fraction did each filter cost?). ONE corpus pass: the
+    * cumulative-survival flags are per-row int products, everything
+    * reduces in a single aggregate (17 sums + a count riding one
+    * map-side combine), and the 17-row funnel explodes from that
+    * driver-scale row — no per-stage scan, no shuffle of the corpus. */
+  def gopherFunnel(df: DataFrame, textCol: String = "text",
+      stopWords: Seq[String] = DefaultStopWords): DataFrame = {
+    val rep = gopherFilterReport(df, textCol, stopWords)
+    val withCums = Rules.zipWithIndex.foldLeft(rep) { case (acc, ((name, _), i)) =>
+      acc.withColumn(s"__cum$i",
+        if (i == 0) col(name) else col(s"__cum${i - 1}") * col(name))
+    }
+    val aggs = count(lit(1)).cast("long").as("n_docs") +:
+      Rules.indices.map(i => sum(col(s"__cum$i")).cast("long").as(s"__s$i"))
+    val one = withCums.agg(aggs.head, aggs.tail: _*)
+    val stages = Rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(i + 1).as("stage"), lit(name).as("rule"),
+        (if (i == 0) col("n_docs") else col(s"__s${i - 1}")).as("n_in"),
+        col(s"__s$i").as("n_out"))
+    }
+    one.select(explode(array(stages: _*)).as("f"))
+      .select(col("f.stage").as("stage"), col("f.rule").as("rule"),
+        col("f.n_in").as("n_in"), col("f.n_out").as("n_out"))
+      .withColumn("n_dropped", col("n_in") - col("n_out"))
   }
 }

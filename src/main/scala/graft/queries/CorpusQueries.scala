@@ -302,6 +302,17 @@ object CorpusQueries {
       .orderBy(col("sel_key").desc, col("doc_id"))
   }
 
+  /** Filter-funnel attrition over the Gopher rule chain: how many docs
+    * enter, survive, and drop at each of the 17 stages in declared
+    * order — ONE corpus pass (cumulative-survival products reduce in a
+    * single aggregate; the 17-row funnel explodes from that one row).
+    * Full hash oracle restating the funnel with cumulative CASE
+    * products. */
+  def q120FilterFunnel(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    QualityRules.gopherFunnel(Tables.documents(s, d)).orderBy("stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_corpus_build2" -> (q98CorpusBuild2 _),
     "q89_paragraph_dedup" -> (q89ParagraphDedup _),
@@ -318,7 +329,8 @@ object CorpusQueries {
     "q115_token_mix" -> (q115TokenMix _),
     "q116_gopher_rules" -> (q116GopherRules _),
     "q117_pii_scrub" -> (q117PiiScrub _),
-    "q118_dsir" -> (q118Dsir _)
+    "q118_dsir" -> (q118Dsir _),
+    "q120_filter_funnel" -> (q120FilterFunnel _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -677,7 +689,137 @@ object CorpusQueries {
         |SELECT doc_id, lang, n_grams, logw, sel_key
         |FROM keyed CROSS JOIN n
         |QUALIFY row_number() OVER (ORDER BY sel_key DESC, doc_id) <= k
-        |ORDER BY sel_key DESC, doc_id""".stripMargin
+        |ORDER BY sel_key DESC, doc_id""".stripMargin,
+    // q116's metric CTE chain + cumulative CASE products, unnested to
+    // the 17-stage funnel
+    "q120_filter_funnel" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, n,
+        |    unnest(list_transform(range(0, greatest(len(toks) - n + 1, 0)),
+        |      i -> array_to_string(toks[i+1:i+n], ' '))) AS gram
+        |  FROM t CROSS JOIN (SELECT unnest(range(2, 11)) AS n)),
+        |c AS (
+        |  SELECT doc_id, n, gram, count(*) AS cnt, length(gram) - (n - 1) AS chars
+        |  FROM g GROUP BY doc_id, n, gram),
+        |st AS (
+        |  SELECT doc_id, n,
+        |    max(cnt * chars) AS top,
+        |    coalesce(sum(cnt * chars) FILTER (WHERE cnt >= 2), 0) AS dup,
+        |    sum(cnt * chars) AS tot
+        |  FROM c GROUP BY doc_id, n),
+        |p AS (
+        |  SELECT doc_id,
+        |    coalesce(max(CASE WHEN n = 2 THEN top / tot END), 0.0) AS top2_frac,
+        |    coalesce(max(CASE WHEN n = 3 THEN top / tot END), 0.0) AS top3_frac,
+        |    coalesce(max(CASE WHEN n = 4 THEN top / tot END), 0.0) AS top4_frac,
+        |    coalesce(max(CASE WHEN n = 5 THEN dup / tot END), 0.0) AS dup5_frac,
+        |    coalesce(max(CASE WHEN n = 6 THEN dup / tot END), 0.0) AS dup6_frac,
+        |    coalesce(max(CASE WHEN n = 7 THEN dup / tot END), 0.0) AS dup7_frac,
+        |    coalesce(max(CASE WHEN n = 8 THEN dup / tot END), 0.0) AS dup8_frac,
+        |    coalesce(max(CASE WHEN n = 9 THEN dup / tot END), 0.0) AS dup9_frac,
+        |    coalesce(max(CASE WHEN n = 10 THEN dup / tot END), 0.0) AS dup10_frac
+        |  FROM st GROUP BY doc_id),
+        |b AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_words,
+        |    list_sum(list_transform(toks, x -> length(x))) / len(toks) AS mean_word_len,
+        |    len(list_filter(list_distinct(toks),
+        |      x -> x IN ('the', 'a', 'data', 'table'))) AS stop_hits,
+        |    len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) / len(toks) AS alpha_frac,
+        |    len(regexp_extract_all(text, '#|\.\.\.')) / len(toks) AS symbol_ratio,
+        |    len(lines) AS n_lines,
+        |    1.0 - len(list_distinct(lines)) / len(lines) AS dup_line_frac,
+        |    len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %')) / len(lines) AS bullet_line_frac,
+        |    len(list_filter(lines, l -> l LIKE '%...')) / len(lines) AS ellipsis_line_frac
+        |  FROM t),
+        |m AS (
+        |  SELECT b.*, p.top2_frac, p.top3_frac, p.top4_frac, p.dup5_frac, p.dup6_frac,
+        |    p.dup7_frac, p.dup8_frac, p.dup9_frac, p.dup10_frac
+        |  FROM b JOIN p USING (doc_id)),
+        |fl AS (
+        |  SELECT (CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END) AS f1,
+        |    (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END) AS f2,
+        |    (CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END) AS f3,
+        |    (CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END) AS f4,
+        |    (CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END) AS f5,
+        |    (CASE WHEN bullet_line_frac <= 0.1 THEN 1 ELSE 0 END) AS f6,
+        |    (CASE WHEN ellipsis_line_frac <= 0.3 THEN 1 ELSE 0 END) AS f7,
+        |    (CASE WHEN dup_line_frac <= 0.3 THEN 1 ELSE 0 END) AS f8,
+        |    (CASE WHEN top2_frac <= 0.20 THEN 1 ELSE 0 END) AS f9,
+        |    (CASE WHEN top3_frac <= 0.18 THEN 1 ELSE 0 END) AS f10,
+        |    (CASE WHEN top4_frac <= 0.16 THEN 1 ELSE 0 END) AS f11,
+        |    (CASE WHEN dup5_frac <= 0.15 THEN 1 ELSE 0 END) AS f12,
+        |    (CASE WHEN dup6_frac <= 0.14 THEN 1 ELSE 0 END) AS f13,
+        |    (CASE WHEN dup7_frac <= 0.13 THEN 1 ELSE 0 END) AS f14,
+        |    (CASE WHEN dup8_frac <= 0.12 THEN 1 ELSE 0 END) AS f15,
+        |    (CASE WHEN dup9_frac <= 0.11 THEN 1 ELSE 0 END) AS f16,
+        |    (CASE WHEN dup10_frac <= 0.10 THEN 1 ELSE 0 END) AS f17
+        |  FROM m),
+        |cum AS (
+        |  SELECT f1 AS c1,
+        |    f1*f2 AS c2,
+        |    f1*f2*f3 AS c3,
+        |    f1*f2*f3*f4 AS c4,
+        |    f1*f2*f3*f4*f5 AS c5,
+        |    f1*f2*f3*f4*f5*f6 AS c6,
+        |    f1*f2*f3*f4*f5*f6*f7 AS c7,
+        |    f1*f2*f3*f4*f5*f6*f7*f8 AS c8,
+        |    f1*f2*f3*f4*f5*f6*f7*f8*f9 AS c9,
+        |    f1*f2*f3*f4*f5*f6*f7*f8*f9*f10 AS c10,
+        |    f1*f2*f3*f4*f5*f6*f7*f8*f9*f10*f11 AS c11,
+        |    f1*f2*f3*f4*f5*f6*f7*f8*f9*f10*f11*f12 AS c12,
+        |    f1*f2*f3*f4*f5*f6*f7*f8*f9*f10*f11*f12*f13 AS c13,
+        |    f1*f2*f3*f4*f5*f6*f7*f8*f9*f10*f11*f12*f13*f14 AS c14,
+        |    f1*f2*f3*f4*f5*f6*f7*f8*f9*f10*f11*f12*f13*f14*f15 AS c15,
+        |    f1*f2*f3*f4*f5*f6*f7*f8*f9*f10*f11*f12*f13*f14*f15*f16 AS c16,
+        |    f1*f2*f3*f4*f5*f6*f7*f8*f9*f10*f11*f12*f13*f14*f15*f16*f17 AS c17
+        |  FROM fl),
+        |agg AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |    CAST(sum(c1) AS BIGINT) AS s1,
+        |    CAST(sum(c2) AS BIGINT) AS s2,
+        |    CAST(sum(c3) AS BIGINT) AS s3,
+        |    CAST(sum(c4) AS BIGINT) AS s4,
+        |    CAST(sum(c5) AS BIGINT) AS s5,
+        |    CAST(sum(c6) AS BIGINT) AS s6,
+        |    CAST(sum(c7) AS BIGINT) AS s7,
+        |    CAST(sum(c8) AS BIGINT) AS s8,
+        |    CAST(sum(c9) AS BIGINT) AS s9,
+        |    CAST(sum(c10) AS BIGINT) AS s10,
+        |    CAST(sum(c11) AS BIGINT) AS s11,
+        |    CAST(sum(c12) AS BIGINT) AS s12,
+        |    CAST(sum(c13) AS BIGINT) AS s13,
+        |    CAST(sum(c14) AS BIGINT) AS s14,
+        |    CAST(sum(c15) AS BIGINT) AS s15,
+        |    CAST(sum(c16) AS BIGINT) AS s16,
+        |    CAST(sum(c17) AS BIGINT) AS s17
+        |  FROM cum)
+        |SELECT stage, rule, n_in, n_out, n_in - n_out AS n_dropped FROM (
+        |  SELECT unnest([
+        |    {'stage': 1, 'rule': 'r_word_count', 'n_in': n_docs, 'n_out': s1},
+        |    {'stage': 2, 'rule': 'r_mean_word_len', 'n_in': s1, 'n_out': s2},
+        |    {'stage': 3, 'rule': 'r_symbol_ratio', 'n_in': s2, 'n_out': s3},
+        |    {'stage': 4, 'rule': 'r_alpha_words', 'n_in': s3, 'n_out': s4},
+        |    {'stage': 5, 'rule': 'r_stop_words', 'n_in': s4, 'n_out': s5},
+        |    {'stage': 6, 'rule': 'r_bullet_lines', 'n_in': s5, 'n_out': s6},
+        |    {'stage': 7, 'rule': 'r_ellipsis_lines', 'n_in': s6, 'n_out': s7},
+        |    {'stage': 8, 'rule': 'r_dup_lines', 'n_in': s7, 'n_out': s8},
+        |    {'stage': 9, 'rule': 'r_top2', 'n_in': s8, 'n_out': s9},
+        |    {'stage': 10, 'rule': 'r_top3', 'n_in': s9, 'n_out': s10},
+        |    {'stage': 11, 'rule': 'r_top4', 'n_in': s10, 'n_out': s11},
+        |    {'stage': 12, 'rule': 'r_dup5', 'n_in': s11, 'n_out': s12},
+        |    {'stage': 13, 'rule': 'r_dup6', 'n_in': s12, 'n_out': s13},
+        |    {'stage': 14, 'rule': 'r_dup7', 'n_in': s13, 'n_out': s14},
+        |    {'stage': 15, 'rule': 'r_dup8', 'n_in': s14, 'n_out': s15},
+        |    {'stage': 16, 'rule': 'r_dup9', 'n_in': s15, 'n_out': s16},
+        |    {'stage': 17, 'rule': 'r_dup10', 'n_in': s16, 'n_out': s17}], recursive := true)
+        |  FROM agg)
+        |ORDER BY stage""".stripMargin
   )
 
   /** Shared by q91 (inline index build) and q102 (persisted index):

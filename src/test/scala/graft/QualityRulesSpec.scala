@@ -94,6 +94,24 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(shuffles.isEmpty, s"quality filtering must be embarrassingly parallel:\n$plan")
   }
 
+  test("funnel: stages chain (n_in = previous n_out), counts monotone, end equals keep count") {
+    val s = spark
+    val docs = graft.sources.Tables.documents(s, "/root/testdata/sf0.001")
+    val funnel = QualityRules.gopherFunnel(docs).orderBy("stage").collect()
+    assert(funnel.length == QualityRules.Rules.length)
+    assert(funnel.head.getAs[Long]("n_in") == docs.count())
+    funnel.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_in") == a.getAs[Long]("n_out"), s"chain broken at ${b.getString(1)}")
+    }
+    funnel.foreach { r =>
+      assert(r.getAs[Long]("n_out") <= r.getAs[Long]("n_in"))
+      assert(r.getAs[Long]("n_dropped") == r.getAs[Long]("n_in") - r.getAs[Long]("n_out"))
+    }
+    val kept = QualityRules.gopherFilterReport(docs).filter(col("keep") === 1).count()
+    assert(funnel.last.getAs[Long]("n_out") == kept,
+      "funnel end must equal the all-rules keep count")
+  }
+
   test("keep decision: a Gopher-clean doc passes, a word-count or repetition violation fails") {
     val s = spark; import s.implicits._
     val clean = (0 until 60).map(i => s"word$i").mkString(" ") + " the a data table"
