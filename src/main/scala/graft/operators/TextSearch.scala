@@ -284,4 +284,48 @@ object TextSearch {
       .filter(col("sim") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_shared_terms"), col("sim"))
   }
+
+  /** Vocabulary induction + out-of-vocabulary coverage (the tokenizer-
+    * budget planning pass every training pipeline runs: which V types
+    * cover how much of the corpus, and which documents fall outside):
+    * the top-`vocabSize` tokens by (count DESC, token ASC — a strict
+    * total order, so the vocab is engine- and run-stable), then per-doc
+    * OOV counts and the corpus-wide coverage beside each row.
+    *
+    * Scale shape: ONE token explode feeds both the count table and the
+    * per-doc join; the vocab cut is orderBy+limit (per-partition heaps,
+    * no global window); membership is a broadcast join against the
+    * V-row vocab (driver-scale artifact), and the per-doc aggregate
+    * shuffles (doc_id)-keyed counts with map-side combine. `oov_rate`
+    * is an exact long/long division; `coverage` is the one aggregated
+    * double (rounded 6). */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // ONE corpus explode+aggregate feeds both the vocab cut and the
+    // per-doc counts (the q51/q91/q97 exchange-reuse restructure):
+    // keys wrapped statically non-null so neither consumer pushes an
+    // isnotnull into the shared subtree, and the vocab branch keeps a
+    // tf-dependent filter the optimizer cannot prove so it must reuse
+    // the tokCounts exchange instead of re-exploding the corpus
+    val tokCounts = docs
+      .select(coalesce(col(idCol), lit(-1L)).as(idCol),
+        explode(TextFunctions.tokens(textCol)).as("tok0"))
+      .select(col(idCol), coalesce(col("tok0"), lit("")).as("tok"))
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
+    val vocab = tokCounts.filter(col("tf") > 0)
+      .groupBy("tok").agg(sum("tf").as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    val perDoc = tokCounts
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(idCol)
+      .agg(sum("tf").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov") / col("n_tokens"))
+    val global = perDoc.agg(
+      lit(vocabSize).as("vocab_size"),
+      round(lit(1.0) - sum("n_oov") / sum("n_tokens"), 6).as("coverage"))
+    perDoc.crossJoin(broadcast(global))
+  }
 }

@@ -313,6 +313,14 @@ object CorpusQueries {
     QualityRules.gopherFunnel(Tables.documents(s, d)).orderBy("stage")
   }
 
+  /** Vocabulary induction (top-20 types, strict count-then-token
+    * order) + per-doc OOV counts and corpus coverage — the tokenizer
+    * budget planning pass. Full hash oracle; one explode feeds both
+    * the count table and the per-doc membership join. */
+  def q121VocabOov(s: SparkSession, d: String): DataFrame =
+    TextSearch.vocabCoverage(Tables.documents(s, d), vocabSize = 20)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_corpus_build2" -> (q98CorpusBuild2 _),
     "q89_paragraph_dedup" -> (q89ParagraphDedup _),
@@ -330,7 +338,8 @@ object CorpusQueries {
     "q116_gopher_rules" -> (q116GopherRules _),
     "q117_pii_scrub" -> (q117PiiScrub _),
     "q118_dsir" -> (q118Dsir _),
-    "q120_filter_funnel" -> (q120FilterFunnel _)
+    "q120_filter_funnel" -> (q120FilterFunnel _),
+    "q121_vocab_oov" -> (q121VocabOov _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -819,7 +828,29 @@ object CorpusQueries {
         |    {'stage': 16, 'rule': 'r_dup9', 'n_in': s15, 'n_out': s16},
         |    {'stage': 17, 'rule': 'r_dup10', 'n_in': s16, 'n_out': s17}], recursive := true)
         |  FROM agg)
-        |ORDER BY stage""".stripMargin
+        |ORDER BY stage""".stripMargin,
+    "q121_vocab_oov" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |v AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+        |    ORDER BY cnt DESC, tok LIMIT 20)),
+        |pd AS (
+        |  SELECT t.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov
+        |  FROM t LEFT JOIN v ON t.tok = v.tok
+        |  GROUP BY t.doc_id),
+        |g AS (
+        |  SELECT 20 AS vocab_size,
+        |    round(1.0 - CAST(sum(n_oov) AS DOUBLE) / sum(n_tokens), 6) AS coverage
+        |  FROM pd)
+        |SELECT doc_id, n_tokens, n_oov, CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate,
+        |  vocab_size, coverage
+        |FROM pd CROSS JOIN g
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** Shared by q91 (inline index build) and q102 (persisted index):

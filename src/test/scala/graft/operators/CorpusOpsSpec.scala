@@ -294,6 +294,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("vocabCoverage: correct boundary cut, exact OOV counts, one corpus explode") {
+    val s = spark; import s.implicits._
+    // counts: aa=4, bb=3, cc=2, dd=1 -- V=2 cuts {aa, bb}; the cc/dd
+    // tail is OOV. Doc 1 is fully in-vocab, doc 3 fully OOV.
+    val docs = Seq(
+      (1L, "aa bb aa"), (2L, "aa bb cc"), (3L, "cc dd"), (4L, "aa bb")
+    ).toDF("doc_id", "text")
+    val out = TextSearch.vocabCoverage(docs, vocabSize = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"), r.getAs[Double]("coverage"))).toMap
+    assert(out(1L) == (3L, 0L, 0.7), s"${out(1L)}")
+    assert(out(2L)._2 == 1L)
+    assert(out(3L) == (2L, 2L, 0.7))
+    assert(out(4L)._2 == 0L)
+    // vocab ties at the boundary break on token order: plant equal counts
+    val tied = Seq((1L, "xx yy"), (2L, "xx yy")).toDF("doc_id", "text")
+    val t = TextSearch.vocabCoverage(tied, vocabSize = 1).collect()
+    assert(t.forall(_.getAs[Long]("n_oov") == 1L), "vocab must keep 'xx' (count tie, token asc)")
+    // one corpus pass: vocab cut and per-doc counts share the explode
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = TextSearch.vocabCoverage(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), 20)
+        .queryExecution.executedPlan.toString
+      assert("Scan parquet".r.findAllIn(plan).length === 1,
+        s"vocab + per-doc OOV must derive from one token explode")
+      assert(plan.contains("ReusedExchange"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("bm25TopK matches a hand-computed score") {
     val s = spark; import s.implicits._
     // 3 docs, query "apple": df=2, N=3, avgdl = (4+2+3)/3 = 3
