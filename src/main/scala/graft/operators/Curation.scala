@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dataset-curation operators for training-data assembly: deterministic
@@ -150,35 +150,90 @@ object Curation {
       // semantically nothing can be contaminated
       train.select(col(idCol).as("train_doc"), col("sh"), lit(false).as("bloom_hit"))
     } else {
-      // optimal bit count for the target fpp (standard Bloom formula),
-      // floored at 64 so tiny test splits still get a valid sketch
-      val numBits = math.max(64L,
-        math.ceil(-nItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-      // BloomFilterAggregate validates its sizes against the
-      // runtime-bloom-filter conf caps (default 4M items / 64M bits) —
-      // far below a large test split — and a clamped sketch would
-      // SILENTLY degrade the realized fpp. Raise the caps to this
-      // build's sizes for the aggregation, restore after.
-      val spark = docs.sparkSession
-      val capKeys = Seq(
-        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> nItems,
-        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
-      val prevCaps = capKeys.map { case (k, need) =>
-        val prev = spark.conf.get(k)
-        if (prev.toLong < need) spark.conf.set(k, need.toString)
-        k -> prev
-      }
-      val bfBytes =
-        try testSh
-          .agg(call_function("bloom_filter_agg",
-            xxhash64(col("shingle")), lit(nItems), lit(numBits)).as("bf"))
-          .head().getAs[Array[Byte]]("bf")
-        finally prevCaps.foreach { case (k, v) => spark.conf.set(k, v) }
+      val bfBytes = shingleBloomBytes(docs.sparkSession, testSh, nItems, fpp)
       val probe = exists(col("sh"),
         s => call_function("might_contain", lit(bfBytes), xxhash64(s)))
       train.select(col(idCol).as("train_doc"), col("sh"),
         coalesce(probe, lit(false)).as("bloom_hit"))
     }
+  }
+
+  /** Shared native-bloom build over a `shingle` column: optimal bit
+    * count for the target fpp (floored at 64 so tiny sets still get a
+    * valid sketch), conf caps raised for the aggregation and restored
+    * after (BloomFilterAggregate validates against the runtime-filter
+    * caps and a clamped sketch would SILENTLY degrade the realized
+    * fpp). Returns the KB-scale sketch bytes. */
+  private def shingleBloomBytes(spark: SparkSession, shingleDf: DataFrame,
+      nItems: Long, fpp: Double): Array[Byte] = {
+    val numBits = math.max(64L,
+      math.ceil(-nItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val capKeys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> nItems,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+    val prevCaps = capKeys.map { case (k, need) =>
+      val prev = spark.conf.get(k)
+      if (prev.toLong < need) spark.conf.set(k, need.toString)
+      k -> prev
+    }
+    try shingleDf
+      .agg(call_function("bloom_filter_agg",
+        xxhash64(col("shingle")), lit(nItems), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    finally prevCaps.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  /** GPT-3-style benchmark DECONTAMINATION (Brown et al. 2020 App. C;
+    * the removal stage q59/q84 only report): drop every training
+    * document sharing any n-token shingle with a benchmark set.
+    *
+    * The 100 TB funnel, in one operator: (1) the benchmark's distinct
+    * shingles build a native mergeable Bloom sketch (KB-scale,
+    * broadcast as a literal); (2) every training doc probes it ROW-
+    * LOCALLY — a scan with no shuffle, and the no-false-negative
+    * guarantee means unflagged docs are provably clean; (3) only
+    * bloom-flagged docs enter the exact shingle equi-join (per-mille
+    * leakage ⇒ the join input shrinks by orders of magnitude);
+    * (4) the verdict joins back LEFT so clean docs pass through
+    * untouched. Output = the training side plus `contaminated`,
+    * `n_bench_docs`, `max_shared` — filter `contaminated = 0` for the
+    * clean corpus. Bloom false positives cost only exact-stage work,
+    * never a wrong verdict, so results are engine-exact (DuckDB
+    * restates the pure exact join). */
+  def decontaminate(train: DataFrame, bench: DataFrame, n: Int = 13,
+      idCol: String = "doc_id", textCol: String = "text",
+      fpp: Double = 0.01): DataFrame = {
+    import graft.functions.TextFunctions._
+    val spark = train.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val trainSh = train
+      .withColumn("__toks", tokens(textCol))
+      .withColumn("__sh", shingles("__toks", n))
+      .drop("__toks")
+    val benchSh = bench
+      .withColumn("__toks", tokens(textCol))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol).as("bench_doc"), explode(shingles("__toks", n)).as("shingle"))
+    val nItems = benchSh.count()
+    val flagged =
+      if (nItems == 0) trainSh.withColumn("__hit", lit(false))
+      else {
+        val bfBytes = shingleBloomBytes(spark, benchSh.select("shingle"), nItems, fpp)
+        trainSh.withColumn("__hit", coalesce(
+          exists(col("__sh"), sh => call_function("might_contain", lit(bfBytes), xxhash64(sh))),
+          lit(false)))
+      }
+    val exact = flagged.filter(col("__hit"))
+      .select(col(idCol), explode(col("__sh")).as("shingle"))
+      .join(benchSh, Seq("shingle"))
+      .groupBy(idCol, "bench_doc").agg(count(lit(1)).as("__shared"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bench_docs"), max("__shared").as("max_shared"))
+    flagged.drop("__sh", "__hit")
+      .join(exact, Seq(idCol), "left")
+      .withColumn("n_bench_docs", coalesce(col("n_bench_docs"), lit(0L)))
+      .withColumn("max_shared", coalesce(col("max_shared"), lit(0L)))
+      .withColumn("contaminated", (col("n_bench_docs") > 0).cast("int"))
   }
 
   /** Deterministic sequence packing: assign documents to fixed-token-

@@ -321,6 +321,33 @@ object CorpusQueries {
     TextSearch.vocabCoverage(Tables.documents(s, d), vocabSize = 20)
       .orderBy("doc_id")
 
+  /** Benchmark decontamination REMOVAL (GPT-3 App. C; q59/q84 only
+    * report): the corpus's own test split is the benchmark, the
+    * train+val side is scrubbed of any doc sharing a 13-token shingle.
+    * Three bench docs are re-planted into the training side (shifted
+    * ids) and MUST be dropped — `n_planted_dropped` = 3 rides in-row.
+    * Full hash oracle: the bloom stage has no false negatives and FPs
+    * are re-checked exactly, so the verdict equals DuckDB's pure exact
+    * shingle join. */
+  def q122Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val splitDocs = Curation.split(docs, "doc_id")
+    val bench = splitDocs.filter(col("split") === "test").select("doc_id", "text")
+    val trainBase = splitDocs.filter(col("split") =!= "test").select("doc_id", "text")
+    val planted = bench
+      .filter(size(graft.functions.TextFunctions.tokens("text")) >= 13)
+      .orderBy("doc_id").limit(3)
+      .select((col("doc_id") + PlantedBase).as("doc_id"), col("text"))
+    val train = trainBase.unionByName(planted)
+    val rep = Curation.decontaminate(train, bench, n = 13)
+    val g = rep.agg(sum("contaminated").as("n_dropped"),
+      sum(when(col("doc_id") >= PlantedBase, col("contaminated"))).as("n_planted_dropped"))
+    rep.crossJoin(broadcast(g))
+      .select(col("doc_id"), col("contaminated"), col("n_bench_docs"),
+        col("max_shared"), col("n_dropped"), col("n_planted_dropped"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_corpus_build2" -> (q98CorpusBuild2 _),
     "q89_paragraph_dedup" -> (q89ParagraphDedup _),
@@ -339,7 +366,8 @@ object CorpusQueries {
     "q117_pii_scrub" -> (q117PiiScrub _),
     "q118_dsir" -> (q118Dsir _),
     "q120_filter_funnel" -> (q120FilterFunnel _),
-    "q121_vocab_oov" -> (q121VocabOov _)
+    "q121_vocab_oov" -> (q121VocabOov _),
+    "q122_decontaminate" -> (q122Decontaminate _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -850,7 +878,49 @@ object CorpusQueries {
         |SELECT doc_id, n_tokens, n_oov, CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate,
         |  vocab_size, coverage
         |FROM pd CROSS JOIN g
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // split restated via the md5-bucket idiom; pure exact shingle join
+    // (bloom is an engine-side accelerator with no false negatives)
+    "q122_decontaminate" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 AS bucket
+        |  FROM documents),
+        |bench AS (SELECT doc_id, text FROM base WHERE bucket >= 90),
+        |trainbase AS (SELECT doc_id, text FROM base WHERE bucket < 90),
+        |planted AS (
+        |  SELECT doc_id + 10000000 AS doc_id, text FROM (
+        |    SELECT doc_id, text FROM bench
+        |    WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 13
+        |    ORDER BY doc_id LIMIT 3)),
+        |train AS (SELECT * FROM trainbase UNION ALL SELECT * FROM planted),
+        |tsh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(t) - 12, 0)),
+        |    i -> array_to_string(t[i+1:i+13], ' ')))) AS shingle
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM train)),
+        |bsh AS (
+        |  SELECT doc_id AS bench_doc, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(t) - 12, 0)),
+        |    i -> array_to_string(t[i+1:i+13], ' ')))) AS shingle
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM bench)),
+        |ex AS (
+        |  SELECT doc_id, CAST(count(DISTINCT bench_doc) AS BIGINT) AS n_bench_docs,
+        |    CAST(max(shared) AS BIGINT) AS max_shared
+        |  FROM (SELECT t.doc_id, b.bench_doc, count(*) AS shared
+        |        FROM tsh t JOIN bsh b USING (shingle) GROUP BY 1, 2)
+        |  GROUP BY doc_id),
+        |rep AS (
+        |  SELECT tr.doc_id,
+        |    coalesce(ex.n_bench_docs, 0) AS n_bench_docs,
+        |    coalesce(ex.max_shared, 0) AS max_shared,
+        |    CASE WHEN coalesce(ex.n_bench_docs, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+        |  FROM train tr LEFT JOIN ex USING (doc_id)),
+        |g AS (SELECT CAST(sum(contaminated) AS BIGINT) AS n_dropped,
+        |  CAST(sum(CASE WHEN doc_id >= 10000000 THEN contaminated END) AS BIGINT) AS n_planted_dropped
+        |  FROM rep)
+        |SELECT doc_id, contaminated, n_bench_docs, max_shared, n_dropped, n_planted_dropped
+        |FROM rep CROSS JOIN g ORDER BY doc_id""".stripMargin
   )
 
   /** Shared by q91 (inline index build) and q102 (persisted index):

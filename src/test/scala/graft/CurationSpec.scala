@@ -259,4 +259,38 @@ class CurationSpec extends AnyFunSuite {
         "per-row prefix sum should be bucket-partitioned")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("decontaminate: exact copies and single-window overlaps drop, clean docs pass") {
+    val s = spark; import s.implicits._
+    val benchText = (0 until 20).map(i => s"b$i").mkString(" ")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    // 13-token window lifted verbatim from the benchmark, wrapped in noise
+    val overlap = "noise start " + (3 until 16).map(i => s"b$i").mkString(" ") + " noise end"
+    // 12-token window only: below n, must NOT count as contaminated
+    val under = "x " + (3 until 15).map(i => s"b$i").mkString(" ") + " y"
+    val train = Seq(
+      (1L, benchText),                                  // exact copy
+      (2L, overlap),                                    // one shared 13-gram
+      (3L, under),                                      // longest shared run = 12
+      (4L, (0 until 20).map(i => s"c$i").mkString(" ")) // disjoint vocab
+    ).toDF("doc_id", "text")
+    val rep = Curation.decontaminate(train, bench, n = 13)
+      .select("doc_id", "contaminated", "n_bench_docs", "max_shared")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rep(1L)._1 == 1 && rep(1L)._2 == 1L && rep(1L)._3 == 8L) // 20-13+1 shingles
+    assert(rep(2L) == (1, 1L, 1L), s"${rep(2L)}")
+    assert(rep(3L)._1 == 0, "a 12-token overlap is below the 13-gram bar")
+    assert(rep(4L)._1 == 0)
+    // removal semantics: filtering contaminated = 0 keeps the 2 clean docs
+    assert(Curation.decontaminate(train, bench, n = 13)
+      .filter(col("contaminated") === 0).count() == 2L)
+  }
+
+  test("decontaminate: empty benchmark means nothing drops") {
+    val s = spark; import s.implicits._
+    val train = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val rep = Curation.decontaminate(train, bench, n = 13).collect()
+    assert(rep.length == 1 && rep.head.getAs[Int]("contaminated") == 0)
+  }
 }
