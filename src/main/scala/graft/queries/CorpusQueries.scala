@@ -348,6 +348,40 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** Streaming corpus-quality monitor: the documents table replayed as
+    * a timestamped stream (event time derived from doc_id, sentinel-
+    * advanced watermark), aggregated per 10-minute tumbling window ×
+    * language in APPEND mode — the live ingest dashboard (doc volume,
+    * short-doc rate, corpus-level mean word length) every training
+    * pipeline runs beside its sinks. Window means are ratios of exact
+    * long sums (Σchars/Σwords), so the whole streaming path — window
+    * assignment, watermark eviction, append emission — hash-checks
+    * against DuckDB's batch restatement. */
+  def q123StreamQualityMonitor(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamingOps
+    val (dir, _) = StreamingOps.stageDocsWithSentinel(s, s"$d/documents.parquet")
+    val stream = s.readStream
+      .schema(StreamingOps.docsStagedSchema)
+      .parquet(dir)
+      .withWatermark("ts", "1 minute")
+      .withColumn("__toks", graft.functions.TextFunctions.tokens("text"))
+      .withColumn("n_words", size(col("__toks")).cast("long"))
+      .withColumn("n_tokchars",
+        expr("aggregate(__toks, 0L, (a, t) -> a + length(t))"))
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_words") < 50, 1L).otherwise(0L)).as("n_short"),
+        sum("n_words").as("sum_words"),
+        round(sum("n_tokchars") / sum("n_words"), 4).as("avg_word_len"))
+    StreamingOps.runToMemory(s, stream, "graft_stream_quality",
+      outputMode = "append", awaitRows = 1L)
+      .filter(col("lang") =!= "zz")
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("lang"), col("n_docs"), col("n_short"), col("sum_words"),
+        col("avg_word_len"))
+      .orderBy("window_start", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_corpus_build2" -> (q98CorpusBuild2 _),
     "q89_paragraph_dedup" -> (q89ParagraphDedup _),
@@ -367,7 +401,8 @@ object CorpusQueries {
     "q118_dsir" -> (q118Dsir _),
     "q120_filter_funnel" -> (q120FilterFunnel _),
     "q121_vocab_oov" -> (q121VocabOov _),
-    "q122_decontaminate" -> (q122Decontaminate _)
+    "q122_decontaminate" -> (q122Decontaminate _),
+    "q123_stream_quality" -> (q123StreamQualityMonitor _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -920,7 +955,27 @@ object CorpusQueries {
         |  CAST(sum(CASE WHEN doc_id >= 10000000 THEN contaminated END) AS BIGINT) AS n_planted_dropped
         |  FROM rep)
         |SELECT doc_id, contaminated, n_bench_docs, max_shared, n_dropped, n_planted_dropped
-        |FROM rep CROSS JOIN g ORDER BY doc_id""".stripMargin
+        |FROM rep CROSS JOIN g ORDER BY doc_id""".stripMargin,
+    // batch restatement of the streaming window aggregation: epoch
+    // arithmetic window starts, exact long sums, ratio-of-sums means
+    "q123_stream_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks,
+        |    1704067200 + doc_id * 60 AS ep
+        |  FROM documents),
+        |m AS (
+        |  SELECT lang, ep // 600 * 600 AS wstart,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS n_tokchars
+        |  FROM t)
+        |SELECT strftime(to_timestamp(wstart), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (WHERE n_words < 50) AS BIGINT) AS n_short,
+        |  CAST(sum(n_words) AS BIGINT) AS sum_words,
+        |  round(CAST(sum(n_tokchars) AS DOUBLE) / sum(n_words), 4) AS avg_word_len
+        |FROM m GROUP BY wstart, lang
+        |ORDER BY window_start, lang""".stripMargin
   )
 
   /** Shared by q91 (inline index build) and q102 (persisted index):

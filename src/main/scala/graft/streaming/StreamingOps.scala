@@ -297,6 +297,34 @@ object StreamingOps {
     (dir, maxTs)
   }
 
+  /** Staged-documents schema for [[stageDocsWithSentinel]]. */
+  val docsStagedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("text", StringType),
+    StructField("ts", TimestampType)))
+
+  /** Stage the documents table as a timestamped streaming source:
+    * event time is DERIVED deterministically (epoch base + doc_id
+    * minutes — both engines can restate it), plus one far-future
+    * sentinel doc (doc_id = −1, lang "zz") whose only job is to
+    * advance the watermark past every real window so append-mode
+    * windows all emit in the trailing no-data batch. Returns the
+    * staged dir and the epoch base (seconds). */
+  def stageDocsWithSentinel(spark: SparkSession, path: String,
+      epochBase: Long = 1704067200L /* 2024-01-01 00:00:00 UTC */): (String, Long) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_docs").toString
+    val docs = spark.read.parquet(path)
+      .select(col("doc_id"), col("lang"), col("text"),
+        timestamp_seconds(lit(epochBase) + col("doc_id") * 60L).as("ts"))
+    import spark.implicits._
+    val sentinel = Seq((-1L, "zz", "x"))
+      .toDF("doc_id", "lang", "text")
+      .withColumn("ts", timestamp_seconds(lit(epochBase) + lit(86400L * 365L)))
+    docs.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(dir)
+    (dir, epochBase)
+  }
+
   /** Drain a stream through [[partitionUpsertSink]] synchronously and
     * read the landed table back — the test/verify harness for the
     * sink, with the same drain-cost discipline as [[runToMemory]]

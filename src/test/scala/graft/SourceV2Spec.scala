@@ -137,4 +137,29 @@ class SourceV2Spec extends AnyFunSuite {
       assert(out == Set(1L, 3L, 5L)) // 2 deduped in-batch, 4 deduped via state
     } finally q.stop()
   }
+
+  test("streaming quality monitor equals its batch restatement window for window") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val streamed = graft.queries.CorpusQueries.q123StreamQualityMonitor(s, d)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val batch = graft.sources.Tables.documents(s, d)
+      .withColumn("__toks", graft.functions.TextFunctions.tokens("text"))
+      .withColumn("n_words", size(col("__toks")).cast("long"))
+      .withColumn("n_tokchars", expr("aggregate(__toks, 0L, (a, t) -> a + length(t))"))
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id") * 60L))
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_words") < 50, 1L).otherwise(0L)).as("n_short"),
+        sum("n_words").as("sum_words"),
+        round(sum("n_tokchars") / sum("n_words"), 4).as("avg_word_len"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss"), col("lang"),
+        col("n_docs"), col("n_short"), col("sum_words"), col("avg_word_len"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streaming vs batch diverged: ${(batch.keySet -- streamed.keySet).take(3)} missing")
+  }
 }
