@@ -406,6 +406,37 @@ object Curation {
       .drop("__bucket", "__offset", "__toks", "__score")
   }
 
+  /** Corpus snapshot diff: compare two versions of a keyed dataset by
+    * content fingerprint and emit one row per key whose status is not
+    * `unchanged` (`added` / `removed` / `changed`, with both sides'
+    * fingerprints). This is the audit step between two corpus builds —
+    * "what did the new crawl/filter pass actually change" — and the
+    * input to incremental downstream work (only `added`+`changed` keys
+    * need re-embedding, re-dedup, re-indexing).
+    *
+    * Scale design: one full-outer equi-join on the key — the canonical
+    * bucketable join (both snapshots bucketed by key at 100 TB makes it
+    * exchange-free). Fingerprints are computed map-side (md5 over the
+    * concatenated content columns with a field separator that cannot
+    * collide adjacent fields), so the join carries (key, 32-byte fp),
+    * never the content itself — at 100 TB the shuffle is keys + hashes,
+    * not documents. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      contentCols: Seq[String]): DataFrame = {
+    def fp(df: DataFrame): DataFrame = df.select(col(keyCol),
+      md5(concat_ws("", contentCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+        .as("fp"))
+    val o = fp(oldDf).withColumnRenamed("fp", "old_fp")
+    val n = fp(newDf).withColumnRenamed("fp", "new_fp")
+    o.join(n, Seq(keyCol), "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") =!= col("new_fp"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+  }
+
   /** Compact a DataFrame to ~targetMB output files using the
     * optimizer's size estimate — the small-files remedy at the end of
     * any large pipeline stage. */
