@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Curation, Dedup, Dsir, Pii, QualityRules, TextSearch}
+import graft.operators.{Curation, Dedup, Dsir, Pii, QualityRules, Scd, TextSearch}
 
 /** Third tranche of training-data-pipeline operators: paragraph-level
   * exact dedup (q89), semantic dedup over embeddings (q90), BM25
@@ -382,6 +382,48 @@ object CorpusQueries {
       .orderBy("window_start", "lang")
   }
 
+  /** SCD2 collapse of the events change-log: per-user runs of
+    * consecutive identical event_type become [valid_from, valid_to)
+    * validity intervals with a version counter and an is_current flag
+    * on the open interval. One shuffle on the dimension key, no global
+    * sort anywhere ([[Scd.scd2]]). Full hash oracle: the run collapse
+    * is gaps-and-islands arithmetic DuckDB restates exactly (both
+    * sides order by microsecond-floored ts with event_id tiebreak). */
+  def q124Scd2(s: SparkSession, d: String): DataFrame =
+    Scd.scd2(Tables.events(s, d), keyCols = Seq("user_id"),
+        attrCols = Seq("event_type"), tsCol = "ts", tieCols = Seq("event_id"))
+      .select(col("user_id"), col("version"), col("event_type"),
+        date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        col("n_rows"),
+        coalesce(date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss"), lit(""))
+          .as("valid_to"),
+        col("is_current"))
+      .orderBy("user_id", "version")
+
+  /** Corpus snapshot diff between two builds: the new snapshot is the
+    * old one with every `doc_id % 10 = 3` document dropped (removed),
+    * every `% 10 = 4` document revised (changed), and the 5 lowest-id
+    * documents re-added under shifted ids (added). Output = only the
+    * non-`unchanged` keys with both sides' fingerprints — the audit
+    * feed for incremental re-embedding/re-dedup. The join carries
+    * (key, 32-byte md5), never the documents ([[Curation.snapshotDiff]]);
+    * full hash oracle since both engines compute the same md5 over
+    * separator-joined content. */
+  def q125SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val old = Tables.documents(s, d).select("doc_id", "text", "lang")
+    val added = old.orderBy("doc_id").limit(5)
+      .select((col("doc_id") + PlantedBase).as("doc_id"), col("text"), col("lang"))
+    val neu = old.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+      .withColumn("text", when(pmod(col("doc_id"), lit(10)) === 4,
+        concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+      .unionByName(added)
+    Curation.snapshotDiff(old, neu, "doc_id", Seq("text", "lang"))
+      .select(col("doc_id"), col("status"),
+        coalesce(col("old_fp"), lit("")).as("old_fp"),
+        coalesce(col("new_fp"), lit("")).as("new_fp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_corpus_build2" -> (q98CorpusBuild2 _),
     "q89_paragraph_dedup" -> (q89ParagraphDedup _),
@@ -402,7 +444,9 @@ object CorpusQueries {
     "q120_filter_funnel" -> (q120FilterFunnel _),
     "q121_vocab_oov" -> (q121VocabOov _),
     "q122_decontaminate" -> (q122Decontaminate _),
-    "q123_stream_quality" -> (q123StreamQualityMonitor _)
+    "q123_stream_quality" -> (q123StreamQualityMonitor _),
+    "q124_scd2" -> (q124Scd2 _),
+    "q125_snapshot_diff" -> (q125SnapshotDiff _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -975,7 +1019,67 @@ object CorpusQueries {
         |  CAST(sum(n_words) AS BIGINT) AS sum_words,
         |  round(CAST(sum(n_tokchars) AS DOUBLE) / sum(n_words), 4) AS avg_word_len
         |FROM m GROUP BY wstart, lang
-        |ORDER BY window_start, lang""".stripMargin
+        |ORDER BY window_start, lang""".stripMargin,
+    // gaps-and-islands restatement of the SCD2 run collapse; both
+    // sides order by microsecond-floored ts (Tables.events floors
+    // parquet NANOS to Spark's native microsecond precision)
+    "q124_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts, event_id
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, event_type, ts,
+        |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg,
+        |    event_id
+        |  FROM e),
+        |r AS (
+        |  SELECT user_id, event_type, ts,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS version
+        |  FROM o),
+        |c AS (
+        |  SELECT user_id, version, event_type, min(ts) AS vf,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM r GROUP BY 1, 2, 3)
+        |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+        |  strftime(date_trunc('second', vf), '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  n_rows,
+        |  coalesce(strftime(date_trunc('second',
+        |    lead(vf) OVER (PARTITION BY user_id ORDER BY version)),
+        |    '%Y-%m-%d %H:%M:%S'), '') AS valid_to,
+        |  CASE WHEN lead(vf) OVER (PARTITION BY user_id ORDER BY version) IS NULL
+        |       THEN 1 ELSE 0 END AS is_current
+        |FROM c ORDER BY user_id, version""".stripMargin,
+    // same derived new-snapshot recipe, fingerprints via md5 over
+    // chr(1)-joined content with chr(2) null placeholders (the
+    // Curation.snapshotDiff separators)
+    "q125_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, text, lang FROM documents),
+        |added AS (
+        |  SELECT doc_id + 10000000 AS doc_id, text, lang
+        |  FROM (SELECT * FROM old ORDER BY doc_id LIMIT 5)),
+        |new_snap AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 4 THEN text || ' [rev2]' ELSE text END AS text,
+        |    lang
+        |  FROM old WHERE doc_id % 10 <> 3
+        |  UNION ALL SELECT * FROM added),
+        |ofp AS (SELECT doc_id, md5(concat_ws(chr(1),
+        |    coalesce(text, chr(2)), coalesce(lang, chr(2)))) AS old_fp FROM old),
+        |nfp AS (SELECT doc_id, md5(concat_ws(chr(1),
+        |    coalesce(text, chr(2)), coalesce(lang, chr(2)))) AS new_fp FROM new_snap),
+        |j AS (
+        |  SELECT doc_id,
+        |    CASE WHEN o.old_fp IS NULL THEN 'added'
+        |         WHEN n.new_fp IS NULL THEN 'removed'
+        |         WHEN o.old_fp <> n.new_fp THEN 'changed'
+        |         ELSE 'unchanged' END AS status,
+        |    coalesce(o.old_fp, '') AS old_fp,
+        |    coalesce(n.new_fp, '') AS new_fp
+        |  FROM ofp o FULL OUTER JOIN nfp n USING (doc_id))
+        |SELECT doc_id, status, old_fp, new_fp FROM j
+        |WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin
   )
 
   /** Shared by q91 (inline index build) and q102 (persisted index):
