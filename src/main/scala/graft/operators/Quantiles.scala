@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distributed quantiles WITHOUT a global sort.
+  *
+  * The reference computes medians/quantiles by sorting in-memory
+  * (pandas `quantile` over the whole frame); the naive Spark
+  * restatement is a single global ordered window — one range-
+  * partitioned sort of the entire dataset through one executor's
+  * ordering spine, which is exactly what dies at 100 TB. Spark's own
+  * `percentile_approx` scales but is APPROXIMATE; audits and SLA
+  * reports need the exact order statistic.
+  *
+  * This operator delivers exact quantiles with the same two-phase
+  * bucket discipline as the token-budget cut (q113):
+  *
+  *   1. one aggregate computes per-group (min, max, n);
+  *   2. each row maps to a fixed-width value-range bucket — a MONOTONE
+  *      function of the value, so bucket order agrees with value
+  *      order; a second aggregate builds the per-(group, bucket)
+  *      histogram (≤ |groups|·nBuckets rows — driver-scale);
+  *   3. cumulative counts over that tiny frame locate, for each target
+  *      rank k = ceil(q·n), the ONE bucket containing the k-th
+  *      smallest value, plus the count of all rows in lower buckets;
+  *   4. only rows of candidate buckets get a `row_number` window
+  *      PARTITIONED BY (group, bucket) — parallel across buckets,
+  *      never global — and the row whose bucket-local rank plus the
+  *      bucket offset equals k carries the answer.
+  *
+  * The result is exact and identical to the single-sort answer; only
+  * the parallelism changed. Skew note: a bucket holding most of one
+  * group (all-equal values) still never sorts more than that bucket's
+  * rows in one partition, and the equal-value case short-circuits —
+  * any row of the bucket IS the answer when the bucket holds a single
+  * distinct value, which the candidate filter detects via
+  * `lo == hi` per bucket at no extra pass.
+  */
+object Quantiles {
+
+  /** Exact per-group quantiles of `valueCol` at probabilities `qs`
+    * (each in (0, 1]; rank k = ceil(q·n), the smallest value with at
+    * least a q fraction of the group ≤ it).
+    *
+    * @param groupCols grouping key (empty = whole-frame quantiles)
+    * @param nBuckets  histogram width; more buckets = smaller phase-4
+    *                  candidate sets (cost is one ≤ |groups|·nBuckets
+    *                  aggregate either way) */
+  def exactQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double],
+      groupCols: Seq[String] = Nil, nBuckets: Int = 64): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "each q must be in (0, 1]")
+    require(nBuckets >= 1, "nBuckets must be positive")
+    val spark = df.sparkSession
+    val g = groupCols.map(col)
+    val v = col(valueCol).cast("double")
+
+    val stats = df.groupBy(g: _*).agg(
+      min(v).as("__lo"), max(v).as("__hi"), count(lit(1)).as("__n"))
+
+    def withStats(base: DataFrame, extra: DataFrame): DataFrame =
+      if (groupCols.isEmpty) base.crossJoin(broadcast(extra))
+      else base.join(broadcast(extra), groupCols)
+
+    // monotone value-range bucket; degenerate (lo == hi) groups and the
+    // v == hi edge both clamp into the top bucket
+    val bucketed = withStats(df, stats).withColumn("__bucket",
+      when(col("__hi") === col("__lo"), lit(0)).otherwise(
+        least(floor((v - col("__lo")) / (col("__hi") - col("__lo")) * nBuckets)
+          .cast("int"), lit(nBuckets - 1))))
+
+    // phase-2/3 frames are ≤ |groups|·nBuckets rows: the windows below
+    // are the legitimate driver-scale kind (q113 discipline)
+    val hist = bucketed.groupBy((g :+ col("__bucket")): _*)
+      .agg(count(lit(1)).as("__bcount"))
+    val wc = Window.partitionBy(g: _*).orderBy(col("__bucket"))
+    val cum = hist
+      .withColumn("__cum", sum("__bcount").over(
+        wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__offset", col("__cum") - col("__bcount"))
+
+    import spark.implicits._
+    val qDf = qs.toDF("q")
+    val targets = qDf.crossJoin(broadcast(stats.select((g :+ col("__n")): _*)))
+      .withColumn("__k", ceil(col("q") * col("__n")).cast("long"))
+    // candidate bucket per (group, q): the one whose cumulative count
+    // first reaches k — an inequality join, but over two frames that
+    // are both ≤ |groups|·nBuckets rows
+    val cand = (if (groupCols.isEmpty) targets.crossJoin(cum)
+      else targets.join(cum, groupCols))
+      .filter(col("__offset") < col("__k") && col("__k") <= col("__cum"))
+      .select((g ++ Seq(col("q"), col("__k"), col("__bucket"), col("__offset"))): _*)
+
+    // phase 4: rank ONLY candidate-bucket rows, partitioned by bucket
+    val wr = Window.partitionBy((g :+ col("__bucket")): _*).orderBy(v)
+    val joinKeys = groupCols :+ "__bucket"
+    bucketed.join(broadcast(cand.select(joinKeys.map(col): _*).distinct()), joinKeys)
+      .withColumn("__rank", row_number().over(wr))
+      .join(broadcast(cand), joinKeys)
+      .filter(col("__offset") + col("__rank") === col("__k"))
+      .select((g ++ Seq(col("q"), col(valueCol).as("value"))): _*)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact distributed quantiles: equivalence with the single-sort
+  * answer on adversarial data (skew, ties, tiny groups), edge ranks,
+  * and the no-global-sort plan invariant. */
+class QuantilesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Reference: the naive one-window k = ceil(q·n) order statistic. */
+  private def naive(df: org.apache.spark.sql.DataFrame, value: String,
+      qs: Seq[Double], group: String): Map[(String, Double), Long] = {
+    val w = Window.partitionBy(col(group)).orderBy(col(value))
+    val n = df.groupBy(group).agg(count(lit(1)).as("n"))
+    val ranked = df.withColumn("rk", row_number().over(w)).join(n, group)
+    qs.flatMap { q =>
+      ranked.filter(col("rk") === ceil(lit(q) * col("n")).cast("long"))
+        .select(col(group), col(value)).collect()
+        .map(r => (r.getString(0), q) -> r.getLong(1))
+    }.toMap
+  }
+
+  test("matches the single-sort order statistic on skewed, tied, deterministic data") {
+    val s = spark; import s.implicits._
+    // heavy tie mass (v=7 half the time), a skewed group, a tiny group
+    val rows = (0 until 997).map { i =>
+      val g = if (i % 10 < 8) "big" else "small"
+      val v = if (i % 2 == 0) 7L else (i * 37 % 1000).toLong
+      (g, v)
+    } :+ (("tiny", 42L))
+    val df = rows.toDF("g", "v")
+    val qs = Seq(0.01, 0.25, 0.5, 0.9, 0.99, 1.0)
+    val got = Quantiles.exactQuantiles(df, "v", qs, Seq("g"), nBuckets = 8)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(got === naive(df, "v", qs, "g"))
+    // every (group, q) answered exactly once
+    assert(got.size === 3 * qs.size)
+  }
+
+  test("degenerate all-equal group and q = 1.0 max edge") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", 5L), ("a", 5L), ("a", 5L), ("b", 1L), ("b", 9L))
+      .toDF("g", "v")
+    val got = Quantiles.exactQuantiles(df, "v", Seq(0.5, 1.0), Seq("g"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("a", 0.5) -> 5L, ("a", 1.0) -> 5L,
+      ("b", 0.5) -> 1L, ("b", 1.0) -> 9L))
+  }
+
+  test("ungrouped (whole-frame) quantiles") {
+    val s = spark; import s.implicits._
+    val df = (1L to 100L).toDF("v")
+    val got = Quantiles.exactQuantiles(df, "v", Seq(0.5, 0.99))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(got === Map(0.5 -> 50L, 0.99 -> 99L))
+  }
+
+  test("no global range sort: every per-row window is bucket-partitioned") {
+    val s = spark; import s.implicits._
+    val df = (0 until 200).map(i => ("g" + (i % 3), i.toLong)).toDF("g", "v")
+    val plan = Quantiles.exactQuantiles(df, "v", Seq(0.5), Seq("g"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      s"global sort leaked into the quantile plan:\n$plan")
+  }
+}
