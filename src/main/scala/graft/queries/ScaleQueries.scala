@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, Quantiles, Scd}
+import graft.operators.{AsOfJoin, Quantiles, Retrieval, Scd, Similarity, TextSearch}
 import graft.sources.Tables
 
 /** Round-5 warehouse/scale tranche: point-in-time enrichment against
@@ -51,9 +51,60 @@ object ScaleQueries {
         qs = Seq(0.5, 0.9, 0.99), groupCols = Seq("lang"), nBuckets = 32)
       .orderBy("lang", "q")
 
+  /** Hybrid retrieval: BM25 lexical top-10 (q91's queries) fused with
+    * dense cosine top-10 (the matching query embeddings — doc_id and
+    * vec_id share a domain) by reciprocal-rank fusion
+    * ([[Retrieval.rrfFusion]], C = 60). Fusion consumes only the two
+    * k-row lists per query — nothing rescans the corpus — so its cost
+    * at 100 TB is the retrievers', not the fusion's. Fully
+    * hash-checked: both input rankings are deterministic (rounded
+    * scores, id tie-breaks) and the RRF sum of two addends is
+    * order-independent in IEEE arithmetic. */
+  def q128HybridRrf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qdf = Seq(
+      (0L, "scan filter merge"),
+      (1L, "hash join"),
+      (2L, "stream window batch"))
+      .toDF("query_id", "query_text")
+    val bm25 = TextSearch.bm25TopK(Tables.documents(s, d), qdf, k = 10)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val emb = Tables.embeddings(s, d)
+    val dense = Similarity.bruteForceTopK(s, emb, emb.filter(col("vec_id") < 3), k = 10)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+    Retrieval.rrfFusion(Seq(bm25, dense))
+      .orderBy("query_id", "fused_rank")
+  }
+
+  /** Incremental SCD2 merge: the events log is split at 2024-01-16;
+    * the first half builds the current table ([[Scd.scd2]]), the
+    * second half merges in WITHOUT rebuilding closed history
+    * ([[Scd.scd2Merge]]). The oracle is q124's FULL-LOG rebuild SQL —
+    * the hash check proves incremental ≡ batch row for row (versions,
+    * interval bounds, accumulated n_rows, is_current). */
+  def q129Scd2Merge(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+    val current = Scd.scd2(ev.filter(col("ts") < cutoff),
+      keyCols = Seq("user_id"), attrCols = Seq("event_type"),
+      tsCol = "ts", tieCols = Seq("event_id"))
+    Scd.scd2Merge(current, ev.filter(col("ts") >= cutoff),
+        keyCols = Seq("user_id"), attrCols = Seq("event_type"),
+        tsCol = "ts", tieCols = Seq("event_id"))
+      .select(col("user_id"), col("version"), col("event_type"),
+        date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        col("n_rows"),
+        coalesce(date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss"), lit(""))
+          .as("valid_to"),
+        col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_pit_join" -> (q126PitJoin _),
-    "q127_quantiles" -> (q127Quantiles _)
+    "q127_quantiles" -> (q127Quantiles _),
+    "q128_hybrid_rrf" -> (q128HybridRrf _),
+    "q129_scd2_merge" -> (q129Scd2Merge _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -107,6 +158,95 @@ object ScaleQueries {
         |  FROM n CROSS JOIN q)
         |SELECT k.lang, k.q, r.n_chars AS value
         |FROM k JOIN r ON r.lang = k.lang AND r.rk = k.k
-        |ORDER BY k.lang, k.q""".stripMargin
+        |ORDER BY k.lang, k.q""".stripMargin,
+    // both retrievers restated (BM25 = q91's CTE chain, dense = q34's
+    // rounded-cosine ranking) + the RRF sum; 1.0 cast to DOUBLE so the
+    // reciprocal runs in IEEE doubles, not DECIMAL
+    "q128_hybrid_rrf" ->
+      """WITH q(query_id, query_text) AS (VALUES
+        |    (CAST(0 AS BIGINT), 'scan filter merge'),
+        |    (CAST(1 AS BIGINT), 'hash join'),
+        |    (CAST(2 AS BIGINT), 'stream window batch')),
+        |qt AS (SELECT query_id,
+        |    unnest(list_distinct(string_split_regex(lower(trim(query_text)), '\s+'))) AS term
+        |  FROM q),
+        |toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |cs AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT t.doc_id, t.term, count(*) AS tf
+        |  FROM toks t JOIN (SELECT DISTINCT term FROM qt) u USING (term)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    sum( ln(1 + (cs.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |       * (tf.tf * 2.2)
+        |       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / cs.avgdl)) ) AS score
+        |  FROM tf
+        |  JOIN df USING (term)
+        |  JOIN dl USING (doc_id)
+        |  CROSS JOIN cs
+        |  JOIN qt USING (term)
+        |  GROUP BY 1, 2),
+        |bm25 AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(score, 6) DESC, doc_id) AS rank
+        |  FROM scored QUALIFY rank <= 10),
+        |qe AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |  FROM embeddings WHERE vec_id < 3),
+        |dscored AS (
+        |  SELECT qe.query_id, e.vec_id AS doc_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qe.q_emb), 6) AS sim
+        |  FROM embeddings e CROSS JOIN qe
+        |  WHERE e.vec_id <> qe.query_id),
+        |dense AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rank
+        |  FROM dscored QUALIFY rank <= 10),
+        |fused AS (
+        |  SELECT query_id, doc_id,
+        |    round(sum(CAST(1.0 AS DOUBLE) / (60 + rank)), 6) AS rrf,
+        |    CAST(count(*) AS BIGINT) AS n_lists
+        |  FROM (SELECT * FROM bm25 UNION ALL SELECT * FROM dense)
+        |  GROUP BY 1, 2)
+        |SELECT query_id, doc_id, rrf, n_lists,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf DESC, doc_id) AS INT) AS fused_rank
+        |FROM fused
+        |QUALIFY fused_rank <= 10
+        |ORDER BY query_id, fused_rank""".stripMargin,
+    // q124's FULL-LOG islands rebuild, verbatim: the incremental merge
+    // must reproduce the batch answer row for row
+    "q129_scd2_merge" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts, event_id
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, event_type, ts,
+        |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg,
+        |    event_id
+        |  FROM e),
+        |r AS (
+        |  SELECT user_id, event_type, ts,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS version
+        |  FROM o),
+        |c AS (
+        |  SELECT user_id, version, event_type, min(ts) AS vf,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM r GROUP BY 1, 2, 3)
+        |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+        |  strftime(date_trunc('second', vf), '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  n_rows,
+        |  coalesce(strftime(date_trunc('second',
+        |    lead(vf) OVER (PARTITION BY user_id ORDER BY version)),
+        |    '%Y-%m-%d %H:%M:%S'), '') AS valid_to,
+        |  CASE WHEN lead(vf) OVER (PARTITION BY user_id ORDER BY version) IS NULL
+        |       THEN 1 ELSE 0 END AS is_current
+        |FROM c ORDER BY user_id, version""".stripMargin
   )
 }

@@ -90,6 +90,67 @@ class ScdSpec extends AnyFunSuite {
       s"global sort leaked into the SCD2 plan:\n$plan")
   }
 
+  test("scd2Merge: incremental merge equals the full-log rebuild") {
+    val s = spark; import s.implicits._
+    // deterministic pseudo-random log: 6 users, states cycle with
+    // arithmetic jumps so runs straddle the cutoff in every shape
+    val log = (0 until 240).map { i =>
+      val user = (i % 6).toLong
+      val state = "s" + ((i * 7 + user * 3) % 4 * ((i / 60) + 1) % 5)
+      (user, state, ts(f"2024-01-${1 + i / 12}%02d ${i % 12}%02d:00:00"), i.toLong)
+    }.toDF("user_id", "state", "ts", "event_id")
+    val cutoff = ts("2024-01-11 00:00:00")
+    val full = Scd.scd2(log, Seq("user_id"), Seq("state"), "ts", Seq("event_id"))
+    val current = Scd.scd2(log.filter($"ts" < cutoff),
+      Seq("user_id"), Seq("state"), "ts", Seq("event_id"))
+    val merged = Scd.scd2Merge(current, log.filter($"ts" >= cutoff),
+      Seq("user_id"), Seq("state"), "ts", Seq("event_id"))
+    val cols = Seq("user_id", "version", "state", "valid_from", "n_rows", "valid_to", "is_current")
+    val f = full.select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    val m = merged.select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    assert(m === f)
+  }
+
+  test("scd2Merge: cross-cutoff run continuation accumulates n_rows under one version") {
+    val s = spark; import s.implicits._
+    val batch1 = Seq(
+      (1L, "a", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "a", ts("2024-01-02 00:00:00"), 2L)).toDF("user_id", "state", "ts", "event_id")
+    val batch2 = Seq(
+      (1L, "a", ts("2024-01-03 00:00:00"), 3L), // same state: same run
+      (1L, "b", ts("2024-01-04 00:00:00"), 4L), // closes it
+      (2L, "x", ts("2024-01-05 00:00:00"), 5L)  // brand-new key
+    ).toDF("user_id", "state", "ts", "event_id")
+    val current = Scd.scd2(batch1, Seq("user_id"), Seq("state"), "ts", Seq("event_id"))
+    val merged = Scd.scd2Merge(current, batch2,
+        Seq("user_id"), Seq("state"), "ts", Seq("event_id"))
+      .orderBy("user_id", "version")
+      .select("user_id", "version", "state", "n_rows", "is_current")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getInt(4)))
+    assert(merged === Array(
+      (1L, 1L, "a", 3L, 0), // 2 rows from batch1 + 1 from batch2
+      (1L, 2L, "b", 1L, 1),
+      (2L, 1L, "x", 1L, 1)))
+  }
+
+  test("scd2Merge: keys untouched by the new batch pass through byte-identical") {
+    val s = spark; import s.implicits._
+    val batch1 = Seq(
+      (1L, "a", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "b", ts("2024-01-02 00:00:00"), 2L)).toDF("user_id", "state", "ts", "event_id")
+    val batch2 = Seq((9L, "z", ts("2024-01-09 00:00:00"), 9L))
+      .toDF("user_id", "state", "ts", "event_id")
+    val current = Scd.scd2(batch1, Seq("user_id"), Seq("state"), "ts", Seq("event_id"))
+    val merged = Scd.scd2Merge(current, batch2,
+      Seq("user_id"), Seq("state"), "ts", Seq("event_id"))
+    val cols = Seq("user_id", "version", "state", "valid_from", "n_rows", "valid_to", "is_current")
+    val before = current.select(cols.head, cols.tail: _*)
+      .collect().map(_.toSeq).toSet
+    val after = merged.filter($"user_id" === 1L).select(cols.head, cols.tail: _*)
+      .collect().map(_.toSeq).toSet
+    assert(after === before)
+  }
+
   test("snapshotDiff: added/removed/changed classified, unchanged suppressed") {
     val s = spark; import s.implicits._
     val old = Seq((1L, "alpha", "en"), (2L, "beta", "en"), (3L, "gamma", "de"))
