@@ -96,11 +96,7 @@ object AnalyticsQueries {
     * hash-checks the whole path — watermark mechanics included. */
   def q85StreamingSessions(s: SparkSession, d: String): DataFrame = {
     val (dir, _) = StreamingOps.stageWithSentinel(s, s"$d/events.parquet")
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = s.readStream
-      .schema(StreamingOps.eventsRawSchema)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = StreamingOps.rawEventStream(s, dir)
       .withWatermark("ts", "1 minute")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
@@ -133,11 +129,7 @@ object AnalyticsQueries {
     // stageWithSentinel scaladoc
     val (dir, maxTs) = StreamingOps.stageWithSentinel(s, s"$d/events.parquet",
       sentinelTypes = Seq("purchase", "view"))
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def src() = s.readStream
-      .schema(StreamingOps.eventsRawSchema)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def src() = StreamingOps.rawEventStream(s, dir)
       .withWatermark("ts", "1 hour")
     val p = src().filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
@@ -150,7 +142,7 @@ object AnalyticsQueries {
       "left_outer")
     // wait until the planning watermark passed the real data + join
     // tolerance — by then every unmatched purchase has been evicted
-    val wmTarget = maxTs.map(ns => ns / 1000L + 2L * 3600L * 1000000L)
+    val wmTarget = maxTs.map(us => us + 2L * 3600L * 1000000L)
     StreamingOps.runToMemory(s, joined, "graft_stream_left_join",
       outputMode = "append", awaitWatermarkMicros = wmTarget)
       .filter(col("p_user") >= 0) // drop the sentinel pair
@@ -170,11 +162,7 @@ object AnalyticsQueries {
   def q88StreamingFullJoin(s: SparkSession, d: String): DataFrame = {
     val (dir, maxTs) = StreamingOps.stageWithSentinel(s, s"$d/events.parquet",
       sentinelTypes = Seq("purchase", "view"))
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def src() = s.readStream
-      .schema(StreamingOps.eventsRawSchema)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def src() = StreamingOps.rawEventStream(s, dir)
       .withWatermark("ts", "1 hour")
     val p = src().filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
@@ -185,7 +173,7 @@ object AnalyticsQueries {
         col("v_ts") >= col("p_ts") - expr("INTERVAL 900 SECONDS") &&
         col("v_ts") <= col("p_ts") + expr("INTERVAL 900 SECONDS"),
       "full_outer")
-    val wmTarget = maxTs.map(ns => ns / 1000L + 2L * 3600L * 1000000L)
+    val wmTarget = maxTs.map(us => us + 2L * 3600L * 1000000L)
     StreamingOps.runToMemory(s, joined, "graft_stream_full_join",
       outputMode = "append", awaitWatermarkMicros = wmTarget)
       .filter(coalesce(col("p_user"), col("v_user")) >= 0) // drop the sentinel pair

@@ -24,15 +24,16 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses by default ([PARQUET_TYPE_ILLEGAL]). Read it as a raw
-    * nanosecond long (legacy conf) and floor-convert to a microsecond
-    * TimestampType — the precision Spark natively carries. Oracle SQL
-    * over this column must truncate to microseconds on its side too. */
+  /** `events.ts` arrives in whichever physical shape the current
+    * testdata generation wrote — TIMESTAMP(NANOS) (Spark 4 refuses it
+    * by default, [PARQUET_TYPE_ILLEGAL]; readable as a raw long under
+    * the nanosAsLong legacy conf) or TIMESTAMP(MICROS, ntz). Normalize
+    * either to a microsecond session-zoned TimestampType — the
+    * precision Spark natively carries; the UTC session means the wall
+    * clock (and every DuckDB oracle comparison) is identical. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, dir, "events")
-    raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    graft.streaming.StreamingOps.normalizeTs(table(spark, dir, "events"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

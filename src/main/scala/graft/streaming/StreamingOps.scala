@@ -17,15 +17,46 @@ import org.apache.spark.sql.types._
   * (dashboards/app.py:117-142). */
 object StreamingOps {
 
-  /** Raw schema of the events table as written (ts is TIMESTAMP(NANOS),
-    * which Spark reads as long under the nanosAsLong legacy conf). */
-  val eventsRawSchema: StructType = StructType(Seq(
+  /** The events table's on-disk `ts` physical type has CHANGED across
+    * testdata generations: originally parquet TIMESTAMP(NANOS) (which
+    * Spark 4 only reads as a raw long under the nanosAsLong legacy
+    * conf), currently TIMESTAMP(MICROS, isAdjustedToUTC=false) (which
+    * Spark reads as TIMESTAMP_NTZ). Pinning either shape broke the
+    * other — so every events reader sniffs the footer once and
+    * dispatches. Sniffing is one footer read, not a data scan. */
+  def eventsTsType(spark: SparkSession, path: String): DataType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path).schema("ts").dataType
+  }
+
+  /** Pinned file-stream schema for an events source whose `ts` was
+    * sniffed to `tsType` (file streams require a user schema). */
+  def eventsRawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanoseconds since epoch
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Normalize a just-read events frame so `ts` is session-zoned
+    * TimestampType (microsecond precision) regardless of the on-disk
+    * shape: raw nanos long → floor to micros; TIMESTAMP_NTZ → reinterpret
+    * in the session zone (UTC everywhere in this engine, so the wall
+    * clock — and therefore every oracle comparison — is unchanged). */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _                => df
+  }
+
+  /** Streaming events source over an ALREADY-staged directory: sniffed
+    * pinned schema + ts normalization. The single entry point all
+    * events streams share, so the on-disk ts dispatch lives here once. */
+  def rawEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val tsType = eventsTsType(spark, dir)
+    normalizeTs(spark.readStream.schema(eventsRawSchema(tsType)).parquet(dir))
+  }
 
   /** Stage a single parquet file behind a directory: Spark's file stream
     * source only accepts directories (it lists them for new files), so a
@@ -52,11 +83,7 @@ object StreamingOps {
     * windows keyed by event_type, 1-day watermark for late data. */
   def dailyAggStream(spark: SparkSession, path0: String): DataFrame = {
     val path = stageDir(path0)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    rawEventStream(spark, path)
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
@@ -275,6 +302,9 @@ object StreamingOps {
     * advances (observed: the last watermark-delay's worth of rows
     * never evicted). Sentinels carry user_id = -1 for the caller to
     * filter from the OUTPUT instead. */
+  /** Returns the staged dir and the max real event time in MICROSECONDS
+    * since the epoch (the precision the engine's TimestampType carries —
+    * callers derive watermark-wait targets from it directly). */
   def stageWithSentinel(spark: SparkSession, path: String,
       sentinelTypes: Seq[String] = Seq("sentinel")): (String, Option[Long]) = {
     import java.nio.file._
@@ -283,18 +313,28 @@ object StreamingOps {
     val link = Paths.get(dir).resolve(p.getFileName)
     try Files.createSymbolicLink(link, p)
     catch { case _: Exception => Files.copy(p, link) }
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val maxRow = spark.read.schema(eventsRawSchema).parquet(path)
-      .agg(max("ts")).head()
-    val maxTs = if (maxRow.isNullAt(0)) None else Some(maxRow.getLong(0))
-    maxTs.foreach { ts => // empty source: no sessions, no sentinel needed
+    val tsType = eventsTsType(spark, path)
+    val maxRow = normalizeTs(spark.read.parquet(path))
+      .agg(max(unix_micros(col("ts")))).head()
+    val maxTsMicros = if (maxRow.isNullAt(0)) None else Some(maxRow.getLong(0))
+    maxTsMicros.foreach { us => // empty source: no sessions, no sentinel needed
       import spark.implicits._
+      val sentinelUs = us + 86400L * 1000000L
+      // the sentinel file must carry the SAME physical ts shape as the
+      // real file it sits next to — one pinned stream schema reads both
+      val sentinelTsCol = tsType match {
+        case LongType         => lit(sentinelUs * 1000L) // raw nanos
+        case TimestampNTZType => timestamp_micros(lit(sentinelUs)).cast(TimestampNTZType)
+        case _                => timestamp_micros(lit(sentinelUs))
+      }
       sentinelTypes.zipWithIndex
-        .map { case (t, i) => (-(i + 1).toLong, ts + 86400L * 1000000000L, -1L, t, 0.0, "") }
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .map { case (t, i) => (-(i + 1).toLong, -1L, t, 0.0, "") }
+        .toDF("event_id", "user_id", "event_type", "value", "props")
+        .withColumn("ts", sentinelTsCol)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .write.mode("append").parquet(dir)
     }
-    (dir, maxTs)
+    (dir, maxTsMicros)
   }
 
   /** Staged-documents schema for [[stageDocsWithSentinel]]. */
@@ -347,15 +387,10 @@ object StreamingOps {
   }
 
   /** Streaming events source: the events table staged behind a
-    * file-stream directory, nano ts floor-converted to a microsecond
-    * timestamp (same convention as [[dailyAggStream]]/Tables.events). */
-  def eventStream(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(stageDir(path))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
+    * file-stream directory, ts normalized to a microsecond timestamp
+    * (same convention as [[dailyAggStream]]/Tables.events). */
+  def eventStream(spark: SparkSession, path: String): DataFrame =
+    rawEventStream(spark, stageDir(path))
 
   /** Streaming documents source: the documents table staged behind a
     * file-stream directory with a pinned schema (file streams require
