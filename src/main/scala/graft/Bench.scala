@@ -103,8 +103,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // The driver captures only the LAST 4000 chars of stdout; a 130-entry
+    // per-query map is >4 KB and in rounds 1-6 pushed the total off the
+    // front of the line, so the official artifact never parsed. Keep the
+    // stdout line compact (total + methodology only) and write the full
+    // per-query map to stderr plus a sidecar JSON next to the repo.
     val metricLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"n_queries":${results.size},"sf":"$sfDir"}"""
+    val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"queries":$qs,"sf":"$sfDir"}"""
+    System.err.println(s"[bench] per-query map: $fullJson")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_queries.json"),
+      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] sidecar write: ${e.getMessage}") }
     // Driver contract: the metric JSON must be the LAST stdout line. The
     // shutdown order below is deliberate (r2 post-mortem: StateStore
     // maintenance threads stack-traced during spark.stop() and flooded

@@ -31,12 +31,18 @@ import org.apache.spark.sql.functions._
   *      bucket offset equals k carries the answer.
   *
   * The result is exact and identical to the single-sort answer; only
-  * the parallelism changed. Skew note: a bucket holding most of one
-  * group (all-equal values) still never sorts more than that bucket's
-  * rows in one partition, and the equal-value case short-circuits —
-  * any row of the bucket IS the answer when the bucket holds a single
-  * distinct value, which the candidate filter detects via
-  * `lo == hi` per bucket at no extra pass.
+  * the parallelism changed. Skew note: the dominant value-skew case —
+  * most of a group concentrated in ONE repeated value — never ranks at
+  * all: the histogram aggregate also carries per-bucket (min, max) at
+  * no extra pass, and a candidate bucket with min == max IS its answer
+  * (any row of it is the k-th value), emitted directly. Only candidate
+  * buckets holding ≥ 2 distinct values enter the ranking window, so
+  * the residual bound is: one window partition sorts at most the rows
+  * of one multi-valued bucket — width/nBuckets of the group's value
+  * RANGE, not of its row count. A heavy multi-valued bucket (many
+  * distinct values crowded into one range slice) is narrowed by
+  * raising `nBuckets` (cost: the histogram frame grows linearly);
+  * the operator does not recurse.
   */
 object Quantiles {
 
@@ -71,9 +77,15 @@ object Quantiles {
           .cast("int"), lit(nBuckets - 1))))
 
     // phase-2/3 frames are ≤ |groups|·nBuckets rows: the windows below
-    // are the legitimate driver-scale kind (q113 discipline)
+    // are the legitimate driver-scale kind (q113 discipline). Per-bucket
+    // (min, max) ride along in the same aggregate — they cost nothing
+    // and power the single-valued-bucket short-circuit below. __bval is
+    // the original-typed value emitted when the bucket is single-valued
+    // (min over equal-under-ordering rows — the same deterministic
+    // choice the ranking window's tie handling would make arbitrary).
     val hist = bucketed.groupBy((g :+ col("__bucket")): _*)
-      .agg(count(lit(1)).as("__bcount"))
+      .agg(count(lit(1)).as("__bcount"), min(v).as("__blo"), max(v).as("__bhi"),
+        min(col(valueCol)).as("__bval"))
     val wc = Window.partitionBy(g: _*).orderBy(col("__bucket"))
     val cum = hist
       .withColumn("__cum", sum("__bcount").over(
@@ -90,15 +102,26 @@ object Quantiles {
     val cand = (if (groupCols.isEmpty) targets.crossJoin(cum)
       else targets.join(cum, groupCols))
       .filter(col("__offset") < col("__k") && col("__k") <= col("__cum"))
-      .select((g ++ Seq(col("q"), col("__k"), col("__bucket"), col("__offset"))): _*)
+      .select((g ++ Seq(col("q"), col("__k"), col("__bucket"), col("__offset"),
+        col("__blo"), col("__bhi"), col("__bval"))): _*)
 
-    // phase 4: rank ONLY candidate-bucket rows, partitioned by bucket
+    // skew short-circuit: a single-valued candidate bucket IS its
+    // answer — the skewed 99%-one-value group resolves here without
+    // ranking a single data row
+    val single = cand.filter(col("__blo") === col("__bhi"))
+      .select((g ++ Seq(col("q"), col("__bval").as("value"))): _*)
+    val multi = cand.filter(col("__blo") =!= col("__bhi"))
+
+    // phase 4: rank ONLY multi-valued candidate-bucket rows,
+    // partitioned by bucket
     val wr = Window.partitionBy((g :+ col("__bucket")): _*).orderBy(v)
     val joinKeys = groupCols :+ "__bucket"
-    bucketed.join(broadcast(cand.select(joinKeys.map(col): _*).distinct()), joinKeys)
+    val ranked = bucketed
+      .join(broadcast(multi.select(joinKeys.map(col): _*).distinct()), joinKeys)
       .withColumn("__rank", row_number().over(wr))
-      .join(broadcast(cand), joinKeys)
+      .join(broadcast(multi), joinKeys)
       .filter(col("__offset") + col("__rank") === col("__k"))
       .select((g ++ Seq(col("q"), col(valueCol).as("value"))): _*)
+    single.unionByName(ranked)
   }
 }

@@ -60,10 +60,24 @@ object Scd {
     *
     * Requirement (the standard warehouse append contract): every new
     * observation's `tsCol` must be ≥ its key's open `valid_from`.
-    * Late records that violate it need the batch rebuild ([[scd2]]).
+    * Late records that violate it need the batch rebuild ([[scd2]]) —
+    * a violating batch would SILENTLY produce intervals differing from
+    * the rebuild, so the contract is enforceable: `strict = true` runs
+    * [[scd2LateViolations]] (one agg over inputs the merge already
+    * touches) and fails fast with the violation count instead of
+    * merging wrong; pipelines that prefer to route around bad batches
+    * call [[scd2LateViolations]] themselves and dispatch.
     */
   def scd2Merge(current: DataFrame, changes: DataFrame, keyCols: Seq[String],
-      attrCols: Seq[String], tsCol: String, tieCols: Seq[String]): DataFrame = {
+      attrCols: Seq[String], tsCol: String, tieCols: Seq[String],
+      strict: Boolean = false): DataFrame = {
+    if (strict) {
+      val n = scd2LateViolations(current, changes, keyCols, tsCol).head().getLong(0)
+      require(n == 0L,
+        s"scd2Merge: $n late observation(s) precede their key's open valid_from — " +
+          "the incremental merge would silently diverge from the batch rebuild; " +
+          "rebuild with scd2(old log ++ batch) instead")
+    }
     val key = keyCols.map(col)
     val outCols = (keyCols :+ "version") ++ attrCols ++
       Seq("valid_from", "n_rows", "valid_to", "is_current")
@@ -86,6 +100,21 @@ object Scd {
       .withColumn("version", col("version") + coalesce(col("__voff"), lit(0L)))
       .select(outCols.map(col): _*)
     closed.unionByName(merged)
+  }
+
+  /** Audit of [[scd2Merge]]'s append contract: the number of new
+    * observations whose `tsCol` precedes their key's open
+    * `valid_from`. One broadcast-shaped join (open intervals are one
+    * row per live key — the small side by construction) plus one
+    * count; keys absent from the current table cannot violate. A
+    * non-zero count means the batch needs the [[scd2]] full rebuild. */
+  def scd2LateViolations(current: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], tsCol: String): DataFrame = {
+    val open = current.filter(col("is_current") === 1)
+      .select((keyCols.map(col) :+ col("valid_from").as("__open_from")): _*)
+    changes.join(broadcast(open), keyCols)
+      .filter(col(tsCol) < col("__open_from"))
+      .agg(count(lit(1)).as("n_late_violations"))
   }
 
   /** Shared run-collapse core: `__w` is each observation's row weight

@@ -132,18 +132,35 @@ object TextSearch {
     * corpus scan, no explode, no tf/df/dl aggregation at query time —
     * the plan is (bucket-pruned postings scan) ⨝ broadcast(query terms)
     * → arithmetic → one (query, doc) aggregate → top-k window. Scores
-    * are bit-identical to [[bm25TopK]] on the indexed corpus. */
+    * are bit-identical to [[bm25TopK]] on the indexed corpus.
+    *
+    * Literal-prune ONLY for genuinely small term sets (the
+    * [[graft.operators.Dedup.lshIndexCandidates]] / IVF `pruneLimit`
+    * discipline): an ad-hoc query has a handful of terms and the IN
+    * literal lets the term-bucketed postings scan prune buckets at
+    * planning time; a BATCHED workload (thousands of queries in one
+    * call) would otherwise rebuild the measured 4000-literal planning
+    * stall. Past `pruneLimit` distinct terms the probe falls back to a
+    * semi-join against the broadcast query-term table — the bucketed
+    * postings side still pays no Exchange, and a term set that size
+    * touches every bucket anyway. */
   def bm25TopKFromIndex(spark: SparkSession, name: String, queries: DataFrame,
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", pruneLimit: Int = 64): DataFrame = {
     val qTerms = broadcast(
       queries.select(col("query_id"),
         explode(array_distinct(TextFunctions.tokens("query_text"))).as("term")))
-    // literal term set (tiny by definition — it is the query): lets the
-    // term-bucketed source prune buckets at planning time
-    val termLits = qTerms.select("term").distinct().collect().map(_.getString(0))
-    val postings = spark.table(s"${name}_postings")
-      .filter(col("term").isin(termLits.toSeq: _*))
+    // collect at most pruneLimit+1 terms — enough to decide the branch
+    // without materializing an unbounded literal set on the driver
+    val termLits = qTerms.select("term").distinct()
+      .limit(pruneLimit + 1).collect().map(_.getString(0))
+    val postingsAll = spark.table(s"${name}_postings")
+    val postings =
+      if (termLits.length <= pruneLimit)
+        postingsAll.filter(col("term").isin(termLits.toSeq: _*))
+      else
+        postingsAll.join(qTerms.select("term").distinct().hint("broadcast"),
+          Seq("term"), "left_semi")
     val stats = broadcast(spark.table(s"${name}_stats"))
     val scored = postings
       .join(qTerms, Seq("term"))

@@ -32,7 +32,10 @@ object Tables {
     * precision Spark natively carries; the UTC session means the wall
     * clock (and every DuckDB oracle comparison) is identical. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the nanosAsLong legacy conf is set (session-globally, by design)
+    // in exactly one place — eventsTsType, which also memoizes the
+    // footer sniff for this path
+    graft.streaming.StreamingOps.eventsTsType(spark, s"$dir/events.parquet")
     graft.streaming.StreamingOps.normalizeTs(table(spark, dir, "events"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")

@@ -23,11 +23,23 @@ object StreamingOps {
     * conf), currently TIMESTAMP(MICROS, isAdjustedToUTC=false) (which
     * Spark reads as TIMESTAMP_NTZ). Pinning either shape broke the
     * other — so every events reader sniffs the footer once and
-    * dispatches. Sniffing is one footer read, not a data scan. */
-  def eventsTsType(spark: SparkSession, path: String): DataType = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path).schema("ts").dataType
-  }
+    * dispatches. Sniffing is one footer read, not a data scan — and
+    * memoized per path, because one query can otherwise sniff the same
+    * data three times (stageWithSentinel + two src() calls in the
+    * stream-stream joins); a path's on-disk shape never changes within
+    * a session (staged sentinel files are written in the SAME shape by
+    * construction).
+    *
+    * The nanosAsLong legacy conf is intentionally session-global:
+    * parquet NANOS columns are unreadable in Spark 4 without it, it is
+    * idempotent, and the engine's only NANOS producer is this events
+    * table — this helper is the single place that sets it. */
+  private val tsTypeCache = new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+  def eventsTsType(spark: SparkSession, path: String): DataType =
+    tsTypeCache.computeIfAbsent(path, { p =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(p).schema("ts").dataType
+    })
 
   /** Pinned file-stream schema for an events source whose `ts` was
     * sniffed to `tsType` (file streams require a user schema). */
@@ -47,7 +59,10 @@ object StreamingOps {
   def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
     case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-    case _                => df
+    case TimestampType    => df // already the engine convention
+    case other => throw new IllegalArgumentException(
+      s"normalizeTs: unsupported on-disk ts type $other — this dispatch exists to " +
+        "name every supported shape; a new testdata generation needs a case here")
   }
 
   /** Streaming events source over an ALREADY-staged directory: sniffed
@@ -293,18 +308,21 @@ object StreamingOps {
     * watermark (which lags a batch) is still at zero — nothing would
     * ever emit. The sentinel (negative ids, filtered by the caller)
     * pushes the watermark a day past the last real event, so the
-    * trailing no-data batch emits every real window. */
-  /** `sentinelTypes`: event_type value(s) for the sentinel row(s). A
+    * trailing no-data batch emits every real window.
+    *
+    * `sentinelTypes`: event_type value(s) for the sentinel row(s). A
     * query that filters the stream by event_type needs sentinels OF
     * THOSE TYPES — the optimizer pushes a non-ts predicate BELOW the
     * EventTimeWatermark operator, so an off-type sentinel is filtered
     * before watermark tracking ever sees it and the watermark never
     * advances (observed: the last watermark-delay's worth of rows
     * never evicted). Sentinels carry user_id = -1 for the caller to
-    * filter from the OUTPUT instead. */
-  /** Returns the staged dir and the max real event time in MICROSECONDS
-    * since the epoch (the precision the engine's TimestampType carries —
-    * callers derive watermark-wait targets from it directly). */
+    * filter from the OUTPUT instead.
+    *
+    * @return the staged dir and the max real event time in MICROSECONDS
+    *         since the epoch (the precision the engine's TimestampType
+    *         carries — callers derive watermark-wait targets from it
+    *         directly). */
   def stageWithSentinel(spark: SparkSession, path: String,
       sentinelTypes: Seq[String] = Seq("sentinel")): (String, Option[Long]) = {
     import java.nio.file._

@@ -57,6 +57,25 @@ class QuantilesSpec extends AnyFunSuite {
       ("b", 0.5) -> 1L, ("b", 1.0) -> 9L))
   }
 
+  test("bucket-level value skew: 99% of a group in one value stays exact (short-circuit path)") {
+    val s = spark; import s.implicits._
+    // group "skew": 990 copies of 500 plus 10 spread values — the 500s
+    // bucket is heavy but single-valued, so every quantile landing in
+    // it resolves via the per-bucket min==max short-circuit, never
+    // ranking the 990 rows through one window partition. Group "flat"
+    // keeps the ranked path exercised in the same plan.
+    val rows = Seq.fill(990)(("skew", 500L)) ++
+      (1 to 10).map(i => ("skew", (i * 1000).toLong)) ++
+      (0 until 100).map(i => ("flat", i.toLong * 13 % 97))
+    val df = rows.toDF("g", "v")
+    val qs = Seq(0.01, 0.5, 0.95, 0.999, 1.0)
+    val got = Quantiles.exactQuantiles(df, "v", qs, Seq("g"), nBuckets = 8)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(got === naive(df, "v", qs, "g"))
+    assert(got(("skew", 0.5)) === 500L)
+    assert(got(("skew", 1.0)) === 10000L)
+  }
+
   test("ungrouped (whole-frame) quantiles") {
     val s = spark; import s.implicits._
     val df = (1L to 100L).toDF("v")

@@ -151,6 +151,43 @@ class ScdSpec extends AnyFunSuite {
     assert(after === before)
   }
 
+  test("scd2Merge: late-record contract violations are counted and strict mode fails fast") {
+    val s = spark; import s.implicits._
+    val batch1 = Seq(
+      (1L, "a", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "b", ts("2024-01-05 00:00:00"), 2L), // open interval from Jan 5
+      (2L, "x", ts("2024-01-02 00:00:00"), 3L)
+    ).toDF("user_id", "state", "ts", "event_id")
+    val current = Scd.scd2(batch1, Seq("user_id"), Seq("state"), "ts", Seq("event_id"))
+    // one late row (Jan 3 < key 1's open valid_from Jan 5), one fine
+    // row, one brand-new key (cannot violate)
+    val lateBatch = Seq(
+      (1L, "c", ts("2024-01-03 00:00:00"), 4L),
+      (2L, "y", ts("2024-01-06 00:00:00"), 5L),
+      (9L, "z", ts("2023-01-01 00:00:00"), 6L)
+    ).toDF("user_id", "state", "ts", "event_id")
+    val n = Scd.scd2LateViolations(current, lateBatch, Seq("user_id"), "ts")
+      .head().getLong(0)
+    assert(n === 1L)
+    val e = intercept[IllegalArgumentException] {
+      Scd.scd2Merge(current, lateBatch, Seq("user_id"), Seq("state"), "ts",
+        Seq("event_id"), strict = true)
+    }
+    assert(e.getMessage.contains("1 late observation"))
+    // a conforming batch: zero violations, strict merge == rebuild
+    val okBatch = Seq((1L, "c", ts("2024-01-06 00:00:00"), 7L))
+      .toDF("user_id", "state", "ts", "event_id")
+    assert(Scd.scd2LateViolations(current, okBatch, Seq("user_id"), "ts")
+      .head().getLong(0) === 0L)
+    val merged = Scd.scd2Merge(current, okBatch, Seq("user_id"), Seq("state"),
+      "ts", Seq("event_id"), strict = true)
+    val full = Scd.scd2(batch1.unionByName(okBatch),
+      Seq("user_id"), Seq("state"), "ts", Seq("event_id"))
+    val cols = Seq("user_id", "version", "state", "valid_from", "n_rows", "valid_to", "is_current")
+    assert(merged.select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet ===
+      full.select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet)
+  }
+
   test("snapshotDiff: added/removed/changed classified, unchanged suppressed") {
     val s = spark; import s.implicits._
     val old = Seq((1L, "alpha", "en"), (2L, "beta", "en"), (3L, "gamma", "de"))
