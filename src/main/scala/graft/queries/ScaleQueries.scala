@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, Quantiles, Retrieval, Scd, Similarity, TextSearch}
+import graft.operators.{AsOfJoin, Curation, Dedup, Quantiles, Retrieval, Scd, Similarity, TextSearch}
 import graft.sources.Tables
 
 /** Round-5 warehouse/scale tranche: point-in-time enrichment against
@@ -100,11 +100,46 @@ object ScaleQueries {
       .orderBy("user_id", "version")
   }
 
+  /** The nightly incremental-corpus refresh, end to end in ONE plan:
+    * [[Curation.snapshotDiff]] classifies the new snapshot against the
+    * old (q125's construction: `%10=3` removed, `%10=4` revised, the 5
+    * lowest-id docs re-added under shifted ids), and ONLY the
+    * `changed ∪ added` delta is re-deduplicated against the untouched
+    * remainder via [[Dedup.incrementalNearDupsExact]] — the unchanged
+    * corpus (the bulk at 100 TB) is never re-paired; old×old postings
+    * generate nothing. Exact shingle recall is what admits the full
+    * hash oracle: DuckDB rebuilds the ENTIRE new snapshot's pair join
+    * and restricts it to pairs touching the delta — the incremental
+    * answer must equal that full-rebuild restriction row for row (the
+    * q129 proof shape, applied to dedup). The re-added docs duplicate
+    * their still-present originals at J = 1, so the refresh catches
+    * re-ingestion by construction. */
+  def q130IncrementalRefresh(s: SparkSession, d: String): DataFrame = {
+    val old = Tables.documents(s, d).select("doc_id", "text", "lang")
+    val added = old.orderBy("doc_id").limit(5)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"), col("lang"))
+    val neu = old.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+      .withColumn("text", when(pmod(col("doc_id"), lit(10)) === 4,
+        concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+      .unionByName(added)
+    val diff = Curation.snapshotDiff(old, neu, "doc_id", Seq("text", "lang"))
+    val delta = diff.filter(col("status").isin("changed", "added"))
+      .select("doc_id", "status")
+    val deltaDocs = neu.join(delta.select("doc_id"), Seq("doc_id"), "left_semi")
+    val untouched = neu.join(delta.select("doc_id"), Seq("doc_id"), "left_anti")
+    Dedup.incrementalNearDupsExact(deltaDocs, untouched, threshold = 0.5)
+      .join(delta.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 4).as("jaccard"), col("status"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
     "q128_hybrid_rrf" -> (q128HybridRrf _),
-    "q129_scd2_merge" -> (q129Scd2Merge _)
+    "q129_scd2_merge" -> (q129Scd2Merge _),
+    "q130_incremental_refresh" -> (q130IncrementalRefresh _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -247,6 +282,56 @@ object ScaleQueries {
         |    '%Y-%m-%d %H:%M:%S'), '') AS valid_to,
         |  CASE WHEN lead(vf) OVER (PARTITION BY user_id ORDER BY version) IS NULL
         |       THEN 1 ELSE 0 END AS is_current
-        |FROM c ORDER BY user_id, version""".stripMargin
+        |FROM c ORDER BY user_id, version""".stripMargin,
+    // full-rebuild restriction proof: the new snapshot is rebuilt
+    // wholesale (q125's construction rules), its COMPLETE exact-Jaccard
+    // pair join computed (q79's shingle CTE chain), then restricted to
+    // pairs touching the changed∪added delta and reoriented so doc_a is
+    // the delta member — the incremental plan must reproduce exactly
+    // that
+    "q130_incremental_refresh" ->
+      """WITH low5 AS (
+        |  SELECT doc_id, text, lang FROM documents ORDER BY doc_id LIMIT 5),
+        |added AS (SELECT doc_id + 10000000 AS doc_id, text, lang FROM low5),
+        |neu AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 4 THEN text || ' [rev2]' ELSE text END AS text,
+        |    lang
+        |  FROM documents WHERE doc_id % 10 <> 3
+        |  UNION ALL SELECT doc_id, text, lang FROM added),
+        |delta AS (
+        |  SELECT doc_id, 'changed' AS status FROM documents WHERE doc_id % 10 = 4
+        |  UNION ALL SELECT doc_id, 'added' AS status FROM added),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM neu),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT doc_a, doc_b,
+        |    round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard
+        |  FROM cand
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5),
+        |o AS (
+        |  SELECT CASE WHEN p.doc_a IN (SELECT doc_id FROM delta)
+        |              THEN p.doc_a ELSE p.doc_b END AS da,
+        |         CASE WHEN p.doc_a IN (SELECT doc_id FROM delta)
+        |              THEN p.doc_b ELSE p.doc_a END AS db,
+        |         jaccard
+        |  FROM p
+        |  WHERE p.doc_a IN (SELECT doc_id FROM delta)
+        |     OR p.doc_b IN (SELECT doc_id FROM delta))
+        |SELECT o.da AS doc_a, o.db AS doc_b, o.jaccard, d.status
+        |FROM o JOIN delta d ON d.doc_id = o.da
+        |ORDER BY 1, 2""".stripMargin
   )
 }

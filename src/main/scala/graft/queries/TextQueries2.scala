@@ -244,9 +244,14 @@ object TextQueries2 {
     * surfaces that contract in-row: for each exact heavy hitter,
     * `in_sketch`; `n_missed` (constant) must be 0. At 100 TB the
     * sketch is one mergeable pass with a 1/support-bounded result —
-    * no full token aggregation, no sort. Rows-only for the driver
-    * (the sketch's extras aren't replicable in SQL), but the exact
-    * columns carry the ground truth. */
+    * no full token aggregation, no sort.
+    *
+    * FULL hash oracle, despite the sketch: the output rows are exactly
+    * the true heavy hitters, for which the KPS no-false-negative
+    * guarantee makes `in_sketch` DETERMINISTICALLY 1 and `n_missed`
+    * 0 — so the oracle states the contract-mandated values and the
+    * driver's hash check becomes the contract check (a sketch miss
+    * flips in_sketch to 0 and the hash fails). */
   def q86HeavyHitters(s: SparkSession, d: String): DataFrame = {
     val support = 0.02
     val toks = docs(s, d)
@@ -259,47 +264,60 @@ object TextQueries2 {
     val hitters = toks.groupBy("token").agg(count(lit(1)).as("n"))
       .filter(col("n") > support * total)
       .select(col("token"), col("n").as("exact_count"),
-        col("token").isin(sketch.toSeq: _*).as("in_sketch"))
+        col("token").isin(sketch.toSeq: _*).cast("int").as("in_sketch"))
     val guarantee = hitters.agg(
-      sum(when(!col("in_sketch"), 1).otherwise(0)).as("n_missed"))
+      sum(when(col("in_sketch") === 0, 1).otherwise(0)).as("n_missed"))
     hitters.crossJoin(broadcast(guarantee)).orderBy("token")
   }
 
   /** Count-min sketch vs exact counts — completes the mergeable-sketch
-    * toolkit (q62 HLL + quantile, q84 Bloom, q86 KPS frequent items):
-    * one `count_min_sketch` aggregate pass over the token stream (a
-    * fixed d×w counter grid, mergeable across partitions — at 100 TB
-    * the frequency table that never materializes per-key state), then
-    * the driver probes the sketch artifact (a few KB, the same driver
-    * size class as IVF centroids) for each exact heavy hitter. The CMS
-    * contract — estimates NEVER underestimate, and overestimate by at
-    * most eps·N with probability 1−delta — is surfaced in-row:
-    * `n_underestimates` must be 0, `rel_err` shows the collision
-    * inflation next to ground truth. Rows-only for the driver (the
-    * sketch's hash layout isn't SQL-replicable), self-evidencing. */
+    * toolkit (q62 HLL + quantile, q84 Bloom, q86 KPS frequent items).
+    * The sketch is a d=5 × w=2048 counter grid whose row hashes are
+    * md5-derived (`md5(row ':' token)` → first 6 hex chars mod w) —
+    * the SAME construction both engines can compute exactly, which is
+    * what upgrades this query from rows-only to a FULL hash oracle:
+    * the estimates themselves (not just the verdict) are hash-checked.
+    * (Spark's native `count_min_sketch` aggregate is the same
+    * structure with an unexposed murmur hash layout — the md5 variant
+    * trades a few ns/hash for cross-engine replicability.)
+    *
+    * Scale shape: the corpus pays ONE token explode+aggregate (the
+    * exact count table — which the heavy-hitter side needs anyway, so
+    * the exchange is reused); the grid then builds from that
+    * VOCAB-sized table exploded ×d — summing per-token counts into a
+    * bucket is arithmetic identical to hashing every occurrence, at
+    * 1/avg-tf the hash work — with map-side combine into ≤ d·w
+    * aggregated cells, never per-key state. Probes join the broadcast
+    * cell table and take min over d rows. The CMS contract — estimates
+    * NEVER underestimate; overestimate bounded by collisions — is
+    * surfaced in-row: `n_underestimates` must be 0, `rel_err` shows
+    * the collision inflation next to ground truth. */
   def q99CountMin(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val support = 0.02
+    val depth = 5
+    val width = 2048
     val toks = docs(s, d)
       .select(explode(TextFunctions.tokens("text")).as("token"))
     val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_count"))
     val total = exact.agg(sum("exact_count")).head().getLong(0)
     val hitters = exact.filter(col("exact_count") > support * total)
-    val sketchBytes = toks
-      .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)"))
-      .head().getAs[Array[Byte]](0)
-    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(sketchBytes))
-    // the probe set is the bounded heavy-hitter list (≤ 1/support),
-    // not the token universe — driver work stays sketch-sized
-    val probed = hitters.collect().map { r =>
-      (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0)))
-    }.toSeq.toDF("token", "exact_count", "cms_estimate")
-      .withColumn("underestimated", (col("cms_estimate") < col("exact_count")).cast("int"))
+    def bucket(tok: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(col("r"), lit(":"), tok)), 1, 6), 16, 10)
+        .cast("long") % width
+    val rows = explode(sequence(lit(0), lit(depth - 1))).as("r")
+    val cells = exact.select(col("token"), col("exact_count"), rows)
+      .select(col("r"), bucket(col("token")).as("bucket"), col("exact_count"))
+      .groupBy("r", "bucket").agg(sum("exact_count").as("c"))
+    val probed = hitters.select(col("token"), col("exact_count"), rows)
+      .withColumn("bucket", bucket(col("token")))
+      .join(broadcast(cells), Seq("r", "bucket"))
+      .groupBy("token", "exact_count")
+      .agg(min("c").as("cms_estimate"))
       .withColumn("rel_err",
         round((col("cms_estimate") - col("exact_count")) / col("exact_count"), 4))
-    val g = probed.agg(sum("underestimated").as("n_underestimates"))
-    probed.crossJoin(broadcast(g)).drop("underestimated").orderBy("token")
+    val g = probed.agg(
+      sum((col("cms_estimate") < col("exact_count")).cast("int")).as("n_underestimates"))
+    probed.crossJoin(broadcast(g)).orderBy("token")
   }
 
   /** Bloom decontamination funnel, self-evidencing: every train doc
@@ -456,6 +474,51 @@ object TextQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    // the KPS no-false-negative contract makes in_sketch/n_missed
+    // deterministic for true heavy hitters — the oracle states the
+    // contract-mandated values, so the hash check IS the contract check
+    "q86_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n FROM toks),
+        |h AS (SELECT token, count(*) AS exact_count FROM toks GROUP BY 1)
+        |SELECT h.token, h.exact_count, 1 AS in_sketch,
+        |  CAST(0 AS BIGINT) AS n_missed
+        |FROM h, tot WHERE h.exact_count > 0.02 * tot.n
+        |ORDER BY h.token""".stripMargin,
+    // the full md5-seeded count-min grid (d=5, w=2048) restated:
+    // identical hashes ⇒ identical cells ⇒ identical estimates
+    "q99_count_min" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n FROM toks),
+        |exact AS (SELECT token, count(*) AS exact_count FROM toks GROUP BY 1),
+        |h AS (SELECT e.token, e.exact_count FROM exact e, tot
+        |  WHERE e.exact_count > 0.02 * tot.n),
+        |r(r) AS (VALUES (0), (1), (2), (3), (4)),
+        |cells AS (
+        |  SELECT r.r,
+        |    ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || e.token), 1, 6))::BIGINT
+        |      % 2048 AS bucket,
+        |    CAST(sum(e.exact_count) AS BIGINT) AS c
+        |  FROM exact e CROSS JOIN r GROUP BY 1, 2),
+        |probe AS (
+        |  SELECT h.token, h.exact_count, r.r,
+        |    ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || h.token), 1, 6))::BIGINT
+        |      % 2048 AS bucket
+        |  FROM h CROSS JOIN r),
+        |est AS (
+        |  SELECT p.token, p.exact_count, min(c.c) AS cms_estimate
+        |  FROM probe p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+        |  GROUP BY 1, 2),
+        |g AS (SELECT CAST(sum(CASE WHEN cms_estimate < exact_count THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_underestimates FROM est)
+        |SELECT e.token, e.exact_count, e.cms_estimate,
+        |  round((e.cms_estimate - e.exact_count) * 1.0 / e.exact_count, 4) AS rel_err,
+        |  g.n_underestimates
+        |FROM est e CROSS JOIN g ORDER BY e.token""".stripMargin,
     "q62b_sketch_exact" ->
       """SELECT event_type,
         |  count(DISTINCT user_id) AS exact_users,

@@ -318,7 +318,7 @@ class ScaleSpec extends AnyFunSuite {
     assert(rows.nonEmpty, "no heavy hitters found at support 0.02")
     assert(rows.head.getAs[Long]("n_missed") == 0L,
       "freqItems violated its no-false-negative contract")
-    assert(rows.forall(_.getAs[Boolean]("in_sketch")))
+    assert(rows.forall(_.getAs[Int]("in_sketch") == 1))
   }
 
   test("sketch audit: HLL and quantile sketch errors are bounded") {
