@@ -82,7 +82,12 @@ object Bench {
     // declares "runs": 2, so the methodology is explicit in the
     // artifact. A failed first run is reported as-is, not retried.
     System.err.println("[bench] per-query timing = min of 2 runs (steady state)")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter (the Verify.scala convention); the driver
+    // never sets it, so official runs always time the full registry
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       def once(): (Double, Long) = {
         val t0 = System.nanoTime()
         val n = try fn(spark, sfDir).count() catch {

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between two corpus snapshots — the
+  * check a production training pipeline runs beside every refresh
+  * (q125's diff says WHICH docs changed; this says whether the
+  * corpus's STATISTICS moved): Population Stability Index over a
+  * fixed-width histogram of a numeric feature,
+  *
+  *   PSI = Σ_bins (p_new − p_old) · ln(p_new / p_old)
+  *
+  * with the conventional gates PSI < 0.1 stable / < 0.25 drifting /
+  * else shifted (the credit-scoring heuristic the industry reuses).
+  *
+  * Scale shape: each snapshot pays ONE aggregate to bin-counts
+  * (map-side combine, ≤ nBins rows out); the bin frame is generated
+  * (`sequence`), both count sets broadcast-join onto it, and every
+  * downstream number is arithmetic over a ≤ nBins-row frame —
+  * driver-scale by construction, the q127 histogram discipline. Bins
+  * anchor on the OLD snapshot's [min, max] (the monitored baseline);
+  * new-snapshot outliers clamp into the edge bins, which is exactly
+  * what a monitor wants to see (mass piling at an edge = drift).
+  * Add-half smoothing keeps ln defined on empty bins (the q97
+  * convention), so the operator is total and DuckDB-replicable. */
+object Drift {
+
+  /** Per-bin drift report + PSI total (same value on every row, q86
+    * in-row-constant convention). `p_old`/`p_new` are the smoothed
+    * proportions; `psi` sums the UNROUNDED contributions and rounds
+    * once. */
+  def histogramPsi(oldDf: DataFrame, newDf: DataFrame, valueCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, "nBins must be positive")
+    val spark = oldDf.sparkSession
+    val v = col(valueCol).cast("double")
+    val anchor = broadcast(oldDf.agg(
+      min(v).as("__lo"), max(v).as("__hi")))
+    def binCounts(df: DataFrame, cName: String) = df.crossJoin(anchor)
+      .select(when(col("__hi") === col("__lo"), lit(0)).otherwise(
+        least(greatest(floor((v - col("__lo")) / (col("__hi") - col("__lo")) * nBins)
+          .cast("int"), lit(0)), lit(nBins - 1))).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(cName))
+    val bins = spark.range(nBins).select(col("id").cast("int").as("bin"))
+    val joined = bins
+      .join(broadcast(binCounts(oldDf, "n_old")), Seq("bin"), "left")
+      .join(broadcast(binCounts(newDf, "n_new")), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totals = broadcast(joined.agg(
+      sum("n_old").as("__to"), sum("n_new").as("__tn")))
+    val scored = joined.crossJoin(totals)
+      .withColumn("__po", (col("n_old") + 0.5) / (col("__to") + lit(0.5) * nBins))
+      .withColumn("__pn", (col("n_new") + 0.5) / (col("__tn") + lit(0.5) * nBins))
+      .withColumn("__contrib", (col("__pn") - col("__po")) * log(col("__pn") / col("__po")))
+    val psi = broadcast(scored.agg(round(sum("__contrib"), 6).as("psi")))
+    scored.crossJoin(psi)
+      .select(col("bin"), col("n_old"), col("n_new"),
+        round(col("__po"), 6).as("p_old"),
+        round(col("__pn"), 6).as("p_new"),
+        round(col("__contrib"), 6).as("psi_contrib"),
+        col("psi"),
+        when(col("psi") < 0.1, lit("stable"))
+          .when(col("psi") < 0.25, lit("drifting"))
+          .otherwise(lit("shifted")).as("verdict"))
+  }
+}

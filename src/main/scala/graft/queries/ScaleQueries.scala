@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, Curation, Dedup, Quantiles, Retrieval, Scd, Similarity, TextSearch}
+import graft.operators.{AsOfJoin, Curation, Dedup, Drift, Interpolate, Quantiles, Retrieval, Scd, Similarity, SkewJoin, TextSearch}
 import graft.sources.Tables
 
 /** Round-5 warehouse/scale tranche: point-in-time enrichment against
@@ -134,12 +134,76 @@ object ScaleQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Skew-safe salted join: events (the fact side — at 100 TB the one
+    * with hot keys) joined to the per-user activity dim on user_id,
+    * 8-way salted ([[SkewJoin.saltedEquiJoin]]): the fact rows of any
+    * one user spread over 8 reducers instead of funneling through one.
+    * The salt is result-invariant by construction, so the oracle is
+    * the PLAIN SQL join — the hash check proves salting changed the
+    * schedule, not the answer. Output re-aggregates per user (row
+    * identity: n back to each user's event count) so the check covers
+    * every joined row without a 200 k-row artifact. */
+  def q131SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val dim = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("user_events"),
+        round(sum("value"), 2).as("user_total"))
+    SkewJoin.saltedEquiJoin(
+        ev.select(col("user_id"), col("event_id"), col("event_type")),
+        dim, keys = Seq("user_id"), salts = 8)
+      .groupBy("user_id", "user_events", "user_total")
+      .agg(count(lit(1)).as("n_joined"),
+        countDistinct("event_type").as("n_types"))
+      .orderBy("user_id")
+  }
+
+  /** Corpus drift monitor: PSI over the n_chars histogram between the
+    * old snapshot and q125/q130's revised snapshot
+    * ([[Drift.histogramPsi]] — bins anchored on the old min/max,
+    * add-half smoothing, the 0.1/0.25 industry gates). Pure histogram
+    * arithmetic on ≤ nBins rows — full hash oracle. */
+  def q132DriftPsi(s: SparkSession, d: String): DataFrame = {
+    val old = Tables.documents(s, d).select("doc_id", "text", "lang", "n_chars")
+    val added = old.orderBy("doc_id").limit(5)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+        col("lang"), col("n_chars"))
+    val neu = old.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+      .withColumn("n_chars", when(pmod(col("doc_id"), lit(10)) === 4,
+        col("n_chars") + 7L).otherwise(col("n_chars"))) // + length(" [rev2]")
+      .unionByName(added)
+    Drift.histogramPsi(old, neu, "n_chars", nBins = 10)
+      .orderBy("bin")
+  }
+
+  /** Per-key linear time interpolation ([[Interpolate.linear]]):
+    * every 7th event's value is nulled in-query (deterministic planted
+    * gaps), then repaired from its temporal neighbors within the
+    * user's series — one key shuffle, no self-join. The weight
+    * arithmetic is operand-for-operand identical in the DuckDB
+    * restatement, so the filled doubles hash-check UNROUNDED. */
+  def q133Interpolate(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("value",
+        when(pmod(col("event_id"), lit(7)) === 3, lit(null).cast("double"))
+          .otherwise(col("value")))
+    Interpolate.linear(ev, keys = Seq("user_id"), tsCol = "ts",
+        valueCol = "value", tieCols = Seq("event_id"))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        (pmod(col("event_id"), lit(7)) === 3).cast("int").as("was_gap"),
+        col("value_filled"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
     "q128_hybrid_rrf" -> (q128HybridRrf _),
     "q129_scd2_merge" -> (q129Scd2Merge _),
-    "q130_incremental_refresh" -> (q130IncrementalRefresh _)
+    "q130_incremental_refresh" -> (q130IncrementalRefresh _),
+    "q131_salted_join" -> (q131SaltedJoin _),
+    "q132_drift_psi" -> (q132DriftPsi _),
+    "q133_interpolate" -> (q133Interpolate _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -332,6 +396,98 @@ object ScaleQueries {
         |     OR p.doc_b IN (SELECT doc_id FROM delta))
         |SELECT o.da AS doc_a, o.db AS doc_b, o.jaccard, d.status
         |FROM o JOIN delta d ON d.doc_id = o.da
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+    // the PLAIN join — salting must not change the answer
+    "q131_salted_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS user_events,
+        |    round(sum(value), 2) AS user_total
+        |  FROM events GROUP BY 1)
+        |SELECT e.user_id, d.user_events, d.user_total,
+        |  CAST(count(*) AS BIGINT) AS n_joined,
+        |  CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_types
+        |FROM events e JOIN dim d USING (user_id)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    // identical histogram arithmetic: old-anchored fixed-width bins,
+    // add-half smoothing, contributions summed unrounded then rounded
+    "q132_drift_psi" ->
+      """WITH old AS (SELECT doc_id, n_chars FROM documents),
+        |neu AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 4 THEN n_chars + 7 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 10 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, n_chars
+        |  FROM (SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 5)),
+        |anchor AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+        |                  CAST(max(n_chars) AS DOUBLE) AS hi FROM old),
+        |co AS (
+        |  SELECT CASE WHEN a.hi = a.lo THEN 0 ELSE
+        |    least(greatest(CAST(floor((n_chars - a.lo) / (a.hi - a.lo) * 10) AS INT),
+        |      0), 9) END AS bin, count(*) AS c
+        |  FROM old, anchor a GROUP BY 1),
+        |cn AS (
+        |  SELECT CASE WHEN a.hi = a.lo THEN 0 ELSE
+        |    least(greatest(CAST(floor((n_chars - a.lo) / (a.hi - a.lo) * 10) AS INT),
+        |      0), 9) END AS bin, count(*) AS c
+        |  FROM neu, anchor a GROUP BY 1),
+        |bins AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin),
+        |j AS (
+        |  SELECT b.bin,
+        |    CAST(coalesce(co.c, 0) AS BIGINT) AS n_old,
+        |    CAST(coalesce(cn.c, 0) AS BIGINT) AS n_new
+        |  FROM bins b LEFT JOIN co USING (bin) LEFT JOIN cn USING (bin)),
+        |t AS (SELECT sum(n_old) AS to_, sum(n_new) AS tn FROM j),
+        |s AS (
+        |  SELECT j.bin, j.n_old, j.n_new,
+        |    (j.n_old + 0.5) / (t.to_ + 0.5 * 10) AS po,
+        |    (j.n_new + 0.5) / (t.tn + 0.5 * 10) AS pn
+        |  FROM j, t),
+        |sc AS (
+        |  SELECT bin, n_old, n_new, po, pn, (pn - po) * ln(pn / po) AS contrib
+        |  FROM s),
+        |p AS (SELECT round(sum(contrib), 6) AS psi FROM sc)
+        |SELECT sc.bin, sc.n_old, sc.n_new,
+        |  round(sc.po, 6) AS p_old, round(sc.pn, 6) AS p_new,
+        |  round(sc.contrib, 6) AS psi_contrib, p.psi,
+        |  CASE WHEN p.psi < 0.1 THEN 'stable'
+        |       WHEN p.psi < 0.25 THEN 'drifting'
+        |       ELSE 'shifted' END AS verdict
+        |FROM sc, p ORDER BY sc.bin""".stripMargin,
+    // operand-for-operand identical weight arithmetic over epoch
+    // microseconds; IGNORE NULLS cumulative/reverse scans mirror the
+    // engine's last/first neighbor lookups
+    "q133_interpolate" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts,
+        |    CASE WHEN event_id % 7 = 3 THEN NULL ELSE value END AS value
+        |  FROM events),
+        |n AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CAST(epoch_us(ts) AS DOUBLE) AS t,
+        |    last_value(CASE WHEN value IS NOT NULL THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN value IS NOT NULL
+        |        THEN CAST(epoch_us(ts) AS DOUBLE) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |    first_value(CASE WHEN value IS NOT NULL THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN value IS NOT NULL
+        |        THEN CAST(epoch_us(ts) AS DOUBLE) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM e)
+        |SELECT user_id, event_id,
+        |  strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  CASE WHEN event_id % 7 = 3 THEN 1 ELSE 0 END AS was_gap,
+        |  CASE WHEN value IS NOT NULL THEN value
+        |       WHEN pv IS NULL THEN nv
+        |       WHEN nv IS NULL THEN pv
+        |       WHEN nt = pt THEN pv
+        |       ELSE pv + (nv - pv) * ((t - pt) / (nt - pt)) END AS value_filled
+        |FROM n ORDER BY user_id, event_id""".stripMargin
   )
 }
