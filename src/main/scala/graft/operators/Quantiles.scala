@@ -124,4 +124,35 @@ object Quantiles {
       .select((g ++ Seq(col("q"), col(valueCol).as("value"))): _*)
     single.unionByName(ranked)
   }
+
+  /** Winsorized robust statistics per group — the outlier-resistant
+    * mean/std every data audit reports (a handful of 10 MB documents
+    * otherwise dominate a corpus length mean): clip `valueCol` at the
+    * EXACT per-group [loQ, hiQ] quantiles from [[exactQuantiles]]
+    * (composition, not reimplementation — the same no-global-sort
+    * selection), then one aggregate over the clipped values. The
+    * quantile frame is |groups|·2 rows and broadcasts onto the data;
+    * total cost = the quantile passes + one aggregate. */
+  def winsorizedStats(df: DataFrame, valueCol: String,
+      groupCols: Seq[String], loQ: Double = 0.05, hiQ: Double = 0.95,
+      nBuckets: Int = 64): DataFrame = {
+    require(loQ < hiQ, "loQ must be below hiQ")
+    val qs = exactQuantiles(df, valueCol, Seq(loQ, hiQ), groupCols, nBuckets)
+    val bounds = qs.groupBy(groupCols.map(col): _*)
+      .agg(max(when(col("q") === loQ, col("value"))).as("__lo"),
+        max(when(col("q") === hiQ, col("value"))).as("__hi"))
+    val v = col(valueCol).cast("double")
+    val clipped = (if (groupCols.isEmpty) df.crossJoin(broadcast(bounds))
+      else df.join(broadcast(bounds), groupCols))
+      .withColumn("__cv", greatest(col("__lo").cast("double"),
+        least(col("__hi").cast("double"), v)))
+    clipped.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum((v < col("__lo")).cast("long")).as("n_clipped_low"),
+        sum((v > col("__hi")).cast("long")).as("n_clipped_high"),
+        first(col("__lo").cast("double")).as("p_lo"),
+        first(col("__hi").cast("double")).as("p_hi"),
+        round(avg(col("__cv")), 4).as("winsorized_mean"),
+        round(stddev(col("__cv")), 4).as("winsorized_std"))
+  }
 }

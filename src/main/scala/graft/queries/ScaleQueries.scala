@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, Curation, Dedup, Drift, Interpolate, Quantiles, Retrieval, Scd, Similarity, SkewJoin, TextSearch}
+import graft.operators.{Agreement, AsOfJoin, Curation, Dedup, Drift, Interpolate, Quantiles, Retrieval, Scd, Similarity, SkewJoin, TextSearch}
 import graft.sources.Tables
 
 /** Round-5 warehouse/scale tranche: point-in-time enrichment against
@@ -195,6 +195,28 @@ object ScaleQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Winsorized robust length statistics per language —
+    * [[Quantiles.winsorizedStats]] COMPOSING [[Quantiles
+    * .exactQuantiles]] (clip bounds are the exact p05/p95, not
+    * approximations): the outlier-resistant corpus profile an audit
+    * reports. Oracle restates the exact quantiles as ordered windows
+    * plus the same clip + aggregate. */
+  def q134Winsorize(s: SparkSession, d: String): DataFrame =
+    Quantiles.winsorizedStats(Tables.documents(s, d), "n_chars",
+        groupCols = Seq("lang"), loQ = 0.05, hiQ = 0.95, nBuckets = 32)
+      .orderBy("lang")
+
+  /** Cohen's kappa between two deterministic binary quality raters
+    * (char-length vs token-count gates — the heuristic-vs-heuristic
+    * calibration a filter swap requires): the full 2×2 confusion
+    * table from ONE aggregate, chance-corrected agreement and the
+    * Landis–Koch verdict in-row ([[Agreement.cohenKappa]]). */
+  def q135Kappa(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("toks", size(graft.functions.TextFunctions.tokens("text")))
+    Agreement.cohenKappa(docs, col("n_chars") >= 300, col("toks") >= 56)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
@@ -203,7 +225,9 @@ object ScaleQueries {
     "q130_incremental_refresh" -> (q130IncrementalRefresh _),
     "q131_salted_join" -> (q131SaltedJoin _),
     "q132_drift_psi" -> (q132DriftPsi _),
-    "q133_interpolate" -> (q133Interpolate _)
+    "q133_interpolate" -> (q133Interpolate _),
+    "q134_winsorize" -> (q134Winsorize _),
+    "q135_kappa" -> (q135Kappa _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -488,6 +512,67 @@ object ScaleQueries {
         |       WHEN nv IS NULL THEN pv
         |       WHEN nt = pt THEN pv
         |       ELSE pv + (nv - pv) * ((t - pt) / (nt - pt)) END AS value_filled
-        |FROM n ORDER BY user_id, event_id""".stripMargin
+        |FROM n ORDER BY user_id, event_id""".stripMargin,
+    // exact p05/p95 as ordered windows (q127 shape, q DOUBLE-cast for
+    // IEEE ceil parity), then the identical clip + aggregate
+    "q134_winsorize" ->
+      """WITH t AS (SELECT lang, n_chars FROM documents),
+        |n AS (SELECT lang, count(*) AS n FROM t GROUP BY 1),
+        |r AS (SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rk
+        |  FROM t),
+        |q(q) AS (VALUES (CAST(0.05 AS DOUBLE)), (CAST(0.95 AS DOUBLE))),
+        |k AS (SELECT lang, q, CAST(ceil(q * n) AS BIGINT) AS k
+        |  FROM n CROSS JOIN q),
+        |qv AS (SELECT k.lang, k.q, r.n_chars AS value
+        |  FROM k JOIN r ON r.lang = k.lang AND r.rk = k.k),
+        |b AS (SELECT lang,
+        |    CAST(max(CASE WHEN q = 0.05 THEN value END) AS DOUBLE) AS lo,
+        |    CAST(max(CASE WHEN q = 0.95 THEN value END) AS DOUBLE) AS hi
+        |  FROM qv GROUP BY 1),
+        |c AS (SELECT t.lang, CAST(t.n_chars AS DOUBLE) AS v, b.lo, b.hi,
+        |    greatest(b.lo, least(b.hi, CAST(t.n_chars AS DOUBLE))) AS cv
+        |  FROM t JOIN b USING (lang))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+        |  CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+        |  min(lo) AS p_lo, min(hi) AS p_hi,
+        |  round(avg(cv), 4) AS winsorized_mean,
+        |  round(stddev_samp(cv), 4) AS winsorized_std
+        |FROM c GROUP BY 1 ORDER BY lang""".stripMargin,
+    // the same 2x2 confusion table + chance-corrected arithmetic
+    "q135_kappa" ->
+      """WITH l AS (
+        |  SELECT n_chars >= 300 AS a,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) >= 56 AS b
+        |  FROM documents),
+        |c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_pos,
+        |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_neg,
+        |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_neg_pos,
+        |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_neg_neg
+        |  FROM l),
+        |s AS (
+        |  SELECT *,
+        |    (n_pos_pos + n_neg_neg) / CAST(n AS DOUBLE) AS po,
+        |    ((n_pos_pos + n_pos_neg) / CAST(n AS DOUBLE)) *
+        |      ((n_pos_pos + n_neg_pos) / CAST(n AS DOUBLE)) +
+        |    (1.0 - (n_pos_pos + n_pos_neg) / CAST(n AS DOUBLE)) *
+        |      (1.0 - (n_pos_pos + n_neg_pos) / CAST(n AS DOUBLE)) AS pe
+        |  FROM c),
+        |f AS (SELECT *, CASE WHEN pe = 1.0 THEN 0.0
+        |    ELSE (po - pe) / (1.0 - pe) END AS kappa FROM s)
+        |SELECT n, n_pos_pos, n_pos_neg, n_neg_pos, n_neg_neg,
+        |  round(po, 6) AS p_observed, round(pe, 6) AS p_expected,
+        |  round(kappa, 6) AS kappa,
+        |  CASE WHEN pe = 1.0 THEN 'degenerate'
+        |       WHEN kappa < 0.0 THEN 'poor'
+        |       WHEN kappa < 0.2 THEN 'slight'
+        |       WHEN kappa < 0.4 THEN 'fair'
+        |       WHEN kappa < 0.6 THEN 'moderate'
+        |       WHEN kappa < 0.8 THEN 'substantial'
+        |       ELSE 'almost_perfect' END AS verdict
+        |FROM f""".stripMargin
   )
 }

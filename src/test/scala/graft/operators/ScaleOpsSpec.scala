@@ -109,6 +109,44 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(Some(5.0), Some(5.0), Some(9.0), None))
   }
 
+  test("winsorizedStats: hand-computed clip bounds, counts, and robust mean") {
+    val s = spark; import s.implicits._
+    // 20 values 1..20 in one group: p25 = 5, p75 = 15 (k = ceil(q·20))
+    val df = (1L to 20L).map(("g", _)).toDF("lang", "v")
+    val out = Quantiles.winsorizedStats(df, "v", Seq("lang"),
+      loQ = 0.25, hiQ = 0.75, nBuckets = 4).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Double]("p_lo") === 5.0 && r.getAs[Double]("p_hi") === 15.0)
+    assert(r.getAs[Long]("n_clipped_low") === 4L)  // 1..4
+    assert(r.getAs[Long]("n_clipped_high") === 5L) // 16..20
+    // clipped series: 4×5 + (5..15) + 5×15 → mean = (20 + 110 + 75) / 20
+    assert(r.getAs[Double]("winsorized_mean") === 10.25)
+  }
+
+  test("cohenKappa: hand-computed 2x2 table and the degenerate constant-rater guard") {
+    val s = spark; import s.implicits._
+    // 10 rows: a=+ for 6, b=+ for 6, agree on 8 (5 ++ and 3 --)
+    val rows = Seq(
+      (true, true), (true, true), (true, true), (true, true), (true, true),
+      (true, false),
+      (false, true),
+      (false, false), (false, false), (false, false))
+    val df = rows.toDF("a", "b")
+    val r = Agreement.cohenKappa(df, col("a"), col("b")).collect().head
+    assert((r.getAs[Long]("n_pos_pos"), r.getAs[Long]("n_pos_neg"),
+      r.getAs[Long]("n_neg_pos"), r.getAs[Long]("n_neg_neg")) === ((5L, 1L, 1L, 3L)))
+    val po = 0.8; val pe = 0.6 * 0.6 + 0.4 * 0.4
+    val kappa = (po - pe) / (1 - pe) // ≈ 0.5833
+    assert(math.abs(r.getAs[Double]("kappa") - kappa) < 1e-6)
+    assert(r.getAs[String]("verdict") === "moderate")
+    // constant rater: pe = 1 → kappa 0, verdict degenerate (not NaN)
+    val const = Seq((true, true), (true, true)).toDF("a", "b")
+    val d = Agreement.cohenKappa(const, col("a"), col("b")).collect().head
+    assert(d.getAs[Double]("kappa") === 0.0)
+    assert(d.getAs[String]("verdict") === "degenerate")
+  }
+
   test("interpolate.linear and histogramPsi plans stay key-partitioned / driver-scale") {
     val s = spark; import s.implicits._
     val df = Seq((1L, ts("2024-01-01 00:00:00"), Some(1.0), 1L))
