@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Agreement, AsOfJoin, Curation, Dedup, Drift, Interpolate, Quantiles, Retrieval, Scd, Similarity, SkewJoin, TextSearch}
+import graft.operators.{Agreement, AsOfJoin, Curation, Dedup, Drift, Interpolate, Linkage, Quantiles, Retrieval, Scd, Similarity, SkewJoin, TextSearch}
 import graft.sources.Tables
 
 /** Round-5 warehouse/scale tranche: point-in-time enrichment against
@@ -217,6 +217,30 @@ object ScaleQueries {
     Agreement.cohenKappa(docs, col("n_chars") >= 300, col("toks") >= 56)
   }
 
+  /** Entity resolution over the customer master ([[Linkage
+    * .blockedMatches]]): every `custkey % 100 = 7` customer re-enters
+    * under a shifted id with a typo'd name (leading 'C' dropped — the
+    * master-data duplicate a CRM accumulates); blocking on the name's
+    * LAST 6 chars (the discriminative id digits, which the typo
+    * preserves) pairs each variant with exactly its original, so the
+    * match list is the planted set at levenshtein similarity
+    * (len−1)/len. The constant-prefix alternative ('Customer#0') would
+    * degenerate to one giant block — exactly what the maxBlock cut
+    * reports instead of running. */
+  def q136EntityResolution(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("id"), col("c_name").as("name"),
+        col("c_nationkey").cast("long").as("nation"))
+    val variants = cust.filter(pmod(col("id"), lit(100)) === 7)
+      .select((col("id") + 10000000L).as("id"),
+        expr("substring(name, 2)").as("name"), col("nation"))
+    val all = cust.unionByName(variants)
+      .withColumn("block", expr("right(name, 6)"))
+    Linkage.blockedMatches(all, "id", Seq("block"), "name",
+        threshold = 0.9, maxBlock = 10)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
@@ -227,7 +251,8 @@ object ScaleQueries {
     "q132_drift_psi" -> (q132DriftPsi _),
     "q133_interpolate" -> (q133Interpolate _),
     "q134_winsorize" -> (q134Winsorize _),
-    "q135_kappa" -> (q135Kappa _)
+    "q135_kappa" -> (q135Kappa _),
+    "q136_entity_resolution" -> (q136EntityResolution _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -573,6 +598,33 @@ object ScaleQueries {
         |       WHEN kappa < 0.6 THEN 'moderate'
         |       WHEN kappa < 0.8 THEN 'substantial'
         |       ELSE 'almost_perfect' END AS verdict
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+    // identical blocking + scoring: the planted-variant construction,
+    // per-block sizes, pairs within blocks only, rounded-sim threshold
+    "q136_entity_resolution" ->
+      """WITH cust AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name,
+        |    CAST(c_nationkey AS BIGINT) AS nation
+        |  FROM customer),
+        |var AS (
+        |  SELECT id + 10000000 AS id, substring(name, 2) AS name, nation
+        |  FROM cust WHERE id % 100 = 7),
+        |al AS (
+        |  SELECT *, right(name, 6) AS block
+        |  FROM (SELECT * FROM cust UNION ALL SELECT * FROM var)),
+        |sized AS (
+        |  SELECT *, CAST(count(*) OVER (PARTITION BY block) AS BIGINT)
+        |    AS block_size
+        |  FROM al),
+        |ok AS (SELECT * FROM sized WHERE block_size <= 10),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.block, a.block_size,
+        |    CAST(levenshtein(a.name, b.name) AS INT) AS edit_dist,
+        |    round(1.0 - levenshtein(a.name, b.name) * 1.0 /
+        |      greatest(length(a.name), length(b.name)), 4) AS sim
+        |  FROM ok a JOIN ok b ON a.block = b.block AND a.id < b.id)
+        |SELECT id_a, id_b, block, block_size, edit_dist, sim
+        |FROM p WHERE sim >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -147,6 +147,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(d.getAs[String]("verdict") === "degenerate")
   }
 
+  test("blockedMatches: planted typo matches within blocks; oversized block cut and reported") {
+    val s = spark; import s.implicits._
+    val recs = Seq(
+      (1L, "Acme Corp", "b1"), (2L, "Acme Corp.", "b1"),  // near-match, sim 0.9
+      (3L, "Zenith Ltd", "b2"), (4L, "Totally Different", "b2"), // same block, low sim
+      (5L, "Orphan", "b3")
+    ) ++ (10L to 30L).map(i => (i, s"Flood $i", "hot")) // oversized block
+    val df = recs.toDF("id", "name", "block")
+    val out = Linkage.blockedMatches(df, "id", Seq("block"), "name",
+      threshold = 0.85, maxBlock = 10).collect()
+    assert(out.length === 1)
+    assert((out.head.getAs[Long]("id_a"), out.head.getAs[Long]("id_b")) === ((1L, 2L)))
+    assert(out.head.getAs[Double]("sim") === 0.9)
+    assert(out.head.getAs[Long]("block_size") === 2L)
+    // the hot block never generated a pair; it surfaces in the worklist
+    val over = Linkage.oversizedBlocks(df, Seq("block"), maxBlock = 10).collect()
+    assert(over.length === 1 && over.head.getString(0) === "hot" &&
+      over.head.getAs[Long]("block_size") === 21L)
+  }
+
   test("interpolate.linear and histogramPsi plans stay key-partitioned / driver-scale") {
     val s = spark; import s.implicits._
     val df = Seq((1L, ts("2024-01-01 00:00:00"), Some(1.0), 1L))
