@@ -107,4 +107,91 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expected, s"edges=$edges")
     }
   }
+
+  test("salted join equals the plain join on random skewed data (property)") {
+    val s = spark; import s.implicits._
+    val gen = for {
+      nFact <- Gen.chooseNum(1, 60)
+      keys <- Gen.listOfN(nFact, Gen.chooseNum(1L, 5L)) // few keys → skew
+      salts <- Gen.chooseNum(1, 7)
+    } yield (keys, salts)
+    samples(gen, 8).foreach { case (keys, salts) =>
+      val fact = keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+        .toDF("k", "payload")
+      val dim = keys.distinct.map(k => (k, s"d$k")).toDF("k", "label")
+      val got = graft.operators.SkewJoin.saltedEquiJoin(fact, dim, Seq("k"), salts)
+        .collect().map(_.toSeq).toSet
+      val want = fact.join(dim, Seq("k")).collect().map(_.toSeq).toSet
+      assert(got === want, s"salts=$salts keys=$keys")
+    }
+  }
+
+  test("interpolated values lie within their neighbor bounds; observed rows unchanged (property)") {
+    val s = spark; import s.implicits._
+    val gen = Gen.listOfN(20, Gen.option(Gen.chooseNum(-50.0, 50.0)))
+    samples(gen, 8).foreach { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) =>
+        (1L, new java.sql.Timestamp(1700000000000L + i * 60000L), v, i.toLong)
+      }
+      val df = rows.toDF("k", "ts", "value", "id")
+      val out = graft.operators.Interpolate.linear(df, Seq("k"), "ts", "value", Seq("id"))
+        .orderBy("id").collect()
+      val observed = vs.flatten
+      out.zip(vs).foreach { case (r, orig) =>
+        val filled = Option(r.getAs[Any]("value_filled")).map(_.asInstanceOf[Double])
+        orig match {
+          case Some(v) => assert(filled.contains(v), "observed row must pass through")
+          case None if observed.isEmpty => assert(filled.isEmpty)
+          case None =>
+            // any filled gap is bounded by the series' observed range
+            assert(filled.exists(f => f >= observed.min - 1e-9 && f <= observed.max + 1e-9),
+              s"fill $filled outside [${observed.min}, ${observed.max}] for $vs")
+        }
+      }
+    }
+  }
+
+  test("PSI is non-negative and zero exactly on identical histograms (property)") {
+    val s = spark; import s.implicits._
+    val gen = for {
+      a <- Gen.listOfN(30, Gen.chooseNum(0L, 100L))
+      b <- Gen.listOfN(30, Gen.chooseNum(0L, 100L))
+    } yield (a, b)
+    samples(gen, 6).foreach { case (a, b) =>
+      val psi = graft.operators.Drift
+        .histogramPsi(a.toDF("v"), b.toDF("v"), "v", nBins = 5)
+        .select("psi").head().getDouble(0)
+      assert(psi >= 0.0, s"PSI must be non-negative, got $psi") // Σ(p−q)ln(p/q) ≥ 0
+      val self = graft.operators.Drift
+        .histogramPsi(a.toDF("v"), a.toDF("v"), "v", nBins = 5)
+        .select("psi").head().getDouble(0)
+      assert(self === 0.0)
+    }
+  }
+
+  test("Cohen's kappa stays in [-1, 1] on random raters (property)") {
+    val s = spark; import s.implicits._
+    val gen = Gen.listOfN(25, Gen.zip(Gen.oneOf(true, false), Gen.oneOf(true, false)))
+    samples(gen, 10).foreach { rows =>
+      val k = graft.operators.Agreement
+        .cohenKappa(rows.toDF("a", "b"), col("a"), col("b"))
+        .select("kappa").head().getDouble(0)
+      assert(k >= -1.0 - 1e-9 && k <= 1.0 + 1e-9, s"kappa $k out of range for $rows")
+    }
+  }
+
+  test("winsorized mean lies within the clip bounds (property)") {
+    val s = spark; import s.implicits._
+    val gen = Gen.listOfN(40, Gen.chooseNum(0L, 1000L))
+    samples(gen, 6).foreach { vs =>
+      val r = graft.operators.Quantiles
+        .winsorizedStats(vs.map(("g", _)).toDF("g", "v"), "v", Seq("g"),
+          loQ = 0.1, hiQ = 0.9, nBuckets = 8)
+        .head()
+      val (lo, hi, m) = (r.getAs[Double]("p_lo"), r.getAs[Double]("p_hi"),
+        r.getAs[Double]("winsorized_mean"))
+      assert(lo <= hi && m >= lo - 1e-9 && m <= hi + 1e-9,
+        s"mean $m outside clip bounds [$lo, $hi] for $vs")
+    }
+  }
 }
