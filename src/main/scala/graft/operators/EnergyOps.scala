@@ -52,4 +52,34 @@ object EnergyOps {
   def process(eiaRaw: DataFrame, city: String, start: String, end: String): DataFrame =
     densify(resampleDaily(flatten(eiaRaw, city)), city, start, end)
       .select("date", "city", "energy_demand_gwh")
+
+  /** OHLC bar resampling — pandas `resample(freq).ohlc()`: per
+    * (key, time bucket), the first/highest/lowest/last observation by
+    * event order. Open/close are ORDER-dependent (not min/max), which
+    * plain aggregation can't express: they come from `first`/`last`
+    * over the full ordered frame of the SAME key-partitioned window
+    * the bucket groupBy then collapses — one shuffle on
+    * (key, bucket), no self-join, deterministic under a total order
+    * (`tsCol` + `tieCols`). High/low/volume ride the same aggregate.
+    * Open/close are selected RAW values (no arithmetic), so they
+    * hash-check unrounded; the volume sum is rounded once. */
+  def ohlcBars(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, bucketExpr: org.apache.spark.sql.Column,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = df.withColumn("__bucket", bucketExpr)
+    val part = (keyCols.map(col) :+ col("__bucket"))
+    val w = Window.partitionBy(part: _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bucketed
+      .withColumn("__open", first(col(valueCol)).over(w))
+      .withColumn("__close", last(col(valueCol)).over(w))
+      .groupBy(part: _*)
+      .agg(first("__open").as("open"), max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"), first("__close").as("close"),
+        count(lit(1)).as("n_obs"),
+        round(sum(col(valueCol)), 2).as("volume"))
+      .withColumnRenamed("__bucket", "bucket")
+  }
 }

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over the dedup/link graph — beyond connectivity
+  * ([[Dedup.connectedComponents]] says WHICH records form a cluster;
+  * PageRank says which cluster member is the HUB, e.g. the canonical
+  * record every variant points at, or the most-referenced document in
+  * a citation/link graph).
+  *
+  * Fixed-iteration damped PageRank (Page et al. 1999), expressed as
+  * the classic join-aggregate iteration: each round is ONE equi-join
+  * of the edge list with the current rank vector plus one (dst)
+  * aggregation with map-side combine — the textbook scale shape (the
+  * edge list shuffles on src/dst; nothing is ever collected). A FIXED
+  * iteration count (not convergence-tested) keeps the plan static and
+  * the result restatable by an unrolled SQL CTE chain — and in
+  * practice rank ORDER stabilizes in a handful of rounds. */
+object Graph {
+
+  /** Damped PageRank on an undirected pair list (`aCol`, `bCol` —
+    * each pair contributes an edge in both directions). Returns
+    * (id, rank) with rank rounded 6 (sums of double contributions are
+    * associativity-sensitive at the ulp level; rounding once at the
+    * end absorbs engine-order differences). Ranks sum to ~1 over the
+    * node set (teleport mass included). */
+  def pageRank(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val und = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val nodes = und.select(col("src").as("id")).distinct()
+    // node count: a 1-row scalar the teleport term needs (driver-scale
+    // by definition, same class as corpus stats in BM25)
+    val n = nodes.count()
+    if (n == 0) return nodes.withColumn("rank", lit(0.0))
+    val outdeg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = und
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+        .groupBy("id").agg(sum("c").as("in_mass"))
+      ranks = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1 - damping) / n) +
+            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
+    }
+    ranks.select(col("id"), round(col("rank"), 6).as("rank"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Agreement, AsOfJoin, Curation, Dedup, Drift, Interpolate, Linkage, Quantiles, Retrieval, Scd, Similarity, SkewJoin, TextSearch}
+import graft.operators.{Agreement, AsOfJoin, Curation, Dedup, Drift, EnergyOps, Graph, Interpolate, Linkage, Quantiles, Retrieval, Scd, Similarity, SkewJoin, TextSearch}
 import graft.sources.Tables
 
 /** Round-5 warehouse/scale tranche: point-in-time enrichment against
@@ -241,6 +241,33 @@ object ScaleQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Daily OHLC bars per user over the event value series
+    * ([[EnergyOps.ohlcBars]] — pandas `resample('1D').ohlc()`):
+    * open/close are order-dependent first/last observations (plain
+    * min/max aggregation cannot express them), high/low/volume ride
+    * the same one-shuffle aggregate. Open/close/high/low hash-check as
+    * RAW parquet doubles; volume rounds once. */
+  def q137Ohlc(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    EnergyOps.ohlcBars(ev, keyCols = Seq("user_id"), tsCol = "ts",
+        valueCol = "value", bucketExpr = to_date(col("ts")),
+        tieCols = Seq("event_id"))
+      .orderBy("user_id", "bucket")
+  }
+
+  /** PageRank over the near-dup graph ([[Graph.pageRank]], 3 damped
+    * iterations on q57's t=0.8 pair list): which member of each
+    * duplicate cluster is the HUB — the canonical-record election that
+    * connectedComponents (q61) cannot rank. Each iteration is one
+    * edge⨝rank join + one dst aggregation; fixed iteration count
+    * keeps the plan static and the oracle an unrolled CTE chain. */
+  def q138PageRank(s: SparkSession, d: String): DataFrame =
+    Graph.pageRank(
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.8),
+        iters = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
@@ -252,7 +279,9 @@ object ScaleQueries {
     "q133_interpolate" -> (q133Interpolate _),
     "q134_winsorize" -> (q134Winsorize _),
     "q135_kappa" -> (q135Kappa _),
-    "q136_entity_resolution" -> (q136EntityResolution _)
+    "q136_entity_resolution" -> (q136EntityResolution _),
+    "q137_ohlc" -> (q137Ohlc _),
+    "q138_pagerank" -> (q138PageRank _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -625,6 +654,70 @@ object ScaleQueries {
         |  FROM ok a JOIN ok b ON a.block = b.block AND a.id < b.id)
         |SELECT id_a, id_b, block, block_size, edit_dist, sim
         |FROM p WHERE sim >= 0.9
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    // first/last by (ts, event_id) over the full bucket frame, then
+    // the same collapse — open/close raw doubles, volume rounded once
+    "q137_ohlc" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, value, event_id,
+        |    CAST(ts AS DATE) AS bucket
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, bucket, value,
+        |    first_value(value) OVER (PARTITION BY user_id, bucket
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
+        |    last_value(value) OVER (PARTITION BY user_id, bucket
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+        |  FROM e)
+        |SELECT user_id, bucket,
+        |  min(o) AS open, max(value) AS high, min(value) AS low,
+        |  min(c) AS close, CAST(count(*) AS BIGINT) AS n_obs,
+        |  round(sum(value), 2) AS volume
+        |FROM w GROUP BY 1, 2 ORDER BY user_id, bucket""".stripMargin,
+    // q57's exact pair chain + 3 unrolled damped iterations; every
+    // literal DOUBLE-cast so nothing runs in DECIMAL
+    "q138_pagerank" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT doc_a, doc_b FROM cand
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.8),
+        |und AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |        UNION ALL SELECT doc_b, doc_a FROM p),
+        |nodes AS (SELECT DISTINCT src AS id FROM und),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+        |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn),
+        |c1 AS (SELECT u.dst AS id, sum(r.rank / d.deg) AS m
+        |  FROM und u JOIN r0 r ON r.id = u.src JOIN deg d ON d.src = u.src GROUP BY 1),
+        |r1 AS (SELECT n.id,
+        |    CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) * coalesce(c1.m, 0.0) AS rank
+        |  FROM nodes n LEFT JOIN c1 ON c1.id = n.id, nn),
+        |c2 AS (SELECT u.dst AS id, sum(r.rank / d.deg) AS m
+        |  FROM und u JOIN r1 r ON r.id = u.src JOIN deg d ON d.src = u.src GROUP BY 1),
+        |r2 AS (SELECT n.id,
+        |    CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) * coalesce(c2.m, 0.0) AS rank
+        |  FROM nodes n LEFT JOIN c2 ON c2.id = n.id, nn),
+        |c3 AS (SELECT u.dst AS id, sum(r.rank / d.deg) AS m
+        |  FROM und u JOIN r2 r ON r.id = u.src JOIN deg d ON d.src = u.src GROUP BY 1),
+        |r3 AS (SELECT n.id,
+        |    CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) * coalesce(c3.m, 0.0) AS rank
+        |  FROM nodes n LEFT JOIN c3 ON c3.id = n.id, nn)
+        |SELECT id AS doc_id, round(rank, 6) AS rank
+        |FROM r3 ORDER BY doc_id""".stripMargin
   )
 }

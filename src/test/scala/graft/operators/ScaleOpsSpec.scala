@@ -167,6 +167,46 @@ class ScaleOpsSpec extends AnyFunSuite {
       over.head.getAs[Long]("block_size") === 21L)
   }
 
+  test("ohlcBars: order-dependent open/close with tie-break, high/low/volume per bucket") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 10.0, 1L),
+      (1L, ts("2024-01-01 11:00:00"), 30.0, 2L),
+      (1L, ts("2024-01-01 10:00:00"), 5.0, 3L),   // low, mid-bar
+      (1L, ts("2024-01-01 23:00:00"), 20.0, 4L),  // close
+      (1L, ts("2024-01-02 01:00:00"), 7.0, 5L),   // next bar, single obs
+      // same-instant open tie: event_id 6 before 7
+      (2L, ts("2024-01-01 08:00:00"), 3.0, 6L),
+      (2L, ts("2024-01-01 08:00:00"), 4.0, 7L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val out = graft.operators.EnergyOps.ohlcBars(df, Seq("user_id"), "ts", "value",
+        to_date(col("ts")), Seq("event_id"))
+      .orderBy("user_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"), r.getAs[Long]("n_obs")))
+    assert(out.toSeq === Seq(
+      (1L, 10.0, 30.0, 5.0, 20.0, 4L),
+      (1L, 7.0, 7.0, 7.0, 7.0, 1L),
+      (2L, 3.0, 4.0, 3.0, 4.0, 2L)))
+  }
+
+  test("pageRank: mass conserved, the star hub outranks its leaves, empty graph safe") {
+    val s = spark; import s.implicits._
+    // star: 1 — {2,3,4,5}; plus an isolated pair 10—11
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val ranks = graft.operators.Graph.pageRank(pairs, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks.size === 7)
+    // teleport + damping conserve total mass ≈ 1
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-3)
+    assert(ranks(1L) > ranks(2L), "star hub must outrank a leaf")
+    assert(math.abs(ranks(2L) - ranks(5L)) < 1e-9, "symmetric leaves rank equally")
+    assert(math.abs(ranks(10L) - ranks(11L)) < 1e-9)
+    assert(graft.operators.Graph.pageRank(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() === 0L)
+  }
+
   test("interpolate.linear and histogramPsi plans stay key-partitioned / driver-scale") {
     val s = spark; import s.implicits._
     val df = Seq((1L, ts("2024-01-01 00:00:00"), Some(1.0), 1L))
