@@ -23,19 +23,28 @@ import org.apache.spark.sql.functions._
   * information to agree WITH). */
 object Agreement {
 
-  /** One-row kappa report for boolean rater columns `a` and `b`. */
+  /** One-row kappa report for boolean rater columns `a` and `b`.
+    * Rows where either rater is null are excluded up front (they
+    * belong to no cell of the 2×2 table; counting them in `n` would
+    * silently skew every proportion). An EMPTY labeled set routes to
+    * the degenerate verdict (κ = 0, p_e = 1) instead of letting
+    * null/NaN ratios fall through the verdict chain to a spurious
+    * 'almost_perfect'. */
   def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
-    val counts = df.agg(
+    val counts = df.filter(a.isNotNull && b.isNotNull).agg(
       count(lit(1)).as("n"),
-      sum((a && b).cast("long")).as("n_pos_pos"),
-      sum((a && !b).cast("long")).as("n_pos_neg"),
-      sum((!a && b).cast("long")).as("n_neg_pos"),
-      sum((!a && !b).cast("long")).as("n_neg_neg"))
+      coalesce(sum((a && b).cast("long")), lit(0L)).as("n_pos_pos"),
+      coalesce(sum((a && !b).cast("long")), lit(0L)).as("n_pos_neg"),
+      coalesce(sum((!a && b).cast("long")), lit(0L)).as("n_neg_pos"),
+      coalesce(sum((!a && !b).cast("long")), lit(0L)).as("n_neg_neg"))
+    val empty = col("n") === 0
     val nd = col("n").cast("double")
-    val po = (col("n_pos_pos") + col("n_neg_neg")) / nd
+    val po = when(empty, lit(0.0))
+      .otherwise((col("n_pos_pos") + col("n_neg_neg")) / nd)
     val pa = (col("n_pos_pos") + col("n_pos_neg")) / nd
     val pb = (col("n_pos_pos") + col("n_neg_pos")) / nd
-    val pe = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+    val pe = when(empty, lit(1.0))
+      .otherwise(pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb))
     val kappa = when(pe === 1.0, lit(0.0)).otherwise((po - pe) / (lit(1.0) - pe))
     counts.select(
       col("n"), col("n_pos_pos"), col("n_pos_neg"),

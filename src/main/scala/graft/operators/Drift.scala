@@ -37,7 +37,11 @@ object Drift {
     val v = col(valueCol).cast("double")
     val anchor = broadcast(oldDf.agg(
       min(v).as("__lo"), max(v).as("__hi")))
-    def binCounts(df: DataFrame, cName: String) = df.crossJoin(anchor)
+    // null values are EXCLUDED from the histogram: Spark's
+    // greatest/least skip nulls, so an unfiltered null row would
+    // silently clamp into bin 0 and report spurious drift mass there
+    def binCounts(df: DataFrame, cName: String) = df.filter(v.isNotNull)
+      .crossJoin(anchor)
       .select(when(col("__hi") === col("__lo"), lit(0)).otherwise(
         least(greatest(floor((v - col("__lo")) / (col("__hi") - col("__lo")) * nBins)
           .cast("int"), lit(0)), lit(nBins - 1))).as("bin"))

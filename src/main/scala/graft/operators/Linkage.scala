@@ -28,7 +28,14 @@ object Linkage {
     * how selective the key was. */
   def blockedMatches(df: DataFrame, idCol: String, blockCols: Seq[String],
       nameCol: String, threshold: Double, maxBlock: Int = 100): DataFrame = {
-    val base = df.select((idCol +: nameCol +: blockCols).map(col): _*)
+    // a null blocking key can never equi-match (SQL join null
+    // semantics), so such records are excluded EXPLICITLY here rather
+    // than silently by the join; a pipeline that cares about the
+    // unblocked fraction counts nulls upstream, where the fix (key
+    // derivation) lives
+    val base = df
+      .filter(blockCols.map(col(_).isNotNull).reduce(_ && _))
+      .select((idCol +: nameCol +: blockCols).map(col): _*)
     // per-block size via a key-partitioned window (no extra join); the
     // oversized cut happens BEFORE pair generation, so a degenerate
     // block costs its row count, not its row count squared

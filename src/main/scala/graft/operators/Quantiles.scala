@@ -61,8 +61,14 @@ object Quantiles {
     val spark = df.sparkSession
     val g = groupCols.map(col)
     val v = col(valueCol).cast("double")
+    // quantiles are over the NON-NULL values (the SQL percentile /
+    // pandas convention). Unfiltered nulls would corrupt both sides of
+    // the selection: count(1) would inflate n (shifting every rank k)
+    // while null-skipping least() would clamp null rows into the TOP
+    // bucket's histogram count
+    val data = df.filter(v.isNotNull)
 
-    val stats = df.groupBy(g: _*).agg(
+    val stats = data.groupBy(g: _*).agg(
       min(v).as("__lo"), max(v).as("__hi"), count(lit(1)).as("__n"))
 
     def withStats(base: DataFrame, extra: DataFrame): DataFrame =
@@ -71,7 +77,7 @@ object Quantiles {
 
     // monotone value-range bucket; degenerate (lo == hi) groups and the
     // v == hi edge both clamp into the top bucket
-    val bucketed = withStats(df, stats).withColumn("__bucket",
+    val bucketed = withStats(data, stats).withColumn("__bucket",
       when(col("__hi") === col("__lo"), lit(0)).otherwise(
         least(floor((v - col("__lo")) / (col("__hi") - col("__lo")) * nBuckets)
           .cast("int"), lit(nBuckets - 1))))
@@ -137,13 +143,17 @@ object Quantiles {
       groupCols: Seq[String], loQ: Double = 0.05, hiQ: Double = 0.95,
       nBuckets: Int = 64): DataFrame = {
     require(loQ < hiQ, "loQ must be below hiQ")
-    val qs = exactQuantiles(df, valueCol, Seq(loQ, hiQ), groupCols, nBuckets)
+    val v = col(valueCol).cast("double")
+    // same non-null convention as exactQuantiles — an unfiltered null
+    // would survive least/greatest's null-skip as the hi bound and
+    // inflate n/mean
+    val data = df.filter(v.isNotNull)
+    val qs = exactQuantiles(data, valueCol, Seq(loQ, hiQ), groupCols, nBuckets)
     val bounds = qs.groupBy(groupCols.map(col): _*)
       .agg(max(when(col("q") === loQ, col("value"))).as("__lo"),
         max(when(col("q") === hiQ, col("value"))).as("__hi"))
-    val v = col(valueCol).cast("double")
-    val clipped = (if (groupCols.isEmpty) df.crossJoin(broadcast(bounds))
-      else df.join(broadcast(bounds), groupCols))
+    val clipped = (if (groupCols.isEmpty) data.crossJoin(broadcast(bounds))
+      else data.join(broadcast(bounds), groupCols))
       .withColumn("__cv", greatest(col("__lo").cast("double"),
         least(col("__hi").cast("double"), v)))
     clipped.groupBy(groupCols.map(col): _*)

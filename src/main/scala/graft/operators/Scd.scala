@@ -104,15 +104,19 @@ object Scd {
 
   /** Audit of [[scd2Merge]]'s append contract: the number of new
     * observations whose `tsCol` precedes their key's open
-    * `valid_from`. One broadcast-shaped join (open intervals are one
-    * row per live key — the small side by construction) plus one
-    * count; keys absent from the current table cannot violate. A
-    * non-zero count means the batch needs the [[scd2]] full rebuild. */
+    * `valid_from`. One equi-join of the batch against the open
+    * intervals plus one count; keys absent from the current table
+    * cannot violate. The open side is one row per LIVE KEY — small
+    * relative to history but proportional to entity count, so the
+    * join strategy is left to the planner (AQE broadcasts it when it
+    * genuinely fits; a forced broadcast would OOM exactly at the
+    * dimension scale this check protects). A non-zero count means the
+    * batch needs the [[scd2]] full rebuild. */
   def scd2LateViolations(current: DataFrame, changes: DataFrame,
       keyCols: Seq[String], tsCol: String): DataFrame = {
     val open = current.filter(col("is_current") === 1)
       .select((keyCols.map(col) :+ col("valid_from").as("__open_from")): _*)
-    changes.join(broadcast(open), keyCols)
+    changes.join(open, keyCols)
       .filter(col(tsCol) < col("__open_from"))
       .agg(count(lit(1)).as("n_late_violations"))
   }

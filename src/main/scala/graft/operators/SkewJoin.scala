@@ -34,14 +34,18 @@ object SkewJoin {
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
       salts: Int): DataFrame = {
     require(salts >= 1, "salts must be positive")
-    // spark_partition_id + partition-local position would need a
-    // zipWithIndex pass; monotonically_increasing_id is the standard
-    // one-expression per-row counter (unique within the plan), and its
-    // low bits round-robin rows within each partition — uncorrelated
-    // with any data column by construction. The salt VALUE never
-    // affects the result, only which reducer a row lands on.
+    // The salt MUST be deterministic per row content: it becomes a
+    // shuffle key, and a non-deterministic one (row position, random)
+    // is the classic stage-retry hazard — a recomputed map task would
+    // re-salt its rows onto different reducers while completed reduce
+    // outputs keep the old assignment, silently duplicating/dropping
+    // join rows (the reason Spark sorts before round-robin
+    // repartition, SPARK-23207). Hashing the WHOLE row decorrelates
+    // the salt from the join key (payload columns vary within a key);
+    // fully identical duplicate rows share a salt, which costs spread
+    // only in the pathological all-columns-duplicated case.
     val salted = fact.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(fact.columns.map(col): _*), lit(salts.toLong)).cast("int"))
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, keys :+ "__salt").drop("__salt")

@@ -13,6 +13,12 @@ import graft.sources.Tables
   */
 object ScaleQueries {
 
+  /** q125's synthetic-refresh revision marker, shared by q130 (text
+    * revision) and q132 (its n_chars growth) so the two stay in sync
+    * with each other and with the DuckDB oracles' `' [rev2]'` / `+ 7`
+    * literals — change all of them together. */
+  private val RevisionSuffix = " [rev2]"
+
   /** Point-in-time join: every event probes the SCD2 dimension built
     * from the same change log 30 seconds after its own timestamp and
     * must land in the validity interval open at that instant. The
@@ -120,7 +126,7 @@ object ScaleQueries {
       .select((col("doc_id") + 10000000L).as("doc_id"), col("text"), col("lang"))
     val neu = old.filter(pmod(col("doc_id"), lit(10)) =!= 3)
       .withColumn("text", when(pmod(col("doc_id"), lit(10)) === 4,
-        concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+        concat(col("text"), lit(RevisionSuffix))).otherwise(col("text")))
       .unionByName(added)
     val diff = Curation.snapshotDiff(old, neu, "doc_id", Seq("text", "lang"))
     val delta = diff.filter(col("status").isin("changed", "added"))
@@ -169,7 +175,7 @@ object ScaleQueries {
         col("lang"), col("n_chars"))
     val neu = old.filter(pmod(col("doc_id"), lit(10)) =!= 3)
       .withColumn("n_chars", when(pmod(col("doc_id"), lit(10)) === 4,
-        col("n_chars") + 7L).otherwise(col("n_chars"))) // + length(" [rev2]")
+        col("n_chars") + lit(RevisionSuffix.length.toLong)).otherwise(col("n_chars")))
       .unionByName(added)
     Drift.histogramPsi(old, neu, "n_chars", nBins = 10)
       .orderBy("bin")

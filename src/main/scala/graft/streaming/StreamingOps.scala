@@ -35,11 +35,15 @@ object StreamingOps {
     * idempotent, and the engine's only NANOS producer is this events
     * table — this helper is the single place that sets it. */
   private val tsTypeCache = new java.util.concurrent.ConcurrentHashMap[String, DataType]()
-  def eventsTsType(spark: SparkSession, path: String): DataType =
-    tsTypeCache.computeIfAbsent(path, { p =>
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(p).schema("ts").dataType
-    })
+  def eventsTsType(spark: SparkSession, path: String): DataType = {
+    // the conf is per-SESSION while the memo is per-JVM: set it on
+    // EVERY call (idempotent), not inside the cache miss — a cache hit
+    // from a fresh SparkSession must still make the follow-up read of
+    // a NANOS file legal
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tsTypeCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema("ts").dataType)
+  }
 
   /** Pinned file-stream schema for an events source whose `ts` was
     * sniffed to `tsType` (file streams require a user schema). */

@@ -36,18 +36,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plan.contains("__salt"), s"salt column absent from join plan:\n$plan")
   }
 
-  test("saltedEquiJoin: the hot key's rows actually spread over multiple salts") {
+  test("saltedEquiJoin: the hot key's rows spread over salts, deterministically per row") {
     val s = spark; import s.implicits._
     val fact = (1 to 64).map(i => (1L, i.toLong)).toDF("k", "payload")
       .repartition(4)
     val dim = Seq((1L, "hot")).toDF("k", "label")
-    // reconstruct the salt the operator assigns (same expression) and
-    // count distinct values — with 64 rows round-robined, all 4 salts
-    // must appear
-    val n = fact.withColumn("__salt",
-        pmod(monotonically_increasing_id(), lit(4L)).cast("int"))
-      .select("__salt").distinct().count()
-    assert(n === 4L, "hot key's rows must land on every salt")
+    // reconstruct the salt the operator assigns (same whole-row hash
+    // expression): distinct payloads must fan the hot key over several
+    // salts, and the assignment must be a pure function of row CONTENT
+    // (stage-retry safety — a positional salt would reassign on
+    // recompute and silently corrupt the join)
+    def salts(df: org.apache.spark.sql.DataFrame) = df.withColumn("__salt",
+        pmod(xxhash64(df.columns.map(col): _*), lit(4L)).cast("int"))
+      .select("payload", "__salt").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val assigned = salts(fact)
+    assert(assigned.values.toSet.size >= 2, "hot key's rows must spread over salts")
+    assert(salts(fact.repartition(7)) === assigned,
+      "salt must be content-deterministic, independent of partitioning")
     assert(SkewJoin.saltedEquiJoin(fact, dim, Seq("k"), 4).count() === 64L)
   }
 
