@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Agreement, AsOfJoin, Curation, Dedup, Drift, EnergyOps, Graph, Interpolate, Linkage, Quantiles, Retrieval, Scd, Similarity, SkewJoin, TextSearch}
+import graft.operators.{Agreement, AsOfJoin, Cdc, Curation, Dedup, Drift, EnergyOps, Graph, Interpolate, Linkage, Materialize, Quantiles, Retrieval, Scd, Similarity, SkewJoin, TextSearch}
 import graft.sources.Tables
 
 /** Round-5 warehouse/scale tranche: point-in-time enrichment against
@@ -274,6 +274,39 @@ object ScaleQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Incremental materialized-aggregate refresh: the per-(day,
+    * event_type) rollup is built from events before a MID-DAY cutoff
+    * ([[Materialize.buildAdditive]]), then the rest of the log folds
+    * in WITHOUT re-aggregating history ([[Materialize.mergeAdditive]]
+    * — the cutoff day's group genuinely merges an old partial with a
+    * new partial, exercising the additive path, not just pass-through
+    * + insert). Oracle = the full-log rebuild: incremental ≡ batch,
+    * the q129 proof shape for rollups. Materialized sums stay
+    * unrounded; presentation rounds once. */
+  def q140AggMerge(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("ts"), to_date(col("ts")).as("day"), col("event_type"), col("value"))
+    val cutoff = lit("2024-01-16 12:00:00").cast("timestamp")
+    val keys = Seq("day", "event_type")
+    val aggs = Map[String, org.apache.spark.sql.Column](
+      "n_events" -> count(lit(1)),
+      "total_value" -> sum("value"))
+    val current = Materialize.buildAdditive(ev.filter(col("ts") < cutoff), keys, aggs)
+    Materialize.mergeAdditive(current, ev.filter(col("ts") >= cutoff), keys, aggs)
+      .select(col("day"), col("event_type"), col("n_events"),
+        round(col("total_value"), 2).as("total_value"))
+      .orderBy("day", "event_type")
+  }
+
+  /** Content-defined chunking over the corpus ([[Cdc
+    * .contentDefinedChunks]], window 4 / modulus 8 → ~8-token chunks):
+    * edit-stable chunk spans + md5 cache keys, the incremental
+    * re-embedding substrate. Row-local; the md5-integer boundary rule
+    * is restated hash-for-hash by DuckDB. */
+  def q141CdcChunks(s: SparkSession, d: String): DataFrame =
+    Cdc.contentDefinedChunks(Tables.documents(s, d))
+      .orderBy("doc_id", "chunk_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
@@ -287,7 +320,9 @@ object ScaleQueries {
     "q135_kappa" -> (q135Kappa _),
     "q136_entity_resolution" -> (q136EntityResolution _),
     "q137_ohlc" -> (q137Ohlc _),
-    "q138_pagerank" -> (q138PageRank _)
+    "q138_pagerank" -> (q138PageRank _),
+    "q140_agg_merge" -> (q140AggMerge _),
+    "q141_cdc_chunks" -> (q141CdcChunks _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -724,6 +759,41 @@ object ScaleQueries {
         |    CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) * coalesce(c3.m, 0.0) AS rank
         |  FROM nodes n LEFT JOIN c3 ON c3.id = n.id, nn)
         |SELECT id AS doc_id, round(rank, 6) AS rank
-        |FROM r3 ORDER BY doc_id""".stripMargin
+        |FROM r3 ORDER BY doc_id""".stripMargin,
+    // the full-log rebuild the incremental refresh must reproduce
+    "q140_agg_merge" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // the identical md5-integer boundary rule over 1-based token
+    // windows; DuckDB range() is end-exclusive (hence n + 1) and its
+    // list_slice is inclusive 1-based (hence i-3 .. i ≡ Spark's
+    // slice(toks, i-3, 4))
+    "q141_cdc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |n0 AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+        |b AS (
+        |  SELECT doc_id, toks, n,
+        |    list_sort(list_distinct(list_concat(
+        |      list_filter(list_transform(range(4, greatest(n, 4) + 1), i ->
+        |        CASE WHEN i <= n AND
+        |          ('0x' || substr(md5(array_to_string(list_slice(toks, i - 3, i), ' ')), 1, 6))::BIGINT % 8 = 0
+        |        THEN i END), x -> x IS NOT NULL),
+        |      [n]))) AS bpos
+        |  FROM n0),
+        |c AS (SELECT doc_id, toks, list_prepend(0, bpos) AS bounds FROM b),
+        |e AS (
+        |  SELECT doc_id, toks, bounds,
+        |    unnest(range(1, len(bounds))) AS j
+        |  FROM c)
+        |SELECT doc_id, CAST(j AS INT) AS chunk_id,
+        |  CAST(bounds[j] + 1 AS INT) AS start_tok,
+        |  CAST(bounds[j + 1] AS INT) AS end_tok,
+        |  CAST(bounds[j + 1] - bounds[j] AS INT) AS n_tokens,
+        |  md5(array_to_string(list_slice(toks, bounds[j] + 1, bounds[j + 1]), ' ')) AS chunk_md5
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin
   )
 }

@@ -213,6 +213,47 @@ class ScaleOpsSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() === 0L)
   }
 
+  test("contentDefinedChunks: spans partition the doc contiguously; boundaries are edit-stable") {
+    val s = spark; import s.implicits._
+    val toks = (1 to 60).map(i => s"w${i * 7 % 23}x$i")
+    val doc = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val chunks = Cdc.contentDefinedChunks(doc).orderBy("chunk_id").collect()
+      .map(r => (r.getAs[Int]("start_tok"), r.getAs[Int]("end_tok"),
+        r.getAs[String]("chunk_md5")))
+    // contiguous partition of 1..60
+    assert(chunks.head._1 === 1 && chunks.last._2 === 60)
+    chunks.sliding(2).foreach { case Array(a, b) => assert(b._1 === a._2 + 1); case _ => }
+    assert(chunks.length >= 2, "60 tokens at modulus 8 should produce several chunks")
+    // edit stability: appending tokens must not disturb any chunk
+    // before the original's last boundary
+    val edited = Seq((1L, (toks ++ Seq("zz1", "zz2", "zz3", "zz4", "zz5")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val editedChunks = Cdc.contentDefinedChunks(edited).orderBy("chunk_id").collect()
+      .map(r => (r.getAs[Int]("start_tok"), r.getAs[Int]("end_tok"),
+        r.getAs[String]("chunk_md5")))
+    val stablePrefix = chunks.dropRight(1) // all but the tail chunk
+    assert(editedChunks.take(stablePrefix.length).toSeq === stablePrefix.toSeq,
+      "chunks before the edit must be byte-identical (the CDC property)")
+    // a short doc (< window) is one whole-doc chunk
+    val tiny = Cdc.contentDefinedChunks(Seq((2L, "a b")).toDF("doc_id", "text")).collect()
+    assert(tiny.length === 1 && tiny.head.getAs[Int]("start_tok") === 1 &&
+      tiny.head.getAs[Int]("end_tok") === 2)
+  }
+
+  test("mergeAdditive: incremental aggregate equals the full rebuild, history untouched") {
+    val s = spark; import s.implicits._
+    val rows = (0 until 120).map(i => (s"k${i % 5}", i / 40, i.toDouble))
+    val df = rows.toDF("k", "part", "v")
+    val keys = Seq("k", "part")
+    val aggs = Map[String, org.apache.spark.sql.Column](
+      "n" -> count(lit(1)), "total" -> sum("v"))
+    // cutoff mid-"part" so some (k, part) groups straddle it
+    val current = Materialize.buildAdditive(df.filter($"v" < 60.0), keys, aggs)
+    val merged = Materialize.mergeAdditive(current, df.filter($"v" >= 60.0), keys, aggs)
+    val full = Materialize.buildAdditive(df, keys, aggs)
+    assert(merged.collect().map(_.toSeq).toSet === full.collect().map(_.toSeq).toSet)
+  }
+
   test("interpolate.linear and histogramPsi plans stay key-partitioned / driver-scale") {
     val s = spark; import s.implicits._
     val df = Seq((1L, ts("2024-01-01 00:00:00"), Some(1.0), 1L))
