@@ -274,6 +274,21 @@ object ScaleQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** The entity-resolution failure mode made visible: blocking the
+    * customer master on its CONSTANT name prefix (every TPC-H name
+    * starts 'Customer#') degenerates every per-nation block past
+    * `maxBlock` — [[Linkage.oversizedBlocks]] reports exactly those as
+    * the key-refinement worklist instead of letting the pair join run
+    * |block|² (what q136 avoids by blocking on the discriminative id
+    * digits). */
+  def q139OversizedBlocks(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_nationkey").cast("long").as("nation"),
+        expr("substring(c_name, 1, 9)").as("block"))
+    Linkage.oversizedBlocks(cust, Seq("nation", "block"), maxBlock = 10)
+      .orderBy("nation", "block")
+  }
+
   /** Incremental materialized-aggregate refresh: the per-(day,
     * event_type) rollup is built from events before a MID-DAY cutoff
     * ([[Materialize.buildAdditive]]), then the rest of the log folds
@@ -321,6 +336,7 @@ object ScaleQueries {
     "q136_entity_resolution" -> (q136EntityResolution _),
     "q137_ohlc" -> (q137Ohlc _),
     "q138_pagerank" -> (q138PageRank _),
+    "q139_oversized_blocks" -> (q139OversizedBlocks _),
     "q140_agg_merge" -> (q140AggMerge _),
     "q141_cdc_chunks" -> (q141CdcChunks _)
   )
@@ -760,6 +776,13 @@ object ScaleQueries {
         |  FROM nodes n LEFT JOIN c3 ON c3.id = n.id, nn)
         |SELECT id AS doc_id, round(rank, 6) AS rank
         |FROM r3 ORDER BY doc_id""".stripMargin,
+    // GROUP BY + HAVING restatement of the worklist
+    "q139_oversized_blocks" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |  substring(c_name, 1, 9) AS block,
+        |  CAST(count(*) AS BIGINT) AS block_size
+        |FROM customer GROUP BY 1, 2 HAVING count(*) > 10
+        |ORDER BY nation, block""".stripMargin,
     // the full-log rebuild the incremental refresh must reproduce
     "q140_agg_merge" ->
       """SELECT CAST(ts AS DATE) AS day, event_type,
