@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.catalyst.expressions.graft.{CosineSimilarity, HashFeatures, LshBucket, MinHashBands, MinHashSig, MmrSelect, ShingleSeq, Shingles, SimHash64, SrpProject, VectorSum, WinnowFingerprints}
+import org.apache.spark.sql.catalyst.expressions.graft.{CosineSimilarity, HashFeatures, LshBucket, MinHashBands, MinHashSig, MmrSelect, Morton2, ShingleSeq, Shingles, SimHash64, SrpProject, VectorSum, WinnowFingerprints}
 
 /** Session-scoped registration of graft's native Catalyst expressions,
   * so they are callable from `expr("cosine_sim(a, b)")` / SQL text.
@@ -40,6 +40,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "winnow_fingerprints",
       exprs => WinnowFingerprints(exprs(0), intLit(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "morton2", exprs => Morton2(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "mmr_select",
       exprs => MmrSelect(exprs(0), intLit(exprs(1)), dblLit(exprs(2))), "built-in")

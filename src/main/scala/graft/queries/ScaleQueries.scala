@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Agreement, AsOfJoin, Cdc, Curation, Dedup, Drift, EnergyOps, Graph, Interpolate, Linkage, Materialize, Quantiles, Retrieval, Scd, Similarity, SkewJoin, TextSearch}
+import graft.operators.{Agreement, AsOfJoin, Cdc, Curation, Dedup, Drift, EnergyOps, Graph, Interpolate, Layout, Linkage, Materialize, Quantiles, Retrieval, Scd, Similarity, SkewJoin, TextSearch}
 import graft.sources.Tables
 
 /** Round-5 warehouse/scale tranche: point-in-time enrichment against
@@ -322,6 +322,20 @@ object ScaleQueries {
     Cdc.contentDefinedChunks(Tables.documents(s, d))
       .orderBy("doc_id", "chunk_id")
 
+  /** Z-order layout audit ([[Layout.layoutPruningStats]]): scores
+    * Morton-cell vs sort-by-x vs hash file layouts by min/max-stats
+    * skipping under a 2-D box probe and a y-only band probe, in one
+    * scan with no data rewrite. The native `morton2` expression
+    * (plans/Morton.scala) supplies the interleave; the oracle restates
+    * it as the expanded 32-term bit sum. At sf0.01 the scorecard reads:
+    * zorder scans 4/64 cells (box) and 16/64 (band); linear 8/64 box
+    * but ALL 64 for the band; hash 64/64 always — the quantified case
+    * for Z-ordering any table probed on more than one column. */
+  def q142Zorder(s: SparkSession, d: String): DataFrame =
+    Layout.layoutPruningStats(s, Tables.lineitem(s, d),
+      xCol = "l_partkey", yCol = "l_suppkey",
+      keyCols = Seq("l_orderkey", "l_linenumber"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
@@ -338,8 +352,18 @@ object ScaleQueries {
     "q138_pagerank" -> (q138PageRank _),
     "q139_oversized_blocks" -> (q139OversizedBlocks _),
     "q140_agg_merge" -> (q140AggMerge _),
-    "q141_cdc_chunks" -> (q141CdcChunks _)
+    "q141_cdc_chunks" -> (q141CdcChunks _),
+    "q142_zorder" -> (q142Zorder _)
   )
+
+  /** The `morton2` interleave restated as DuckDB arithmetic: bit i of
+    * xs contributes 4^i (even positions), bit i of ys contributes
+    * 2·4^i (odd). Generated, not hand-typed, so the 32 terms cannot
+    * drift from the native expression's semantics. */
+  private val MortonSql: String = (0 until 16).map { i =>
+    val p = BigInt(4).pow(i)
+    s"((xs >> $i) & 1) * $p + ((ys >> $i) & 1) * ${p * 2}"
+  }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
     // SCD2 islands rebuild (the q124 CTE chain) + the textbook
@@ -817,6 +841,54 @@ object ScaleQueries {
         |  CAST(bounds[j + 1] AS INT) AS end_tok,
         |  CAST(bounds[j + 1] - bounds[j] AS INT) AS n_tokens,
         |  md5(array_to_string(list_slice(toks, bounds[j] + 1, bounds[j + 1]), ' ')) AS chunk_md5
-        |FROM e ORDER BY doc_id, chunk_id""".stripMargin
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+    // full layout-scorecard restatement: min/max scaling, the
+    // generated 32-term Morton sum (MortonSql), the same three cell
+    // policies, and the same overlap tests; sums cast to BIGINT to
+    // match Spark's long aggregates (DuckDB sums into HUGEINT)
+    "q142_zorder" ->
+      s"""WITH rows_in AS (
+        |  SELECT CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y,
+        |    CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) AS rk
+        |  FROM lineitem WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
+        |b AS (SELECT min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax FROM rows_in),
+        |scaled AS (
+        |  SELECT rk,
+        |    CASE WHEN xmax = xmin THEN 0 ELSE CAST(floor((x - xmin) * 65535.0 / (xmax - xmin)) AS BIGINT) END AS xs,
+        |    CASE WHEN ymax = ymin THEN 0 ELSE CAST(floor((y - ymin) * 65535.0 / (ymax - ymin)) AS BIGINT) END AS ys
+        |  FROM rows_in CROSS JOIN b),
+        |cells AS (
+        |  SELECT xs, ys,
+        |    ($MortonSql) >> 26 AS cell_z,
+        |    xs >> 10 AS cell_linear,
+        |    ('0x' || substr(md5(rk), 1, 6))::BIGINT % 64 AS cell_hash,
+        |    CASE WHEN xs BETWEEN 29491 AND 36044 AND ys BETWEEN 29491 AND 36044 THEN 1 ELSE 0 END AS m_box,
+        |    CASE WHEN ys BETWEEN 29491 AND 36044 THEN 1 ELSE 0 END AS m_band
+        |  FROM scaled),
+        |st AS (
+        |  SELECT 'zorder' AS layout, cell_z AS cell, xs, ys, m_box, m_band FROM cells
+        |  UNION ALL
+        |  SELECT 'linear', cell_linear, xs, ys, m_box, m_band FROM cells
+        |  UNION ALL
+        |  SELECT 'hash', cell_hash, xs, ys, m_box, m_band FROM cells),
+        |pc AS (
+        |  SELECT layout, cell, count(*) AS n_rows,
+        |    min(xs) AS xs_min, max(xs) AS xs_max, min(ys) AS ys_min, max(ys) AS ys_max,
+        |    sum(m_box) AS n_box, sum(m_band) AS n_band
+        |  FROM st GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT layout, n_rows, n_box, n_band,
+        |    CASE WHEN xs_max < 29491 OR xs_min > 36044
+        |      OR ys_max < 29491 OR ys_min > 36044 THEN 0 ELSE 1 END AS s_box,
+        |    CASE WHEN ys_max < 29491 OR ys_min > 36044 THEN 0 ELSE 1 END AS s_band
+        |  FROM pc)
+        |SELECT layout, count(*) AS n_cells,
+        |  CAST(sum(s_box) AS BIGINT) AS box_cells_scanned,
+        |  CAST(sum(s_box * n_rows) AS BIGINT) AS box_rows_scanned,
+        |  CAST(sum(n_box) AS BIGINT) AS box_rows_matched,
+        |  CAST(sum(s_band) AS BIGINT) AS band_cells_scanned,
+        |  CAST(sum(s_band * n_rows) AS BIGINT) AS band_rows_scanned,
+        |  CAST(sum(n_band) AS BIGINT) AS band_rows_matched
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
