@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Agreement, AsOfJoin, Cdc, Curation, Dedup, Drift, EnergyOps, Graph, Interpolate, Layout, Linkage, Materialize, Quantiles, Retrieval, Scd, Similarity, SkewJoin, TextSearch}
+import graft.operators.{Agreement, AsOfJoin, Cdc, Contracts, Curation, Dedup, Drift, EnergyOps, Graph, Interpolate, Layout, Linkage, Materialize, Quantiles, Retrieval, Scd, Similarity, SkewJoin, TextSearch}
 import graft.sources.Tables
 
 /** Round-5 warehouse/scale tranche: point-in-time enrichment against
@@ -336,6 +336,29 @@ object ScaleQueries {
       xCol = "l_partkey", yCol = "l_suppkey",
       keyCols = Seq("l_orderkey", "l_linenumber"))
 
+  /** Data-contract admission gate ([[Contracts.run]]): seven row-local
+    * constraints fused into ONE scan, a uniqueness check (one key
+    * shuffle), and two referential-integrity anti-join probes, emitting
+    * the (constraint, violations, n_rows, passed) audit frame. The
+    * suite is deliberately mixed on this data: the discount cap and the
+    * (orderkey, linenumber) uniqueness claim FAIL (8839 / 14168
+    * violations at sf0.01) while the rest pass — a gate that can only
+    * say yes proves nothing. */
+  def q143Contracts(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    Contracts.run(li, Seq(
+      Contracts.notNull("l_orderkey"),
+      Contracts.notNull("l_shipdate"),
+      Contracts.inSet("l_returnflag", Seq("A", "N", "R")),
+      Contracts.inSet("l_linestatus", Seq("O", "F")),
+      Contracts.inRange("l_discount", 0.0, 0.08),
+      Contracts.inRange("l_quantity", 1.0, 50.0),
+      Contracts.Satisfies("price_positive", col("l_extendedprice") > 0.0),
+      Contracts.Unique(Seq("l_orderkey", "l_linenumber")),
+      Contracts.RefIntegrity("l_orderkey", Tables.orders(s, d), "o_orderkey"),
+      Contracts.RefIntegrity("l_partkey", Tables.part(s, d), "p_partkey")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
@@ -353,7 +376,8 @@ object ScaleQueries {
     "q139_oversized_blocks" -> (q139OversizedBlocks _),
     "q140_agg_merge" -> (q140AggMerge _),
     "q141_cdc_chunks" -> (q141CdcChunks _),
-    "q142_zorder" -> (q142Zorder _)
+    "q142_zorder" -> (q142Zorder _),
+    "q143_contracts" -> (q143Contracts _)
   )
 
   /** The `morton2` interleave restated as DuckDB arithmetic: bit i of
@@ -889,6 +913,60 @@ object ScaleQueries {
         |  CAST(sum(s_band) AS BIGINT) AS band_cells_scanned,
         |  CAST(sum(s_band * n_rows) AS BIGINT) AS band_rows_scanned,
         |  CAST(sum(n_band) AS BIGINT) AS band_rows_matched
-        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-constraint restatement: FILTER counts for the row-local
+    // gates (violation = predicate false OR NULL, the conservative
+    // coalesce the engine applies), group-count arithmetic for
+    // uniqueness, left-join null probes for referential integrity
+    "q143_contracts" ->
+      """WITH rl AS (
+        |  SELECT 'not_null(l_orderkey)' AS "constraint",
+        |    count(*) FILTER (WHERE l_orderkey IS NULL) AS violations, count(*) AS n_rows
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'not_null(l_shipdate)',
+        |    count(*) FILTER (WHERE l_shipdate IS NULL), count(*) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_set(l_returnflag)',
+        |    count(*) FILTER (WHERE NOT coalesce(l_returnflag IN ('A','N','R'), FALSE)),
+        |    count(*) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_set(l_linestatus)',
+        |    count(*) FILTER (WHERE NOT coalesce(l_linestatus IN ('O','F'), FALSE)),
+        |    count(*) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_range(l_discount)',
+        |    count(*) FILTER (WHERE NOT coalesce(
+        |      l_discount >= CAST(0.0 AS DOUBLE) AND l_discount <= CAST(0.08 AS DOUBLE), FALSE)),
+        |    count(*) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_range(l_quantity)',
+        |    count(*) FILTER (WHERE NOT coalesce(
+        |      l_quantity >= CAST(1.0 AS DOUBLE) AND l_quantity <= CAST(50.0 AS DOUBLE), FALSE)),
+        |    count(*) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'price_positive',
+        |    count(*) FILTER (WHERE NOT coalesce(l_extendedprice > CAST(0.0 AS DOUBLE), FALSE)),
+        |    count(*) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'unique(l_orderkey,l_linenumber)',
+        |    count(*) - (SELECT count(*) FROM (SELECT 1 AS one FROM lineitem GROUP BY l_orderkey, l_linenumber)),
+        |    count(*) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'ref_integrity(l_orderkey)',
+        |    count(*) FILTER (WHERE o.o_orderkey IS NULL),
+        |    count(*)
+        |  FROM (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) l
+        |  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'ref_integrity(l_partkey)',
+        |    count(*) FILTER (WHERE p.p_partkey IS NULL),
+        |    count(*)
+        |  FROM (SELECT l_partkey FROM lineitem WHERE l_partkey IS NOT NULL) l
+        |  LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p ON l.l_partkey = p.p_partkey)
+        |SELECT "constraint", CAST(violations AS BIGINT) AS violations,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  CASE WHEN violations = 0 THEN 1 ELSE 0 END AS passed
+        |FROM rl ORDER BY "constraint"""".stripMargin
   )
 }
