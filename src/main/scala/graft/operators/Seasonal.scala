@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Seasonal decomposition + anomaly flagging for grouped daily series —
+  * the monitoring layer over any metric the engine already rolls up
+  * (the reference plots exactly this shape: daily city series with
+  * weekly structure, dashboards/app.py's usage charts).
+  *
+  * Decomposition is the classic additive moving-average scheme:
+  * trend = centered rolling mean, seasonal = per-weekday mean of the
+  * detrended series, residual = value - trend - seasonal, anomaly =
+  * |residual z-score| above threshold.
+  *
+  * Scale contract: the input is the DAILY rollup, not raw events —
+  * callers aggregate first (one shuffle on (key, day), map-side
+  * combined), so every window here runs over a per-key series of
+  * ~365 rows/year regardless of raw volume. All four windows partition
+  * by the series key (or key+weekday): no global window, no
+  * single-partition choke point, and a 1000-executor cluster spreads
+  * keys evenly. Weekday is epoch-day mod 7 — pure integer arithmetic,
+  * so the grouping is reproducible across engines and timezones.
+  */
+object Seasonal {
+
+  /** @param daily one row per (key, day) with a numeric value (callers
+    *              should round the rolled-up value so shuffle-order
+    *              float noise cannot leak into the decomposition)
+    * @param halfWindow centered trend window is 2·halfWindow+1 days
+    * @param zThreshold anomaly cut on |z| of the residual (applied to
+    *                   the 4-decimal-rounded z so the verdict is exact)
+    */
+  def anomalies(daily: DataFrame, keyCol: String, dayCol: String, valCol: String,
+      halfWindow: Int = 3, zThreshold: Double = 2.0): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    val trendW = byKey.rowsBetween(-halfWindow, halfWindow)
+    val dow = pmod(datediff(col(dayCol), to_date(lit("1970-01-01"))), lit(7))
+
+    daily
+      .withColumn("trend", avg(col(valCol)).over(trendW))
+      .withColumn("dow", dow)
+      .withColumn("detr", col(valCol) - col("trend"))
+      .withColumn("seasonal",
+        avg(col("detr")).over(Window.partitionBy(col(keyCol), col("dow"))))
+      .withColumn("residual", col("detr") - col("seasonal"))
+      .withColumn("sd",
+        stddev_samp(col("residual")).over(Window.partitionBy(col(keyCol))))
+      .withColumn("z",
+        when(col("sd").isNull || col("sd") === 0.0, lit(0.0))
+          .otherwise(col("residual") / col("sd")))
+      .select(col(keyCol), col(dayCol), col(valCol),
+        round(col("trend"), 4).as("trend"),
+        round(col("seasonal"), 4).as("seasonal"),
+        round(col("residual"), 4).as("residual"),
+        round(col("z"), 4).as("z"),
+        (abs(round(col("z"), 4)) > zThreshold).cast("int").as("is_anomaly"))
+  }
+}

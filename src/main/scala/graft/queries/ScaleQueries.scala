@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Agreement, AsOfJoin, Cdc, Contracts, Curation, Dedup, Drift, EnergyOps, Graph, Interpolate, Layout, Linkage, Materialize, Quantiles, Retrieval, Scd, Similarity, SkewJoin, TextSearch}
+import graft.operators.{Agreement, AsOfJoin, Cdc, Contracts, Curation, Dedup, Drift, EnergyOps, Graph, Interpolate, Layout, Linkage, Materialize, Quantiles, Retrieval, Scd, Seasonal, Similarity, SkewJoin, TextSearch}
 import graft.sources.Tables
 
 /** Round-5 warehouse/scale tranche: point-in-time enrichment against
@@ -359,6 +359,22 @@ object ScaleQueries {
       Contracts.RefIntegrity("l_partkey", Tables.part(s, d), "p_partkey")))
   }
 
+  /** Seasonal anomaly monitor ([[Seasonal.anomalies]]): per-event-type
+    * daily totals decomposed into trend (±3-day centered mean) +
+    * weekday seasonal + residual, anomalies cut at |z| > 2. The window
+    * work runs on the ROLLED-UP series (one (key, day) shuffle first),
+    * so raw volume never reaches a window — the shape that keeps
+    * seasonal monitoring viable over a 100 TB event log. Daily sums
+    * are rounded before decomposition so shuffle-order float noise
+    * cannot flip an anomaly verdict. */
+  def q144Seasonal(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("value"))
+    Seasonal.anomalies(daily, "event_type", "day", "value")
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
@@ -377,7 +393,8 @@ object ScaleQueries {
     "q140_agg_merge" -> (q140AggMerge _),
     "q141_cdc_chunks" -> (q141CdcChunks _),
     "q142_zorder" -> (q142Zorder _),
-    "q143_contracts" -> (q143Contracts _)
+    "q143_contracts" -> (q143Contracts _),
+    "q144_seasonal" -> (q144Seasonal _)
   )
 
   /** The `morton2` interleave restated as DuckDB arithmetic: bit i of
@@ -967,6 +984,33 @@ object ScaleQueries {
         |SELECT "constraint", CAST(violations AS BIGINT) AS violations,
         |  CAST(n_rows AS BIGINT) AS n_rows,
         |  CASE WHEN violations = 0 THEN 1 ELSE 0 END AS passed
-        |FROM rl ORDER BY "constraint"""".stripMargin
+        |FROM rl ORDER BY "constraint"""".stripMargin,
+    // same additive decomposition restated: weekday = epoch-day mod 7
+    // (pure arithmetic, no engine dayofweek convention), z rounded to
+    // 4 decimals BEFORE the threshold so the verdict is exact
+    "q144_seasonal" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    round(sum(value), 2) AS value
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT *, avg(value) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+        |    CAST(day - DATE '1970-01-01' AS BIGINT) % 7 AS dow
+        |  FROM daily),
+        |d2 AS (SELECT *, value - trend AS detr FROM t),
+        |s AS (SELECT *,
+        |  avg(detr) OVER (PARTITION BY event_type, dow) AS seasonal FROM d2),
+        |r AS (SELECT *, detr - seasonal AS residual FROM s),
+        |sd AS (SELECT *,
+        |  stddev_samp(residual) OVER (PARTITION BY event_type) AS sd FROM r),
+        |z AS (SELECT *,
+        |  round(CASE WHEN sd IS NULL OR sd = 0 THEN 0.0 ELSE residual / sd END, 4) AS zz
+        |  FROM sd)
+        |SELECT event_type, day, value,
+        |  round(trend, 4) AS trend, round(seasonal, 4) AS seasonal,
+        |  round(residual, 4) AS residual, zz AS z,
+        |  CASE WHEN abs(zz) > 2.0 THEN 1 ELSE 0 END AS is_anomaly
+        |FROM z ORDER BY event_type, day""".stripMargin
   )
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import java.sql.Date
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Seasonal decomposition behavior on planted series: a constant
+  * series yields zero z everywhere, and a single large spike is the
+  * only flagged anomaly in an otherwise-periodic series. */
+class SeasonalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def day(i: Int) = Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+
+  test("constant series: zero residuals, zero z, no anomalies (sd=0 guard)") {
+    val s = spark; import s.implicits._
+    val daily = (0 until 28).map(i => ("k", day(i), 10.0)).toDF("k", "day", "value")
+    val out = Seasonal.anomalies(daily, "k", "day", "value").collect()
+    assert(out.length == 28)
+    assert(out.forall(_.getAs[Double]("z") == 0.0))
+    assert(out.forall(_.getAs[Int]("is_anomaly") == 0))
+    assert(out.forall(_.getAs[Double]("residual") == 0.0))
+  }
+
+  test("single spike in a periodic series is the only anomaly") {
+    val s = spark; import s.implicits._
+    // weekly pattern 10/12 alternating by weekday, plus one 100-spike
+    val daily = (0 until 56).map { i =>
+      val base = if (i % 7 == 0) 12.0 else 10.0
+      val v = if (i == 30) 100.0 else base
+      ("k", day(i), v)
+    }.toDF("k", "day", "value")
+    val out = Seasonal.anomalies(daily, "k", "day", "value").collect()
+    val flagged = out.filter(_.getAs[Int]("is_anomaly") == 1)
+      .map(_.getAs[Date]("day").toString)
+    assert(flagged.contains(day(30).toString), s"spike not flagged: ${flagged.toSeq}")
+    // the spike dominates: nothing OUTSIDE the spike's trend window
+    // (±3 days) may be flagged
+    val spikeWindow = (27 to 33).map(day(_).toString).toSet
+    assert(flagged.forall(spikeWindow.contains),
+      s"false positives outside the spike window: ${flagged.toSeq}")
+  }
+
+  test("weekday seasonal component absorbs the periodic offset") {
+    val s = spark; import s.implicits._
+    val daily = (0 until 56).map { i =>
+      val base = if (i % 7 == 0) 20.0 else 10.0
+      ("k", day(i), base)
+    }.toDF("k", "day", "value")
+    val out = Seasonal.anomalies(daily, "k", "day", "value").collect()
+    // periodic-only series: seasonality is fully absorbed AWAY FROM THE
+    // EDGES (the centered moving average is asymmetric over the first/
+    // last halfWindow days — the documented MA boundary effect — which
+    // is where any flags must concentrate)
+    val interior = out.filter { r =>
+      val d = r.getAs[Date]("day").toString
+      d >= day(3).toString && d <= day(52).toString
+    }
+    assert(interior.forall(r => math.abs(r.getAs[Double]("residual")) < 1.0),
+      "interior residuals should be near zero for a purely periodic series")
+    // the high weekday's seasonal estimate must exceed the low weekdays'
+    val byDow = out.groupBy(r => (r.getAs[Date]("day").toLocalDate.toEpochDay % 7).toInt)
+      .view.mapValues(_.map(_.getAs[Double]("seasonal")).max).toMap
+    val highDow = (day(0).toLocalDate.toEpochDay % 7).toInt
+    assert(byDow(highDow) > byDow.filter(_._1 != highDow).values.max)
+  }
+}
