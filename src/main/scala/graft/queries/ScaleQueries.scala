@@ -375,6 +375,37 @@ object ScaleQueries {
       .orderBy("event_type", "day")
   }
 
+  /** Last-touch marketing attribution: each purchase is credited to the
+    * user's most recent click within a 1-day lookback ([[AsOfJoin
+    * .backward]] with tolerance — ONE shuffle on user_id, no range-join
+    * blow-up), then rolled up per day into the
+    * attributed/organic revenue split and the mean click→purchase
+    * latency. The as-of tolerance is the attribution window — the
+    * operator marketing pipelines run over clickstreams at full scale,
+    * expressed as a composition of machinery the engine already
+    * hash-proves (q24/q68/q126). */
+  def q145Attribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    AsOfJoin.backward(purchases, clicks, keys = Seq("user_id"), tsCol = "ts",
+        rightCols = Seq("click_id", "click_ts"), tolerance = Some("interval 1 day"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count(col("asof_click_id")).as("n_attributed"),
+        round(sum(when(col("asof_click_id").isNotNull, col("value")).otherwise(0.0)), 2)
+          .as("attributed_value"),
+        round(sum(when(col("asof_click_id").isNull, col("value")).otherwise(0.0)), 2)
+          .as("organic_value"),
+        round(avg(when(col("asof_click_id").isNotNull,
+          (unix_micros(col("ts")) - unix_micros(col("asof_click_ts"))) / 60000000.0)), 4)
+          .as("avg_latency_min"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
@@ -394,7 +425,8 @@ object ScaleQueries {
     "q141_cdc_chunks" -> (q141CdcChunks _),
     "q142_zorder" -> (q142Zorder _),
     "q143_contracts" -> (q143Contracts _),
-    "q144_seasonal" -> (q144Seasonal _)
+    "q144_seasonal" -> (q144Seasonal _),
+    "q145_attribution" -> (q145Attribution _)
   )
 
   /** The `morton2` interleave restated as DuckDB arithmetic: bit i of
@@ -1011,6 +1043,34 @@ object ScaleQueries {
         |  round(trend, 4) AS trend, round(seasonal, 4) AS seasonal,
         |  round(residual, 4) AS residual, zz AS z,
         |  CASE WHEN abs(zz) > 2.0 THEN 1 ELSE 0 END AS is_anomaly
-        |FROM z ORDER BY event_type, day""".stripMargin
+        |FROM z ORDER BY event_type, day""".stripMargin,
+    // textbook correlated formulation: inequality join clicks≤purchase
+    // within the window, row_number DESC picks the last touch, LEFT
+    // join preserves organic purchases; latency in µs integer
+    // arithmetic before the one rounded avg
+    "q145_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, value,
+        |    date_trunc('microseconds', ts) AS ts
+        |  FROM events),
+        |p AS (SELECT user_id, event_id, ts, value FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS cts, event_id AS click_id FROM e WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p.user_id, p.event_id, c.cts, c.click_id,
+        |    row_number() OVER (PARTITION BY p.user_id, p.event_id ORDER BY c.cts DESC) AS rn
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.cts <= p.ts AND c.cts >= p.ts - INTERVAL 1 DAY),
+        |best AS (SELECT user_id, event_id, cts, click_id FROM m WHERE rn = 1),
+        |a AS (
+        |  SELECT p.user_id, p.event_id, p.ts, p.value, b.cts, b.click_id
+        |  FROM p LEFT JOIN best b ON p.user_id = b.user_id AND p.event_id = b.event_id)
+        |SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  count(*) AS n_purchases,
+        |  count(click_id) AS n_attributed,
+        |  round(sum(CASE WHEN click_id IS NOT NULL THEN value ELSE 0 END), 2) AS attributed_value,
+        |  round(sum(CASE WHEN click_id IS NULL THEN value ELSE 0 END), 2) AS organic_value,
+        |  round(avg(CASE WHEN click_id IS NOT NULL
+        |    THEN date_diff('microsecond', cts, ts) / 60000000.0 END), 4) AS avg_latency_min
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
