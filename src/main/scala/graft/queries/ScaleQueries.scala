@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Agreement, AsOfJoin, Cdc, Contracts, Curation, Dedup, Drift, EnergyOps, Graph, Interpolate, Layout, Linkage, Materialize, Quantiles, Retrieval, Scd, Seasonal, Similarity, SkewJoin, TextSearch}
+import graft.operators.{Agreement, AsOfJoin, Bootstrap, Cdc, Contracts, Curation, Dedup, Drift, EnergyOps, Graph, Interpolate, Layout, Linkage, Materialize, Quantiles, Retrieval, Scd, Seasonal, Similarity, SkewJoin, TextSearch}
 import graft.sources.Tables
 
 /** Round-5 warehouse/scale tranche: point-in-time enrichment against
@@ -406,6 +406,16 @@ object ScaleQueries {
       .orderBy("day")
   }
 
+  /** Poisson-bootstrap 95% CI of mean document length per language
+    * ([[Bootstrap.meanCi]], B=200): the distributed bootstrap — row-
+    * local Poisson(1) replica weights from the md5 idiom, map-side
+    * combined replica cells, CI = rank-selected order statistics of
+    * the 200 replica means. The whole resampling is deterministic, so
+    * the oracle restates every draw. */
+  def q146BootstrapCi(s: SparkSession, d: String): DataFrame =
+    Bootstrap.meanCi(Tables.documents(s, d), valCol = "n_chars",
+      keyCols = Seq("lang"), idCol = "doc_id", b = 200)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
@@ -426,7 +436,8 @@ object ScaleQueries {
     "q142_zorder" -> (q142Zorder _),
     "q143_contracts" -> (q143Contracts _),
     "q144_seasonal" -> (q144Seasonal _),
-    "q145_attribution" -> (q145Attribution _)
+    "q145_attribution" -> (q145Attribution _),
+    "q146_bootstrap_ci" -> (q146BootstrapCi _)
   )
 
   /** The `morton2` interleave restated as DuckDB arithmetic: bit i of
@@ -1071,6 +1082,49 @@ object ScaleQueries {
         |  round(sum(CASE WHEN click_id IS NULL THEN value ELSE 0 END), 2) AS organic_value,
         |  round(avg(CASE WHEN click_id IS NOT NULL
         |    THEN date_diff('microsecond', cts, ts) / 60000000.0 END), 4) AS avg_latency_min
-        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the full resampling restated draw-for-draw: 48-bit md5 uniform,
+    // hard-literal Poisson(1) CDF thresholds, replica means rounded to
+    // 6 before rank selection, CI = order statistics at ceil(q·n_rep)
+    "q146_bootstrap_ci" ->
+      """WITH r AS (
+        |  SELECT lang, CAST(n_chars AS DOUBLE) AS x, CAST(doc_id AS VARCHAR) AS rid
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |reps AS (SELECT unnest(range(0, 200)) AS rep),
+        |w0 AS (
+        |  SELECT lang, x, rep,
+        |    ('0x' || substr(md5(rid || ':' || CAST(rep AS VARCHAR)), 1, 12))::BIGINT
+        |      / 281474976710656.0 AS u
+        |  FROM r CROSS JOIN reps),
+        |w AS (
+        |  SELECT lang, x, rep, CAST(
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.9999167588507119 THEN 6
+        |         WHEN u < 0.9999897508033253 THEN 7
+        |         WHEN u < 0.9999988852520038 THEN 8
+        |         ELSE 9 END AS DOUBLE) AS w
+        |  FROM w0),
+        |rm AS (
+        |  SELECT lang, rep, sum(w * x) AS wx, sum(w) AS wsum
+        |  FROM w GROUP BY 1, 2),
+        |rm2 AS (SELECT lang, rep, round(wx / wsum, 6) AS m FROM rm WHERE wsum > 0),
+        |rk AS (
+        |  SELECT lang, rep, m,
+        |    row_number() OVER (PARTITION BY lang ORDER BY m, rep) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n_rep
+        |  FROM rm2),
+        |ci AS (
+        |  SELECT lang,
+        |    round(max(CASE WHEN rk = CAST(ceil(n_rep * 0.025) AS BIGINT) THEN m END), 4) AS ci_lo,
+        |    round(max(CASE WHEN rk = CAST(ceil(n_rep * 0.975) AS BIGINT) THEN m END), 4) AS ci_hi
+        |  FROM rk GROUP BY 1),
+        |pt AS (SELECT lang, count(*) AS n, round(avg(x), 4) AS mean FROM r GROUP BY 1)
+        |SELECT pt.lang, n, mean, ci_lo, ci_hi
+        |FROM pt JOIN ci USING (lang) ORDER BY pt.lang""".stripMargin
   )
 }
