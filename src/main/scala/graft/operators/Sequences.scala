@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence mining over per-key ordered event streams.
+  *
+  * Scale shape: the ONLY per-row window is partitioned by the sequence
+  * key (user) and ordered by (time, tiebreak) — per-user event runs
+  * are short and spread across executors, so the lead() pass is one
+  * key shuffle with no global ordering anywhere. Everything after the
+  * pair extraction operates on the |states|² transition cells, which
+  * is tiny regardless of corpus size. The same two-phase shape holds
+  * at 100 TB: heavy pass keyed and local, analytics on the reduced
+  * matrix.
+  */
+object Sequences {
+
+  /** First-order Markov transition matrix: for every observed (state →
+    * next state) pair, the count and the row-normalized probability
+    * P(next | state), plus each state's outgoing total. The tiebreak
+    * column makes the sequence order (and therefore the matrix)
+    * deterministic under equal timestamps. */
+  def transitionMatrix(df: DataFrame, keyCol: String, tsCol: String,
+      stateCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = df
+      .withColumn("next_state", lead(col(stateCol), 1).over(w))
+      .where(col("next_state").isNotNull)
+      .select(col(stateCol).as("state"), col("next_state"))
+
+    pairs
+      .groupBy("state", "next_state")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("state_total", sum("n").over(Window.partitionBy(col("state"))))
+      .withColumn("p", round(col("n").cast("double") / col("state_total"), 4))
+      .orderBy("state", "next_state")
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Agreement, AsOfJoin, Bootstrap, Cdc, Contracts, Curation, Dedup, Drift, EnergyOps, Graph, Interpolate, Layout, Linkage, Materialize, Quantiles, Retrieval, Scd, Seasonal, Similarity, SkewJoin, TextSearch}
+import graft.operators.{Agreement, AsOfJoin, Bootstrap, Cdc, Contracts, Curation, Dedup, Drift, EnergyOps, Graph, Interpolate, Layout, Linkage, Materialize, Quantiles, Retrieval, Scd, Seasonal, Sequences, Similarity, SkewJoin, TextSearch}
 import graft.sources.Tables
 
 /** Round-5 warehouse/scale tranche: point-in-time enrichment against
@@ -416,6 +416,15 @@ object ScaleQueries {
     Bootstrap.meanCi(Tables.documents(s, d), valCol = "n_chars",
       keyCols = Seq("lang"), idCol = "doc_id", b = 200)
 
+  /** User-journey Markov transition matrix ([[Sequences
+    * .transitionMatrix]]): P(next event type | current) across all
+    * per-user ordered event sequences — one user-keyed lead() pass,
+    * then analytics on the |states|² cells. event_id breaks timestamp
+    * ties so the matrix is deterministic. */
+  def q147Transitions(s: SparkSession, d: String): DataFrame =
+    Sequences.transitionMatrix(Tables.events(s, d),
+      keyCol = "user_id", tsCol = "ts", stateCol = "event_type", tieCol = "event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
@@ -437,7 +446,8 @@ object ScaleQueries {
     "q143_contracts" -> (q143Contracts _),
     "q144_seasonal" -> (q144Seasonal _),
     "q145_attribution" -> (q145Attribution _),
-    "q146_bootstrap_ci" -> (q146BootstrapCi _)
+    "q146_bootstrap_ci" -> (q146BootstrapCi _),
+    "q147_transitions" -> (q147Transitions _)
   )
 
   /** The `morton2` interleave restated as DuckDB arithmetic: bit i of
@@ -1125,6 +1135,25 @@ object ScaleQueries {
         |  FROM rk GROUP BY 1),
         |pt AS (SELECT lang, count(*) AS n, round(avg(x), 4) AS mean FROM r GROUP BY 1)
         |SELECT pt.lang, n, mean, ci_lo, ci_hi
-        |FROM pt JOIN ci USING (lang) ORDER BY pt.lang""".stripMargin
+        |FROM pt JOIN ci USING (lang) ORDER BY pt.lang""".stripMargin,
+    // lead() over (user, ts, event_id) restated, row-normalized
+    "q147_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, date_trunc('microseconds', ts) AS ts
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type AS state,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_state
+        |  FROM e),
+        |c AS (
+        |  SELECT state, next_state, count(*) AS n
+        |  FROM p WHERE next_state IS NOT NULL GROUP BY 1, 2),
+        |t AS (
+        |  SELECT state, next_state, n,
+        |    sum(n) OVER (PARTITION BY state) AS state_total
+        |  FROM c)
+        |SELECT state, next_state, n, CAST(state_total AS BIGINT) AS state_total,
+        |  round(CAST(n AS DOUBLE) / state_total, 4) AS p
+        |FROM t ORDER BY state, next_state""".stripMargin
   )
 }
