@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Agreement, AsOfJoin, Bootstrap, Cdc, Contracts, Curation, Dedup, Drift, EnergyOps, Graph, Interpolate, Layout, Linkage, Materialize, Quantiles, Retrieval, Scd, Seasonal, Sequences, Similarity, SkewJoin, TextSearch}
+import graft.operators.{Agreement, AsOfJoin, Bootstrap, Cdc, Contracts, Curation, Dedup, Drift, Encoding, EnergyOps, Graph, Interpolate, Layout, Linkage, Materialize, Quantiles, Retrieval, Scd, Seasonal, Sequences, Similarity, SkewJoin, TextSearch}
 import graft.sources.Tables
 
 /** Round-5 warehouse/scale tranche: point-in-time enrichment against
@@ -425,6 +425,17 @@ object ScaleQueries {
     Sequences.transitionMatrix(Tables.events(s, d),
       keyCol = "user_id", tsCol = "ts", stateCol = "event_type", tieCol = "event_id")
 
+  /** Leakage-free K-fold target encoding of `source` against the
+    * is-English label ([[Encoding.targetEncodeKFold]]): one aggregate
+    * to the (category, fold) cell grid, leave-fold-out smoothing
+    * arithmetic over the cells, deterministic md5 folds. The output IS
+    * the broadcast-side encoding map a trainer would join. */
+  def q148TargetEncoding(s: SparkSession, d: String): DataFrame =
+    Encoding.targetEncodeKFold(
+      Tables.documents(s, d)
+        .withColumn("is_en", (col("lang") === "en").cast("int")),
+      catCol = "source", labelCol = "is_en", idCol = "doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
@@ -447,7 +458,8 @@ object ScaleQueries {
     "q144_seasonal" -> (q144Seasonal _),
     "q145_attribution" -> (q145Attribution _),
     "q146_bootstrap_ci" -> (q146BootstrapCi _),
-    "q147_transitions" -> (q147Transitions _)
+    "q147_transitions" -> (q147Transitions _),
+    "q148_target_encoding" -> (q148TargetEncoding _)
   )
 
   /** The `morton2` interleave restated as DuckDB arithmetic: bit i of
@@ -1154,6 +1166,31 @@ object ScaleQueries {
         |  FROM c)
         |SELECT state, next_state, n, CAST(state_total AS BIGINT) AS state_total,
         |  round(CAST(n AS DOUBLE) / state_total, 4) AS p
-        |FROM t ORDER BY state, next_state""".stripMargin
+        |FROM t ORDER BY state, next_state""".stripMargin,
+    // cell-grid + leave-fold-out smoothing restated; md5 folds identical
+    "q148_target_encoding" ->
+      """WITH b AS (
+        |  SELECT source AS category,
+        |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 5 AS fold
+        |  FROM documents WHERE source IS NOT NULL),
+        |cells AS (
+        |  SELECT category, fold, count(*) AS n_fold, sum(y) AS s_fold
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (SELECT sum(n_fold) AS n_all, sum(s_fold) AS s_all FROM cells),
+        |cat AS (
+        |  SELECT category, fold, n_fold, s_fold,
+        |    sum(n_fold) OVER (PARTITION BY category) AS n_cat,
+        |    sum(s_fold) OVER (PARTITION BY category) AS s_cat,
+        |    sum(n_fold) OVER (PARTITION BY fold) AS n_in_fold,
+        |    sum(s_fold) OVER (PARTITION BY fold) AS s_in_fold
+        |  FROM cells),
+        |p AS (
+        |  SELECT *, (s_all - s_in_fold) / (n_all - n_in_fold) AS prior
+        |  FROM cat CROSS JOIN tot)
+        |SELECT category, fold, n_fold,
+        |  round((s_cat - s_fold + 10.0 * prior) / (n_cat - n_fold + 10.0), 6) AS encoding,
+        |  round(prior, 6) AS prior
+        |FROM p ORDER BY category, fold""".stripMargin
   )
 }
