@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Agreement, AsOfJoin, Bootstrap, Cdc, Contracts, Curation, Dedup, Drift, Encoding, EnergyOps, Graph, Interpolate, Layout, Linkage, Materialize, Quantiles, Retrieval, Scd, Seasonal, Sequences, Similarity, SkewJoin, TextSearch}
+import graft.operators.{Agreement, AsOfJoin, Bootstrap, Cdc, Contracts, Curation, Dedup, Drift, Embeddings, Encoding, EnergyOps, Graph, Interpolate, Layout, Linkage, Materialize, Quantiles, Retrieval, Scd, Seasonal, Sequences, Similarity, SkewJoin, TextSearch}
 import graft.sources.Tables
 
 /** Round-5 warehouse/scale tranche: point-in-time enrichment against
@@ -436,6 +436,14 @@ object ScaleQueries {
         .withColumn("is_en", (col("lang") === "en").cast("int")),
       catCol = "source", labelCol = "is_en", idCol = "doc_id")
 
+  /** Per-dimension embedding moments ([[Embeddings.perDimStats]]): one
+    * native `vec_sum` aggregate pass over (v, v²) — d doubles per
+    * partition through the shuffle, never an exploded (row × dim)
+    * stream. The oracle restates it via unnest, proving the buffer
+    * fold equals the per-dimension sums exactly. */
+  def q149EmbedStats(s: SparkSession, d: String): DataFrame =
+    Embeddings.perDimStats(s, Tables.embeddings(s, d), "embedding")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
@@ -459,7 +467,8 @@ object ScaleQueries {
     "q145_attribution" -> (q145Attribution _),
     "q146_bootstrap_ci" -> (q146BootstrapCi _),
     "q147_transitions" -> (q147Transitions _),
-    "q148_target_encoding" -> (q148TargetEncoding _)
+    "q148_target_encoding" -> (q148TargetEncoding _),
+    "q149_embed_stats" -> (q149EmbedStats _)
   )
 
   /** The `morton2` interleave restated as DuckDB arithmetic: bit i of
@@ -1191,6 +1200,20 @@ object ScaleQueries {
         |SELECT category, fold, n_fold,
         |  round((s_cat - s_fold + 10.0 * prior) / (n_cat - n_fold + 10.0), 6) AS encoding,
         |  round(prior, 6) AS prior
-        |FROM p ORDER BY category, fold""".stripMargin
+        |FROM p ORDER BY category, fold""".stripMargin,
+    // unnest restatement of the vec_sum buffer fold; same
+    // sum/sum-of-squares algebra, population variance clamped at 0
+    "q149_embed_stats" ->
+      """WITH e AS (
+        |  SELECT unnest(embedding) AS v, generate_subscripts(embedding, 1) AS dim
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |m AS (
+        |  SELECT dim - 1 AS dim, count(*) AS n,
+        |    sum(CAST(v AS DOUBLE)) AS s1,
+        |    sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS s2
+        |  FROM e GROUP BY 1)
+        |SELECT dim, n, round(s1 / n, 6) AS mean,
+        |  round(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)), 6) AS std
+        |FROM m ORDER BY dim""".stripMargin
   )
 }
