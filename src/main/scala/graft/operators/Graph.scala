@@ -62,4 +62,54 @@ object Graph {
     }
     ranks.select(col("id"), round(col("rank"), 6).as("rank"))
   }
+
+  /** Triangle counting + local clustering coefficient on an undirected
+    * pair list, via degree-ordered edge orientation (the MapReduce
+    * triangle-counting discipline of Suri & Vassilvitskii, WWW 2011):
+    * each edge is directed from its lower (degree, id) endpoint to the
+    * higher, which bounds every node's OUT-degree by O(√m) even under
+    * power-law skew — so the wedge self-join (the only superlinear
+    * step) is capped, where the naive undirected wedge join explodes
+    * quadratically on hub nodes. Three equi-shuffles total: orient,
+    * wedge, close. Each triangle is generated exactly once (its
+    * orientation-ordered (s, b, c) with b < c).
+    *
+    * Output per node: degree, triangle count, and the local clustering
+    * coefficient 2·tri / (d·(d−1)) — the density signal that separates
+    * genuine communities from star-shaped hubs in a dedup/link graph. */
+  def triangleStats(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = pairs
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+
+    val du = deg.select(col("node").as("u"), col("d").as("du"))
+    val dv = deg.select(col("node").as("v"), col("d").as("dv"))
+    val uLower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val oriented = e.join(du, "u").join(dv, "v")
+      .select(when(uLower, col("u")).otherwise(col("v")).as("s"),
+        when(uLower, col("v")).otherwise(col("u")).as("t"))
+
+    val wedges = oriented.select(col("s"), col("t").as("b"))
+      .join(oriented.select(col("s"), col("t").as("c")), Seq("s"))
+      .where(col("b") < col("c"))
+    val tri = wedges.join(oriented.select(col("s").as("b"), col("t").as("c")),
+      Seq("b", "c"))
+
+    val perNode = tri
+      .select(explode(array(col("s"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+
+    deg.join(perNode, Seq("node"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .withColumn("clustering",
+        when(col("d") >= 2,
+          round(lit(2.0) * col("n_tri") / (col("d") * (col("d") - 1)), 6))
+          .otherwise(lit(0.0)))
+      .select("node", "d", "n_tri", "clustering")
+      .orderBy("node")
+  }
 }

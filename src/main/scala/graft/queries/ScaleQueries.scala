@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Agreement, AsOfJoin, Bootstrap, Cdc, Contracts, Curation, Dedup, Drift, Embeddings, Encoding, EnergyOps, Graph, Interpolate, Layout, Linkage, Materialize, Quantiles, Retrieval, Scd, Seasonal, Sequences, Similarity, SkewJoin, TextSearch}
+import graft.operators.{Agreement, AsOfJoin, Binning, Bootstrap, Cdc, Contracts, Curation, Dedup, Drift, Embeddings, Encoding, EnergyOps, Graph, Interpolate, Layout, Linkage, Materialize, Quantiles, Retrieval, Scd, Seasonal, Sequences, Similarity, SkewJoin, TextSearch}
 import graft.sources.Tables
 
 /** Round-5 warehouse/scale tranche: point-in-time enrichment against
@@ -444,6 +444,31 @@ object ScaleQueries {
   def q149EmbedStats(s: SparkSession, d: String): DataFrame =
     Embeddings.perDimStats(s, Tables.embeddings(s, d), "embedding")
 
+  /** Decile WOE/IV audit of extended price against the returned flag
+    * ([[Binning.woeBins]]): exact equi-depth edges from the two-phase
+    * quantile selection, KB-scale edge artifact applied as a row-local
+    * indicator sum (no join, no window), WOE/IV on the 10-row cell
+    * frame. */
+  def q150WoeBins(s: SparkSession, d: String): DataFrame =
+    Binning.woeBins(s,
+      Tables.lineitem(s, d)
+        .withColumn("is_return", (col("l_returnflag") === "R").cast("int")),
+      featureCol = "l_extendedprice", labelCol = "is_return", nBins = 10)
+
+  /** Triangle census of the part co-occurrence graph ([[Graph
+    * .triangleStats]]): parts are linked when they ship in the same
+    * order; degree-ordered orientation caps the wedge join at O(√m)
+    * out-degree per node, so the count survives hub parts. Clustering
+    * coefficient separates genuine part-bundles from star hubs. */
+  def q151Triangles(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairs = li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
+      .where(col("p") < col("p2"))
+      .select(col("p").as("part_a"), col("p2").as("part_b"))
+    Graph.triangleStats(pairs, "part_a", "part_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
@@ -468,7 +493,9 @@ object ScaleQueries {
     "q146_bootstrap_ci" -> (q146BootstrapCi _),
     "q147_transitions" -> (q147Transitions _),
     "q148_target_encoding" -> (q148TargetEncoding _),
-    "q149_embed_stats" -> (q149EmbedStats _)
+    "q149_embed_stats" -> (q149EmbedStats _),
+    "q150_woe_bins" -> (q150WoeBins _),
+    "q151_triangles" -> (q151Triangles _)
   )
 
   /** The `morton2` interleave restated as DuckDB arithmetic: bit i of
@@ -1214,6 +1241,71 @@ object ScaleQueries {
         |  FROM e GROUP BY 1)
         |SELECT dim, n, round(s1 / n, 6) AS mean,
         |  round(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)), 6) AS std
-        |FROM m ORDER BY dim""".stripMargin
+        |FROM m ORDER BY dim""".stripMargin,
+    // edges = the q127 selection rule (k = ceil(q·n) order statistic),
+    // bin = #edges strictly below v (one row per q — duplicate edge
+    // VALUES count twice, matching the engine's indicator fold), then
+    // the same smoothed WOE/IV algebra on the cell frame
+    "q150_woe_bins" ->
+      """WITH rows_in AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM rows_in),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM rows_in),
+        |q(q) AS (VALUES (CAST(0.1 AS DOUBLE)), (CAST(0.2 AS DOUBLE)),
+        |  (CAST(0.3 AS DOUBLE)), (CAST(0.4 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+        |  (CAST(0.6 AS DOUBLE)), (CAST(0.7 AS DOUBLE)), (CAST(0.8 AS DOUBLE)),
+        |  (CAST(0.9 AS DOUBLE))),
+        |k AS (SELECT q, CAST(ceil(q * n) AS BIGINT) AS k FROM n CROSS JOIN q),
+        |edges AS (SELECT r.v AS edge FROM k JOIN r ON r.rk = k.k),
+        |b AS (
+        |  SELECT v, y,
+        |    (SELECT count(*) FROM edges e WHERE b0.v > e.edge) AS bin
+        |  FROM rows_in b0),
+        |cells AS (
+        |  SELECT bin, count(*) AS n, sum(y) AS n_good,
+        |    count(*) - sum(y) AS n_bad,
+        |    round(min(v), 4) AS v_min, round(max(v), 4) AS v_max
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT sum(n_good) AS g_all, sum(n_bad) AS b_all FROM cells),
+        |w AS (
+        |  SELECT *, (n_good + 0.5) / g_all AS g_rate,
+        |    (n_bad + 0.5) / b_all AS b_rate
+        |  FROM cells CROSS JOIN tot)
+        |SELECT CAST(bin AS INT) AS bin, n,
+        |  CAST(n_good AS BIGINT) AS n_good, CAST(n_bad AS BIGINT) AS n_bad,
+        |  v_min, v_max,
+        |  round(ln(g_rate / b_rate), 6) AS woe,
+        |  round((g_rate - b_rate) * ln(g_rate / b_rate), 6) AS iv
+        |FROM w ORDER BY bin""".stripMargin,
+    // same degree-ordered orientation ((d, id) row comparison) and
+    // one-per-triangle closure; per-node census via 3-way unnest
+    "q151_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |deg AS (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+        |         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+        |  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+        |tri AS (
+        |  SELECT w1.s AS a, w1.t AS b, w2.t AS c
+        |  FROM o w1 JOIN o w2 ON w1.s = w2.s AND w1.t < w2.t
+        |  JOIN o w3 ON w3.s = w1.t AND w3.t = w2.t),
+        |pn AS (
+        |  SELECT node, count(*) AS n_tri FROM (
+        |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY 1)
+        |SELECT deg.node, deg.d, CAST(coalesce(pn.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CASE WHEN deg.d >= 2
+        |    THEN round(2.0 * coalesce(pn.n_tri, 0) / (deg.d * (deg.d - 1)), 6)
+        |    ELSE 0.0 END AS clustering
+        |FROM deg LEFT JOIN pn ON pn.node = deg.node ORDER BY deg.node""".stripMargin
   )
 }

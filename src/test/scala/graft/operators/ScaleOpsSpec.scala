@@ -254,6 +254,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(merged.collect().map(_.toSeq).toSet === full.collect().map(_.toSeq).toSet)
   }
 
+  test("triangleStats: hand-counted fixtures — K4, a triangle with a tail, a star") {
+    val s = spark; import s.implicits._
+    // K4: every node is in C(3,2)=3 triangles, clustering 1.0
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)).toDF("a", "b")
+    val outK4 = graft.operators.Graph.triangleStats(k4, "a", "b").collect()
+    assert(outK4.length == 4)
+    assert(outK4.forall(r => r.getAs[Long]("n_tri") == 3L &&
+      r.getAs[Double]("clustering") == 1.0))
+
+    // triangle 1-2-3 with tail 3-4: node 4 has no triangle; node 3's
+    // clustering = 2*1/(3*2) = 1/3
+    val tail = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val m = graft.operators.Graph.triangleStats(tail, "a", "b")
+      .collect().map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("n_tri"), r.getAs[Double]("clustering"))).toMap
+    assert(m(1L) == ((1L, 1.0)) && m(2L) == ((1L, 1.0)))
+    assert(m(3L)._1 == 1L && math.abs(m(3L)._2 - 0.333333) < 1e-6)
+    assert(m(4L) == ((0L, 0.0)))
+
+    // star: hub with 5 leaves — zero triangles everywhere, and the
+    // degree-ordered orientation must not blow up on the hub
+    val star = (2L to 6L).map(l => (1L, l)).toDF("a", "b")
+    val outStar = graft.operators.Graph.triangleStats(star, "a", "b").collect()
+    assert(outStar.forall(_.getAs[Long]("n_tri") == 0L))
+    // duplicate + reversed edges collapse (undirected semantics)
+    val dup = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val outDup = graft.operators.Graph.triangleStats(dup, "a", "b").collect()
+    assert(outDup.forall(_.getAs[Long]("n_tri") == 1L))
+  }
+
   test("interpolate.linear and histogramPsi plans stay key-partitioned / driver-scale") {
     val s = spark; import s.implicits._
     val df = Seq((1L, ts("2024-01-01 00:00:00"), Some(1.0), 1L))
