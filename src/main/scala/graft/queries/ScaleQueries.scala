@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Agreement, AsOfJoin, Binning, Bootstrap, Cdc, Contracts, Curation, Dedup, Drift, Embeddings, Encoding, EnergyOps, Graph, Interpolate, Layout, Linkage, Materialize, Quantiles, Retrieval, Scd, Seasonal, Sequences, Similarity, SkewJoin, TextSearch}
+import graft.operators.{Agreement, AsOfJoin, Assoc, Binning, Bootstrap, Cdc, Contracts, Curation, Dedup, Drift, Embeddings, Encoding, EnergyOps, Experiment, Graph, Interpolate, Layout, Linkage, Materialize, Quantiles, Retrieval, Scd, Seasonal, Sequences, Similarity, SkewJoin, TextSearch}
 import graft.sources.Tables
 
 /** Round-5 warehouse/scale tranche: point-in-time enrichment against
@@ -469,6 +469,30 @@ object ScaleQueries {
     Graph.triangleStats(pairs, "part_a", "part_b")
   }
 
+  /** Market-basket association rules over orders ([[Assoc.rules]],
+    * min-support 2): within-basket pair generation only (Σ|basket|²,
+    * never n²), support pruning before any metric join, directional
+    * confidence/lift. */
+  def q152AssocRules(s: SparkSession, d: String): DataFrame =
+    Assoc.rules(Tables.lineitem(s, d),
+      basketCol = "l_orderkey", itemCol = "l_partkey", minSupport = 2)
+
+  /** A/B readout with CUPED ([[Experiment.abCuped]]): md5-assigned
+    * arms over per-user value totals, pre-period (before Jan 16) as
+    * the CUPED covariate, post-period as the metric. Per-unit sums are
+    * rounded before the moments so shuffle-order float noise stays
+    * out of the covariate algebra. */
+  def q153AbCuped(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+    val units = Tables.events(s, d).groupBy("user_id")
+      .agg(round(sum(when(col("ts") < cutoff, col("value")).otherwise(0.0)), 6).as("pre"),
+        round(sum(when(col("ts") >= cutoff, col("value")).otherwise(0.0)), 6).as("post"))
+      .withColumn("arm", pmod(
+        conv(substring(md5(col("user_id").cast("string")), 1, 6), 16, 10).cast("long"),
+        lit(2L)).cast("int"))
+    Experiment.abCuped(units, "arm", "pre", "post")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
@@ -495,7 +519,9 @@ object ScaleQueries {
     "q148_target_encoding" -> (q148TargetEncoding _),
     "q149_embed_stats" -> (q149EmbedStats _),
     "q150_woe_bins" -> (q150WoeBins _),
-    "q151_triangles" -> (q151Triangles _)
+    "q151_triangles" -> (q151Triangles _),
+    "q152_assoc_rules" -> (q152AssocRules _),
+    "q153_ab_cuped" -> (q153AbCuped _)
   )
 
   /** The `morton2` interleave restated as DuckDB arithmetic: bit i of
@@ -1306,6 +1332,89 @@ object ScaleQueries {
         |  CASE WHEN deg.d >= 2
         |    THEN round(2.0 * coalesce(pn.n_tri, 0) / (deg.d * (deg.d - 1)), 6)
         |    ELSE 0.0 END AS clustering
-        |FROM deg LEFT JOIN pn ON pn.node = deg.node ORDER BY deg.node""".stripMargin
+        |FROM deg LEFT JOIN pn ON pn.node = deg.node ORDER BY deg.node""".stripMargin,
+    // within-basket pair counts with HAVING support prune, both rule
+    // directions, same support/confidence/lift algebra
+    "q152_assoc_rules" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |sz AS (SELECT basket FROM it GROUP BY basket HAVING count(*) <= 1000),
+        |s2 AS (SELECT it.* FROM it JOIN sz USING (basket)),
+        |nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM s2),
+        |itn AS (SELECT item, count(*) AS n_item FROM s2 GROUP BY 1),
+        |pc AS (
+        |  SELECT a.item AS a, b.item AS b, count(*) AS n_ab
+        |  FROM s2 a JOIN s2 b ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |dr AS (
+        |  SELECT a AS antecedent, b AS consequent, n_ab FROM pc
+        |  UNION ALL SELECT b, a, n_ab FROM pc)
+        |SELECT antecedent, consequent, n_ab,
+        |  round(n_ab / CAST(n_baskets AS DOUBLE), 6) AS support,
+        |  round(n_ab / CAST(n_a AS DOUBLE), 6) AS confidence,
+        |  round(CAST(n_ab AS DOUBLE) * n_baskets / (n_a * n_b), 6) AS lift
+        |FROM dr
+        |JOIN (SELECT item, n_item AS n_a FROM itn) x ON x.item = dr.antecedent
+        |JOIN (SELECT item, n_item AS n_b FROM itn) y ON y.item = dr.consequent
+        |CROSS JOIN nb
+        |ORDER BY antecedent, consequent""".stripMargin,
+    // explicit-moments restatement: pooled theta, row-local CUPED
+    // adjustment, per-arm sum/square algebra, large-sample z literal
+    "q153_ab_cuped" ->
+      """WITH e AS (
+        |  SELECT user_id, value, date_trunc('microseconds', ts) AS ts FROM events),
+        |u AS (
+        |  SELECT user_id,
+        |    round(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN value ELSE 0 END), 6) AS pre,
+        |    round(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN value ELSE 0 END), 6) AS post,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 6))::BIGINT % 2 AS INT) AS arm
+        |  FROM e GROUP BY user_id),
+        |m AS (
+        |  SELECT count(*) AS n, sum(pre) AS sp, sum(post) AS so,
+        |    sum(pre * pre) AS spp, sum(pre * post) AS spo
+        |  FROM u),
+        |t AS (
+        |  SELECT n,
+        |    CASE WHEN spp - sp * sp / n = 0 THEN 0.0
+        |      ELSE (spo - sp * so / n) / (spp - sp * sp / n) END AS theta,
+        |    sp / n AS mean_pre
+        |  FROM m),
+        |a AS (
+        |  SELECT arm, post, post - theta * (pre - mean_pre) AS y
+        |  FROM u CROSS JOIN t),
+        |ar AS (
+        |  SELECT arm, count(*) AS na, sum(post) AS so_a,
+        |    sum(post * post) AS soo_a, sum(y) AS sy_a, sum(y * y) AS syy_a
+        |  FROM a GROUP BY 1),
+        |ar2 AS (
+        |  SELECT arm, na, so_a / na AS m_raw,
+        |    (soo_a - so_a * so_a / na) / (na - 1) AS v_raw,
+        |    sy_a / na AS m_adj,
+        |    (syy_a - sy_a * sy_a / na) / (na - 1) AS v_adj
+        |  FROM ar),
+        |p AS (
+        |  SELECT
+        |    max(CASE WHEN arm = 1 THEN na END) AS n_t,
+        |    max(CASE WHEN arm = 0 THEN na END) AS n_c,
+        |    max(CASE WHEN arm = 1 THEN m_raw END) - max(CASE WHEN arm = 0 THEN m_raw END) AS effect_raw,
+        |    sqrt(max(CASE WHEN arm = 1 THEN v_raw END) / max(CASE WHEN arm = 1 THEN na END)
+        |       + max(CASE WHEN arm = 0 THEN v_raw END) / max(CASE WHEN arm = 0 THEN na END)) AS se_raw,
+        |    max(CASE WHEN arm = 1 THEN m_adj END) - max(CASE WHEN arm = 0 THEN m_adj END) AS effect_cuped,
+        |    sqrt(max(CASE WHEN arm = 1 THEN v_adj END) / max(CASE WHEN arm = 1 THEN na END)
+        |       + max(CASE WHEN arm = 0 THEN v_adj END) / max(CASE WHEN arm = 0 THEN na END)) AS se_cuped,
+        |    1.0 - (max(CASE WHEN arm = 1 THEN v_adj END) + max(CASE WHEN arm = 0 THEN v_adj END))
+        |        / (max(CASE WHEN arm = 1 THEN v_raw END) + max(CASE WHEN arm = 0 THEN v_raw END)) AS var_reduction
+        |  FROM ar2)
+        |SELECT n_t, n_c,
+        |  round(effect_raw, 4) AS effect_raw, round(se_raw, 4) AS se_raw,
+        |  round(effect_cuped, 4) AS effect_cuped, round(se_cuped, 4) AS se_cuped,
+        |  round(effect_cuped / se_cuped, 4) AS t_cuped,
+        |  round(effect_cuped - 1.959963984540054 * se_cuped, 4) AS ci_lo,
+        |  round(effect_cuped + 1.959963984540054 * se_cuped, 4) AS ci_hi,
+        |  round(var_reduction, 4) AS var_reduction
+        |FROM p""".stripMargin
   )
 }
