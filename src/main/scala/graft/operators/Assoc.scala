@@ -57,8 +57,10 @@ object Assoc {
       .select(col("antecedent"), col("consequent"), col("n_ab"),
         round(col("n_ab") / col("n_baskets").cast("double"), 6).as("support"),
         round(col("n_ab") / col("n_a").cast("double"), 6).as("confidence"),
+        // n_a·n_b in DOUBLE: two popular items over ~1e10 baskets
+        // overflow a long product silently (wraps negative)
         round(col("n_ab").cast("double") * col("n_baskets") /
-          (col("n_a") * col("n_b")), 6).as("lift"))
+          (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
       .orderBy("antecedent", "consequent")
   }
 }

@@ -50,22 +50,32 @@ object Contracts {
   def inRange(c: String, lo: Double, hi: Double): Constraint =
     Satisfies(s"in_range($c)", col(c) >= lo && col(c) <= hi)
 
-  /** Run the suite; one row per constraint, ordered by constraint name. */
+  /** Run the suite; one row per constraint, ordered by constraint name.
+    * An empty input table passes every row-local constraint (0
+    * violations over 0 rows — not a NULL verdict a quarantine filter
+    * would silently drop). */
   def run(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "empty contract suite")
+    val names = constraints.map(_.name)
+    require(names.distinct.size == names.size,
+      s"duplicate constraint names: ${names.diff(names.distinct).mkString(", ")}")
     val rowLocal = constraints.collect { case s: Satisfies => s }
     val uniques  = constraints.collect { case u: Unique => u }
     val refs     = constraints.collect { case r: RefIntegrity => r }
 
-    // one scan, one conditional-count column per row-local constraint
+    // one scan, one conditional-count column per row-local constraint;
+    // the (name -> count) map is built with TYPED columns (no SQL-text
+    // interpolation of user-supplied names) and exploded to rows
     val fusedOpt = if (rowLocal.isEmpty) None else Some {
-      val aggs = rowLocal.map(s =>
-        sum(when(coalesce(s.pred, lit(false)), 0L).otherwise(1L)).as(s.name)) :+
-        count(lit(1)).as("__n")
+      val aggs = rowLocal.zipWithIndex.map { case (s, i) =>
+        coalesce(sum(when(coalesce(s.pred, lit(false)), 0L).otherwise(1L)), lit(0L))
+          .as(s"__c$i")
+      } :+ count(lit(1)).as("__n")
       val one = df.agg(aggs.head, aggs.tail: _*)
-      val names = rowLocal.map(_.name)
-      one.select(expr(
-        s"stack(${names.size}, " +
-          names.map(n => s"'${n}', `$n`").mkString(", ") + ") as (`constraint`, violations)"),
+      val kvs = rowLocal.zipWithIndex.flatMap { case (s, i) =>
+        Seq(lit(s.name), col(s"__c$i"))
+      }
+      one.select(explode(map(kvs: _*)).as(Seq("constraint", "violations")),
         col("__n").as("n_rows"))
     }
 
@@ -76,12 +86,17 @@ object Contracts {
         .select(lit(u.name).as("constraint"), col("violations"), col("n_rows"))
     }
 
+    // one scan per referential check: LEFT join + a single aggregate
+    // counting misses and probes together (not an anti-join plus a
+    // second full probe count)
     val refFrames = refs.map { r =>
       val probe = df.select(col(r.col)).where(col(r.col).isNotNull)
-      val miss = probe.join(r.dim.select(col(r.dimCol).as(r.col)).distinct(),
-        Seq(r.col), "left_anti")
-      miss.agg(count(lit(1)).as("violations"))
-        .crossJoin(probe.agg(count(lit(1)).as("n_rows")))
+      probe.join(
+          r.dim.select(col(r.dimCol).as(r.col), lit(1).as("__hit")).distinct(),
+          Seq(r.col), "left")
+        .agg(coalesce(sum(when(col("__hit").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("violations"),
+          count(lit(1)).as("n_rows"))
         .select(lit(r.name).as("constraint"), col("violations"), col("n_rows"))
     }
 

@@ -80,6 +80,11 @@ object Experiment {
         round(col("effect_cuped") / col("se_cuped"), 4).as("t_cuped"),
         round(col("effect_cuped") - lit(Z95) * col("se_cuped"), 4).as("ci_lo"),
         round(col("effect_cuped") + lit(Z95) * col("se_cuped"), 4).as("ci_hi"),
-        round(col("var_reduction"), 4).as("var_reduction"))
+        round(col("var_reduction"), 4).as("var_reduction"),
+        // a missing arm or a 1-unit arm nulls the effect columns via
+        // max-over-nothing / division by (na-1)=0; surface that as an
+        // explicit invalid verdict instead of a silently null readout
+        (coalesce(col("n_t"), lit(0L)) >= 2 && coalesce(col("n_c"), lit(0L)) >= 2)
+          .cast("int").as("valid"))
   }
 }

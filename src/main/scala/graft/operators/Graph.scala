@@ -89,15 +89,21 @@ object Graph {
     val du = deg.select(col("node").as("u"), col("d").as("du"))
     val dv = deg.select(col("node").as("v"), col("d").as("dv"))
     val uLower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    // carry each head's degree: the wedge pair below must be ordered by
+    // the SAME (degree, id) total order that oriented the edges — an
+    // id-only order would look for closing edges the orientation never
+    // emitted (e.g. triangle 1-2-3 with tails on 2: edge 2-3 orients
+    // 3→2, so a wedge asking for 2→3 silently loses the triangle)
     val oriented = e.join(du, "u").join(dv, "v")
       .select(when(uLower, col("u")).otherwise(col("v")).as("s"),
-        when(uLower, col("v")).otherwise(col("u")).as("t"))
+        when(uLower, col("v")).otherwise(col("u")).as("t"),
+        when(uLower, col("dv")).otherwise(col("du")).as("dt"))
 
-    val wedges = oriented.select(col("s"), col("t").as("b"))
-      .join(oriented.select(col("s"), col("t").as("c")), Seq("s"))
-      .where(col("b") < col("c"))
-    val tri = wedges.join(oriented.select(col("s").as("b"), col("t").as("c")),
-      Seq("b", "c"))
+    val wedges = oriented.select(col("s"), col("t").as("b"), col("dt").as("db"))
+      .join(oriented.select(col("s"), col("t").as("c"), col("dt").as("dc")), Seq("s"))
+      .where(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+    val tri = wedges.join(
+      oriented.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
 
     val perNode = tri
       .select(explode(array(col("s"), col("b"), col("c"))).as("node"))

@@ -371,7 +371,17 @@ object ScaleQueries {
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(round(sum("value"), 2).as("value"))
-    Seasonal.anomalies(daily, "event_type", "day", "value")
+    // densify on the key × date spine with value 0 BEFORE decomposing:
+    // a zero-event day (total outage — the canonical anomaly) would
+    // otherwise emit no row at all, and the gap would also make the
+    // ROWS-based trend window span non-adjacent calendar dates
+    val span = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val spine = daily.select("event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val dense = spine.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("value", coalesce(col("value"), lit(0.0)))
+    Seasonal.anomalies(dense, "event_type", "day", "value")
       .orderBy("event_type", "day")
   }
 
@@ -388,9 +398,12 @@ object ScaleQueries {
     val ev = Tables.events(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    // as-of right sides must be unique per (key, ts) — collapse any
+    // same-microsecond clicks to the max event_id deterministically
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), col("ts").as("click_ts"),
-        col("event_id").as("click_id"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max("event_id").as("click_id"))
+      .withColumn("click_ts", col("ts"))
     AsOfJoin.backward(purchases, clicks, keys = Seq("user_id"), tsCol = "ts",
         rightCols = Seq("click_id", "click_ts"), tolerance = Some("interval 1 day"))
       .groupBy(to_date(col("ts")).as("day"))
@@ -1116,10 +1129,18 @@ object ScaleQueries {
     // (pure arithmetic, no engine dayofweek convention), z rounded to
     // 4 decimals BEFORE the threshold so the verdict is exact
     "q144_seasonal" ->
-      """WITH daily AS (
+      """WITH daily0 AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
         |    round(sum(value), 2) AS value
         |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily0),
+        |spine AS (
+        |  SELECT event_type, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT DISTINCT event_type FROM daily0) CROSS JOIN span),
+        |daily AS (
+        |  SELECT s.event_type, s.day, coalesce(d.value, 0.0) AS value
+        |  FROM spine s LEFT JOIN daily0 d
+        |    ON d.event_type = s.event_type AND d.day = s.day),
         |t AS (
         |  SELECT *, avg(value) OVER (PARTITION BY event_type ORDER BY day
         |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
@@ -1149,7 +1170,9 @@ object ScaleQueries {
         |    date_trunc('microseconds', ts) AS ts
         |  FROM events),
         |p AS (SELECT user_id, event_id, ts, value FROM e WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, ts AS cts, event_id AS click_id FROM e WHERE event_type = 'click'),
+        |c AS (
+        |  SELECT user_id, ts AS cts, max(event_id) AS click_id
+        |  FROM e WHERE event_type = 'click' GROUP BY 1, 2),
         |m AS (
         |  SELECT p.user_id, p.event_id, c.cts, c.click_id,
         |    row_number() OVER (PARTITION BY p.user_id, p.event_id ORDER BY c.cts DESC) AS rn
@@ -1233,9 +1256,10 @@ object ScaleQueries {
     "q148_target_encoding" ->
       """WITH b AS (
         |  SELECT source AS category,
-        |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        |    CASE WHEN lang IS NULL THEN NULL
+        |         WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 5 AS fold
-        |  FROM documents WHERE source IS NOT NULL),
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL),
         |cells AS (
         |  SELECT category, fold, count(*) AS n_fold, sum(y) AS s_fold
         |  FROM b GROUP BY 1, 2),
@@ -1318,11 +1342,12 @@ object ScaleQueries {
         |    SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
         |o AS (
         |  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
-        |         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+        |         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t,
+        |         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dt
         |  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
         |tri AS (
         |  SELECT w1.s AS a, w1.t AS b, w2.t AS c
-        |  FROM o w1 JOIN o w2 ON w1.s = w2.s AND w1.t < w2.t
+        |  FROM o w1 JOIN o w2 ON w1.s = w2.s AND (w1.dt, w1.t) < (w2.dt, w2.t)
         |  JOIN o w3 ON w3.s = w1.t AND w3.t = w2.t),
         |pn AS (
         |  SELECT node, count(*) AS n_tri FROM (
@@ -1414,7 +1439,9 @@ object ScaleQueries {
         |  round(effect_cuped / se_cuped, 4) AS t_cuped,
         |  round(effect_cuped - 1.959963984540054 * se_cuped, 4) AS ci_lo,
         |  round(effect_cuped + 1.959963984540054 * se_cuped, 4) AS ci_hi,
-        |  round(var_reduction, 4) AS var_reduction
+        |  round(var_reduction, 4) AS var_reduction,
+        |  CASE WHEN coalesce(n_t, 0) >= 2 AND coalesce(n_c, 0) >= 2
+        |    THEN 1 ELSE 0 END AS valid
         |FROM p""".stripMargin
   )
 }

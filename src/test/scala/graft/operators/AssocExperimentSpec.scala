@@ -66,5 +66,13 @@ class AssocExperimentSpec extends AnyFunSuite {
     assert(rf.getAs[Double]("effect_cuped") == rf.getAs[Double]("effect_raw"))
     assert(!rf.getAs[Double]("se_cuped").isNaN)
     assert(rf.getAs[Double]("var_reduction") == 0.0)
+    assert(rf.getAs[Int]("valid") == 1)
+
+    // a miswired assignment (every unit in one arm) must read as an
+    // EXPLICITLY invalid verdict, not a null-filled readout
+    val oneArm = units.withColumn("arm", org.apache.spark.sql.functions.lit(0))
+    val ro = Experiment.abCuped(oneArm, "arm", "pre", "post").collect().head
+    assert(ro.getAs[Int]("valid") == 0)
+    assert(ro.isNullAt(ro.fieldIndex("effect_cuped")))
   }
 }

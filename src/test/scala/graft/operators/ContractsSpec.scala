@@ -43,6 +43,34 @@ class ContractsSpec extends AnyFunSuite {
     assert(out("ref_integrity(id)") == ((1L, 4L, 0)))     // id=9; null probe excluded
   }
 
+  test("empty table: every row-local constraint passes with 0/0, not a NULL verdict") {
+    val s = spark; import s.implicits._
+    val empty = Seq.empty[(Option[Long], String)].toDF("id", "flag")
+    val out = Contracts.run(empty, Seq(
+        Contracts.notNull("id"), Contracts.inSet("flag", Seq("A")),
+        Contracts.Unique(Seq("id"))))
+      .collect()
+    assert(out.length == 3)
+    assert(out.forall(r => r.getAs[Long]("violations") == 0L &&
+      r.getAs[Long]("n_rows") == 0L && r.getAs[Int]("passed") == 1))
+  }
+
+  test("constraint names with quotes are safe (typed map, no SQL-text interpolation)") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "A")).toDF("id", "flag")
+    val out = Contracts.run(df, Seq(
+        Contracts.Satisfies("customer's `id` check", col("id").isNotNull)))
+      .collect()
+    assert(out.head.getAs[String]("constraint") == "customer's `id` check")
+    assert(out.head.getAs[Int]("passed") == 1)
+    intercept[IllegalArgumentException] {
+      Contracts.run(df, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Contracts.run(df, Seq(Contracts.notNull("id"), Contracts.notNull("id")))
+    }
+  }
+
   test("an all-clean suite passes and a single fused scan covers all row-local gates") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "A"), (2L, "N")).toDF("id", "flag")

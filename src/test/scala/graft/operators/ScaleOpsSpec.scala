@@ -278,6 +278,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     val star = (2L to 6L).map(l => (1L, l)).toDF("a", "b")
     val outStar = graft.operators.Graph.triangleStats(star, "a", "b").collect()
     assert(outStar.forall(_.getAs[Long]("n_tri") == 0L))
+
+    // review counterexample: triangle 1-2-3 with tails 2-4, 2-5. Edge
+    // 2-3 orients 3→2 (degree order), so a wedge pair ordered by id
+    // alone would ask for 2→3 and silently drop the triangle
+    val tails = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (2L, 5L)).toDF("a", "b")
+    val mt = graft.operators.Graph.triangleStats(tails, "a", "b")
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_tri")).toMap
+    assert(mt == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L))
+
+    // deterministic pseudo-random graph vs an O(n^3) brute force
+    val n = 14
+    val edges = for {
+      a <- 1 to n; b <- (a + 1) to n
+      if java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$a:$b".getBytes("UTF-8"))(0).toInt % 3 == 0
+    } yield (a.toLong, b.toLong)
+    val adj = edges.toSet
+    def conn(x: Long, y: Long) = adj.contains((math.min(x, y), math.max(x, y)))
+    val expect = (for {
+      a <- 1 to n; b <- (a + 1) to n; c <- (b + 1) to n
+      if conn(a, b) && conn(b, c) && conn(a, c)
+    } yield 1).size
+    val got = graft.operators.Graph.triangleStats(edges.toDF("a", "b"), "a", "b")
+      .collect().map(_.getAs[Long]("n_tri")).sum / 3
+    assert(got == expect.toLong, s"triangle total $got != brute-force $expect")
     // duplicate + reversed edges collapse (undirected semantics)
     val dup = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
     val outDup = graft.operators.Graph.triangleStats(dup, "a", "b").collect()
