@@ -57,4 +57,54 @@ object Seasonal {
         round(col("z"), 4).as("z"),
         (abs(round(col("z"), 4)) > zThreshold).cast("int").as("is_anomaly"))
   }
+
+  /** Lead-lag cross-correlation between every pair of daily series:
+    * Pearson r of (series_a at day t, series_b at day t+lag) for each
+    * lag in [-maxLag, +maxLag] — "which metric moves first" across the
+    * rolled-up key set. A positive best lag means a LEADS b.
+    *
+    * Scale shape: the series are the daily rollup (the q144 contract),
+    * so the lag alignment join and the per-(pair, lag) moment
+    * aggregates run over |keys|·days rows; correlation is explicit-
+    * sums algebra (restatable), and the best-lag flag is a window over
+    * the 2·maxLag+1 rows of each pair. Pairs are a·(a−1)/2 over the
+    * KEY set — this is a metric-pairs operator, not a row-pairs one.
+    */
+  def leadLagCorr(daily: DataFrame, keyCol: String, dayCol: String,
+      valCol: String, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 30, s"maxLag out of range: $maxLag")
+    val a = daily.select(col(keyCol).as("key_a"), col(dayCol).as("day"),
+      col(valCol).cast("double").as("va"))
+    val b = daily.select(col(keyCol).as("key_b"), col(dayCol).as("day_b"),
+      col(valCol).cast("double").as("vb"))
+    val lags = (-maxLag to maxLag).map(l => lit(l))
+
+    val aligned = a
+      .select(col("key_a"), col("day"), col("va"),
+        explode(array(lags: _*)).as("lag"))
+      .join(b, expr("day_b = date_add(day, lag)"))
+      .where(col("key_a") < col("key_b"))
+
+    val cells = aligned.groupBy("key_a", "key_b", "lag")
+      .agg(count(lit(1)).as("n"),
+        sum("va").as("sa"), sum("vb").as("sb"),
+        sum(col("va") * col("va")).as("saa"),
+        sum(col("vb") * col("vb")).as("sbb"),
+        sum(col("va") * col("vb")).as("sab"))
+      .withColumn("den",
+        sqrt((col("n") * col("saa") - col("sa") * col("sa")) *
+             (col("n") * col("sbb") - col("sb") * col("sb"))))
+      .withColumn("r",
+        when(col("den") === 0.0 || col("den").isNull, lit(0.0))
+          .otherwise((col("n") * col("sab") - col("sa") * col("sb")) / col("den")))
+      .withColumn("r", round(col("r"), 6))
+
+    val byPair = Window.partitionBy(col("key_a"), col("key_b"))
+    cells
+      .withColumn("best_abs", max(abs(col("r"))).over(byPair))
+      .withColumn("is_best",
+        (abs(col("r")) === col("best_abs")).cast("int"))
+      .select("key_a", "key_b", "lag", "n", "r", "is_best")
+      .orderBy("key_a", "key_b", "lag")
+  }
 }

@@ -506,6 +506,48 @@ object ScaleQueries {
     Experiment.abCuped(units, "arm", "pre", "post")
   }
 
+  /** Lead-lag cross-correlation between per-event-type daily series
+    * ([[Seasonal.leadLagCorr]], lags ±3): which metric moves first.
+    * Explicit-moments Pearson per (pair, lag) cell, best-lag flag as a
+    * 7-row window per pair. */
+  def q154LeadLag(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("value"))
+    Seasonal.leadLagCorr(daily, "event_type", "day", "value")
+  }
+
+  /** The q143 admission gate, CONTINUOUSLY: row-local contract
+    * violations counted per event-time day over the replayed event
+    * stream (same fused conditional-count shape — constraints are
+    * columns of ONE windowed aggregate, map-side combined into
+    * watermarked window state). The value cap is deliberately set
+    * where the data violates it: a gate that can only pass proves
+    * nothing, streaming or not. Hash oracle = the batch daily
+    * restatement, so window assignment + watermark accounting are what
+    * the check proves. */
+  def q155StreamContracts(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamingOps
+    def viol(pred: org.apache.spark.sql.Column) =
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
+    val stream = StreamingOps.eventStream(s, s"$d/events.parquet")
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_rows"),
+        viol(col("value") >= 0.0).as("v_value_negative"),
+        viol(col("value") <= 50.0).as("v_value_cap"),
+        viol(col("event_type").isin("click", "view", "purchase", "signup", "error"))
+          .as("v_bad_type"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("v_null_user"))
+    StreamingOps.runToMemory(s, stream, "graft_stream_contracts")
+      .select(to_date(col("w.start")).as("day"), col("n_rows"),
+        col("v_value_negative"), col("v_value_cap"), col("v_bad_type"),
+        col("v_null_user"),
+        (col("v_value_negative") === 0 && col("v_value_cap") === 0 &&
+         col("v_bad_type") === 0 && col("v_null_user") === 0).cast("int").as("passed"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
@@ -534,7 +576,9 @@ object ScaleQueries {
     "q150_woe_bins" -> (q150WoeBins _),
     "q151_triangles" -> (q151Triangles _),
     "q152_assoc_rules" -> (q152AssocRules _),
-    "q153_ab_cuped" -> (q153AbCuped _)
+    "q153_ab_cuped" -> (q153AbCuped _),
+    "q154_leadlag" -> (q154LeadLag _),
+    "q155_stream_contracts" -> (q155StreamContracts _)
   )
 
   /** The `morton2` interleave restated as DuckDB arithmetic: bit i of
@@ -1442,6 +1486,58 @@ object ScaleQueries {
         |  round(var_reduction, 4) AS var_reduction,
         |  CASE WHEN coalesce(n_t, 0) >= 2 AND coalesce(n_c, 0) >= 2
         |    THEN 1 ELSE 0 END AS valid
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+    // lag alignment via DATE + INTEGER, explicit-moments Pearson,
+    // best-lag over the rounded r (ties flag both, same both engines)
+    "q154_leadlag" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    round(sum(value), 2) AS value
+        |  FROM events GROUP BY 1, 2),
+        |lags(lag) AS (VALUES (-3), (-2), (-1), (0), (1), (2), (3)),
+        |al AS (
+        |  SELECT a.event_type AS key_a, b.event_type AS key_b, l.lag,
+        |    a.value AS va, b.value AS vb
+        |  FROM daily a CROSS JOIN lags l
+        |  JOIN daily b ON b.day = a.day + l.lag AND a.event_type < b.event_type),
+        |cells AS (
+        |  SELECT key_a, key_b, lag, count(*) AS n,
+        |    sum(va) AS sa, sum(vb) AS sb, sum(va * va) AS saa,
+        |    sum(vb * vb) AS sbb, sum(va * vb) AS sab
+        |  FROM al GROUP BY 1, 2, 3),
+        |r0 AS (
+        |  SELECT *, sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)) AS den
+        |  FROM cells),
+        |r1 AS (
+        |  SELECT key_a, key_b, lag, n,
+        |    round(CASE WHEN den = 0 OR den IS NULL THEN 0.0
+        |      ELSE (n * sab - sa * sb) / den END, 6) AS r
+        |  FROM r0),
+        |b2 AS (
+        |  SELECT *, max(abs(r)) OVER (PARTITION BY key_a, key_b) AS best_abs
+        |  FROM r1)
+        |SELECT key_a, key_b, lag, n, r,
+        |  CASE WHEN abs(r) = best_abs THEN 1 ELSE 0 END AS is_best
+        |FROM b2 ORDER BY key_a, key_b, lag""".stripMargin,
+    // batch daily restatement of the streaming gate (violation =
+    // predicate false OR NULL, same conservative coalesce)
+    "q155_stream_contracts" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, value, date_trunc('microseconds', ts) AS ts
+        |  FROM events)
+        |SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  count(*) AS n_rows,
+        |  count(*) FILTER (WHERE NOT coalesce(value >= 0.0, FALSE)) AS v_value_negative,
+        |  count(*) FILTER (WHERE NOT coalesce(value <= 50.0, FALSE)) AS v_value_cap,
+        |  count(*) FILTER (WHERE NOT coalesce(
+        |    event_type IN ('click','view','purchase','signup','error'), FALSE)) AS v_bad_type,
+        |  count(*) FILTER (WHERE user_id IS NULL) AS v_null_user,
+        |  CASE WHEN count(*) FILTER (WHERE NOT coalesce(value >= 0.0, FALSE)) = 0
+        |    AND count(*) FILTER (WHERE NOT coalesce(value <= 50.0, FALSE)) = 0
+        |    AND count(*) FILTER (WHERE NOT coalesce(
+        |      event_type IN ('click','view','purchase','signup','error'), FALSE)) = 0
+        |    AND count(*) FILTER (WHERE user_id IS NULL) = 0
+        |    THEN 1 ELSE 0 END AS passed
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

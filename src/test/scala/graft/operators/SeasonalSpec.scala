@@ -47,6 +47,26 @@ class SeasonalSpec extends AnyFunSuite {
       s"false positives outside the spike window: ${flagged.toSeq}")
   }
 
+  test("leadLagCorr: a series shifted by +2 days is found at lag +2 with r = 1") {
+    val s = spark; import s.implicits._
+    // b(t) = a(t - 2): a at day t correlates perfectly with b at t + 2
+    def a(i: Int) = 10.0 + (i * 13 % 17)
+    val rows = (0 until 30).flatMap { i =>
+      Seq(("a", day(i), a(i)), ("b", day(i), a(i - 2)))
+    }.toDF("k", "day", "v")
+    val out = Seasonal.leadLagCorr(rows, "k", "day", "v", maxLag = 3)
+      .collect().map(r => r.getAs[Int]("lag") ->
+        (r.getAs[Double]("r"), r.getAs[Int]("is_best"))).toMap
+    assert(out.size == 7)
+    assert(out(2) == ((1.0, 1)), s"lag +2 should be the perfect match: $out")
+    assert(out.filter(_._2._2 == 1).keySet == Set(2))
+    // self-pair is excluded (key_a < key_b) and a flat series guards den=0
+    val flat = (0 until 10).flatMap(i => Seq(("a", day(i), 1.0), ("b", day(i), 5.0)))
+      .toDF("k", "day", "v")
+    val rf = Seasonal.leadLagCorr(flat, "k", "day", "v", maxLag = 1).collect()
+    assert(rf.forall(_.getAs[Double]("r") == 0.0))
+  }
+
   test("weekday seasonal component absorbs the periodic offset") {
     val s = spark; import s.implicits._
     val daily = (0 until 56).map { i =>
