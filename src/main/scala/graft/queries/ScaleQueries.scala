@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Agreement, AsOfJoin, Assoc, Binning, Bootstrap, Cdc, Contracts, Curation, Dedup, Drift, Embeddings, Encoding, EnergyOps, Experiment, Graph, Interpolate, Layout, Linkage, Materialize, Quantiles, Retrieval, Scd, Seasonal, Sequences, Similarity, SkewJoin, TextSearch}
+import graft.operators.{Agreement, AsOfJoin, Assoc, Binning, Bootstrap, Cdc, Contracts, Curation, Dedup, Drift, Embeddings, Encoding, EnergyOps, Experiment, Graph, Interpolate, Layout, Linkage, Manifest, Materialize, Quantiles, Retrieval, Scd, Seasonal, Sequences, Similarity, SkewJoin, TextSearch}
 import graft.sources.Tables
 
 /** Round-5 warehouse/scale tranche: point-in-time enrichment against
@@ -548,6 +548,25 @@ object ScaleQueries {
       .orderBy("day")
   }
 
+  /** Corpus integrity manifest + bucket diff ([[Manifest.build]] /
+    * [[Manifest.diff]]): order-independent BIT_XOR digests per md5
+    * bucket, root row included. Old = documents, new = the q125/q130
+    * synthetic refresh — the diff pinpoints exactly the 1/64 slices
+    * holding the dropped/revised/added docs without comparing a single
+    * row across snapshots. */
+  def q156Manifest(s: SparkSession, d: String): DataFrame = {
+    val old = Tables.documents(s, d).select("doc_id", "text", "lang")
+    val added = old.orderBy("doc_id").limit(5)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"), col("lang"))
+    val neu = old.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+      .withColumn("text", when(pmod(col("doc_id"), lit(10)) === 4,
+        concat(col("text"), lit(RevisionSuffix))).otherwise(col("text")))
+      .unionByName(added)
+    Manifest.diff(
+      Manifest.build(old, "doc_id", Seq("text", "lang")),
+      Manifest.build(neu, "doc_id", Seq("text", "lang")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
@@ -578,7 +597,8 @@ object ScaleQueries {
     "q152_assoc_rules" -> (q152AssocRules _),
     "q153_ab_cuped" -> (q153AbCuped _),
     "q154_leadlag" -> (q154LeadLag _),
-    "q155_stream_contracts" -> (q155StreamContracts _)
+    "q155_stream_contracts" -> (q155StreamContracts _),
+    "q156_manifest" -> (q156Manifest _)
   )
 
   /** The `morton2` interleave restated as DuckDB arithmetic: bit i of
@@ -1538,6 +1558,39 @@ object ScaleQueries {
         |      event_type IN ('click','view','purchase','signup','error'), FALSE)) = 0
         |    AND count(*) FILTER (WHERE user_id IS NULL) = 0
         |    THEN 1 ELSE 0 END AS passed
-        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // both snapshots' manifests restated: same md5 bucket, same 48-bit
+    // row fingerprint over key||text||lang, BIT_XOR per bucket + root
+    "q156_manifest" ->
+      """WITH added AS (
+        |  SELECT doc_id + 10000000 AS doc_id, text, lang
+        |  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 5)),
+        |neu AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 4 THEN text || ' [rev2]' ELSE text END AS text,
+        |    lang
+        |  FROM documents WHERE doc_id % 10 <> 3
+        |  UNION ALL SELECT doc_id, text, lang FROM added),
+        |o_rows AS (
+        |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 64 AS bucket,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) || lang), 1, 12))::BIGINT AS h
+        |  FROM documents),
+        |n_rows_t AS (
+        |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 64 AS bucket,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) || lang), 1, 12))::BIGINT AS h
+        |  FROM neu),
+        |ob AS (SELECT bucket, count(*) AS n_rows, bit_xor(h) AS digest FROM o_rows GROUP BY 1),
+        |nb AS (SELECT bucket, count(*) AS n_rows, bit_xor(h) AS digest FROM n_rows_t GROUP BY 1),
+        |om AS (SELECT * FROM ob
+        |  UNION ALL SELECT -1, CAST(sum(n_rows) AS BIGINT), bit_xor(digest) FROM ob),
+        |nm AS (SELECT * FROM nb
+        |  UNION ALL SELECT -1, CAST(sum(n_rows) AS BIGINT), bit_xor(digest) FROM nb)
+        |SELECT coalesce(om.bucket, nm.bucket) AS bucket,
+        |  coalesce(om.n_rows, 0) AS n_old, coalesce(nm.n_rows, 0) AS n_new,
+        |  coalesce(om.digest, 0) AS digest_old, coalesce(nm.digest, 0) AS digest_new,
+        |  CASE WHEN coalesce(om.n_rows, 0) <> coalesce(nm.n_rows, 0)
+        |    OR coalesce(om.digest, 0) <> coalesce(nm.digest, 0) THEN 1 ELSE 0 END AS changed
+        |FROM om FULL OUTER JOIN nm ON om.bucket = nm.bucket
+        |ORDER BY bucket""".stripMargin
   )
 }
