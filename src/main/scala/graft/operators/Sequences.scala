@@ -37,4 +37,30 @@ object Sequences {
       .withColumn("p", round(col("n").cast("double") / col("state_total"), 4))
       .orderBy("state", "next_state")
   }
+
+  /** Converting-path census: for every occurrence of `target`, the
+    * `depth` states immediately preceding it in the key's ordered
+    * sequence, joined into one path string and counted corpus-wide.
+    * Sequence starts shorter than `depth` pad with "(start)". Same
+    * scale shape as [[transitionMatrix]]: one key-partitioned window
+    * pass, then analytics on ≤|states|^depth path cells. */
+  def precedingPaths(df: DataFrame, keyCol: String, tsCol: String,
+      stateCol: String, tieCol: String, target: String, depth: Int = 3): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth out of range: $depth")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val withLags = (1 to depth).foldLeft(df) { (acc, i) =>
+      acc.withColumn(s"__p$i", lag(col(stateCol), i).over(w))
+    }
+    val pathCols = (depth to 1 by -1) // oldest first
+      .map(i => coalesce(col(s"__p$i"), lit("(start)")))
+    val paths = withLags
+      .where(col(stateCol) === target)
+      .select(concat_ws(" > ", pathCols: _*).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+    val total = paths.agg(coalesce(sum("n"), lit(0L)).as("total"))
+    paths.crossJoin(broadcast(total))
+      .select(col("path"), col("n"),
+        round(col("n") / col("total").cast("double"), 6).as("share"))
+      .orderBy("path")
+  }
 }

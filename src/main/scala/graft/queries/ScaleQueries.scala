@@ -567,6 +567,16 @@ object ScaleQueries {
       Manifest.build(neu, "doc_id", Seq("text", "lang")))
   }
 
+  /** Converting-path census ([[Sequences.precedingPaths]]): the 3
+    * events leading into every purchase, counted corpus-wide with
+    * share of all purchases — the "what does the journey look like
+    * right before conversion" readout over the same one-window-pass
+    * machinery as q147. */
+  def q157ConversionPaths(s: SparkSession, d: String): DataFrame =
+    Sequences.precedingPaths(Tables.events(s, d), keyCol = "user_id",
+      tsCol = "ts", stateCol = "event_type", tieCol = "event_id",
+      target = "purchase", depth = 3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
@@ -598,7 +608,8 @@ object ScaleQueries {
     "q153_ab_cuped" -> (q153AbCuped _),
     "q154_leadlag" -> (q154LeadLag _),
     "q155_stream_contracts" -> (q155StreamContracts _),
-    "q156_manifest" -> (q156Manifest _)
+    "q156_manifest" -> (q156Manifest _),
+    "q157_conversion_paths" -> (q157ConversionPaths _)
   )
 
   /** The `morton2` interleave restated as DuckDB arithmetic: bit i of
@@ -1591,6 +1602,24 @@ object ScaleQueries {
         |  CASE WHEN coalesce(om.n_rows, 0) <> coalesce(nm.n_rows, 0)
         |    OR coalesce(om.digest, 0) <> coalesce(nm.digest, 0) THEN 1 ELSE 0 END AS changed
         |FROM om FULL OUTER JOIN nm ON om.bucket = nm.bucket
-        |ORDER BY bucket""".stripMargin
+        |ORDER BY bucket""".stripMargin,
+    // same three lags + start padding + share arithmetic
+    "q157_conversion_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, date_trunc('microseconds', ts) AS ts
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+        |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2,
+        |    lag(event_type, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p3
+        |  FROM e),
+        |paths AS (
+        |  SELECT coalesce(p3, '(start)') || ' > ' || coalesce(p2, '(start)')
+        |    || ' > ' || coalesce(p1, '(start)') AS path, count(*) AS n
+        |  FROM l WHERE event_type = 'purchase' GROUP BY 1),
+        |tot AS (SELECT sum(n) AS total FROM paths)
+        |SELECT path, n, round(n / CAST(total AS DOUBLE), 6) AS share
+        |FROM paths CROSS JOIN tot ORDER BY path""".stripMargin
   )
 }

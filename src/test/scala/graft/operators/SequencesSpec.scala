@@ -34,6 +34,22 @@ class SequencesSpec extends AnyFunSuite {
     assert(rowSums("a") == 1.0)
   }
 
+  test("precedingPaths: start padding, corpus-wide counting, share sums to 1") {
+    val s = spark; import s.implicits._
+    // user 1: a b BUY ; user 2: BUY (no history) ; user 3: c a b BUY
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "BUY"),
+      (2L, 1L, "BUY"),
+      (3L, 1L, "c"), (3L, 2L, "a"), (3L, 3L, "b"), (3L, 4L, "BUY")
+    ).toDF("u", "t", "st")
+    val out = Sequences.precedingPaths(df, "u", "t", "st", "t", target = "BUY", depth = 3)
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Double]("share"))).toMap
+    assert(out("(start) > a > b") == ((1L, 0.333333)))
+    assert(out("(start) > (start) > (start)") == ((1L, 0.333333)))
+    assert(out("c > a > b") == ((1L, 0.333333)))
+    assert(out.size == 3)
+  }
+
   test("equal timestamps are ordered by the tiebreak column") {
     val s = spark; import s.implicits._
     // same ts for all three events; tie column fixes a -> b -> c
