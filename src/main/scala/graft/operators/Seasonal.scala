@@ -58,6 +58,48 @@ object Seasonal {
         (abs(round(col("z"), 4)) > zThreshold).cast("int").as("is_anomaly"))
   }
 
+  /** One-sided CUSUM change-point detection on grouped daily series —
+    * the sequential test that catches a small persistent LEVEL SHIFT
+    * (a 5% regression every day) that per-day z-scores never flag
+    * because no single day is extreme.
+    *
+    * The classic recursion S_t = max(0, S_{t-1} + (x_t − μ − k)) looks
+    * inherently sequential, but it equals the DRAWUP of the cumulative
+    * deviation series: with C_t = Σ_{j≤t}(x_j − μ − k),
+    * S_t = C_t − min_{j≤t} C_j. Proof sketch: both satisfy the same
+    * recurrence — subtracting the running min is exactly the "clamp at
+    * zero" reset. That identity turns the recursion into TWO ordered
+    * window functions (running sum, running min) per key — fully
+    * parallel across keys, restatable in any SQL engine, no UDF/fold.
+    *
+    * μ and σ come from the first `baselineDays` days per key (the
+    * in-control period); k = slack·σ is the standard allowance (half
+    * the shift magnitude worth detecting); the alarm fires where
+    * S_t > h·σ. Same daily-rollup input contract as [[anomalies]].
+    */
+  def cusum(daily: DataFrame, keyCol: String, dayCol: String, valCol: String,
+      baselineDays: Int = 14, slack: Double = 0.5, h: Double = 4.0): DataFrame = {
+    require(baselineDays >= 2, s"baseline too short: $baselineDays")
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    val ranked = daily
+      .withColumn("__rn", row_number().over(byKey))
+    val base = ranked.where(col("__rn") <= baselineDays)
+      .groupBy(col(keyCol))
+      .agg(avg(col(valCol)).as("mu"), stddev_samp(col(valCol)).as("sigma"),
+        count(lit(1)).as("n_base"))
+      .where(col("sigma").isNotNull && col("sigma") > 0.0)
+
+    ranked.join(base, Seq(keyCol))
+      .withColumn("dev", col(valCol) - col("mu") - lit(slack) * col("sigma"))
+      .withColumn("c", sum("dev").over(byKey))
+      .withColumn("cmin", min(least(col("c"), lit(0.0))).over(byKey))
+      .withColumn("s", round((col("c") - col("cmin")) / col("sigma"), 4))
+      .select(col(keyCol), col(dayCol), col(valCol),
+        round(col("mu"), 4).as("mu"), col("s"),
+        (col("s") > h).cast("int").as("alarm"))
+      .orderBy(keyCol, dayCol)
+  }
+
   /** Lead-lag cross-correlation between every pair of daily series:
     * Pearson r of (series_a at day t, series_b at day t+lag) for each
     * lag in [-maxLag, +maxLag] — "which metric moves first" across the

@@ -577,6 +577,21 @@ object ScaleQueries {
       tsCol = "ts", stateCol = "event_type", tieCol = "event_id",
       target = "purchase", depth = 3)
 
+  /** CUSUM change-point monitor ([[Seasonal.cusum]]): a planted +30%
+    * level shift in purchase volume from Jan 22 — too small for any
+    * single day to z-flag — must raise the sequential alarm within a
+    * few days. The recursion runs as the drawup identity (running sum
+    * − running min), two window functions per key, no fold. */
+  def q158Cusum(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("value"))
+      .withColumn("value", round(col("value") *
+        when(col("event_type") === "purchase" && col("day") >= lit("2024-01-22").cast("date"),
+          1.3).otherwise(1.0), 2))
+    Seasonal.cusum(daily, "event_type", "day", "value")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
@@ -609,7 +624,8 @@ object ScaleQueries {
     "q154_leadlag" -> (q154LeadLag _),
     "q155_stream_contracts" -> (q155StreamContracts _),
     "q156_manifest" -> (q156Manifest _),
-    "q157_conversion_paths" -> (q157ConversionPaths _)
+    "q157_conversion_paths" -> (q157ConversionPaths _),
+    "q158_cusum" -> (q158Cusum _)
   )
 
   /** The `morton2` interleave restated as DuckDB arithmetic: bit i of
@@ -1620,6 +1636,41 @@ object ScaleQueries {
         |  FROM l WHERE event_type = 'purchase' GROUP BY 1),
         |tot AS (SELECT sum(n) AS total FROM paths)
         |SELECT path, n, round(n / CAST(total AS DOUBLE), 6) AS share
-        |FROM paths CROSS JOIN tot ORDER BY path""".stripMargin
+        |FROM paths CROSS JOIN tot ORDER BY path""".stripMargin,
+    // same drawup restatement: running sum & running min windows over
+    // the planted-shift daily series, baseline moments from the first
+    // 14 ranked days, s rounded before the alarm compare
+    "q158_cusum" ->
+      """WITH daily0 AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    round(sum(value), 2) AS value
+        |  FROM events GROUP BY 1, 2),
+        |daily AS (
+        |  SELECT event_type, day,
+        |    round(value * CASE WHEN event_type = 'purchase'
+        |      AND day >= DATE '2024-01-22' THEN 1.3 ELSE 1.0 END, 2) AS value
+        |  FROM daily0),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily),
+        |b AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+        |  FROM r WHERE rn <= 14 GROUP BY 1
+        |  HAVING stddev_samp(value) IS NOT NULL AND stddev_samp(value) > 0),
+        |dv AS (
+        |  SELECT r.event_type, r.day, r.value, b.mu, b.sigma,
+        |    r.value - b.mu - 0.5 * b.sigma AS dev
+        |  FROM r JOIN b ON b.event_type = r.event_type),
+        |c0 AS (
+        |  SELECT *, sum(dev) OVER (PARTITION BY event_type ORDER BY day) AS cs
+        |  FROM dv),
+        |c AS (
+        |  SELECT *, min(least(cs, 0.0))
+        |    OVER (PARTITION BY event_type ORDER BY day) AS cmin
+        |  FROM c0),
+        |f AS (SELECT *, round((cs - cmin) / sigma, 4) AS s FROM c)
+        |SELECT event_type, day, value, round(mu, 4) AS mu, s,
+        |  CASE WHEN s > 4.0 THEN 1 ELSE 0 END AS alarm
+        |FROM f ORDER BY event_type, day""".stripMargin
   )
 }

@@ -47,6 +47,36 @@ class SeasonalSpec extends AnyFunSuite {
       s"false positives outside the spike window: ${flagged.toSeq}")
   }
 
+  test("cusum: drawup identity equals the textbook recursion; shift alarms, stationary stays quiet") {
+    val s = spark; import s.implicits._
+    // deterministic wobble around 100, then a +1.5-unit shift at day 30
+    def x(i: Int) = 100.0 + ((i * 7) % 5 - 2) * 0.5 + (if (i >= 30) 1.5 else 0.0)
+    val daily = (0 until 50).map(i => ("k", day(i), x(i))).toDF("k", "day", "v")
+    val out = Seasonal.cusum(daily, "k", "day", "v", baselineDays = 14,
+        slack = 0.5, h = 4.0)
+      .collect().sortBy(_.getAs[Date]("day").toString)
+
+    // brute-force the classic recursion S_t = max(0, S_{t-1} + x - mu - k)
+    val basis = (0 until 14).map(x)
+    val mu = basis.sum / 14
+    val sigma = math.sqrt(basis.map(v => (v - mu) * (v - mu)).sum / 13)
+    var st = 0.0
+    val expected = (0 until 50).map { i =>
+      st = math.max(0.0, st + x(i) - mu - 0.5 * sigma)
+      BigDecimal(st / sigma).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out.map(_.getAs[Double]("s")).toSeq == expected,
+      "window drawup must equal the sequential recursion exactly")
+    val alarms = out.filter(_.getAs[Int]("alarm") == 1).map(_.getAs[Date]("day").toString)
+    assert(alarms.nonEmpty && alarms.forall(_ >= day(30).toString),
+      s"alarms must start at/after the shift: $alarms")
+    // stationary series: never alarms
+    val flat = (0 until 50).map(i => ("k", day(i), 100.0 + ((i * 7) % 5 - 2) * 0.5))
+      .toDF("k", "day", "v")
+    assert(Seasonal.cusum(flat, "k", "day", "v").collect()
+      .forall(_.getAs[Int]("alarm") == 0))
+  }
+
   test("leadLagCorr: a series shifted by +2 days is found at lag +2 with r = 1") {
     val s = spark; import s.implicits._
     // b(t) = a(t - 2): a at day t correlates perfectly with b at t + 2
