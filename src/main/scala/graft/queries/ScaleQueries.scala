@@ -592,6 +592,30 @@ object ScaleQueries {
     Seasonal.cusum(daily, "event_type", "day", "value")
   }
 
+  /** DAU / WAU / stickiness: exact sliding-window distinct users
+    * without a distinct-per-window rescan. Scale shape: dedup to
+    * (user, day) ONCE (map-side combinable, the only pass over raw
+    * events), then each active day explodes into the ≤7 observation
+    * windows it covers and a second distinct+count runs on the
+    * (user, obs_day) pairs — shuffle volume is active-days × 7,
+    * independent of raw event volume. The naive
+    * `count(DISTINCT) OVER (RANGE 7 days)` forms the same answer from
+    * a per-window rescan no engine executes well at scale. */
+  def q159ActiveUsers(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(sequence(col("day"), date_add(col("day"), 6)))
+        .as("obs_day"))
+      .distinct()
+      .groupBy("obs_day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, dau("day") === wau("obs_day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau") / col("wau").cast("double"), 4).as("stickiness"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
@@ -625,7 +649,8 @@ object ScaleQueries {
     "q155_stream_contracts" -> (q155StreamContracts _),
     "q156_manifest" -> (q156Manifest _),
     "q157_conversion_paths" -> (q157ConversionPaths _),
-    "q158_cusum" -> (q158Cusum _)
+    "q158_cusum" -> (q158Cusum _),
+    "q159_active_users" -> (q159ActiveUsers _)
   )
 
   /** The `morton2` interleave restated as DuckDB arithmetic: bit i of
@@ -1671,6 +1696,22 @@ object ScaleQueries {
         |f AS (SELECT *, round((cs - cmin) / sigma, 4) AS s FROM c)
         |SELECT event_type, day, value, round(mu, 4) AS mu, s,
         |  CASE WHEN s > 4.0 THEN 1 ELSE 0 END AS alarm
-        |FROM f ORDER BY event_type, day""".stripMargin
+        |FROM f ORDER BY event_type, day""".stripMargin,
+    // WAU restated as the textbook distinct-over-trailing-range (the
+    // formulation the engine's explode trick replaces), DAU exact
+    "q159_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |wau AS (
+        |  SELECT d.day,
+        |    (SELECT count(DISTINCT u.user_id) FROM ud u
+        |     WHERE u.day <= d.day AND u.day >= d.day - 6) AS wau
+        |  FROM dau d)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  round(dau.dau / CAST(wau.wau AS DOUBLE), 4) AS stickiness
+        |FROM dau JOIN wau ON wau.day = dau.day
+        |ORDER BY dau.day""".stripMargin
   )
 }
