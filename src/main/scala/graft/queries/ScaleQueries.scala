@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Agreement, AsOfJoin, Assoc, Binning, Bootstrap, Cdc, Contracts, Curation, Dedup, Drift, Embeddings, Encoding, EnergyOps, Experiment, Graph, Interpolate, Layout, Linkage, Manifest, Materialize, Quantiles, Retrieval, Scd, Seasonal, Sequences, Similarity, SkewJoin, TextSearch}
+import graft.operators.{Agreement, AsOfJoin, Assoc, Binning, Bootstrap, Cdc, Contracts, Curation, Dedup, Drift, Embeddings, Encoding, EnergyOps, Experiment, Graph, Interpolate, Layout, Linkage, Manifest, Materialize, Quantiles, Retrieval, Scd, Seasonal, Sequences, Similarity, Survival, SkewJoin, TextSearch}
 import graft.sources.Tables
 
 /** Round-5 warehouse/scale tranche: point-in-time enrichment against
@@ -616,6 +616,29 @@ object ScaleQueries {
       .orderBy("day")
   }
 
+  /** Kaplan–Meier time-to-first-error ([[Survival.kaplanMeier]]): per
+    * user, days from first activity to the first `error` event; users
+    * who never error are right-censored at their last observed day.
+    * The product-limit estimator runs as exp(running sum of logs) over
+    * the life table — the unbiased hazard readout a naive mean
+    * time-to-failure gets wrong exactly because the units that never
+    * failed are the censored ones. */
+  def q160KaplanMeier(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+    val span = e.groupBy("user_id")
+      .agg(min("day").as("first_day"), max("day").as("last_day"))
+    val firstErr = e.where(col("event_type") === "error")
+      .groupBy("user_id").agg(min("day").as("err_day"))
+    val units = span.join(firstErr, Seq("user_id"), "left")
+      .select(
+        when(col("err_day").isNotNull, datediff(col("err_day"), col("first_day")))
+          .otherwise(datediff(col("last_day"), col("first_day")))
+          .cast("long").as("duration"),
+        col("err_day").isNotNull.cast("int").as("errored"))
+    Survival.kaplanMeier(units, "duration", "errored")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
@@ -650,7 +673,8 @@ object ScaleQueries {
     "q156_manifest" -> (q156Manifest _),
     "q157_conversion_paths" -> (q157ConversionPaths _),
     "q158_cusum" -> (q158Cusum _),
-    "q159_active_users" -> (q159ActiveUsers _)
+    "q159_active_users" -> (q159ActiveUsers _),
+    "q160_kaplan_meier" -> (q160KaplanMeier _)
   )
 
   /** The `morton2` interleave restated as DuckDB arithmetic: bit i of
@@ -1712,6 +1736,39 @@ object ScaleQueries {
         |SELECT dau.day, dau.dau, wau.wau,
         |  round(dau.dau / CAST(wau.wau AS DOUBLE), 4) AS stickiness
         |FROM dau JOIN wau ON wau.day = dau.day
-        |ORDER BY dau.day""".stripMargin
+        |ORDER BY dau.day""".stripMargin,
+    // identical life-table algebra: exited-before running sum, at-risk
+    // difference, exp of running log sum (product-limit)
+    "q160_kaplan_meier" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |ud AS (SELECT user_id, min(day) AS fd, max(day) AS ld FROM e GROUP BY 1),
+        |fe AS (
+        |  SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS err_day
+        |  FROM events WHERE event_type = 'error' GROUP BY 1),
+        |units AS (
+        |  SELECT CAST(CASE WHEN err_day IS NOT NULL THEN err_day - fd
+        |    ELSE ld - fd END AS BIGINT) AS t,
+        |    CASE WHEN err_day IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM ud LEFT JOIN fe USING (user_id)),
+        |tab AS (
+        |  SELECT t, CAST(sum(ev) AS BIGINT) AS n_events,
+        |    CAST(sum(1 - ev) AS BIGINT) AS n_censored
+        |  FROM units GROUP BY 1),
+        |tot AS (SELECT sum(n_events + n_censored) AS n_total FROM tab),
+        |rk AS (
+        |  SELECT *, coalesce(sum(n_events + n_censored)
+        |    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS exited
+        |  FROM tab CROSS JOIN tot),
+        |ar AS (SELECT *, n_total - exited AS n_at_risk FROM rk),
+        |lg AS (
+        |  SELECT *, CASE WHEN n_events > 0 AND n_events < n_at_risk
+        |    THEN ln(1.0 - n_events / CAST(n_at_risk AS DOUBLE)) ELSE 0.0 END AS log_term,
+        |    CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END AS zf
+        |  FROM ar)
+        |SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk, n_events, n_censored,
+        |  CASE WHEN max(zf) OVER (ORDER BY t) = 1 THEN 0.0
+        |    ELSE round(exp(sum(log_term) OVER (ORDER BY t)), 4) END AS survival
+        |FROM lg ORDER BY t""".stripMargin
   )
 }
