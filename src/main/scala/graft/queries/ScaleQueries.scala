@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Agreement, AsOfJoin, Assoc, Binning, Bootstrap, Cdc, Contracts, Curation, Dedup, Drift, Embeddings, Encoding, EnergyOps, Experiment, Graph, Interpolate, Layout, Linkage, Manifest, Materialize, Quantiles, Retrieval, Scd, Seasonal, Sequences, Similarity, Survival, SkewJoin, TextSearch}
+import graft.operators.{Agreement, AsOfJoin, Assoc, Binning, Bootstrap, Cdc, Contracts, Curation, Dedup, Drift, Embeddings, Encoding, EnergyOps, Experiment, Graph, Interpolate, Layout, Linkage, Manifest, Materialize, Quantiles, Retrieval, RobustStats, Scd, Seasonal, Sequences, Similarity, Survival, SkewJoin, TextSearch}
 import graft.sources.Tables
 
 /** Round-5 warehouse/scale tranche: point-in-time enrichment against
@@ -639,6 +639,32 @@ object ScaleQueries {
     Survival.kaplanMeier(units, "duration", "errored")
   }
 
+  /** Benford first-digit audit of extended price ([[RobustStats
+    * .benford]]): digit taken from the exact cents integer (never
+    * log10/float formatting), chi-square against log10(1+1/d). */
+  def q161Benford(s: SparkSession, d: String): DataFrame =
+    RobustStats.benford(Tables.lineitem(s, d), "l_extendedprice")
+
+  /** Gini concentration of event value across users per event type
+    * ([[RobustStats.gini]]): one group-partitioned rank window, closed
+    * form over the ranked values. */
+  def q162Gini(s: SparkSession, d: String): DataFrame =
+    RobustStats.gini(
+      Tables.events(s, d).groupBy(col("event_type"), col("user_id"))
+        .agg(round(sum("value"), 6).as("v")),
+      groupCol = "event_type", unitCol = "user_id", valCol = "v")
+
+  /** Theil–Sen robust daily trend per event type ([[RobustStats
+    * .theilSen]]): median pairwise slope over the daily rollup —
+    * outlier days cannot drag it the way they drag OLS. */
+  def q163TheilSen(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("v"))
+      .withColumn("x", datediff(col("day"), lit("1970-01-01").cast("date")))
+    RobustStats.theilSen(daily, groupCol = "event_type", xCol = "x", valCol = "v")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
@@ -674,7 +700,10 @@ object ScaleQueries {
     "q157_conversion_paths" -> (q157ConversionPaths _),
     "q158_cusum" -> (q158Cusum _),
     "q159_active_users" -> (q159ActiveUsers _),
-    "q160_kaplan_meier" -> (q160KaplanMeier _)
+    "q160_kaplan_meier" -> (q160KaplanMeier _),
+    "q161_benford" -> (q161Benford _),
+    "q162_gini" -> (q162Gini _),
+    "q163_theil_sen" -> (q163TheilSen _)
   )
 
   /** The `morton2` interleave restated as DuckDB arithmetic: bit i of
@@ -1769,6 +1798,52 @@ object ScaleQueries {
         |SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk, n_events, n_censored,
         |  CASE WHEN max(zf) OVER (ORDER BY t) = 1 THEN 0.0
         |    ELSE round(exp(sum(log_term) OVER (ORDER BY t)), 4) END AS survival
-        |FROM lg ORDER BY t""".stripMargin
+        |FROM lg ORDER BY t""".stripMargin,
+    // cents-integer first digit, identical chi-square algebra
+    "q161_benford" ->
+      """WITH rows_in AS (
+        |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL
+        |    AND CAST(round(l_extendedprice * 100) AS BIGINT) > 0),
+        |cells AS (SELECT digit, count(*) AS n FROM rows_in GROUP BY 1),
+        |tot AS (SELECT sum(n) AS n_total FROM cells),
+        |p AS (
+        |  SELECT *, n / CAST(n_total AS DOUBLE) AS op,
+        |    log10(1.0 + 1.0 / digit) AS bp
+        |  FROM cells CROSS JOIN tot),
+        |p2 AS (SELECT *, (op - bp) * (op - bp) / bp * n_total AS ct FROM p),
+        |c2 AS (SELECT round(sum(ct), 4) AS chi2 FROM p2)
+        |SELECT digit, n, round(op, 6) AS observed_p, round(bp, 6) AS benford_p,
+        |  round(ct, 4) AS chi2_term, chi2
+        |FROM p2 CROSS JOIN c2 ORDER BY digit""".stripMargin,
+    // same ranked closed form, ties broken by user id
+    "q162_gini" ->
+      """WITH u AS (
+        |  SELECT event_type AS g, user_id AS uu, round(sum(value), 6) AS v
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT g, uu, v, row_number() OVER (PARTITION BY g ORDER BY v, uu) AS rk
+        |  FROM u WHERE v IS NOT NULL AND v >= 0)
+        |SELECT g, count(*) AS n_units, round(sum(v), 2) AS total,
+        |  round(2.0 * sum(rk * v) / (count(*) * sum(v))
+        |    - (count(*) + 1.0) / count(*), 6) AS gini
+        |FROM r GROUP BY g ORDER BY g""".stripMargin,
+    // within-group pair slopes, ceil(n/2) order statistic
+    "q163_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    round(sum(value), 2) AS v
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT g, CAST(day - DATE '1970-01-01' AS DOUBLE) AS x, v FROM daily),
+        |s AS (
+        |  SELECT l.g, (b.v - l.v) / (b.x - l.x) AS slope
+        |  FROM a l JOIN a b ON l.g = b.g AND l.x < b.x),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY g ORDER BY slope) AS rk,
+        |    count(*) OVER (PARTITION BY g) AS n_pairs
+        |  FROM s)
+        |SELECT g, n_pairs, round(slope, 6) AS slope
+        |FROM r WHERE rk = CAST(ceil(n_pairs / 2.0) AS BIGINT) ORDER BY g""".stripMargin
   )
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed guarantees for the forensic-stats family: Gini's
+  * closed-form limits, Benford chi-square separation, and Theil–Sen's
+  * outlier immunity. */
+class RobustStatsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("gini: 0 at perfect equality, (n-1)/n at perfect concentration") {
+    val s = spark; import s.implicits._
+    val eq = (1L to 10L).map(u => ("a", u, 5.0))
+    val conc = (1L to 9L).map(u => ("b", u, 0.0)) :+ (("b", 10L, 100.0))
+    val out = RobustStats.gini((eq ++ conc).toDF("g", "u", "v"), "g", "u", "v")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("gini")).toMap
+    assert(out("a") == 0.0)
+    assert(out("b") == 0.9) // (n-1)/n with n=10
+  }
+
+  test("benford: a conforming sample scores far lower chi2 than uniform digits") {
+    val s = spark; import s.implicits._
+    // conforming: counts proportional to log10(1+1/d) out of 1000
+    val conforming = (1 to 9).flatMap { dd =>
+      val n = math.round(math.log10(1.0 + 1.0 / dd) * 1000).toInt
+      Seq.fill(n)(dd * 1.11) // first digit dd (e.g. 1.11 -> 111 cents -> '1')
+    }.toDF("x")
+    val uniform = (1 to 9).flatMap(dd => Seq.fill(111)(dd * 1.11)).toDF("x")
+    def chi2(df: org.apache.spark.sql.DataFrame) =
+      RobustStats.benford(df, "x").collect().head.getAs[Double]("chi2")
+    assert(chi2(conforming) < 1.0, s"conforming chi2: ${chi2(conforming)}")
+    assert(chi2(uniform) > 15.5, s"uniform chi2: ${chi2(uniform)}")
+    // digit extraction is exact at powers of ten (the log10 trap)
+    val tens = Seq(100.0, 10.0, 1.0, 1000.0).toDF("x")
+    val digs = RobustStats.benford(tens, "x").collect()
+    assert(digs.map(_.getAs[Int]("digit")).toSet == Set(1))
+    assert(digs.head.getAs[Long]("n") == 4L)
+  }
+
+  test("theil-sen: one wild outlier cannot move the median slope") {
+    val s = spark; import s.implicits._
+    // y = 2x, except x=10 shoots to 1000
+    val pts = (1 to 20).map(i =>
+      ("k", i.toDouble, if (i == 10) 1000.0 else 2.0 * i)).toDF("g", "x", "v")
+    val out = RobustStats.theilSen(pts, "g", "x", "v").collect().head
+    assert(out.getAs[Double]("slope") == 2.0,
+      s"median slope must ignore the outlier: ${out.getAs[Double]("slope")}")
+    assert(out.getAs[Long]("n_pairs") == 190L)
+  }
+}
