@@ -25,13 +25,19 @@ import org.apache.spark.sql.functions._
   */
 object Manifest {
 
-  /** 48-bit row fingerprint over key + content, fields joined with a
-    *  separator so ("ab","c") and ("a","bc") cannot collide by
-    * boundary shift (a plain concat would). The oracle mirrors the
-    * separator with chr(1). */
+  /** 48-bit row fingerprint over key + content. Each field is encoded
+    * with a null flag ('N' for NULL, 'V' + value otherwise) BEFORE the
+    * \u0001-separator join: concat_ws silently SKIPS nulls, so without
+    * the flag (id, "a", NULL) and (id, NULL, "a") would hash
+    * identically - a value moving between columns would be invisible
+    * to the digest. The separator prevents boundary-shift collisions
+    * (("ab","c") vs ("a","bc")); the oracle mirrors both with chr(1)
+    * and the same CASE encoding. */
   private def fp(keyCol: String, contentCols: Seq[String]): Column =
     conv(substring(md5(concat_ws("\u0001",
-      (keyCol +: contentCols).map(c => col(c).cast("string")): _*)), 1, 12), 16, 10)
+      (keyCol +: contentCols).map(c =>
+        when(col(c).isNull, lit("N"))
+          .otherwise(concat(lit("V"), col(c).cast("string")))): _*)), 1, 12), 16, 10)
       .cast("long")
 
   /** One row per bucket plus a root row (bucket = -1). */

@@ -31,7 +31,16 @@ object RobustStats {
     val rows = df.select(cents.as("c")).where(col("c").isNotNull && col("c") > 0)
       .select(substring(col("c").cast("string"), 1, 1).cast("int").as("digit"))
 
-    val cells = rows.groupBy("digit").agg(count(lit(1)).as("n"))
+    // outer-join a 1-9 digit spine: a digit with ZERO occurrences is
+    // the classic Benford red flag and must contribute its full
+    // (0 − E)²/E term — dropping absent digits understates chi2 by
+    // exactly the signal the audit exists to catch
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spine = (1 to 9).toDF("digit")
+    val cells = spine.join(rows.groupBy("digit").agg(count(lit(1)).as("n")),
+        Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
     val total = cells.agg(coalesce(sum("n"), lit(0L)).as("n_total"))
     val withP = cells.crossJoin(broadcast(total))
       .withColumn("observed_p", col("n") / col("n_total").cast("double"))
@@ -54,8 +63,7 @@ object RobustStats {
     * G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n needs exactly that one ranked
     * pass. Ties rank deterministically via the unit id. */
   def gini(units: DataFrame, groupCol: String, unitCol: String,
-      valCol: String): DataFrame = {
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(valCol), col(unitCol))
+      valCol: String): DataFrame =
     units
       .select(col(groupCol).as("g"), col(unitCol).as("u"),
         col(valCol).cast("double").as("v"))
@@ -70,7 +78,6 @@ object RobustStats {
             (count(lit(1)) * sum("v")) -
             (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"))
       .orderBy("g")
-  }
 
   /** Theil–Sen robust trend per group: the MEDIAN of all pairwise
     * slopes — up to ~29% contaminated points cannot move it, where one

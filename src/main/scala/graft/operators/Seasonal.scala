@@ -83,11 +83,14 @@ object Seasonal {
     val byKey = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
     val ranked = daily
       .withColumn("__rn", row_number().over(byKey))
+    // keys without a FULL baseline are excluded, not scored against a
+    // 2-point "in-control period" whose noisy sigma alarms spuriously
     val base = ranked.where(col("__rn") <= baselineDays)
       .groupBy(col(keyCol))
       .agg(avg(col(valCol)).as("mu"), stddev_samp(col(valCol)).as("sigma"),
         count(lit(1)).as("n_base"))
-      .where(col("sigma").isNotNull && col("sigma") > 0.0)
+      .where(col("sigma").isNotNull && col("sigma") > 0.0 &&
+        col("n_base") === baselineDays)
 
     ranked.join(base, Seq(keyCol))
       .withColumn("dev", col(valCol) - col("mu") - lit(slack) * col("sigma"))

@@ -48,8 +48,12 @@ object Sequences {
       stateCol: String, tieCol: String, target: String, depth: Int = 3): DataFrame = {
     require(depth >= 1 && depth <= 8, s"depth out of range: $depth")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
-    val withLags = (1 to depth).foldLeft(df) { (acc, i) =>
-      acc.withColumn(s"__p$i", lag(col(stateCol), i).over(w))
+    // a genuinely NULL state must not masquerade as sequence-start
+    // padding: map it to its own sentinel BEFORE lagging, so only a
+    // missing ROW (history shorter than depth) reads "(start)"
+    val withLags = (1 to depth).foldLeft(
+      df.withColumn("__st", coalesce(col(stateCol), lit("(null)")))) { (acc, i) =>
+      acc.withColumn(s"__p$i", lag(col("__st"), i).over(w))
     }
     val pathCols = (depth to 1 by -1) // oldest first
       .map(i => coalesce(col(s"__p$i"), lit("(start)")))

@@ -1678,11 +1678,11 @@ object ScaleQueries {
         |  UNION ALL SELECT doc_id, text, lang FROM added),
         |o_rows AS (
         |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 64 AS bucket,
-        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) || lang), 1, 12))::BIGINT AS h
+        |    ('0x' || substr(md5('V' || CAST(doc_id AS VARCHAR) || chr(1) || CASE WHEN text IS NULL THEN 'N' ELSE 'V' || text END || chr(1) || CASE WHEN lang IS NULL THEN 'N' ELSE 'V' || lang END), 1, 12))::BIGINT AS h
         |  FROM documents),
         |n_rows_t AS (
         |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 64 AS bucket,
-        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) || lang), 1, 12))::BIGINT AS h
+        |    ('0x' || substr(md5('V' || CAST(doc_id AS VARCHAR) || chr(1) || CASE WHEN text IS NULL THEN 'N' ELSE 'V' || text END || chr(1) || CASE WHEN lang IS NULL THEN 'N' ELSE 'V' || lang END), 1, 12))::BIGINT AS h
         |  FROM neu),
         |ob AS (SELECT bucket, count(*) AS n_rows, bit_xor(h) AS digest FROM o_rows GROUP BY 1),
         |nb AS (SELECT bucket, count(*) AS n_rows, bit_xor(h) AS digest FROM n_rows_t GROUP BY 1),
@@ -1734,7 +1734,8 @@ object ScaleQueries {
         |b AS (
         |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
         |  FROM r WHERE rn <= 14 GROUP BY 1
-        |  HAVING stddev_samp(value) IS NOT NULL AND stddev_samp(value) > 0),
+        |  HAVING stddev_samp(value) IS NOT NULL AND stddev_samp(value) > 0
+        |    AND count(*) = 14),
         |dv AS (
         |  SELECT r.event_type, r.day, r.value, b.mu, b.sigma,
         |    r.value - b.mu - 0.5 * b.sigma AS dev

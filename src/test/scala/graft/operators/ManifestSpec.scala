@@ -47,6 +47,17 @@ class ManifestSpec extends AnyFunSuite {
     assert(d.forall(r => r.getAs[Long]("n_old") == r.getAs[Long]("n_new")))
   }
 
+  test("null fields are flagged, not skipped: a value moving between columns changes the digest") {
+    val s = spark; import s.implicits._
+    val a = Seq((1L, Some("a"), Option.empty[String])).toDF("id", "text", "lang")
+    val b = Seq((1L, Option.empty[String], Some("a"))).toDF("id", "text", "lang")
+    val da = Manifest.build(a, "id", Seq("text", "lang"))
+      .filter(col("bucket") === -1L).head.getLong(2)
+    val db = Manifest.build(b, "id", Seq("text", "lang"))
+      .filter(col("bucket") === -1L).head.getLong(2)
+    assert(da != db, "concat_ws null-skipping would make these collide")
+  }
+
   test("duplicate-pair insertion: XOR cancels but n_rows catches it") {
     val old = docs(50)
     val dupRow = old.filter(col("id") === 7L)

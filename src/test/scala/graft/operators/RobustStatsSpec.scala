@@ -37,11 +37,17 @@ class RobustStatsSpec extends AnyFunSuite {
       RobustStats.benford(df, "x").collect().head.getAs[Double]("chi2")
     assert(chi2(conforming) < 1.0, s"conforming chi2: ${chi2(conforming)}")
     assert(chi2(uniform) > 15.5, s"uniform chi2: ${chi2(uniform)}")
-    // digit extraction is exact at powers of ten (the log10 trap)
+    // digit extraction is exact at powers of ten (the log10 trap), and
+    // ABSENT digits still appear with their full chi2 contribution —
+    // a dataset that never starts with 9 is the classic red flag
     val tens = Seq(100.0, 10.0, 1.0, 1000.0).toDF("x")
     val digs = RobustStats.benford(tens, "x").collect()
-    assert(digs.map(_.getAs[Int]("digit")).toSet == Set(1))
-    assert(digs.head.getAs[Long]("n") == 4L)
+    assert(digs.length == 9)
+    val byDigit = digs.map(r => r.getAs[Int]("digit") ->
+      (r.getAs[Long]("n"), r.getAs[Double]("chi2_term"))).toMap
+    assert(byDigit(1L.toInt)._1 == 4L)
+    assert((2 to 9).forall(dd => byDigit(dd)._1 == 0L))
+    assert(byDigit(9)._2 > 0.0, "a zero-count digit must still contribute (0-E)^2/E")
   }
 
   test("theil-sen: one wild outlier cannot move the median slope") {

@@ -75,6 +75,11 @@ class SeasonalSpec extends AnyFunSuite {
       .toDF("k", "day", "v")
     assert(Seasonal.cusum(flat, "k", "day", "v").collect()
       .forall(_.getAs[Int]("alarm") == 0))
+    // a key with fewer rows than the baseline is EXCLUDED, not scored
+    // against a noisy 3-point "in-control" estimate
+    val short = (0 until 3).map(i => ("shorty", day(i), x(i))).toDF("k", "day", "v")
+    assert(Seasonal.cusum(daily.unionByName(short), "k", "day", "v")
+      .filter(org.apache.spark.sql.functions.col("k") === "shorty").count() == 0L)
   }
 
   test("leadLagCorr: a series shifted by +2 days is found at lag +2 with r = 1") {

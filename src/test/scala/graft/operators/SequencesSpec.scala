@@ -48,6 +48,15 @@ class SequencesSpec extends AnyFunSuite {
     assert(out("(start) > (start) > (start)") == ((1L, 0.333333)))
     assert(out("c > a > b") == ((1L, 0.333333)))
     assert(out.size == 3)
+
+    // a genuinely NULL state is its own sentinel, not start padding
+    val withNull = Seq(
+      (9L, 1L, Option.empty[String]), (9L, 2L, Some("a")), (9L, 3L, Some("BUY"))
+    ).toDF("u", "t", "st")
+    val out2 = Sequences.precedingPaths(withNull, "u", "t", "st", "t",
+        target = "BUY", depth = 3)
+      .collect().map(_.getString(0)).toSet
+    assert(out2 == Set("(start) > (null) > a"), s"got $out2")
   }
 
   test("equal timestamps are ordered by the tiebreak column") {
