@@ -37,12 +37,17 @@ object Binning {
       .orderBy("q").collect().map(_.getAs[Double]("value"))
 
     val bin = edges.foldLeft(lit(0)) { (acc, e) => acc + (col("v") > e).cast("int") }
+    // localCheckpoint the nBins-row cell frame: totals and the final
+    // WOE select are two further consumers, and without it each one
+    // re-derives the full scan+shuffle pipeline (measured 3x the cost
+    // at sf0.1)
     val cells = rows
       .withColumn("bin", bin)
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum("y").as("n_good"),
         (count(lit(1)) - sum("y")).as("n_bad"),
         round(min("v"), 4).as("v_min"), round(max("v"), 4).as("v_max"))
+      .localCheckpoint()
 
     val totals = cells.agg(sum("n_good").as("g_all"), sum("n_bad").as("b_all"))
     cells.crossJoin(broadcast(totals))

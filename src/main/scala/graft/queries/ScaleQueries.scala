@@ -665,6 +665,56 @@ object ScaleQueries {
     RobustStats.theilSen(daily, groupCol = "event_type", xCol = "x", valCol = "v")
   }
 
+  /** Exact click→purchase latency quantiles per day: the q145
+    * attribution frame kept at row level, then [[Quantiles
+    * .exactQuantiles]] (two-phase bucket selection, no global sort)
+    * over the attributed latencies grouped by purchase day — the
+    * conversion-speed SLO chart feed, composed entirely from machinery
+    * the engine already hash-proves. */
+  def q164LatencyQuantiles(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max("event_id").as("click_id"))
+      .withColumn("click_ts", col("ts"))
+    val lat = AsOfJoin.backward(purchases, clicks, keys = Seq("user_id"), tsCol = "ts",
+        rightCols = Seq("click_id", "click_ts"), tolerance = Some("interval 1 day"))
+      .where(col("asof_click_id").isNotNull)
+      .select(to_date(col("ts")).as("day"),
+        ((unix_micros(col("ts")) - unix_micros(col("asof_click_ts"))) / 60000000.0)
+          .as("latency_min"))
+    Quantiles.exactQuantiles(lat, "latency_min", qs = Seq(0.5, 0.9, 0.99),
+        groupCols = Seq("day"), nBuckets = 32)
+      .select(col("day"), col("q"), round(col("value"), 4).as("value"))
+      .orderBy("day", "q")
+  }
+
+  /** Weekly cohort LTV curves: users grouped by first-active week,
+    * purchase revenue accumulated per week-offset, normalized by
+    * cohort size — cumulative sums run per cohort over the tiny
+    * (cohort, offset) cell grid, never over events. */
+  def q165CohortLtv(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("value"),
+        floor(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) / 7)
+          .cast("int").as("week"))
+    val firstWeek = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val sizes = firstWeek.groupBy("cohort_week").agg(count(lit(1)).as("n_users"))
+    val cells = ev.join(firstWeek, Seq("user_id"))
+      .where(col("event_type") === "purchase")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(round(sum("value"), 2).as("revenue"))
+    cells.join(sizes, Seq("cohort_week"))
+      .withColumn("cum_ltv", round(
+        sum("revenue").over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cohort_week")).orderBy(col("week_offset"))) /
+          col("n_users"), 4))
+      .select("cohort_week", "week_offset", "n_users", "revenue", "cum_ltv")
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
@@ -703,7 +753,9 @@ object ScaleQueries {
     "q160_kaplan_meier" -> (q160KaplanMeier _),
     "q161_benford" -> (q161Benford _),
     "q162_gini" -> (q162Gini _),
-    "q163_theil_sen" -> (q163TheilSen _)
+    "q163_theil_sen" -> (q163TheilSen _),
+    "q164_latency_quantiles" -> (q164LatencyQuantiles _),
+    "q165_cohort_ltv" -> (q165CohortLtv _)
   )
 
   /** The `morton2` interleave restated as DuckDB arithmetic: bit i of
@@ -1845,6 +1897,50 @@ object ScaleQueries {
         |    count(*) OVER (PARTITION BY g) AS n_pairs
         |  FROM s)
         |SELECT g, n_pairs, round(slope, 6) AS slope
-        |FROM r WHERE rk = CAST(ceil(n_pairs / 2.0) AS BIGINT) ORDER BY g""".stripMargin
+        |FROM r WHERE rk = CAST(ceil(n_pairs / 2.0) AS BIGINT) ORDER BY g""".stripMargin,
+    // q145's attribution CTE at row level + the q127 selection rule
+    "q164_latency_quantiles" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, date_trunc('microseconds', ts) AS ts
+        |  FROM events),
+        |p AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts AS cts, max(event_id) AS click_id
+        |  FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        |m AS (
+        |  SELECT p.user_id, p.event_id, p.ts, c.cts,
+        |    row_number() OVER (PARTITION BY p.user_id, p.event_id ORDER BY c.cts DESC) AS rn
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.cts <= p.ts AND c.cts >= p.ts - INTERVAL 1 DAY),
+        |lat AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    date_diff('microsecond', cts, ts) / 60000000.0 AS v
+        |  FROM m WHERE rn = 1),
+        |n AS (SELECT day, count(*) AS n FROM lat GROUP BY 1),
+        |r AS (SELECT day, v, row_number() OVER (PARTITION BY day ORDER BY v) AS rk FROM lat),
+        |q(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+        |                (CAST(0.99 AS DOUBLE))),
+        |k AS (SELECT day, q, CAST(ceil(q * n) AS BIGINT) AS k FROM n CROSS JOIN q)
+        |SELECT k.day, k.q, round(r.v, 4) AS value
+        |FROM k JOIN r ON r.day = k.day AND r.rk = k.k
+        |ORDER BY k.day, k.q""".stripMargin,
+    // same integer week arithmetic, cumulative window over cells
+    "q165_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, value,
+        |    CAST(floor((CAST(date_trunc('day', ts) AS DATE) - DATE '2024-01-01') / 7.0) AS INT) AS week
+        |  FROM events),
+        |fw AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1),
+        |sz AS (SELECT cohort_week, count(*) AS n_users FROM fw GROUP BY 1),
+        |cells AS (
+        |  SELECT f.cohort_week, e.week - f.cohort_week AS week_offset,
+        |    round(sum(e.value), 2) AS revenue
+        |  FROM ev e JOIN fw f USING (user_id)
+        |  WHERE e.event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.cohort_week, c.week_offset, s.n_users, c.revenue,
+        |  round(sum(c.revenue) OVER (PARTITION BY c.cohort_week ORDER BY c.week_offset)
+        |    / s.n_users, 4) AS cum_ltv
+        |FROM cells c JOIN sz s USING (cohort_week)
+        |ORDER BY c.cohort_week, c.week_offset""".stripMargin
   )
 }
