@@ -86,6 +86,59 @@ object RobustStats {
     * daily rollup, so a group-year is ~365 rows → ~66k slope pairs,
     * bounded); the median is the ceil(n/2) order statistic, selected
     * by ranking, deterministic under ties. */
+  /** Robust 7-day forecast per group: Theil–Sen slope + the matching
+    * robust intercept (median of v − slope·x) + per-weekday mean
+    * residual as the seasonal term, extrapolated h = 1..horizon days
+    * past each group's last observed day. Every component is a
+    * bounded-cell computation over the daily rollup (slopes within
+    * groups, medians as ceil(n/2) order statistics, weekday means over
+    * |key|·7 cells), so the whole forecast is deterministic and
+    * restatable — no solver, no iteration, no RNG. Robust by
+    * construction: an outlier day moves neither median, only (mildly)
+    * its own weekday's seasonal mean. */
+  def forecast(daily: DataFrame, groupCol: String, dayCol: String,
+      valCol: String, horizon: Int = 7): DataFrame = {
+    require(horizon >= 1 && horizon <= 60, s"horizon out of range: $horizon")
+    val base = daily.select(col(groupCol).as("g"), col(dayCol).as("day"),
+        col(valCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .withColumn("x", datediff(col("day"), lit("1970-01-01").cast("date"))
+        .cast("double"))
+
+    val slope = theilSen(base, "g", "x", "v").select(col("g"), col("slope"))
+
+    val resid = base.join(slope, Seq("g"))
+      .withColumn("r0", col("v") - col("slope") * col("x"))
+    val intercept = resid
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("r0"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .where(col("rk") === ceil(col("n") / lit(2.0)).cast("long"))
+      .select(col("g"), col("r0").as("intercept"))
+
+    val seasonal = resid.join(intercept, Seq("g"))
+      .withColumn("dow", pmod(col("x").cast("long"), lit(7L)))
+      .groupBy("g", "dow")
+      .agg(round(avg(col("v") - (col("intercept") + col("slope") * col("x"))), 6)
+        .as("seasonal"))
+
+    val lastDay = base.groupBy("g").agg(max("day").as("last_day"))
+    val spine = lastDay
+      .select(col("g"), explode(sequence(lit(1), lit(horizon))).as("h"),
+        col("last_day"))
+      .withColumn("day", date_add(col("last_day"), col("h")))
+      .withColumn("x", datediff(col("day"), lit("1970-01-01").cast("date"))
+        .cast("double"))
+      .withColumn("dow", pmod(col("x").cast("long"), lit(7L)))
+
+    spine.join(slope, Seq("g")).join(intercept, Seq("g"))
+      .join(seasonal, Seq("g", "dow"), "left")
+      .select(col("g"), col("h"), col("day"),
+        round(col("intercept") + col("slope") * col("x") +
+          coalesce(col("seasonal"), lit(0.0)), 4).as("yhat"))
+      .orderBy("g", "h")
+  }
+
   def theilSen(daily: DataFrame, groupCol: String, xCol: String,
       valCol: String): DataFrame = {
     val a = daily.select(col(groupCol).as("g"), col(xCol).cast("double").as("x"),

@@ -715,6 +715,18 @@ object ScaleQueries {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Robust 7-day forecast feed per event type ([[RobustStats
+    * .forecast]]): Theil–Sen trend + robust intercept + weekday-mean
+    * seasonal, extrapolated past each key's last observed day — a
+    * deterministic, solver-free forecast whose every component is a
+    * bounded-cell computation the oracle restates. */
+  def q166Forecast(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("v"))
+    RobustStats.forecast(daily, groupCol = "event_type", dayCol = "day", valCol = "v")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
@@ -755,7 +767,8 @@ object ScaleQueries {
     "q162_gini" -> (q162Gini _),
     "q163_theil_sen" -> (q163TheilSen _),
     "q164_latency_quantiles" -> (q164LatencyQuantiles _),
-    "q165_cohort_ltv" -> (q165CohortLtv _)
+    "q165_cohort_ltv" -> (q165CohortLtv _),
+    "q166_forecast" -> (q166Forecast _)
   )
 
   /** The `morton2` interleave restated as DuckDB arithmetic: bit i of
@@ -1941,6 +1954,49 @@ object ScaleQueries {
         |  round(sum(c.revenue) OVER (PARTITION BY c.cohort_week ORDER BY c.week_offset)
         |    / s.n_users, 4) AS cum_ltv
         |FROM cells c JOIN sz s USING (cohort_week)
-        |ORDER BY c.cohort_week, c.week_offset""".stripMargin
+        |ORDER BY c.cohort_week, c.week_offset""".stripMargin,
+    // the full robust-forecast pipeline restated: rounded Theil-Sen
+    // slope, median intercept, weekday mean residuals, horizon spine
+    "q166_forecast" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    round(sum(value), 2) AS v
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT g, day, CAST(day - DATE '1970-01-01' AS DOUBLE) AS x, v FROM daily),
+        |s0 AS (
+        |  SELECT l.g, (b.v - l.v) / (b.x - l.x) AS slope
+        |  FROM a l JOIN a b ON l.g = b.g AND l.x < b.x),
+        |sl0 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY g ORDER BY slope) AS rk,
+        |    count(*) OVER (PARTITION BY g) AS np
+        |  FROM s0),
+        |sl AS (SELECT g, round(slope, 6) AS slope FROM sl0
+        |  WHERE rk = CAST(ceil(np / 2.0) AS BIGINT)),
+        |r AS (
+        |  SELECT a.g, a.x, a.v, sl.slope, a.v - sl.slope * a.x AS r0
+        |  FROM a JOIN sl USING (g)),
+        |i0 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY g ORDER BY r0) AS rk,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM r),
+        |ic AS (SELECT g, r0 AS intercept FROM i0
+        |  WHERE rk = CAST(ceil(n / 2.0) AS BIGINT)),
+        |se AS (
+        |  SELECT r.g, CAST(r.x AS BIGINT) % 7 AS dow,
+        |    round(avg(r.v - (ic.intercept + r.slope * r.x)), 6) AS seasonal
+        |  FROM r JOIN ic USING (g) GROUP BY 1, 2),
+        |ld AS (SELECT g, max(day) AS last_day FROM a GROUP BY 1),
+        |sp AS (
+        |  SELECT g, CAST(h AS INT) AS h, last_day + CAST(h AS INT) AS day
+        |  FROM ld CROSS JOIN (SELECT unnest(range(1, 8)) AS h)),
+        |sp2 AS (
+        |  SELECT g, h, day, CAST(day - DATE '1970-01-01' AS DOUBLE) AS x,
+        |    CAST(day - DATE '1970-01-01' AS BIGINT) % 7 AS dow
+        |  FROM sp)
+        |SELECT sp2.g, sp2.h, sp2.day,
+        |  round(ic.intercept + sl.slope * sp2.x + coalesce(se.seasonal, 0.0), 4) AS yhat
+        |FROM sp2 JOIN sl USING (g) JOIN ic USING (g)
+        |LEFT JOIN se ON se.g = sp2.g AND se.dow = sp2.dow
+        |ORDER BY sp2.g, sp2.h""".stripMargin
   )
 }

@@ -50,6 +50,35 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(byDigit(9)._2 > 0.0, "a zero-count digit must still contribute (0-E)^2/E")
   }
 
+  test("forecast: exact extrapolation of a linear series; weekly pattern carried forward") {
+    val s = spark; import s.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    val epoch0 = day(0).toLocalDate.toEpochDay
+    // pure linear: v = 10 + 2*(epoch day) -> slope 2, intercept 10, no seasonal
+    val lin = (0 until 28).map(i => ("k", day(i), 10.0 + 2.0 * (epoch0 + i)))
+      .toDF("g", "day", "v")
+    val outLin = RobustStats.forecast(lin, "g", "day", "v")
+      .collect().sortBy(_.getAs[Int]("h"))
+    assert(outLin.length == 7)
+    for (r <- outLin) {
+      val x = r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay.toDouble
+      assert(r.getAs[Double]("yhat") == 10.0 + 2.0 * x,
+        s"linear series must extrapolate exactly: $r")
+    }
+    // linear + weekly bump on dow 0: the bumped forecast day keeps ~the bump
+    val weekly = (0 until 28).map { i =>
+      val bump = if ((epoch0 + i) % 7 == 0) 10.0 else 0.0
+      ("k", day(i), 10.0 + 2.0 * (epoch0 + i) + bump)
+    }.toDF("g", "day", "v")
+    val outW = RobustStats.forecast(weekly, "g", "day", "v").collect()
+      .map { r =>
+        val ed = r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay
+        (ed % 7, r.getAs[Double]("yhat") - (10.0 + 2.0 * ed))
+      }.toMap
+    assert(math.abs(outW(0L) - 10.0) < 2.0, s"dow-0 bump lost: ${outW(0L)}")
+    assert(outW.filterKeys(_ != 0L).values.forall(v => math.abs(v) < 2.0))
+  }
+
   test("theil-sen: one wild outlier cannot move the median slope") {
     val s = spark; import s.implicits._
     // y = 2x, except x=10 shoots to 1000
