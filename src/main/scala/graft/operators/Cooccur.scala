@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Item-item collaborative filtering over co-occurrence baskets — the
+  * retrieval artifact behind "users who bought X also bought Y":
+  * cosine similarity of items' binary basket-incidence vectors,
+  *
+  *   cos(a, b) = n_ab / sqrt(n_a · n_b)
+  *
+  * (n_ab = baskets containing both, n_i = baskets containing i),
+  * ranked to each item's top-k neighbors. Differs from association
+  * rules (q152) in both metric (symmetric cosine vs directional
+  * confidence/lift) and output shape (a per-item ranked neighbor list
+  * — the thing a recommender actually serves — vs a flat rule table).
+  *
+  * Scale discipline (the q152/q136 bound): pairs generate ONLY within
+  * a basket — Σ|basket|² work, never |items|² — and baskets larger
+  * than `maxBasket` are EXCLUDED from the entire computation (pairs
+  * AND the n_i denominators, so cosine stays consistent with the pair
+  * universe) rather than allowed to explode quadratically; at 100 TB
+  * an oversized basket is a data-quality signal, not a workload. The
+  * ranking window partitions by item — bounded by each item's
+  * co-occurring-neighbor count, which `maxBasket` caps at
+  * |baskets per item| · maxBasket.
+  */
+object Cooccur {
+
+  /** Top-`k` neighbors per item: (item, neighbor, n_ab, n_a, n_b,
+    * cosine round 6, rank). Ties rank by neighbor id for determinism.
+    * `minPairs` prunes noise pairs before the metric join. */
+  def itemItemTopK(baskets: DataFrame, basketCol: String, itemCol: String,
+      k: Int = 5, maxBasket: Int = 10, minPairs: Long = 2): DataFrame = {
+    val b = baskets.select(col(basketCol).as("bk"), col(itemCol).as("item")).distinct()
+    val kept = b.withColumn("bsize",
+        count(lit(1)).over(Window.partitionBy(col("bk"))))
+      .where(col("bsize") <= maxBasket)
+      .select("bk", "item")
+    val itemCounts = kept.groupBy("item").agg(count(lit(1)).as("n_i"))
+    // a < b once per basket; both directions re-emitted for ranking
+    val half = kept.as("x").join(kept.as("y"), col("x.bk") === col("y.bk"))
+      .where(col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("a"), col("y.item").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairs)
+    val directed = half.unionByName(
+      half.select(col("b").as("a"), col("a").as("b"), col("n_ab")))
+    val scored = directed
+      .join(itemCounts.withColumnRenamed("item", "a").withColumnRenamed("n_i", "n_a"), Seq("a"))
+      .join(itemCounts.withColumnRenamed("item", "b").withColumnRenamed("n_i", "n_b"), Seq("b"))
+      .withColumn("cosine", round(col("n_ab") / sqrt(col("n_a") * col("n_b")), 6))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("a"))
+        .orderBy(col("cosine").desc, col("b"))))
+      .where(col("rank") <= k)
+      .select(col("a").as("item"), col("b").as("neighbor"),
+        col("n_ab"), col("n_a"), col("n_b"), col("cosine"), col("rank"))
+      .orderBy("item", "rank")
+  }
+}

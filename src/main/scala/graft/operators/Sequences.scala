@@ -67,4 +67,43 @@ object Sequences {
         round(col("n") / col("total").cast("double"), 6).as("share"))
       .orderBy("path")
   }
+
+  /** Frequent CONTIGUOUS k-event subsequences (sequential n-gram
+    * mining): every run of k consecutive states in a key's ordered
+    * stream, with corpus-wide occurrence count and USER SUPPORT (the
+    * share of keys exhibiting the gram at least once). Contiguity is
+    * what distinguishes this from market-basket rules (q152, unordered
+    * co-membership) and the k=2 special case from the Markov matrix
+    * (q147, which normalizes per-state instead of per-corpus).
+    *
+    * Scale shape: the lead() pass is the one key-partitioned window
+    * (the [[transitionMatrix]] discipline); gram cells are bounded by
+    * |states|^k, and the user-support aggregate shuffles (gram, key)
+    * pairs — at most one per event, map-side combinable. `minSupport`
+    * filters on support, not raw count, so the result is scale-stable:
+    * the same grams surface at sf0.01 and at 100 TB. */
+  def frequentKGrams(df: DataFrame, keyCol: String, tsCol: String,
+      stateCol: String, tieCol: String, k: Int = 3,
+      minSupport: Double = 0.01): DataFrame = {
+    require(k >= 2 && k <= 8, s"k out of range: $k")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val withLeads = (1 until k).foldLeft(
+      df.withColumn("__s0", coalesce(col(stateCol), lit("(null)")))) { (acc, i) =>
+      acc.withColumn(s"__s$i", lead(col("__s0"), i).over(w))
+    }
+    val gram = concat_ws(" > ", (0 until k).map(i => col(s"__s$i")): _*)
+    val grams = withLeads
+      .where(col(s"__s${k - 1}").isNotNull) // complete grams only
+      .select(gram.as("gram"), col(keyCol).as("__k"))
+    val totalUsers = df.select(col(keyCol)).distinct()
+      .agg(count(lit(1)).as("total_users"))
+    grams.groupBy("gram")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("__k")).as("n_users"))
+      .crossJoin(broadcast(totalUsers))
+      .withColumn("support", round(col("n_users") / col("total_users").cast("double"), 6))
+      .where(col("support") >= minSupport)
+      .select("gram", "n_occurrences", "n_users", "support")
+      .orderBy("gram")
+  }
 }

@@ -343,14 +343,17 @@ object AnalyticsQueries {
         |  AND v.ts >= p.ts - INTERVAL 900 SECONDS
         |  AND v.ts <= p.ts + INTERVAL 900 SECONDS
         |ORDER BY 1, 2, 3""".stripMargin,
-    // session_window's gap boundary is >= (exclusive window end) — the
-    // same cumsum-lag formulation as q29's oracle
+    // session_window MERGES at an exactly-gap interval and splits only
+    // on a STRICTLY greater one (boundary-proven against the operator
+    // itself in BehaviorOpsSpec; the original >= here was wrong in
+    // principle but unobservable — real µs timestamps never land on an
+    // exact 30:00.000000 gap) — same cumsum-lag formulation as q29
     "q85_streaming_sessions" ->
       """WITH g AS (
         |  SELECT user_id, event_id, value, date_trunc('microseconds', ts) AS ts,
         |    CASE WHEN date_trunc('microseconds', ts)
         |           - lag(date_trunc('microseconds', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id)
-        |           >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        |           > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
         |  FROM events),
         |s AS (
         |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id

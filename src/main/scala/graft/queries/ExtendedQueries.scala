@@ -205,11 +205,14 @@ object ExtendedQueries {
       .orderBy("day")
 
   /** Gap sessionization via the built-in `session_window` — the
-    * streaming-ready formulation. Boundary semantics: session_window's
-    * end is exclusive, so a gap of EXACTLY the duration starts a new
-    * session (>=); the oracle mirrors that, unlike q25 whose cumsum
-    * uses strict >. Both are valid gap definitions; each query matches
-    * its own oracle. */
+    * streaming-ready formulation. Boundary semantics: session_window
+    * MERGES sessions separated by EXACTLY the gap (adjacent windows
+    * coalesce) and splits only on a strictly greater interval —
+    * boundary-proven against the operator itself in `BehaviorOpsSpec`
+    * (this comment originally claimed the opposite; real µs data never
+    * lands on the boundary, so both oracles stayed green). Same
+    * semantics as q25's cumsum and the batch [[graft.operators
+    * .Sessionize]]. */
   def q29SessionWindow(s: SparkSession, d: String): DataFrame =
     ev(s, d)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
@@ -631,7 +634,7 @@ object ExtendedQueries {
         |  SELECT user_id, event_id, value, date_trunc('microseconds', ts) AS ts,
         |    CASE WHEN date_trunc('microseconds', ts)
         |           - lag(date_trunc('microseconds', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id)
-        |           >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        |           > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
         |  FROM events),
         |s AS (
         |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
