@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One-pass table profiling — the `df.summary()` a warehouse actually
+  * ships: for every column in one LOGICAL scan, row/null/distinct
+  * counts, typed min/max, and the mean for numerics; the first thing a
+  * pipeline runs against an unfamiliar 100 TB table, and the artifact
+  * data-contract suites (q143) are calibrated from.
+  *
+  * Scale shape: ALL statistics fuse into ONE aggregate (adding a
+  * column adds expressions, not scans). The exact multi-column
+  * distinct forces Catalyst's Expand (one shuffled pass per distinct
+  * column over the projected data — the standard plan for fused exact
+  * distincts); at 100 TB swap `countDistinct` for the HLL sketch
+  * (q62's `approx_count_distinct`) and the Expand disappears — the
+  * exact variant is kept here because the driver's oracle hash-checks
+  * it. The per-column reshape is an `explode` over structs built FROM
+  * the 1-row aggregate — no recompute per column, no driver collect.
+  *
+  * Typed min/max: numerics surface as doubles (`min_num`/`max_num`),
+  * strings compare lexicographically (`min_str`/`max_str`), timestamps
+  * format to microsecond strings — never a numeric-as-string minimum
+  * (cast-then-min orders "10" < "9"; min-then-cast is kept typed).
+  */
+object Profile {
+
+  def profile(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields
+    def isNum(t: DataType) = t match {
+      case _: NumericType => true
+      case _ => false
+    }
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +: cols.flatMap { f =>
+      val c = col(f.name)
+      val base = Seq(
+        count(c).as(s"__cnt_${f.name}"),
+        countDistinct(c).as(s"__nd_${f.name}"))
+      val minMax = f.dataType match {
+        case t if isNum(t) => Seq(
+          min(c).cast("double").as(s"__min_${f.name}"),
+          max(c).cast("double").as(s"__max_${f.name}"),
+          avg(c).as(s"__avg_${f.name}"))
+        case _: TimestampType | _: TimestampNTZType => Seq(
+          date_format(min(c), "yyyy-MM-dd HH:mm:ss.SSSSSS").as(s"__mins_${f.name}"),
+          date_format(max(c), "yyyy-MM-dd HH:mm:ss.SSSSSS").as(s"__maxs_${f.name}"))
+        case _ => Seq(
+          min(c).cast("string").as(s"__mins_${f.name}"),
+          max(c).cast("string").as(s"__maxs_${f.name}"))
+      }
+      base ++ minMax
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    val structs = cols.map { f =>
+      val num = isNum(f.dataType)
+      struct(
+        lit(f.name).as("column"),
+        lit(f.dataType.simpleString).as("dtype"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__cnt_${f.name}")).as("n_nulls"),
+        col(s"__nd_${f.name}").as("n_distinct"),
+        (if (num) col(s"__min_${f.name}") else nullD).as("min_num"),
+        (if (num) col(s"__max_${f.name}") else nullD).as("max_num"),
+        (if (num) round(col(s"__avg_${f.name}"), 4) else nullD).as("mean"),
+        (if (num) nullS else col(s"__mins_${f.name}")).as("min_str"),
+        (if (num) nullS else col(s"__maxs_${f.name}")).as("max_str"))
+    }
+    one.select(explode(array(structs: _*)).as("p"))
+      .select("p.*")
+      .orderBy("column")
+  }
+}

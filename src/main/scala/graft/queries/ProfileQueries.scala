@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{InfoTheory, Profile}
+import graft.sources.Tables
+
+/** Round-7 profiling / dependence-screening tranche: the one-pass
+  * table profile, the chi-square independence test, and mutual-
+  * information feature ranking — the triage queries run against any
+  * unfamiliar table before modeling or contract-writing starts.
+  */
+object ProfileQueries {
+
+  /** Chi-square independence of order priority × order status
+    * ([[InfoTheory.chiSquare]]): full-spine contingency cells with
+    * expected counts and contributions, plus chi2/dof/Cramér's V. */
+  def q168Chi2(s: SparkSession, d: String): DataFrame =
+    InfoTheory.chiSquare(Tables.orders(s, d), "o_orderpriority", "o_orderstatus")
+
+  /** One-pass profile of `lineitem` ([[Profile.profile]]): per-column
+    * counts, nulls, exact distincts, typed min/max, numeric means —
+    * 11 columns, one fused aggregate. */
+  def q169Profile(s: SparkSession, d: String): DataFrame =
+    Profile.profile(Tables.lineitem(s, d))
+
+  /** Mutual information of three categorical features against the
+    * high-value-order label ([[InfoTheory.mutualInfo]]): one melted
+    * scan for all features, MI in nats + label entropy + normalized
+    * MI. The label threshold is the exact order-price median. */
+  def q170MutualInfo(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val med = o.agg(expr("percentile(o_totalprice, 0.5)").as("m"))
+    val labeled = o.join(c, col("o_custkey") === col("c_custkey"))
+      .crossJoin(broadcast(med))
+      .withColumn("high_value", (col("o_totalprice") > col("m")).cast("int"))
+    InfoTheory.mutualInfo(labeled,
+      Seq("o_orderpriority", "o_orderstatus", "c_mktsegment"), "high_value")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_chi2" -> (q168Chi2 _),
+    "q169_profile" -> (q169Profile _),
+    "q170_mutual_info" -> (q170MutualInfo _)
+  )
+
+  private def profileNumSql(c: String, dtype: String): String =
+    s"""SELECT '$c' AS "column", '$dtype' AS dtype, count(*) AS n_rows,
+       |  count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct,
+       |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+       |  round(avg($c), 4) AS mean,
+       |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+       |FROM lineitem""".stripMargin
+
+  private def profileStrSql(c: String, dtype: String, minS: String, maxS: String): String =
+    s"""SELECT '$c' AS "column", '$dtype' AS dtype, count(*) AS n_rows,
+       |  count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct,
+       |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+       |  CAST(NULL AS DOUBLE) AS mean, $minS AS min_str, $maxS AS max_str
+       |FROM lineitem""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // full-spine expectation (absent cells contribute, the q161
+    // discipline); statistics are sums over the 15-cell frame
+    "q168_chi2" ->
+      """WITH obs AS (
+        |  SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS observed
+        |  FROM orders GROUP BY 1, 2),
+        |aa AS (SELECT DISTINCT a FROM obs), bb AS (SELECT DISTINCT b FROM obs),
+        |fs AS (
+        |  SELECT aa.a, bb.b, coalesce(o.observed, 0) AS observed
+        |  FROM aa CROSS JOIN bb LEFT JOIN obs o ON o.a = aa.a AND o.b = bb.b),
+        |m AS (
+        |  SELECT *, sum(observed) OVER (PARTITION BY a) AS row_n,
+        |    sum(observed) OVER (PARTITION BY b) AS col_n,
+        |    sum(observed) OVER () AS n
+        |  FROM fs),
+        |e AS (
+        |  SELECT a, b, observed,
+        |    row_n * col_n / (n * 1.0) AS expected,
+        |    power(observed - row_n * col_n / (n * 1.0), 2)
+        |      / (row_n * col_n / (n * 1.0)) AS contrib
+        |  FROM m),
+        |t AS (
+        |  SELECT round(sum(contrib), 4) AS chi2,
+        |    (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof,
+        |    round(sqrt(sum(contrib) / ((SELECT max(n) FROM m) *
+        |      least(count(DISTINCT a) - 1, count(DISTINCT b) - 1))), 6) AS cramers_v
+        |  FROM e),
+        |tb AS (
+        |  SELECT *, CASE WHEN cramers_v < 0.1 THEN 'negligible'
+        |    WHEN cramers_v < 0.3 THEN 'small'
+        |    WHEN cramers_v < 0.5 THEN 'medium' ELSE 'large' END AS effect_band
+        |  FROM t)
+        |SELECT e.a, e.b, e.observed, round(e.expected, 4) AS expected,
+        |  round(e.contrib, 4) AS contrib, tb.chi2, tb.dof, tb.cramers_v,
+        |  tb.effect_band
+        |FROM e CROSS JOIN tb ORDER BY e.a, e.b""".stripMargin,
+    "q169_profile" -> Seq(
+      profileNumSql("l_orderkey", "bigint"),
+      profileNumSql("l_partkey", "bigint"),
+      profileNumSql("l_suppkey", "bigint"),
+      profileNumSql("l_linenumber", "int"),
+      profileNumSql("l_quantity", "double"),
+      profileNumSql("l_extendedprice", "double"),
+      profileNumSql("l_discount", "double"),
+      profileNumSql("l_tax", "double"),
+      profileStrSql("l_returnflag", "string", "min(l_returnflag)", "max(l_returnflag)"),
+      profileStrSql("l_linestatus", "string", "min(l_linestatus)", "max(l_linestatus)"),
+      profileStrSql("l_shipdate", "timestamp_ntz",
+        "strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S.%f')",
+        "strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S.%f')")
+    ).mkString("\n", "\nUNION ALL\n", "\nORDER BY 1"),
+    // integer products stay below 2^53, so both engines' doubles are
+    // exact up to the final division; ln + round 6 is the q97/q132
+    // cross-engine convention
+    "q170_mutual_info" ->
+      """WITH med AS (SELECT quantile_cont(o_totalprice, 0.5) AS m FROM orders),
+        |base AS (
+        |  SELECT o.*, c.c_mktsegment,
+        |    CASE WHEN o.o_totalprice > med.m THEN 1 ELSE 0 END AS y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey, med),
+        |m AS (
+        |  SELECT 'o_orderpriority' AS feature,
+        |    coalesce(CAST(o_orderpriority AS VARCHAR), '(null)') AS x,
+        |    CAST(y AS VARCHAR) AS y FROM base
+        |  UNION ALL
+        |  SELECT 'o_orderstatus',
+        |    coalesce(CAST(o_orderstatus AS VARCHAR), '(null)'),
+        |    CAST(y AS VARCHAR) FROM base
+        |  UNION ALL
+        |  SELECT 'c_mktsegment',
+        |    coalesce(CAST(c_mktsegment AS VARCHAR), '(null)'),
+        |    CAST(y AS VARCHAR) FROM base),
+        |cells AS (
+        |  SELECT feature, x, y, count(*) AS n_xy FROM m GROUP BY 1, 2, 3),
+        |en AS (
+        |  SELECT *, sum(n_xy) OVER (PARTITION BY feature, x) AS n_x,
+        |    sum(n_xy) OVER (PARTITION BY feature, y) AS n_y,
+        |    sum(n_xy) OVER (PARTITION BY feature) AS n
+        |  FROM cells),
+        |h AS (
+        |  SELECT round(sum(-(n_y * 1.0 / n) * ln(n_y * 1.0 / n)), 6) AS h_label
+        |  FROM (SELECT DISTINCT y, n_y, n FROM en
+        |        WHERE feature = 'o_orderpriority')),
+        |agg AS (
+        |  SELECT feature, count(DISTINCT x) AS n_levels,
+        |    sum((n_xy * 1.0 / n) *
+        |      ln(n_xy * 1.0 * n / (n_x * 1.0 * n_y))) AS mi_raw
+        |  FROM en GROUP BY 1)
+        |SELECT feature, n_levels, round(mi_raw, 6) AS mi_nats, h.h_label,
+        |  round(mi_raw / h.h_label, 6) AS nmi
+        |FROM agg CROSS JOIN h ORDER BY feature""".stripMargin
+  )
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed fixtures for chi-square independence, mutual
+  * information, and the one-pass profiler. */
+class InfoProfileSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("chiSquare: uniform table is independent (chi2 = 0, V = 0)") {
+    val s = spark; import s.implicits._
+    val rows = for { a <- Seq("a1", "a2"); b <- Seq("b1", "b2"); _ <- 1 to 10 }
+      yield (a, b)
+    val out = InfoTheory.chiSquare(rows.toDF("x", "y"), "x", "y").collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getAs[Double]("chi2") == 0.0))
+    assert(out.forall(_.getAs[Double]("cramers_v") == 0.0))
+    assert(out.forall(_.getAs[String]("effect_band") == "negligible"))
+    assert(out.forall(_.getAs[Double]("expected") == 10.0))
+  }
+
+  test("chiSquare: deterministic table maxes V; absent spine cells contribute") {
+    val s = spark; import s.implicits._
+    // only (a1,b1) and (a2,b2) occur: expected 5 everywhere, the two
+    // ABSENT cells contribute (0-5)^2/5 = 5 each -> chi2 = 20, V = 1
+    val rows = Seq.fill(10)(("a1", "b1")) ++ Seq.fill(10)(("a2", "b2"))
+    val out = InfoTheory.chiSquare(rows.toDF("x", "y"), "x", "y").collect()
+    assert(out.length == 4) // full spine, not just observed cells
+    val byCell = out.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getAs[Double]("contrib"))).toMap
+    assert(byCell(("a1", "b2")) == ((0L, 5.0)))
+    assert(out.head.getAs[Double]("chi2") == 20.0)
+    assert(out.head.getAs[Long]("dof") == 1L)
+    assert(out.head.getAs[Double]("cramers_v") == 1.0)
+    assert(out.head.getAs[String]("effect_band") == "large")
+  }
+
+  test("mutualInfo: perfect predictor has NMI 1, independent feature NMI 0") {
+    val s = spark; import s.implicits._
+    // balanced label; f_perfect == label, f_indep constant
+    val rows = (0 until 40).map(i => (if (i % 2 == 0) "p" else "q",
+      "const", i % 2))
+    val out = InfoTheory.mutualInfo(rows.toDF("f_perfect", "f_indep", "y"),
+      Seq("f_perfect", "f_indep"), "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getAs[Double]("mi_nats"), r.getAs[Double]("h_label"),
+          r.getAs[Double]("nmi"))).toMap
+    val h = math.rint(math.log(2) * 1e6) / 1e6
+    assert(out("f_perfect") == ((2L, h, h, 1.0)))
+    assert(out("f_indep") == ((1L, 0.0, h, 0.0)))
+  }
+
+  test("mutualInfo: null feature values are a real level") {
+    val s = spark; import s.implicits._
+    val rows = Seq((Some("v"), 1), (Some("v"), 1), (None, 0), (None, 0))
+    val out = InfoTheory.mutualInfo(rows.toDF("f", "y"), Seq("f"), "y").collect()
+    // null perfectly predicts y=0: two levels, NMI = 1
+    assert(out.head.getLong(1) == 2L)
+    assert(out.head.getAs[Double]("nmi") == 1.0)
+  }
+
+  test("profile: per-type stats, nulls, distincts in one pass") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, Some(2.5), Some("b"), Some(new java.sql.Timestamp(1000L))),
+      (2L, Some(7.5), Some("a"), None),
+      (3L, None, None, Some(new java.sql.Timestamp(61000L)))
+    ).toDF("id", "v", "s", "t")
+    val out = Profile.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val id = out("id")
+    assert(id.getString(1) == "bigint" && id.getLong(2) == 3 &&
+      id.getLong(3) == 0 && id.getLong(4) == 3 &&
+      id.getAs[Double]("min_num") == 1.0 && id.getAs[Double]("max_num") == 3.0 &&
+      id.getAs[Double]("mean") == 2.0 && id.isNullAt(8) && id.isNullAt(9))
+    val v = out("v")
+    assert(v.getLong(3) == 1 && v.getLong(4) == 2 &&
+      v.getAs[Double]("mean") == 5.0)
+    val st = out("s")
+    assert(st.getString(1) == "string" && st.getLong(3) == 1 &&
+      st.getString(8) == "a" && st.getString(9) == "b" && st.isNullAt(5))
+    val t = out("t")
+    assert(t.getString(1) == "timestamp" && t.getLong(3) == 1 &&
+      t.getString(8) == "1970-01-01 00:00:01.000000" &&
+      t.getString(9) == "1970-01-01 00:01:01.000000")
+  }
+}
