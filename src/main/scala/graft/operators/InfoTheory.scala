@@ -32,8 +32,12 @@ object InfoTheory {
     * constants (q86 convention): `chi2` (round 4), `dof`, `cramers_v`
     * (round 6), and the conventional effect-size band on V. */
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // the cell frame is re-derived three times downstream (spine a,
+    // spine b, observed join) — checkpoint the ≤|a|·|b|-row artifact
+    // so the data pays exactly one aggregate scan (q150 discipline)
     val obs = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).as("observed"))
+      .localCheckpoint(true)
     val spine = obs.select("a").distinct().crossJoin(obs.select("b").distinct())
     val full = spine.join(obs, Seq("a", "b"), "left")
       .withColumn("observed", coalesce(col("observed"), lit(0L)))
@@ -78,7 +82,11 @@ object InfoTheory {
     val melted = df.select(
       expr(s"stack(${featureCols.size}, $stackArgs) as (feature, x)"),
       coalesce(col(labelCol).cast("string"), lit("(null)")).as("y"))
+    // checkpointed for the same reason as chiSquare's obs: the label-
+    // entropy branch and the per-feature aggregate would otherwise
+    // each replay the melted corpus scan
     val cells = melted.groupBy("feature", "x", "y").agg(count(lit(1)).as("n_xy"))
+      .localCheckpoint(true)
     val wf = Window.partitionBy(col("feature"))
     val enriched = cells
       .withColumn("n_x", sum("n_xy").over(wf.partitionBy(col("feature"), col("x"))))

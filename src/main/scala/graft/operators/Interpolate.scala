@@ -47,4 +47,36 @@ object Interpolate {
         .when(nt === pt, pv)  // equal-ts neighbors: 0/0 guard
         .otherwise(pv + (nv - pv) * ((t - pt) / (nt - pt))))
   }
+
+  /** Time-weighted average (TWAP) per key under step-hold semantics:
+    * each observation's value holds until the next observation, so
+    *
+    *   twap = Σ vᵢ·Δtᵢ / Σ Δtᵢ   (i = 1..n−1, Δtᵢ = tᵢ₊₁ − tᵢ)
+    *
+    * — the metering/finance statistic a plain mean silently fakes on
+    * irregular series (a value held for a week weighs the same as one
+    * held for a second). Emitted beside `mean_value` so the sampling
+    * bias is visible, with `n_obs` and the observed `span_sec`.
+    *
+    * Scale shape: one key-partitioned lead() window pass (the
+    * [[linear]] discipline), one keyed aggregate. Δt stays an EXACT
+    * long in microseconds; v·Δt sums in double with magnitude bounded
+    * by span·|v| — round-4 safe. Keys with < 2 observations or a zero
+    * span have no defined hold intervals and are excluded (a 1-point
+    * TWAP is the point itself — noise, not a time average). */
+  def twap(df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val ord: Seq[Column] = (tsCol +: tieCols).map(col)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val tu = unix_micros(col(tsCol))
+    val stepped = df
+      .withColumn("__dt", lead(tu, 1).over(w) - tu)
+    stepped.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_obs"),
+        round((max(tu) - min(tu)) / lit(1e6), 3).as("span_sec"),
+        round(avg(col(valueCol)), 4).as("mean_value"),
+        round(sum(col(valueCol) * col("__dt")) / sum(col("__dt")), 4).as("twap"))
+      .where(col("n_obs") >= 2 && col("span_sec") > 0)
+  }
 }

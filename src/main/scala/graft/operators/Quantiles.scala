@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -164,5 +164,46 @@ object Quantiles {
         first(col("__hi").cast("double")).as("p_hi"),
         round(avg(col("__cv")), 4).as("winsorized_mean"),
         round(stddev(col("__cv")), 4).as("winsorized_std"))
+  }
+
+  /** Exact WEIGHTED quantiles per group (lower weighted-quantile
+    * convention): the smallest value whose cumulative weight reaches
+    * q·W — the statistic behind "the median dollar" vs "the median
+    * order" (each row votes with `weightCol`, not once).
+    *
+    * Scale shape: unlike [[exactQuantiles]] there is no two-phase
+    * shortcut that preserves exactness under arbitrary weights, so
+    * this pays the honest per-group ordered window (cumulative weight
+    * over (value, tie) order) — ONE key shuffle, per-group sort only,
+    * no global sort; the q-spine cross join multiplies the tiny
+    * selection frame, not the data.
+    *
+    * Determinism across engines: when weights are integer-valued (the
+    * common case — counts, quantities), cumulative and total sums are
+    * EXACT in double, so the q·W threshold comparison cannot flip on
+    * accumulation order. Fractional weights are supported but the
+    * boundary row is then subject to float accumulation — document or
+    * round weights first. */
+  def weightedQuantiles(df: DataFrame, valueCol: String, weightCol: String,
+      qs: Seq[Double], groupCols: Seq[String], tieCols: Seq[String] = Nil): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "each q must be in (0, 1]")
+    val spark = df.sparkSession
+    val g = groupCols.map(col)
+    val v = col(valueCol)
+    val wt = col(weightCol).cast("double")
+    val data = df.filter(v.isNotNull && wt.isNotNull && wt > 0)
+    val ord: Seq[Column] = (valueCol +: tieCols).map(col)
+    val w = Window.partitionBy(g: _*).orderBy(ord: _*)
+    val cum = data
+      .withColumn("__cumw", sum(wt).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__totw", sum(wt).over(Window.partitionBy(g: _*)))
+    import spark.implicits._
+    val qDf = qs.toDF("q")
+    cum.crossJoin(broadcast(qDf))
+      .filter(col("__cumw") >= col("q") * col("__totw"))
+      .groupBy((g :+ col("q")): _*)
+      .agg(min(v).as("value"), first(col("__totw")).as("total_weight"))
+      .orderBy((g :+ col("q")): _*)
   }
 }

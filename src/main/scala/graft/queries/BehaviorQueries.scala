@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Cooccur, Funnel, Sequences, Sessionize}
+import graft.operators.{Cooccur, Funnel, Interpolate, Quantiles, Sequences, Sessionize}
 import graft.sources.Tables
 
 /** Round-7 behavioral-analytics tranche: the clickstream readouts a
@@ -53,11 +53,52 @@ object BehaviorQueries {
         col("n_events"), col("duration_sec"))
       .orderBy("user_id", "session_seq")
 
+  /** Per-user time-weighted average of `value` under step-hold
+    * semantics ([[Interpolate.twap]]), beside the plain mean so the
+    * irregular-sampling bias is visible. */
+  def q174Twap(s: SparkSession, d: String): DataFrame =
+    Interpolate.twap(Tables.events(s, d), keys = Seq("user_id"),
+        tsCol = "ts", valueCol = "value", tieCols = Seq("event_id"))
+      .orderBy("user_id")
+
+  /** Quantity-weighted median and p90 of extended price per return
+    * flag ([[Quantiles.weightedQuantiles]]) — "the median dollar",
+    * not the median line item; integer-valued weights keep the
+    * threshold comparison exact across engines. */
+  def q175WeightedQuantiles(s: SparkSession, d: String): DataFrame =
+    Quantiles.weightedQuantiles(Tables.lineitem(s, d),
+      valueCol = "l_extendedprice", weightCol = "l_quantity",
+      qs = Seq(0.5, 0.9), groupCols = Seq("l_returnflag"),
+      tieCols = Seq("l_orderkey", "l_linenumber"))
+
+  /** Weekly cohort retention matrix: share of each first-active-week
+    * cohort active again at each week offset — the activity twin of
+    * q165's revenue LTV curves (distinct-user fraction, not revenue
+    * accumulation); all analytics on the (cohort, offset) cell grid. */
+  def q176Retention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"),
+        floor(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) / 7)
+          .cast("int").as("week"))
+    val firstWeek = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val sizes = firstWeek.groupBy("cohort_week").agg(count(lit(1)).as("n_users"))
+    val cells = ev.distinct().join(firstWeek, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    cells.join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"), col("n_active"),
+        round(col("n_active") / col("n_users").cast("double"), 4).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q167_funnel" -> (q167Funnel _),
     "q171_seq_mining" -> (q171SeqMining _),
     "q172_item_cf" -> (q172ItemCf _),
-    "q173_sessionize" -> (q173Sessionize _)
+    "q173_sessionize" -> (q173Sessionize _),
+    "q174_twap" -> (q174Twap _),
+    "q175_weighted_quantiles" -> (q175WeightedQuantiles _),
+    "q176_retention" -> (q176Retention _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -160,6 +201,57 @@ object BehaviorQueries {
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
         |  count(*) AS n_events,
         |  round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6, 3) AS duration_sec
-        |FROM seq GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin
+        |FROM seq GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
+    // last observation's hold interval is open (lead is NULL) and
+    // drops out of both sums on both engines
+    "q174_twap" ->
+      """WITH x AS (
+        |  SELECT user_id, value, epoch_us(ts) AS tu,
+        |    lead(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, count(*) AS n_obs,
+        |    round((max(tu) - min(tu)) / 1e6, 3) AS span_sec,
+        |    round(avg(value), 4) AS mean_value,
+        |    round(sum(value * (nxt - tu)) / sum(nxt - tu), 4) AS twap
+        |  FROM x GROUP BY 1)
+        |SELECT * FROM a WHERE n_obs >= 2 AND span_sec > 0
+        |ORDER BY user_id""".stripMargin,
+    // integer-valued l_quantity keeps every cumulative/total sum exact
+    // in double, so the q*W threshold cannot flip on accumulation order
+    "q175_weighted_quantiles" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |    sum(l_quantity) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |      ROWS UNBOUNDED PRECEDING) AS cumw,
+        |    sum(l_quantity) OVER (PARTITION BY l_returnflag) AS totw
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_quantity > 0),
+        |qs(q) AS (VALUES (0.5), (0.9))
+        |SELECT l_returnflag, q, min(v) AS value, max(totw) AS total_weight
+        |FROM c CROSS JOIN qs
+        |WHERE cumw >= q * totw
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q176_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0)
+        |      AS INT) AS week
+        |  FROM events),
+        |fw AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1),
+        |sz AS (SELECT cohort_week, count(*) AS n_users FROM fw GROUP BY 1),
+        |cells AS (
+        |  SELECT f.cohort_week, e.week - f.cohort_week AS week_offset,
+        |    count(DISTINCT e.user_id) AS n_active
+        |  FROM (SELECT DISTINCT user_id, week FROM ev) e
+        |  JOIN fw f ON e.user_id = f.user_id
+        |  GROUP BY 1, 2)
+        |SELECT c.cohort_week, c.week_offset, s.n_users, c.n_active,
+        |  round(c.n_active * 1.0 / s.n_users, 4) AS retention
+        |FROM cells c JOIN sz s ON c.cohort_week = s.cohort_week
+        |ORDER BY 1, 2""".stripMargin
   )
 }

@@ -97,6 +97,20 @@ class BehaviorOpsSpec extends AnyFunSuite {
     assert(out.size == 1)
   }
 
+  test("twap: step-hold weighting, open last interval, degenerate keys excluded") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      // u1: 10 held 1s, 20 held 3s, 30 open -> twap (10+60)/4 = 17.5, mean 20
+      (1L, ts(0), 1L, 10.0), (1L, ts(1), 2L, 20.0), (1L, ts(4), 3L, 30.0),
+      (2L, ts(0), 4L, 99.0),                     // single point: excluded
+      (3L, ts(5), 5L, 1.0), (3L, ts(5), 6L, 2.0) // zero span: excluded
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Interpolate.twap(df, Seq("user_id"), "ts", "value", Seq("event_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out == Map(1L -> ((3L, 4.0, 20.0, 17.5))))
+  }
+
   test("itemItemTopK: cosine, minPairs pruning, oversized-basket exclusion") {
     val s = spark; import s.implicits._
     val base = Seq(
