@@ -50,7 +50,11 @@ object Cooccur {
     val scored = directed
       .join(itemCounts.withColumnRenamed("item", "a").withColumnRenamed("n_i", "n_a"), Seq("a"))
       .join(itemCounts.withColumnRenamed("item", "b").withColumnRenamed("n_i", "n_b"), Seq("b"))
-      .withColumn("cosine", round(col("n_ab") / sqrt(col("n_a") * col("n_b")), 6))
+      // double product before sqrt: BIGINT n_a·n_b overflows Int64 for
+      // two ~4e9-basket items; doubles are exact below 2^53 so small-
+      // scale cosines are bit-identical
+      .withColumn("cosine",
+        round(col("n_ab") / sqrt(col("n_a").cast("double") * col("n_b")), 6))
     scored
       .withColumn("rank", row_number().over(Window.partitionBy(col("a"))
         .orderBy(col("cosine").desc, col("b"))))

@@ -27,15 +27,21 @@ object InfoTheory {
   /** Pearson chi-square test of independence over the (aCol, bCol)
     * contingency table, on the FULL level spine (an absent cell
     * contributes its whole expected count to the statistic — the q161
-    * Benford discipline). Emits one row per spine cell: observed,
+    * Benford discipline). Nulls are a real level ("(null)"), same as
+    * [[mutualInfo]]. Emits one row per spine cell: observed,
     * expected (round 4), chi2 contribution (round 4), plus the in-row
     * constants (q86 convention): `chi2` (round 4), `dof`, `cramers_v`
     * (round 6), and the conventional effect-size band on V. */
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // the cell frame is re-derived three times downstream (spine a,
+    // null is a real level ("(null)" — the mutualInfo convention);
+    // without the coalesce the spine left-join's non-null-safe equality
+    // would silently zero the null level's observed counts.
+    // The cell frame is re-derived three times downstream (spine a,
     // spine b, observed join) — checkpoint the ≤|a|·|b|-row artifact
     // so the data pays exactly one aggregate scan (q150 discipline)
-    val obs = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+    val obs = df.groupBy(
+        coalesce(col(aCol).cast("string"), lit("(null)")).as("a"),
+        coalesce(col(bCol).cast("string"), lit("(null)")).as("b"))
       .agg(count(lit(1)).as("observed"))
       .localCheckpoint(true)
     val spine = obs.select("a").distinct().crossJoin(obs.select("b").distinct())
@@ -44,7 +50,11 @@ object InfoTheory {
       .withColumn("row_n", sum("observed").over(Window.partitionBy(col("a"))))
       .withColumn("col_n", sum("observed").over(Window.partitionBy(col("b"))))
       .withColumn("n", sum("observed").over(Window.partitionBy()))
-      .withColumn("expected", col("row_n") * col("col_n") / col("n").cast("double"))
+      // cast BEFORE multiplying: two BIGINT marginals at 100 TB scale
+      // overflow Int64 (ANSI mode aborts); double products of counts
+      // < 2^53 stay exact, so small-scale results are unchanged
+      .withColumn("expected",
+        col("row_n").cast("double") * col("col_n") / col("n"))
       .withColumn("contrib",
         pow(col("observed") - col("expected"), 2) / col("expected"))
     val totals = full.agg(
@@ -92,8 +102,11 @@ object InfoTheory {
       .withColumn("n_x", sum("n_xy").over(wf.partitionBy(col("feature"), col("x"))))
       .withColumn("n_y", sum("n_xy").over(wf.partitionBy(col("feature"), col("y"))))
       .withColumn("n", sum("n_xy").over(wf))
+      // double products for the same overflow reason as chiSquare's
+      // expected counts (n_xy·n with BIGINT counts can pass 2^63)
       .withColumn("mi_term", col("n_xy") / col("n") *
-        log(col("n_xy") * col("n") / (col("n_x") * col("n_y"))))
+        log(col("n_xy").cast("double") * col("n") /
+          (col("n_x").cast("double") * col("n_y"))))
     // H(label) from any single feature's label marginal — identical
     // across features by construction; computed once from the first
     val hLabel = enriched.where(col("feature") === featureCols.head)

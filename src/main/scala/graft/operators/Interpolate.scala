@@ -63,13 +63,20 @@ object Interpolate {
     * long in microseconds; v·Δt sums in double with magnitude bounded
     * by span·|v| — round-4 safe. Keys with < 2 observations or a zero
     * span have no defined hold intervals and are excluded (a 1-point
-    * TWAP is the point itself — noise, not a time average). */
+    * TWAP is the point itself — noise, not a time average).
+    *
+    * Null policy: a null value is NOT an observation — such rows are
+    * dropped BEFORE the lead() pass, so the previous observed value
+    * holds across the gap. (Leaving them in would count the interval
+    * in the denominator but not the numerator, silently deflating the
+    * average.) */
   def twap(df: DataFrame, keys: Seq[String], tsCol: String,
       valueCol: String, tieCols: Seq[String] = Nil): DataFrame = {
     val ord: Seq[Column] = (tsCol +: tieCols).map(col)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
     val tu = unix_micros(col(tsCol))
     val stepped = df
+      .filter(col(valueCol).isNotNull)
       .withColumn("__dt", lead(tu, 1).over(w) - tu)
     stepped.groupBy(keys.map(col): _*)
       .agg(

@@ -86,16 +86,19 @@ object Sequences {
       stateCol: String, tieCol: String, k: Int = 3,
       minSupport: Double = 0.01): DataFrame = {
     require(k >= 2 && k <= 8, s"k out of range: $k")
+    // a null key is not a user: excluded up front so the support
+    // numerator (countDistinct, null-skipping) and denominator agree
+    val data = df.filter(col(keyCol).isNotNull)
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
     val withLeads = (1 until k).foldLeft(
-      df.withColumn("__s0", coalesce(col(stateCol), lit("(null)")))) { (acc, i) =>
+      data.withColumn("__s0", coalesce(col(stateCol), lit("(null)")))) { (acc, i) =>
       acc.withColumn(s"__s$i", lead(col("__s0"), i).over(w))
     }
     val gram = concat_ws(" > ", (0 until k).map(i => col(s"__s$i")): _*)
     val grams = withLeads
       .where(col(s"__s${k - 1}").isNotNull) // complete grams only
       .select(gram.as("gram"), col(keyCol).as("__k"))
-    val totalUsers = df.select(col(keyCol)).distinct()
+    val totalUsers = data.select(col(keyCol)).distinct()
       .agg(count(lit(1)).as("total_users"))
     grams.groupBy("gram")
       .agg(count(lit(1)).as("n_occurrences"),

@@ -82,9 +82,12 @@ object BehaviorQueries {
           .cast("int").as("week"))
     val firstWeek = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
     val sizes = firstWeek.groupBy("cohort_week").agg(count(lit(1)).as("n_users"))
+    // (user, week) is already distinct and a user has ONE cohort week,
+    // so plain count suffices — a countDistinct here would pay a
+    // second Expand pass for nothing (review finding)
     val cells = ev.distinct().join(firstWeek, Seq("user_id"))
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
-      .agg(countDistinct(col("user_id")).as("n_active"))
+      .agg(count(lit(1)).as("n_active"))
     cells.join(sizes, Seq("cohort_week"))
       .select(col("cohort_week"), col("week_offset"), col("n_users"), col("n_active"),
         round(col("n_active") / col("n_users").cast("double"), 4).as("retention"))
@@ -106,18 +109,21 @@ object BehaviorQueries {
     // avg divides the exact microsecond-delta sum once at the end
     // (the shuffle-order-independence discipline, see Funnel scaladoc)
     "q167_funnel" ->
-      """WITH s1 AS (
-        |  SELECT user_id AS k, min(ts) AS ts1 FROM events
+      """WITH evn AS (
+        |  SELECT user_id, event_type,
+        |    date_trunc('microseconds', ts) AS ts FROM events),
+        |s1 AS (
+        |  SELECT user_id AS k, min(ts) AS ts1 FROM evn
         |  WHERE event_type = 'view' GROUP BY 1),
         |s1d AS (SELECT k, ts1, ts1 + INTERVAL 7 DAY AS deadline FROM s1),
         |s2 AS (
         |  SELECT e.user_id AS k, s.ts1, s.deadline, min(e.ts) AS ts2
-        |  FROM events e JOIN s1d s ON e.user_id = s.k
+        |  FROM evn e JOIN s1d s ON e.user_id = s.k
         |  WHERE e.event_type = 'click' AND e.ts > s.ts1 AND e.ts <= s.deadline
         |  GROUP BY 1, 2, 3),
         |s3 AS (
         |  SELECT e.user_id AS k, s.ts1, min(e.ts) AS ts3
-        |  FROM events e JOIN s2 s ON e.user_id = s.k
+        |  FROM evn e JOIN s2 s ON e.user_id = s.k
         |  WHERE e.event_type = 'purchase' AND e.ts > s.ts2 AND e.ts <= s.deadline
         |  GROUP BY 1, 2),
         |summ AS (
@@ -140,8 +146,9 @@ object BehaviorQueries {
     // partition (contiguity), so one completeness guard suffices
     "q171_seq_mining" ->
       """WITH s AS (
-        |  SELECT user_id, ts, event_id,
-        |    coalesce(event_type, '(null)') AS st FROM events),
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id,
+        |    coalesce(event_type, '(null)') AS st FROM events
+        |  WHERE user_id IS NOT NULL),
         |g AS (
         |  SELECT user_id,
         |    st || ' > ' || lead(st, 1) OVER w || ' > ' || lead(st, 2) OVER w AS gram,
@@ -151,7 +158,7 @@ object BehaviorQueries {
         |  SELECT gram, count(*) AS n_occurrences,
         |    count(DISTINCT user_id) AS n_users
         |  FROM g WHERE l2 IS NOT NULL GROUP BY 1),
-        |tot AS (SELECT count(DISTINCT user_id) AS tu FROM events)
+        |tot AS (SELECT count(DISTINCT user_id) AS tu FROM s)
         |SELECT gram, n_occurrences, n_users,
         |  round(n_users * 1.0 / tu, 6) AS support
         |FROM cells, tot
@@ -185,12 +192,15 @@ object BehaviorQueries {
     // diff > gap starts a new session; diff == gap merges — the
     // session_window convention, boundary-proven in BehaviorOpsSpec
     "q173_sessionize" ->
-      """WITH f AS (
+      """WITH evn AS (
+        |  SELECT user_id, event_id,
+        |    date_trunc('microseconds', ts) AS ts FROM events),
+        |f AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
         |         THEN 1 ELSE 0 END AS newf
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |  FROM evn WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |seq AS (
         |  SELECT user_id, ts,
         |    CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -205,11 +215,15 @@ object BehaviorQueries {
     // last observation's hold interval is open (lead is NULL) and
     // drops out of both sums on both engines
     "q174_twap" ->
-      """WITH x AS (
+      """WITH evn AS (
+        |  SELECT user_id, event_id, value,
+        |    date_trunc('microseconds', ts) AS ts FROM events
+        |  WHERE value IS NOT NULL),
+        |x AS (
         |  SELECT user_id, value, epoch_us(ts) AS tu,
         |    lead(epoch_us(ts)) OVER (
         |      PARTITION BY user_id ORDER BY ts, event_id) AS nxt
-        |  FROM events),
+        |  FROM evn),
         |a AS (
         |  SELECT user_id, count(*) AS n_obs,
         |    round((max(tu) - min(tu)) / 1e6, 3) AS span_sec,
@@ -245,7 +259,7 @@ object BehaviorQueries {
         |sz AS (SELECT cohort_week, count(*) AS n_users FROM fw GROUP BY 1),
         |cells AS (
         |  SELECT f.cohort_week, e.week - f.cohort_week AS week_offset,
-        |    count(DISTINCT e.user_id) AS n_active
+        |    count(*) AS n_active
         |  FROM (SELECT DISTINCT user_id, week FROM ev) e
         |  JOIN fw f ON e.user_id = f.user_id
         |  GROUP BY 1, 2)

@@ -34,7 +34,10 @@ object ProfileQueries {
     val med = o.agg(expr("percentile(o_totalprice, 0.5)").as("m"))
     val labeled = o.join(c, col("o_custkey") === col("c_custkey"))
       .crossJoin(broadcast(med))
-      .withColumn("high_value", (col("o_totalprice") > col("m")).cast("int"))
+      // when/otherwise, not a bool cast: a null price must label 0 the
+      // way the oracle's CASE does, not become a third "(null)" level
+      .withColumn("high_value",
+        when(col("o_totalprice") > col("m"), 1).otherwise(0))
     InfoTheory.mutualInfo(labeled,
       Seq("o_orderpriority", "o_orderstatus", "c_mktsegment"), "high_value")
   }
@@ -65,7 +68,9 @@ object ProfileQueries {
     // discipline); statistics are sums over the 15-cell frame
     "q168_chi2" ->
       """WITH obs AS (
-        |  SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS observed
+        |  SELECT coalesce(CAST(o_orderpriority AS VARCHAR), '(null)') AS a,
+        |    coalesce(CAST(o_orderstatus AS VARCHAR), '(null)') AS b,
+        |    count(*) AS observed
         |  FROM orders GROUP BY 1, 2),
         |aa AS (SELECT DISTINCT a FROM obs), bb AS (SELECT DISTINCT b FROM obs),
         |fs AS (

@@ -109,6 +109,16 @@ class BehaviorOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
     assert(out == Map(1L -> ((3L, 4.0, 20.0, 17.5))))
+
+    // a null value is NOT an observation: the previous value holds
+    // across it (u1 with a null at t=1 ⇒ 10 holds the full 4s span)
+    val withNull = Seq(
+      (1L, ts(0), 1L, Some(10.0)), (1L, ts(1), 2L, Option.empty[Double]),
+      (1L, ts(4), 3L, Some(30.0))
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out2 = Interpolate.twap(withNull, Seq("user_id"), "ts", "value", Seq("event_id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(4))).toMap
+    assert(out2 == Map(1L -> ((2L, 10.0))))
   }
 
   test("itemItemTopK: cosine, minPairs pruning, oversized-basket exclusion") {

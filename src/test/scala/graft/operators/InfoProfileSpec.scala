@@ -42,6 +42,19 @@ class InfoProfileSpec extends AnyFunSuite {
     assert(out.head.getAs[String]("effect_band") == "large")
   }
 
+  test("chiSquare: null levels are real levels, not dropped cells") {
+    val s = spark; import s.implicits._
+    // null x perfectly predicts b2: if the spine join dropped nulls,
+    // n would halve and chi2 would corrupt
+    val rows = Seq.fill(10)((Some("a1"), "b1")) ++
+      Seq.fill(10)((Option.empty[String], "b2"))
+    val out = InfoTheory.chiSquare(rows.toDF("x", "y"), "x", "y").collect()
+    assert(out.length == 4)
+    assert(out.map(_.getString(0)).toSet == Set("a1", "(null)"))
+    assert(out.head.getAs[Double]("chi2") == 20.0)
+    assert(out.head.getAs[Double]("cramers_v") == 1.0)
+  }
+
   test("mutualInfo: perfect predictor has NMI 1, independent feature NMI 0") {
     val s = spark; import s.implicits._
     // balanced label; f_perfect == label, f_indep constant
