@@ -155,4 +155,40 @@ object RobustStats {
       .select(col("g"), col("n_pairs"), round(col("slope"), 6).as("slope"))
       .orderBy("g")
   }
+
+  /** Robust outlier scoring via the modified z-score (Iglewicz &
+    * Hoaglin 1993): z = 0.6745·(x − median)/MAD per group, flagging
+    * |z| > `zThresh` (their recommended 3.5). Unlike a mean/std z the
+    * score cannot be masked by the outliers themselves — one 10 MB
+    * document inflates a std enough to hide itself, but not a median
+    * absolute deviation.
+    *
+    * Scale shape: median and MAD are TWO [[Quantiles.exactQuantiles]]
+    * passes (the no-global-sort selection — composition, the q134
+    * winsorize discipline); both per-group statistic frames broadcast
+    * back, scoring is row-local, and only flagged rows survive to the
+    * output. Groups with MAD = 0 (over half the mass on one value)
+    * cannot be scored by this statistic and are EXCLUDED — their
+    * degenerate spread is a finding for [[Quantiles.exactQuantiles]]'s
+    * own short-circuit path, not a z-score. */
+  def robustZOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      idCols: Seq[String], zThresh: Double = 3.5): DataFrame = {
+    val g = groupCols.map(col)
+    val v = col(valueCol).cast("double")
+    val med = Quantiles.exactQuantiles(df, valueCol, Seq(0.5), groupCols)
+      .select((g :+ col("value").cast("double").as("median")): _*)
+    val dev = df.join(broadcast(med), groupCols)
+      .withColumn("__absdev", abs(v - col("median")))
+    val mad = Quantiles.exactQuantiles(dev, "__absdev", Seq(0.5), groupCols)
+      .select((g :+ col("value").cast("double").as("mad")): _*)
+    val scored = dev.join(broadcast(mad), groupCols)
+      .where(col("mad") > 0)
+      .withColumn("z", round(lit(0.6745) * (v - col("median")) / col("mad"), 4))
+    val outliers = scored.where(abs(col("z")) > zThresh)
+    val counts = outliers.groupBy(g: _*).agg(count(lit(1)).as("n_outliers_group"))
+    outliers.join(broadcast(counts), groupCols)
+      .select((idCols.map(col) ++ g ++ Seq(col(valueCol), col("median"),
+        col("mad"), col("z"), col("n_outliers_group"))): _*)
+      .orderBy((groupCols ++ idCols).map(col): _*)
+  }
 }

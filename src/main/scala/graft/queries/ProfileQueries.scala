@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{InfoTheory, Profile}
+import graft.operators.{InfoTheory, JoinAudit, Profile, RobustStats}
 import graft.sources.Tables
 
 /** Round-7 profiling / dependence-screening tranche: the one-pass
@@ -42,10 +42,30 @@ object ProfileQueries {
       Seq("o_orderpriority", "o_orderstatus", "c_mktsegment"), "high_value")
   }
 
+  /** Join fan-out pre-flight audit ([[JoinAudit.fanout]]) of the
+    * lineitem ⋈ lineitem self-join on part key (the co-supply
+    * exploration join): hottest keys, exact output cardinality, m2m
+    * key count, amplification — computed from key histograms, strictly
+    * cheaper than the join it audits. */
+  def q177JoinAudit(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    JoinAudit.fanout(li, li, "l_partkey", "l_partkey", k = 20)
+  }
+
+  /** Modified-z robust outliers ([[RobustStats.robustZOutliers]]) on
+    * event values per event type: median/MAD from two exact-quantile
+    * passes, |z| > 3.5 flags survive (≈390 real outliers at sf0.01 —
+    * the fixture genuinely exercises the flag path). */
+  def q178RobustZ(s: SparkSession, d: String): DataFrame =
+    RobustStats.robustZOutliers(Tables.events(s, d), valueCol = "value",
+      groupCols = Seq("event_type"), idCols = Seq("event_id"), zThresh = 3.5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q168_chi2" -> (q168Chi2 _),
     "q169_profile" -> (q169Profile _),
-    "q170_mutual_info" -> (q170MutualInfo _)
+    "q170_mutual_info" -> (q170MutualInfo _),
+    "q177_join_audit" -> (q177JoinAudit _),
+    "q178_robust_z" -> (q178RobustZ _)
   )
 
   private def profileNumSql(c: String, dtype: String): String =
@@ -156,6 +176,68 @@ object ProfileQueries {
         |  FROM en GROUP BY 1)
         |SELECT feature, n_levels, round(mi_raw, 6) AS mi_nats, h.h_label,
         |  round(mi_raw / h.h_label, 6) AS nmi
-        |FROM agg CROSS JOIN h ORDER BY feature""".stripMargin
+        |FROM agg CROSS JOIN h ORDER BY feature""".stripMargin,
+    // per-key products as doubles (exact integers below 2^53, the
+    // overflow-safe representation both engines share)
+    "q177_join_audit" ->
+      """WITH lh AS (SELECT l_partkey AS key, count(*) AS n_l
+        |  FROM lineitem GROUP BY 1),
+        |rh AS (SELECT l_partkey AS key, count(*) AS n_r
+        |  FROM lineitem GROUP BY 1),
+        |m AS (
+        |  SELECT lh.key, lh.n_l, rh.n_r, lh.n_l * 1.0 * rh.n_r AS out_rows
+        |  FROM lh JOIN rh ON lh.key = rh.key),
+        |c AS (
+        |  SELECT coalesce(sum(out_rows), 0) AS est_join_rows,
+        |    count(*) AS n_keys_matched,
+        |    CAST(sum(CASE WHEN n_l > 1 AND n_r > 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_m2m_keys
+        |  FROM m),
+        |t AS (SELECT count(*) AS nt FROM lineitem),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY out_rows DESC, key)
+        |    AS INT) AS rank FROM m)
+        |SELECT r.rank, r.key, r.n_l, r.n_r, r.out_rows, c.est_join_rows,
+        |  c.n_keys_matched, c.n_m2m_keys,
+        |  round(c.est_join_rows / greatest(t.nt, t.nt), 4) AS amplification
+        |FROM ranked r CROSS JOIN c CROSS JOIN t
+        |WHERE r.rank <= 20 ORDER BY r.rank""".stripMargin,
+    // median and MAD restated via the q127 rank-selection rule
+    // (ceil(q*n), lower order statistic) — NOT quantile_cont's
+    // interpolation; z is per-row double arithmetic, bit-exact
+    "q178_robust_z" ->
+      """WITH t AS (
+        |  SELECT event_id, event_type, value FROM events
+        |  WHERE value IS NOT NULL),
+        |n AS (SELECT event_type, count(*) AS n FROM t GROUP BY 1),
+        |r AS (SELECT event_type, value, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY value) AS rk FROM t),
+        |med AS (
+        |  SELECT r.event_type, r.value AS median FROM r
+        |  JOIN n ON r.event_type = n.event_type
+        |    AND r.rk = CAST(ceil(0.5 * n.n) AS BIGINT)),
+        |dev AS (
+        |  SELECT t.event_id, t.event_type, t.value, med.median,
+        |    abs(t.value - med.median) AS ad
+        |  FROM t JOIN med ON t.event_type = med.event_type),
+        |n2 AS (SELECT event_type, count(*) AS n FROM dev GROUP BY 1),
+        |r2 AS (SELECT event_type, ad, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY ad) AS rk FROM dev),
+        |mad AS (
+        |  SELECT r2.event_type, r2.ad AS mad FROM r2
+        |  JOIN n2 ON r2.event_type = n2.event_type
+        |    AND r2.rk = CAST(ceil(0.5 * n2.n) AS BIGINT)),
+        |sc AS (
+        |  SELECT d.event_id, d.event_type, d.value, d.median, mad.mad,
+        |    round(0.6745 * (d.value - d.median) / mad.mad, 4) AS z
+        |  FROM dev d JOIN mad ON d.event_type = mad.event_type
+        |  WHERE mad.mad > 0),
+        |o AS (SELECT * FROM sc WHERE abs(z) > 3.5),
+        |cnt AS (SELECT event_type, count(*) AS n_outliers_group
+        |  FROM o GROUP BY 1)
+        |SELECT o.event_id, o.event_type, o.value, o.median, o.mad, o.z,
+        |  cnt.n_outliers_group
+        |FROM o JOIN cnt ON o.event_type = cnt.event_type
+        |ORDER BY o.event_type, o.event_id""".stripMargin
   )
 }

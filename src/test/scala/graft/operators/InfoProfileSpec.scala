@@ -79,6 +79,36 @@ class InfoProfileSpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("nmi") == 1.0)
   }
 
+  test("joinAudit fanout: exact output cardinality, m2m flag, amplification") {
+    val s = spark; import s.implicits._
+    val left = Seq("a", "a", "a", "b").toDF("k")
+    val right = Seq("a", "a", "c", "c", "c", "c").toDF("k")
+    val out = JoinAudit.fanout(left, right, "k", "k", k = 10).collect()
+    // only 'a' matches: 3*2 = 6 output rows; b/c contribute nothing
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Int]("rank") == 1 && r.getAs[String]("key") == "a")
+    assert(r.getAs[Long]("n_l") == 3 && r.getAs[Long]("n_r") == 2)
+    assert(r.getAs[Double]("est_join_rows") == 6.0)
+    assert(r.getAs[Long]("n_keys_matched") == 1)
+    assert(r.getAs[Long]("n_m2m_keys") == 1)
+    assert(r.getAs[Double]("amplification") == 1.0) // 6 / max(4, 6)
+  }
+
+  test("robustZOutliers: wild value flagged, MAD immune to it, mad=0 group excluded") {
+    val s = spark; import s.implicits._
+    val g1 = (1 to 9).map(i => (i.toLong, "g1", i.toDouble)) :+ (10L, "g1", 1000.0)
+    val g2 = (11 to 20).map(i => (i.toLong, "g2", 7.0)) // constant: mad = 0
+    val out = RobustStats.robustZOutliers((g1 ++ g2).toDF("id", "grp", "v"),
+      "v", Seq("grp"), Seq("id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    // median 5, absdevs sorted [0,1,1,2,2,3,3,4,4,995] -> MAD 2 (the
+    // outlier cannot inflate it); z(1000) = 0.6745*995/2
+    assert(out.toSeq == Seq(10L -> ((5.0, 2.0,
+      math.rint(0.6745 * 995 / 2 * 1e4) / 1e4, 1L))))
+  }
+
   test("profile: per-type stats, nulls, distincts in one pass") {
     val s = spark; import s.implicits._
     val df = Seq(
