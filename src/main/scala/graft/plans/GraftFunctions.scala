@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.catalyst.expressions.graft.{CosineSimilarity, HashFeatures, LshBucket, MinHashBands, MinHashSig, MmrSelect, Morton2, ShingleSeq, Shingles, SimHash64, SrpProject, VectorSum, WinnowFingerprints}
+import org.apache.spark.sql.catalyst.expressions.graft.{CosineSimilarity, HashFeatures, LshBucket, MinHashBands, MinHashSig, MmrSelect, Morton2, ShingleSeq, Shingles, SimHash64, SrpProject, TopKAgg, VectorSum, WinnowFingerprints}
 
 /** Session-scoped registration of graft's native Catalyst expressions,
   * so they are callable from `expr("cosine_sim(a, b)")` / SQL text.
@@ -33,6 +33,9 @@ object GraftFunctions {
       "minhash_bands", exprs => MinHashBands(exprs(0), intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "vec_sum", exprs => VectorSum(exprs(0)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "topk_agg", exprs => TopKAgg(exprs(0), exprs(1), intLit(exprs(2)))
+        .toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction(
       "hash_features", exprs => HashFeatures(exprs(0), intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(

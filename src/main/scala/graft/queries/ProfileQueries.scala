@@ -60,12 +60,30 @@ object ProfileQueries {
     RobustStats.robustZOutliers(Tables.events(s, d), valueCol = "value",
       groupCols = Seq("event_type"), idCols = Seq("event_id"), zThresh = 3.5)
 
+  /** Skew-safe per-group top-k via the native `topk_agg` bounded-heap
+    * aggregate (`plans/TopKAgg.scala`): map-side partial top-k means
+    * the shuffle carries groups×k pairs, not every row — the
+    * formulation `row_number() <= k` cannot provide (it sorts every
+    * row of a group on one reducer). The oracle IS the window
+    * formulation — the hash match proves the two equivalent. */
+  def q179TopkNative(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(expr("topk_agg(value, event_id, 10)").as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.score").as("value"), col("col.id").as("event_id"))
+      .orderBy("event_type", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q168_chi2" -> (q168Chi2 _),
     "q169_profile" -> (q169Profile _),
     "q170_mutual_info" -> (q170MutualInfo _),
     "q177_join_audit" -> (q177JoinAudit _),
-    "q178_robust_z" -> (q178RobustZ _)
+    "q178_robust_z" -> (q178RobustZ _),
+    "q179_topk_native" -> (q179TopkNative _)
   )
 
   private def profileNumSql(c: String, dtype: String): String =
@@ -238,6 +256,16 @@ object ProfileQueries {
         |SELECT o.event_id, o.event_type, o.value, o.median, o.mad, o.z,
         |  cnt.n_outliers_group
         |FROM o JOIN cnt ON o.event_type = cnt.event_type
-        |ORDER BY o.event_type, o.event_id""".stripMargin
+        |ORDER BY o.event_type, o.event_id""".stripMargin,
+    // the oracle is the window formulation the native aggregate
+    // replaces — the hash match is the equivalence proof
+    "q179_topk_native" ->
+      """WITH r AS (
+        |  SELECT event_type, value, event_id,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS INT) AS rank
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, rank, value, event_id FROM r
+        |WHERE rank <= 10 ORDER BY 1, 2""".stripMargin
   )
 }
