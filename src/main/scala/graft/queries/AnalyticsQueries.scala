@@ -37,6 +37,19 @@ object AnalyticsQueries {
       s, StreamingOps.dailyAggStream(s, s"$d/events.parquet"), "graft_stream_daily")
       .orderBy("day", "event_type")
 
+  /** Streaming daily top-3 events by value per type
+    * ([[StreamingOps.dailyTopkStream]]): the native `topk_agg` buffer
+    * IS the streaming state (k pairs per window/type, not the rows);
+    * hash-checked against the batch window formulation, so the oracle
+    * proves the whole streaming top-k path ≡ batch. */
+  def q181StreamTopk(s: SparkSession, d: String): DataFrame =
+    StreamingOps.runToMemory(
+      s, StreamingOps.dailyTopkStream(s, s"$d/events.parquet"), "graft_stream_topk")
+      .select(col("day"), col("event_type"), posexplode(col("top")))
+      .select(col("day"), col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.score").as("value"), col("col.id").as("event_id"))
+      .orderBy("day", "event_type", "rank")
+
   /** Stateful streaming exact-dedup drained to memory: the
     * `flatMapGroupsWithState` path (per-fingerprint state) run over the
     * documents table as a file stream and hash-checked against DuckDB's
@@ -240,10 +253,23 @@ object AnalyticsQueries {
     "q82_upsert_sink" -> (q82UpsertSink _),
     "q85_streaming_sessions" -> (q85StreamingSessions _),
     "q87_streaming_left_join" -> (q87StreamingLeftJoin _),
-    "q88_streaming_full_join" -> (q88StreamingFullJoin _)
+    "q88_streaming_full_join" -> (q88StreamingFullJoin _),
+    "q181_stream_topk" -> (q181StreamTopk _)
   )
 
   val oracles: Map[String, String] = Map(
+    // batch window formulation of the streaming topk_agg state — the
+    // hash match proves streaming ≡ batch for the native aggregate
+    "q181_stream_topk" ->
+      """WITH r AS (
+        |  SELECT CAST(date_trunc('microseconds', ts) AS DATE) AS day,
+        |    event_type, value, event_id,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY CAST(date_trunc('microseconds', ts) AS DATE), event_type
+        |      ORDER BY value DESC, event_id) AS INT) AS rank
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT day, event_type, rank, value, event_id FROM r
+        |WHERE rank <= 3 ORDER BY 1, 2, 3""".stripMargin,
     "q109_streaming_ingest_dedup" ->
       """SELECT doc_id + 1000000 AS doc_id, false AS landed
         |FROM documents WHERE doc_id % 10 = 0

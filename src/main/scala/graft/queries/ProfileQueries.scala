@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{InfoTheory, JoinAudit, Profile, RobustStats}
+import graft.operators.{Eval, InfoTheory, JoinAudit, Profile, RobustStats}
 import graft.sources.Tables
 
 /** Round-7 profiling / dependence-screening tranche: the one-pass
@@ -77,8 +77,20 @@ object ProfileQueries {
       .orderBy("event_type", "rank")
   }
 
+  /** Exact tie-aware AUC per language ([[Eval.aucByGroup]]): how well
+    * document length separates the two-digit sources from the rest —
+    * a no-signal fixture by construction (AUC ≈ 0.5), which is itself
+    * the point: the exact rank identity must agree across engines even
+    * when every rank matters and ties abound. */
+  def q180Auc(s: SparkSession, d: String): DataFrame =
+    Eval.aucByGroup(
+      Tables.documents(s, d)
+        .withColumn("is_late_source", (length(col("source")) > 4).cast("int")),
+      groupCols = Seq("lang"), scoreCol = "n_chars", labelCol = "is_late_source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q168_chi2" -> (q168Chi2 _),
+    "q180_auc" -> (q180Auc _),
     "q169_profile" -> (q169Profile _),
     "q170_mutual_info" -> (q170MutualInfo _),
     "q177_join_audit" -> (q177JoinAudit _),
@@ -266,6 +278,28 @@ object ProfileQueries {
         |      ORDER BY value DESC, event_id) AS INT) AS rank
         |  FROM events WHERE value IS NOT NULL)
         |SELECT event_type, rank, value, event_id FROM r
-        |WHERE rank <= 10 ORDER BY 1, 2""".stripMargin
+        |WHERE rank <= 10 ORDER BY 1, 2""".stripMargin,
+    // Mann-Whitney with average ranks: rank() is min-rank of ties in
+    // both engines; halves are exact in double
+    "q180_auc" ->
+      """WITH t AS (
+        |  SELECT lang, CAST(n_chars AS DOUBLE) AS s,
+        |    CASE WHEN length(source) > 4 THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |r AS (
+        |  SELECT lang, s, y,
+        |    rank() OVER (PARTITION BY lang ORDER BY s) AS minrank,
+        |    count(*) OVER (PARTITION BY lang, s) AS tie
+        |  FROM t),
+        |a AS (
+        |  SELECT lang,
+        |    CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(sum(1 - y) AS BIGINT) AS n_neg,
+        |    sum(CASE WHEN y = 1 THEN minrank + (tie - 1) / 2.0 END) AS sumrank
+        |  FROM r GROUP BY 1)
+        |SELECT lang, n_pos, n_neg,
+        |  round((sumrank - n_pos * 1.0 * (n_pos + 1) / 2) /
+        |    (n_pos * 1.0 * n_neg), 6) AS auc
+        |FROM a WHERE n_pos > 0 AND n_neg > 0 ORDER BY lang""".stripMargin
   )
 }

@@ -111,6 +111,24 @@ object StreamingOps {
         col("event_type"), col("n_events"), col("total_value"))
   }
 
+  /** Streaming daily top-k by value per event type, using the native
+    * `topk_agg` bounded-heap aggregate ([[graft.plans]] TopKAgg) as the
+    * windowed-aggregation state: each micro-batch folds its rows into
+    * the k-slot buffer held in the state store (the serialize/merge
+    * contract every TypedImperativeAggregate already carries), so state
+    * per (window, type) is k pairs — never the window's rows. The
+    * streaming answer to "top sellers today" that a row_number window
+    * cannot express at all (no windows over streaming aggregates). */
+  def dailyTopkStream(spark: SparkSession, path0: String, k: Int = 3): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val path = stageDir(path0)
+    rawEventStream(spark, path)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(expr(s"topk_agg(value, event_id, $k)").as("top"))
+      .select(to_date(col("w.start")).as("day"), col("event_type"), col("top"))
+  }
+
   /** Stateful streaming exact-dedup: per content-hash group state
     * remembers whether the hash has been seen; only the first document
     * per fingerprint is emitted, across micro-batches. The custom-state

@@ -109,6 +109,24 @@ class InfoProfileSpec extends AnyFunSuite {
       math.rint(0.6745 * 995 / 2 * 1e4) / 1e4, 1L))))
   }
 
+  test("aucByGroup: exact tie-aware AUC, degenerate groups excluded") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      // g1: perfect separation -> 1.0 ; g2: reversed -> 0.0
+      ("g1", 1.0, 0), ("g1", 2.0, 0), ("g1", 3.0, 1), ("g1", 4.0, 1),
+      ("g2", 1.0, 1), ("g2", 2.0, 1), ("g2", 3.0, 0), ("g2", 4.0, 0),
+      // g3: all tied -> 0.5 exactly (average ranks)
+      ("g3", 7.0, 1), ("g3", 7.0, 1), ("g3", 7.0, 0), ("g3", 7.0, 0),
+      // g4: pos ties one neg, beats the other -> 0.5·1 + 0.5·0.5 = 0.75
+      ("g4", 1.0, 0), ("g4", 2.0, 0), ("g4", 2.0, 1),
+      // g5: single class -> excluded
+      ("g5", 1.0, 1), ("g5", 2.0, 1)
+    ).toDF("grp", "score", "y")
+    val out = Eval.aucByGroup(df, Seq("grp"), "score", "y")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out == Map("g1" -> 1.0, "g2" -> 0.0, "g3" -> 0.5, "g4" -> 0.75))
+  }
+
   test("profile: per-type stats, nulls, distincts in one pass") {
     val s = spark; import s.implicits._
     val df = Seq(
