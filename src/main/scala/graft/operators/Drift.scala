@@ -70,4 +70,55 @@ object Drift {
           .when(col("psi") < 0.25, lit("drifting"))
           .otherwise(lit("shifted")).as("verdict"))
   }
+
+  /** Token-distribution divergence between two sub-corpora — the
+    * TOKEN-SPACE drift monitor beside [[histogramPsi]]'s numeric one
+    * (a corpus refresh can leave every length/score histogram intact
+    * while the vocabulary shifts under it): symmetric Jensen–Shannon
+    * divergence over add-half-smoothed unigram distributions on the
+    * UNION vocabulary, with both one-sided KLs and the top token
+    * contributions for attribution.
+    *
+    * Scale shape: each side pays one token explode + count aggregate;
+    * everything after is arithmetic over the union-vocab count table
+    * (full outer join of two vocab-sized frames). JS ∈ [0, ln 2];
+    * contributions round 6 AFTER the (vocab-bounded) sums. */
+  def tokenDivergence(corpusA: DataFrame, corpusB: DataFrame,
+      textCol: String = "text", topK: Int = 20): DataFrame = {
+    def counts(df: DataFrame, cName: String) = df
+      .select(explode(graft.functions.TextFunctions.tokens(textCol)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as(cName))
+    val joined = counts(corpusA, "n_a").join(counts(corpusB, "n_b"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val vocab = joined.agg(count(lit(1)).as("__v"),
+      sum("n_a").as("__ta"), sum("n_b").as("__tb"))
+    val scored = joined.crossJoin(broadcast(vocab))
+      .withColumn("__pa", (col("n_a") + 0.5) / (col("__ta") + lit(0.5) * col("__v")))
+      .withColumn("__pb", (col("n_b") + 0.5) / (col("__tb") + lit(0.5) * col("__v")))
+      .withColumn("__pm", (col("__pa") + col("__pb")) / 2)
+      .withColumn("__kl_ab", col("__pa") * log(col("__pa") / col("__pb")))
+      .withColumn("__kl_ba", col("__pb") * log(col("__pb") / col("__pa")))
+      .withColumn("__js", (col("__pa") * log(col("__pa") / col("__pm")) +
+        col("__pb") * log(col("__pb") / col("__pm"))) / 2)
+    val totals = broadcast(scored.agg(
+      round(sum("__kl_ab"), 6).as("kl_ab"),
+      round(sum("__kl_ba"), 6).as("kl_ba"),
+      round(sum("__js"), 6).as("js")))
+    // distributed top-k (TakeOrderedAndProject) over the vocab frame;
+    // rank assigned over the k-row result only (no single-partition
+    // window over the vocabulary)
+    scored
+      .withColumn("js_contrib", round(col("__js"), 6))
+      .orderBy(col("js_contrib").desc, col("token"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("js_contrib").desc, col("token"))))
+      .crossJoin(totals)
+      .select(col("rank"), col("token"), col("n_a"), col("n_b"),
+        col("js_contrib"), col("kl_ab"), col("kl_ba"), col("js"))
+      .orderBy("rank")
+  }
 }

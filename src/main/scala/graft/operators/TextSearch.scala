@@ -345,4 +345,61 @@ object TextSearch {
       round(lit(1.0) - sum("n_oov") / sum("n_tokens"), 6).as("coverage"))
     perDoc.crossJoin(broadcast(global))
   }
+
+  /** PMI collocations — corpus-level keyword-phrase extraction (Church
+    * & Hanks 1990): adjacent token pairs scored by (normalized)
+    * pointwise mutual information,
+    *
+    *   pmi  = ln( p(w1w2) / (p(w1)·p(w2)) )
+    *   npmi = pmi / −ln p(w1w2)    ∈ [−1, 1]
+    *
+    * — high npmi = the pair co-occurs far above chance ("machine
+    * learning", not "of the"). The extraction statistic q97's bigram
+    * LM does not provide (perplexity scores documents; PMI scores
+    * PAIRS). `minCount` guards the low-frequency PMI bias (a pair seen
+    * twice can max the score by accident — the standard filter).
+    *
+    * Scale shape: ONE positional-bigram explode (the q97 shape) feeds
+    * the pair counts; unigram counts are one token explode; everything
+    * after joins VOCAB-sized count tables. npmi rounds to 6 BEFORE the
+    * ranking window (round-before-select), and the window ranks the
+    * minCount-filtered pair table — bounded, not the corpus. */
+  def pmiCollocations(docs: DataFrame, textCol: String = "text",
+      minCount: Long = 5, topK: Int = 50): DataFrame = {
+    val toks = docs.withColumn("toks", TextFunctions.tokens(textCol))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val uniTotal = uni.agg(sum("c").as("t_uni"))
+    val pairs = toks.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val pairTotal = pairs.agg(sum("c12").as("t_pair"))
+    val scored = pairs
+      .where(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(uniTotal)).crossJoin(broadcast(pairTotal))
+      .withColumn("__p12", col("c12") / col("t_pair").cast("double"))
+      .withColumn("pmi", round(log(col("__p12") /
+        ((col("c1") / col("t_uni").cast("double")) *
+          (col("c2") / col("t_uni").cast("double")))), 6))
+      .withColumn("npmi", round(log(col("__p12") /
+        ((col("c1") / col("t_uni").cast("double")) *
+          (col("c2") / col("t_uni").cast("double")))) / -log(col("__p12")), 6))
+    // orderBy+limit plans as TakeOrderedAndProject (distributed
+    // partial top-k) — no single-partition window over the pair table;
+    // the rank window runs over the k-row result only
+    scored
+      .orderBy(col("npmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("npmi").desc, col("w1"), col("w2"))))
+      .select(col("rank"), concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("c12"), col("c1"), col("c2"), col("pmi"), col("npmi"))
+      .orderBy("rank")
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Eval, InfoTheory, JoinAudit, Profile, RobustStats}
+import graft.operators.{Drift, Eval, InfoTheory, JoinAudit, Profile, RobustStats, TextSearch}
 import graft.sources.Tables
 
 /** Round-7 profiling / dependence-screening tranche: the one-pass
@@ -88,9 +88,28 @@ object ProfileQueries {
         .withColumn("is_late_source", (length(col("source")) > 4).cast("int")),
       groupCols = Seq("lang"), scoreCol = "n_chars", labelCol = "is_late_source")
 
+  /** PMI collocations over the corpus ([[TextSearch.pmiCollocations]]):
+    * top-50 adjacent pairs by normalized PMI with the min-count guard —
+    * phrase extraction, the statistic q97's LM doesn't provide. */
+  def q182Pmi(s: SparkSession, d: String): DataFrame =
+    TextSearch.pmiCollocations(Tables.documents(s, d), minCount = 5, topK = 50)
+
+  /** Token-space drift between the early- and late-source sub-corpora
+    * ([[Drift.tokenDivergence]]): JS divergence + both KLs over
+    * smoothed unigram distributions, top-20 contributing tokens for
+    * attribution — the vocabulary monitor beside q132's numeric PSI. */
+  def q183TokenDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Drift.tokenDivergence(
+      docs.where(length(col("source")) <= 4),
+      docs.where(length(col("source")) > 4), topK = 20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q168_chi2" -> (q168Chi2 _),
     "q180_auc" -> (q180Auc _),
+    "q182_pmi" -> (q182Pmi _),
+    "q183_token_drift" -> (q183TokenDrift _),
     "q169_profile" -> (q169Profile _),
     "q170_mutual_info" -> (q170MutualInfo _),
     "q177_join_audit" -> (q177JoinAudit _),
@@ -300,6 +319,72 @@ object ProfileQueries {
         |SELECT lang, n_pos, n_neg,
         |  round((sumrank - n_pos * 1.0 * (n_pos + 1) / 2) /
         |    (n_pos * 1.0 * n_neg), 6) AS auc
-        |FROM a WHERE n_pos > 0 AND n_neg > 0 ORDER BY lang""".stripMargin
+        |FROM a WHERE n_pos > 0 AND n_neg > 0 ORDER BY lang""".stripMargin,
+    // pair total computed BEFORE the min-count filter (it is the
+    // probability denominator, not a workload cap); npmi rounded to 6
+    // before ranking on both sides
+    "q182_pmi" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |uni AS (SELECT unnest(tk) AS w FROM toks),
+        |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+        |ut AS (SELECT sum(c) AS t_uni FROM uc),
+        |pr AS (
+        |  SELECT tk[i] AS w1, tk[i + 1] AS w2
+        |  FROM toks CROSS JOIN unnest(range(1, len(tk))) AS t(i)),
+        |pc AS (SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY 1, 2),
+        |pt AS (SELECT sum(c12) AS t_pair FROM pc),
+        |sc AS (
+        |  SELECT pc.w1, pc.w2, pc.c12, u1.c AS c1, u2.c AS c2,
+        |    pc.c12 / (pt.t_pair * 1.0) AS p12,
+        |    round(ln((pc.c12 / (pt.t_pair * 1.0)) /
+        |      ((u1.c / (ut.t_uni * 1.0)) * (u2.c / (ut.t_uni * 1.0)))), 6) AS pmi,
+        |    round(ln((pc.c12 / (pt.t_pair * 1.0)) /
+        |      ((u1.c / (ut.t_uni * 1.0)) * (u2.c / (ut.t_uni * 1.0)))) /
+        |      -ln(pc.c12 / (pt.t_pair * 1.0)), 6) AS npmi
+        |  FROM pc
+        |  JOIN uc u1 ON u1.w = pc.w1 JOIN uc u2 ON u2.w = pc.w2
+        |  CROSS JOIN ut CROSS JOIN pt
+        |  WHERE pc.c12 >= 5),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY npmi DESC, w1, w2)
+        |    AS INT) AS rank FROM sc)
+        |SELECT rank, w1 || ' ' || w2 AS bigram, c12, c1, c2, pmi, npmi
+        |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    // union-vocab add-half smoothing; totals sum UNROUNDED terms and
+    // round once; contribution rounded to 6 before the ranking
+    "q183_token_drift" ->
+      """WITH a AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents WHERE length(source) <= 4),
+        |b AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents WHERE length(source) > 4),
+        |ca AS (SELECT token, count(*) AS n_a FROM a GROUP BY 1),
+        |cb AS (SELECT token, count(*) AS n_b FROM b GROUP BY 1),
+        |j AS (
+        |  SELECT token, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |  FROM ca FULL JOIN cb USING (token)),
+        |v AS (SELECT count(*) AS nv, sum(n_a) AS ta, sum(n_b) AS tb FROM j),
+        |s AS (
+        |  SELECT j.*, (n_a + 0.5) / (ta + 0.5 * nv) AS pa,
+        |    (n_b + 0.5) / (tb + 0.5 * nv) AS pb
+        |  FROM j CROSS JOIN v),
+        |s2 AS (
+        |  SELECT *, pa * ln(pa / pb) AS klab, pb * ln(pb / pa) AS klba,
+        |    (pa * ln(pa / ((pa + pb) / 2)) + pb * ln(pb / ((pa + pb) / 2))) / 2 AS jsx
+        |  FROM s),
+        |t AS (
+        |  SELECT round(sum(klab), 6) AS kl_ab, round(sum(klba), 6) AS kl_ba,
+        |    round(sum(jsx), 6) AS js FROM s2),
+        |r AS (
+        |  SELECT token, n_a, n_b, round(jsx, 6) AS js_contrib,
+        |    CAST(row_number() OVER (ORDER BY round(jsx, 6) DESC, token)
+        |      AS INT) AS rank
+        |  FROM s2)
+        |SELECT r.rank, r.token, r.n_a, r.n_b, r.js_contrib,
+        |  t.kl_ab, t.kl_ba, t.js
+        |FROM r CROSS JOIN t WHERE r.rank <= 20 ORDER BY r.rank""".stripMargin
   )
 }
