@@ -88,10 +88,15 @@ object Drift {
     def counts(df: DataFrame, cName: String) = df
       .select(explode(graft.functions.TextFunctions.tokens(textCol)).as("token"))
       .groupBy("token").agg(count(lit(1)).as(cName))
+    // lazily checkpointed: the vocab stats, the divergence totals, and
+    // the top-k all consume this frame — without the checkpoint each
+    // replays both token explodes + aggregates (review finding, the
+    // q178 replay lesson); the frame is vocab-sized, tiny vs the corpus
     val joined = counts(corpusA, "n_a").join(counts(corpusB, "n_b"), Seq("token"), "full_outer")
       .select(col("token"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .localCheckpoint(false)
     val vocab = joined.agg(count(lit(1)).as("__v"),
       sum("n_a").as("__ta"), sum("n_b").as("__tb"))
     val scored = joined.crossJoin(broadcast(vocab))
@@ -106,16 +111,10 @@ object Drift {
       round(sum("__kl_ab"), 6).as("kl_ab"),
       round(sum("__kl_ba"), 6).as("kl_ba"),
       round(sum("__js"), 6).as("js")))
-    // distributed top-k (TakeOrderedAndProject) over the vocab frame;
-    // rank assigned over the k-row result only (no single-partition
-    // window over the vocabulary)
-    scored
-      .withColumn("js_contrib", round(col("__js"), 6))
-      .orderBy(col("js_contrib").desc, col("token"))
-      .limit(topK)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("js_contrib").desc, col("token"))))
+    // distributed top-k over the vocab frame ([[Ranking.topK]]: no
+    // single-partition window over the vocabulary)
+    Ranking.topK(scored.withColumn("js_contrib", round(col("__js"), 6)),
+        topK, col("js_contrib").desc, col("token"))
       .crossJoin(totals)
       .select(col("rank"), col("token"), col("n_a"), col("n_b"),
         col("js_contrib"), col("kl_ab"), col("kl_ba"), col("js"))

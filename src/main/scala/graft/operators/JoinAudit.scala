@@ -26,28 +26,32 @@ object JoinAudit {
     * candidates), and `amplification` = est rows / max(input rows). */
   def fanout(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, k: Int = 20): DataFrame = {
+    // each input is scanned EXACTLY once: the key histograms are
+    // lazily checkpointed (they are |keys|-sized, the audit's working
+    // set) and the input totals derive from the histograms (Σ n =
+    // count(*)) instead of fresh table scans; `matched` is consumed by
+    // both the constants aggregate and the top-k, so it is
+    // checkpointed too (review finding — the q178 replay lesson)
     val lh = left.groupBy(col(leftKey).as("key")).agg(count(lit(1)).as("n_l"))
+      .localCheckpoint(false)
     val rh = right.groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("n_r"))
+      .localCheckpoint(false)
     val matched = lh.join(rh, Seq("key"))
       .withColumn("out_rows", col("n_l").cast("double") * col("n_r"))
+      .localCheckpoint(false)
     val consts = matched.agg(
         sum("out_rows").as("est_join_rows"),
         count(lit(1)).as("n_keys_matched"),
         sum((col("n_l") > 1 && col("n_r") > 1).cast("long")).as("n_m2m_keys"))
-      .crossJoin(broadcast(left.agg(count(lit(1)).as("__nl"))))
-      .crossJoin(broadcast(right.agg(count(lit(1)).as("__nr"))))
+      .crossJoin(broadcast(lh.agg(sum("n_l").as("__nl"))))
+      .crossJoin(broadcast(rh.agg(sum("n_r").as("__nr"))))
       .select(
         coalesce(col("est_join_rows"), lit(0.0)).as("est_join_rows"),
         col("n_keys_matched"), col("n_m2m_keys"),
         round(coalesce(col("est_join_rows"), lit(0.0)) /
           greatest(col("__nl"), col("__nr")), 4).as("amplification"))
-    matched
-      .orderBy(col("out_rows").desc, col("key"))
-      .limit(k)
+    Ranking.topK(matched, k, col("out_rows").desc, col("key"))
       .crossJoin(broadcast(consts))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("out_rows").desc, col("key"))))
       .select(col("rank"), col("key"), col("n_l"), col("n_r"), col("out_rows"),
         col("est_join_rows"), col("n_keys_matched"), col("n_m2m_keys"),
         col("amplification"))

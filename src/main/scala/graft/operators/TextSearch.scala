@@ -367,8 +367,12 @@ object TextSearch {
   def pmiCollocations(docs: DataFrame, textCol: String = "text",
       minCount: Long = 5, topK: Int = 50): DataFrame = {
     val toks = docs.withColumn("toks", TextFunctions.tokens(textCol))
+    // uni feeds the total and BOTH metric joins; pairs feeds the total
+    // and the scoring — lazily checkpointed (vocab-/pair-table-sized)
+    // so each corpus explode runs once (the q178 replay lesson)
     val uni = toks.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     val uniTotal = uni.agg(sum("c").as("t_uni"))
     val pairs = toks.filter(size(col("toks")) >= 2)
       .select(explode(expr(
@@ -376,6 +380,7 @@ object TextSearch {
         .as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(false)
     val pairTotal = pairs.agg(sum("c12").as("t_pair"))
     val scored = pairs
       .where(col("c12") >= minCount)
@@ -389,15 +394,9 @@ object TextSearch {
       .withColumn("npmi", round(log(col("__p12") /
         ((col("c1") / col("t_uni").cast("double")) *
           (col("c2") / col("t_uni").cast("double")))) / -log(col("__p12")), 6))
-    // orderBy+limit plans as TakeOrderedAndProject (distributed
-    // partial top-k) — no single-partition window over the pair table;
-    // the rank window runs over the k-row result only
-    scored
-      .orderBy(col("npmi").desc, col("w1"), col("w2"))
-      .limit(topK)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("npmi").desc, col("w1"), col("w2"))))
+    // distributed top-k over the pair table ([[Ranking.topK]]: no
+    // single-partition window before the limit)
+    Ranking.topK(scored, topK, col("npmi").desc, col("w1"), col("w2"))
       .select(col("rank"), concat_ws(" ", col("w1"), col("w2")).as("bigram"),
         col("c12"), col("c1"), col("c2"), col("pmi"), col("npmi"))
       .orderBy("rank")

@@ -267,7 +267,8 @@ object AnalyticsQueries {
         |    CAST(row_number() OVER (
         |      PARTITION BY CAST(date_trunc('microseconds', ts) AS DATE), event_type
         |      ORDER BY value DESC, event_id) AS INT) AS rank
-        |  FROM events WHERE value IS NOT NULL)
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_id IS NOT NULL)
         |SELECT day, event_type, rank, value, event_id FROM r
         |WHERE rank <= 3 ORDER BY 1, 2, 3""".stripMargin,
     "q109_streaming_ingest_dedup" ->

@@ -85,7 +85,10 @@ object ProfileQueries {
   def q180Auc(s: SparkSession, d: String): DataFrame =
     Eval.aucByGroup(
       Tables.documents(s, d)
-        .withColumn("is_late_source", (length(col("source")) > 4).cast("int")),
+        // when/otherwise, not a bool cast: a null source must label 0
+        // like the oracle's CASE (the q170 lesson, again)
+        .withColumn("is_late_source",
+          when(length(col("source")) > 4, 1).otherwise(0)),
       groupCols = Seq("lang"), scoreCol = "n_chars", labelCol = "is_late_source")
 
   /** PMI collocations over the corpus ([[TextSearch.pmiCollocations]]):
@@ -242,14 +245,15 @@ object ProfileQueries {
         |    CAST(sum(CASE WHEN n_l > 1 AND n_r > 1 THEN 1 ELSE 0 END)
         |      AS BIGINT) AS n_m2m_keys
         |  FROM m),
-        |t AS (SELECT count(*) AS nt FROM lineitem),
+        |tl AS (SELECT sum(n_l) AS n FROM lh),
+        |tr AS (SELECT sum(n_r) AS n FROM rh),
         |ranked AS (
         |  SELECT *, CAST(row_number() OVER (ORDER BY out_rows DESC, key)
         |    AS INT) AS rank FROM m)
         |SELECT r.rank, r.key, r.n_l, r.n_r, r.out_rows, c.est_join_rows,
         |  c.n_keys_matched, c.n_m2m_keys,
-        |  round(c.est_join_rows / greatest(t.nt, t.nt), 4) AS amplification
-        |FROM ranked r CROSS JOIN c CROSS JOIN t
+        |  round(c.est_join_rows / greatest(tl.n, tr.n), 4) AS amplification
+        |FROM ranked r CROSS JOIN c CROSS JOIN tl CROSS JOIN tr
         |WHERE r.rank <= 20 ORDER BY r.rank""".stripMargin,
     // median and MAD restated via the q127 rank-selection rule
     // (ceil(q*n), lower order statistic) — NOT quantile_cont's
@@ -295,7 +299,8 @@ object ProfileQueries {
         |  SELECT event_type, value, event_id,
         |    CAST(row_number() OVER (PARTITION BY event_type
         |      ORDER BY value DESC, event_id) AS INT) AS rank
-        |  FROM events WHERE value IS NOT NULL)
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_id IS NOT NULL)
         |SELECT event_type, rank, value, event_id FROM r
         |WHERE rank <= 10 ORDER BY 1, 2""".stripMargin,
     // Mann-Whitney with average ranks: rank() is min-rank of ties in
