@@ -63,4 +63,40 @@ object Cooccur {
         col("n_ab"), col("n_a"), col("n_b"), col("cosine"), col("rank"))
       .orderBy("item", "rank")
   }
+
+  /** Audience overlap matrix: for every unordered pair of segments
+    * (distinct values of `segCol`), the distinct-entity intersection
+    * plus Jaccard and lift — the "how much do these two audiences
+    * share" readout behind reach planning and segment pruning.
+    *
+    *   jaccard = n_ab / (n_a + n_b − n_ab)
+    *   lift    = (n_ab · N) / (n_a · n_b)     (1 = independent)
+    *
+    * Scale shape: one (entity, segment) dedup shuffle, then the pair
+    * join keyed on the ENTITY — each entity contributes only its own
+    * segment pairs, so work is Σ per-entity |segments|², bounded by
+    * the segment-vocabulary size squared (segments are a curated
+    * enumeration — tens, not millions), never |entities|². Counts are
+    * exact integers; the two ratios are single divisions, round 6. */
+  def audienceOverlap(df: DataFrame, entityCol: String, segCol: String): DataFrame = {
+    val es = df.select(col(entityCol).as("ent"), col(segCol).as("seg"))
+      .where(col("ent").isNotNull && col("seg").isNotNull)
+      .distinct()
+    val segCounts = es.groupBy(col("seg")).agg(countDistinct("ent").as("n"))
+    val total = es.agg(countDistinct("ent").as("n_total"))
+    val pairs = es.as("x").join(es.as("y"), col("x.ent") === col("y.ent"))
+      .where(col("x.seg") < col("y.seg"))
+      .groupBy(col("x.seg").as("seg_a"), col("y.seg").as("seg_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(segCounts.select(col("seg").as("seg_a"), col("n").as("n_a"))), Seq("seg_a"))
+      .join(broadcast(segCounts.select(col("seg").as("seg_b"), col("n").as("n_b"))), Seq("seg_b"))
+      .crossJoin(broadcast(total))
+      .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"), col("n_ab"),
+        round(col("n_ab").cast("double") / (col("n_a") + col("n_b") - col("n_ab")), 6)
+          .as("jaccard"),
+        round(col("n_ab").cast("double") * col("n_total") /
+          (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+      .orderBy("seg_a", "seg_b")
+  }
 }

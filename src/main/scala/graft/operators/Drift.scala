@@ -120,4 +120,61 @@ object Drift {
         col("js_contrib"), col("kl_ab"), col("kl_ba"), col("js"))
       .orderBy("rank")
   }
+
+  /** Keyness: the terms most DISTINCTIVE of corpus A vs corpus B, by
+    * per-term 2×2 chi-square (Kilgarriff 2001's corpus-comparison
+    * statistic; a,b = term counts, c,d = rest-of-corpus counts):
+    *
+    *   χ² = N(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+    *
+    * plus a smoothed log-odds direction ln((a+½)(d+½)/((b+½)(c+½))) —
+    * χ² says HOW distinctive, the sign says FOR WHICH corpus. This is
+    * the per-term attribution q183's corpus-level JS total doesn't
+    * give: divergence says the corpora moved, keyness names the words.
+    *
+    * Determinism: all eight cell inputs are exact integers; the χ²
+    * products exceed 2⁵³ at corpus scale so both engines compute them
+    * in IEEE double — same literal expression, same rounding path —
+    * and the top-k ranks on round(χ², 4) with a term tie-break (the
+    * q184 rounded-rank discipline). Scale shape: one aggregate per
+    * corpus to vocab-sized count frames, a full-outer vocab join,
+    * arithmetic, then a distributed top-k ([[Ranking.topK]]) — the
+    * corpus is read once per side and never re-shuffled. */
+  def keyness(corpusA: DataFrame, corpusB: DataFrame,
+      textCol: String = "text", topK: Int = 20): DataFrame = {
+    def counts(df: DataFrame, cName: String) = df
+      .select(explode(graft.functions.TextFunctions.tokens(textCol)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as(cName))
+    val joined = counts(corpusA, "n_a").join(counts(corpusB, "n_b"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .localCheckpoint(false)
+    val totals = joined.agg(sum("n_a").as("__ta"), sum("n_b").as("__tb"))
+    val cells = joined.crossJoin(broadcast(totals))
+      .withColumn("__aa", col("n_a").cast("double"))
+      .withColumn("__bb", col("n_b").cast("double"))
+      .withColumn("__cc", (col("__ta") - col("n_a")).cast("double"))
+      .withColumn("__dd", (col("__tb") - col("n_b")).cast("double"))
+      .withColumn("__n", (col("__ta") + col("__tb")).cast("double"))
+    // (ad−bc)² as an explicit product, not pow(x, 2): pow carries a
+    // 1-ulp license in both engines, the product is a single exact-
+    // rounded IEEE op — identical bits either side
+    val det = col("__aa") * col("__dd") - col("__bb") * col("__cc")
+    val scored = cells
+      .withColumn("chi2", round(
+        col("__n") * (det * det) /
+          ((col("__aa") + col("__bb")) * (col("__cc") + col("__dd")) *
+            col("__ta").cast("double") * col("__tb").cast("double")), 4))
+      .withColumn("log_odds", round(
+        log((col("__aa") + 0.5) * (col("__dd") + 0.5) /
+          ((col("__bb") + 0.5) * (col("__cc") + 0.5))), 6))
+      .where(col("__ta") > 0 && col("__tb") > 0 &&
+        col("__cc") + col("__dd") > 0)
+    Ranking.topK(scored, topK, col("chi2").desc, col("token"))
+      .select(col("rank"), col("token"), col("n_a"), col("n_b"),
+        col("chi2"), col("log_odds"),
+        when(col("log_odds") > 0, lit("A")).otherwise(lit("B")).as("key_for"))
+      .orderBy("rank")
+  }
 }

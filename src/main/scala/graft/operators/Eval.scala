@@ -51,4 +51,57 @@ object Eval {
           (col("n_pos").cast("double") * col("n_neg")), 6).as("auc"))): _*)
       .orderBy(g: _*)
   }
+
+  /** Top-k ranking metrics per group — the retrieval readout beside
+    * AUC's classification readout: for each group, rank items by
+    * (score DESC, id ASC — deterministic ties), cut at k, and report
+    *
+    *   - nDCG@k  = DCG@k / IDCG@k with linear gain rel/log2(pos+1);
+    *     IDCG ranks by rel itself (order within equal rel is
+    *     irrelevant to the sum), null when the group has no positive
+    *     relevance anywhere (no ranking to measure — the q180
+    *     exclusion discipline, but kept as a visible null row since
+    *     precision/MRR still apply);
+    *   - precision@k = share of the top k with rel > 0;
+    *   - mrr@k = 1/(first relevant rank), 0 if none in the top k.
+    *
+    * `relCol` must be integer-valued grades ≥ 0; null rel or score
+    * drops the row. Scale shape: two rank windows partitioned by the
+    * group (per-group sort, no global order) + a 1-row-per-group
+    * aggregate; at heavy per-group cardinality compose with the
+    * native `topk_agg` (q179) to cut before ranking — the window
+    * formulation IS the oracle here, so the driver proof stays on the
+    * simple shape. Doubles: rel and k are exact ints; DCG terms are
+    * int/log2(int) — identical IEEE inputs both engines, round 6. */
+  def rankingMetrics(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+      relCol: String, idCol: String, k: Int): DataFrame = {
+    val g = groupCols.map(col)
+    val data = df
+      .filter(col(scoreCol).isNotNull && col(relCol).isNotNull)
+      .select((g :+ col(scoreCol).cast("double").as("__s")) ++
+        Seq(col(relCol).cast("long").as("__rel"), col(idCol).as("__id")): _*)
+    val wScore = Window.partitionBy(g: _*).orderBy(col("__s").desc, col("__id"))
+    val wIdeal = Window.partitionBy(g: _*).orderBy(col("__rel").desc, col("__id"))
+    val ranked = data
+      .withColumn("__r", row_number().over(wScore))
+      .withColumn("__ri", row_number().over(wIdeal))
+    val actual = ranked.where(col("__r") <= k)
+      .groupBy(g: _*)
+      .agg(
+        sum(col("__rel") / log2(col("__r") + 1)).as("__dcg"),
+        sum(when(col("__rel") > 0, 1).otherwise(0)).as("__nrel"),
+        max(when(col("__rel") > 0, lit(1.0) / col("__r"))).as("__bestinv"),
+        count(lit(1)).as("n_ranked"))
+    val ideal = ranked.where(col("__ri") <= k)
+      .groupBy(g: _*)
+      .agg(sum(col("__rel") / log2(col("__ri") + 1)).as("__idcg"))
+    actual.join(ideal, groupCols)
+      .select((g ++ Seq(
+        col("n_ranked"),
+        when(col("__idcg") > 0, round(col("__dcg") / col("__idcg"), 6))
+          .as("ndcg"),
+        round(col("__nrel").cast("double") / lit(k), 6).as("p_at_k"),
+        round(coalesce(col("__bestinv"), lit(0.0)), 6).as("mrr"))): _*)
+      .orderBy(g: _*)
+  }
 }

@@ -118,4 +118,41 @@ object Graph {
       .select("node", "d", "n_tri", "clustering")
       .orderBy("node")
   }
+
+  /** Bounded-depth BFS: min-hop distance from a seed set over an
+    * undirected pair list, up to `maxHops`. The iterative shape is the
+    * standard distributed BFS relaxation — each round is ONE equi-join
+    * of the current distance vector with the (checkpointed) edge list
+    * plus one min-aggregate:
+    *
+    *   dist_{i+1}(v) = min(dist_i(v), min_{u→v} dist_i(u) + 1)
+    *
+    * After k rounds every node at true distance ≤ k holds its exact
+    * distance (induction on shortest-path prefixes), so a FIXED k
+    * keeps the plan static and the result restatable as an unrolled
+    * SQL level-union (the pageRank discipline) — no convergence test,
+    * no driver-side frontier state. Relaxing the FULL vector instead
+    * of a delta frontier trades a small join width for idempotence:
+    * re-running any round is a no-op, which is what you want on a
+    * cluster with task retries. Integer hop counts — nothing floating
+    * anywhere. Seeds absent from the edge list still appear at hop 0
+    * (a seed is at distance 0 by definition, connected or not). */
+  def kHopDistances(edges: DataFrame, seeds: DataFrame, aCol: String,
+      bCol: String, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "maxHops must be positive")
+    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("hops", lit(0))
+    for (i <- 1 to maxHops) {
+      val expanded = dist
+        .join(und.withColumnRenamed("src", "node"), Seq("node"))
+        .select(col("dst").as("node"), (col("hops") + 1).as("hops"))
+      dist = dist.union(expanded).groupBy("node").agg(min("hops").as("hops"))
+      if (i < maxHops) dist = dist.localCheckpoint()
+    }
+    dist.orderBy("node")
+  }
 }
