@@ -79,9 +79,13 @@ object Cooccur {
     * enumeration — tens, not millions), never |entities|². Counts are
     * exact integers; the two ratios are single divisions, round 6. */
   def audienceOverlap(df: DataFrame, entityCol: String, segCol: String): DataFrame = {
+    // es feeds four branches (both self-join sides, per-segment
+    // counts, the total) — checkpoint so the scan + dedup shuffle
+    // runs once, not per branch (the q178 replay discipline)
     val es = df.select(col(entityCol).as("ent"), col(segCol).as("seg"))
       .where(col("ent").isNotNull && col("seg").isNotNull)
       .distinct()
+      .localCheckpoint(false)
     val segCounts = es.groupBy(col("seg")).agg(countDistinct("ent").as("n"))
     val total = es.agg(countDistinct("ent").as("n_total"))
     val pairs = es.as("x").join(es.as("y"), col("x.ent") === col("y.ent"))

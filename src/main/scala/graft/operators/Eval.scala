@@ -82,20 +82,23 @@ object Eval {
         Seq(col(relCol).cast("long").as("__rel"), col(idCol).as("__id")): _*)
     val wScore = Window.partitionBy(g: _*).orderBy(col("__s").desc, col("__id"))
     val wIdeal = Window.partitionBy(g: _*).orderBy(col("__rel").desc, col("__id"))
+    // ONE conditional aggregate over the doubly-ranked frame — not two
+    // aggregates joined back together: the actual@k and ideal@k sums
+    // are independent per-row conditions on the same partitioning, so
+    // a second pass + join would only recompute the scan and both rank
+    // windows (review finding on this tranche)
     val ranked = data
       .withColumn("__r", row_number().over(wScore))
       .withColumn("__ri", row_number().over(wIdeal))
-    val actual = ranked.where(col("__r") <= k)
+    val agged = ranked
       .groupBy(g: _*)
       .agg(
-        sum(col("__rel") / log2(col("__r") + 1)).as("__dcg"),
-        sum(when(col("__rel") > 0, 1).otherwise(0)).as("__nrel"),
-        max(when(col("__rel") > 0, lit(1.0) / col("__r"))).as("__bestinv"),
-        count(lit(1)).as("n_ranked"))
-    val ideal = ranked.where(col("__ri") <= k)
-      .groupBy(g: _*)
-      .agg(sum(col("__rel") / log2(col("__ri") + 1)).as("__idcg"))
-    actual.join(ideal, groupCols)
+        sum(when(col("__r") <= k, col("__rel") / log2(col("__r") + 1))).as("__dcg"),
+        sum(when(col("__r") <= k && col("__rel") > 0, 1).otherwise(0)).as("__nrel"),
+        max(when(col("__r") <= k && col("__rel") > 0, lit(1.0) / col("__r"))).as("__bestinv"),
+        sum(when(col("__r") <= k, 1).otherwise(0)).as("n_ranked"),
+        sum(when(col("__ri") <= k, col("__rel") / log2(col("__ri") + 1))).as("__idcg"))
+    agged
       .select((g ++ Seq(
         col("n_ranked"),
         when(col("__idcg") > 0, round(col("__dcg") / col("__idcg"), 6))

@@ -20,9 +20,9 @@ import org.apache.spark.sql.functions._
   * arithmetic, describe with real geodesy.
   *
   * Scale shape: each side is hashed to (⌊lat/r⌋, ⌊lon/r⌋) grid cells;
-  * the LEFT side explodes to its 3×3 neighborhood (9 rows — the side
-  * you'd pick as smaller-after-filter at 100 TB), then a plain
-  * equi-shuffle on the cell key joins candidates. Cell size = radius
+  * the RIGHT (station/dimension) side explodes to its 3×3
+  * neighborhood (9 rows), the fact side stays one row per point, then
+  * a plain equi-shuffle on the cell key joins candidates. Cell size = radius
   * guarantees every right row within r of a left row lands in the
   * neighborhood, so grid output ≡ the |L|×|R| cross join the oracle
   * runs — without materializing it. Per-cell skew is bounded by point
@@ -53,14 +53,19 @@ object Geo {
     val r2 = radiusDeg * radiusDeg
     val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
       struct(lit(dx).as("dx"), lit(dy).as("dy")))): _*)
-    val l9 = left.select(col(leftId), col("lat").as("l_lat"), col("lon").as("l_lon"),
+    // the RIGHT (station/dimension) side takes the 9× neighborhood
+    // explosion, the left (fact) side keeps one row per point: a pair
+    // (cl, cr) matches iff |cl−cr| ≤ 1 per axis, which is symmetric in
+    // which side offsets — so explode the side that's small at scale
+    // (review finding: the first cut exploded the fact side)
+    val lc = left.select(col(leftId), col("lat").as("l_lat"), col("lon").as("l_lon"),
+      cellOf("lat", radiusDeg).as("cx"), cellOf("lon", radiusDeg).as("cy"))
+    val r9 = right.select(col(rightId), col("lat").as("r_lat"), col("lon").as("r_lon"),
         cellOf("lat", radiusDeg).as("cx0"), cellOf("lon", radiusDeg).as("cy0"),
         explode(offsets).as("o"))
-      .select(col(leftId), col("l_lat"), col("l_lon"),
+      .select(col(rightId), col("r_lat"), col("r_lon"),
         (col("cx0") + col("o.dx")).as("cx"), (col("cy0") + col("o.dy")).as("cy"))
-    val rc = right.select(col(rightId), col("lat").as("r_lat"), col("lon").as("r_lon"),
-      cellOf("lat", radiusDeg).as("cx"), cellOf("lon", radiusDeg).as("cy"))
-    val cand = l9.join(rc, Seq("cx", "cy"))
+    val cand = lc.join(r9, Seq("cx", "cy"))
       .withColumn("d2",
         (col("l_lat") - col("r_lat")) * (col("l_lat") - col("r_lat")) +
           (col("l_lon") - col("r_lon")) * (col("l_lon") - col("r_lon")))

@@ -48,9 +48,15 @@ object NaiveBayes {
   def confusion(docs: DataFrame, labelCol: String = "lang",
       textCol: String = "text", idCol: String = "doc_id",
       trainPct: Int = 80): DataFrame = {
+    // the token frame feeds four aggregate branches (class stats,
+    // vocab, token counts, test tf) — checkpoint so the scan +
+    // tokenize runs once, not once per branch (the keyness/q178
+    // replay discipline); canonical tokenizer, not an inline split,
+    // so q184 can never desynchronize from the corpus operators
     val toks = docs.select(col(idCol).as("doc"), col(labelCol).as("label"),
         Curation.hashBucket(col(idCol)).as("bucket"),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+        explode(graft.functions.TextFunctions.tokens(textCol)).as("term"))
+      .localCheckpoint(false)
     val train = toks.where(col("bucket") < trainPct)
     val test = toks.where(col("bucket") >= trainPct)
 
@@ -81,10 +87,13 @@ object NaiveBayes {
 
     val wPick = Window.partitionBy("doc")
       .orderBy(round(col("score"), 4).desc, col("cand"))
+    // pred is consumed twice (accuracy scalar + confusion cells);
+    // checkpoint the test-doc-sized frame so scoring runs once
     val pred = scored
       .withColumn("rn", row_number().over(wPick))
       .where(col("rn") === 1)
       .select(col("doc"), col("actual"), col("cand").as("predicted"))
+      .localCheckpoint(false)
 
     val acc = pred.agg(
       round(sum(when(col("actual") === col("predicted"), 1).otherwise(0))
