@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact rank-based hypothesis tests at corpus scale — the
+  * nonparametric siblings of the OLS/t machinery (q14/q15) for
+  * distributions the normal model doesn't fit (heavy-tailed values,
+  * ordinal scores).
+  *
+  * The shared primitive is the VALUE-HISTOGRAM average rank: instead
+  * of a row-level rank window (which Spark executes on a single
+  * partition when unpartitioned — the exact scale-killer this file
+  * must not have), ranks are derived from per-value counts:
+  *
+  *   avgrank(v) = (Σ_{v'<v} cnt(v')) + (cnt(v)+1)/2
+  *
+  * — one map-side-combinable groupBy to the distinct-value histogram,
+  * one cumulative window OVER THE HISTOGRAM (bounded by value
+  * cardinality, not row count; for continuous columns at extreme
+  * scale, quantize first — the q127 histogram discipline), then
+  * cell-frame arithmetic or an equi-join back on the value. Row-level
+  * data is touched by exactly one aggregate (and one join where
+  * per-row ranks are genuinely needed); nothing row-scale ever passes
+  * through a single-partition window.
+  *
+  * Exactness: counts are integers, average ranks are halves — exact
+  * in double; rank sums Σ cnt·avgrank stay below 2⁵³ for N into the
+  * tens of millions, so every statistic is exact arithmetic until the
+  * final divisions (the rolling-OLS discipline). Tie terms Σ(t³−t)
+  * are exact for tie blocks to ~2M rows. */
+object StatTests {
+
+  /** (v, cnt, avgrank) per distinct value of `valueCol` (null rows
+    * dropped), plus the scalars every rank test needs: n (total rows)
+    * and tiesum = Σ(cnt³−cnt). */
+  private def valueHist(df: DataFrame, valueCol: String): (DataFrame, DataFrame) = {
+    val hist = df.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .withColumn("__cumBefore",
+        coalesce(sum("cnt").over(
+          Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("avgrank", col("__cumBefore") + (col("cnt") + 1) / 2.0)
+      .localCheckpoint(false)
+    val scalars = hist.agg(
+      sum("cnt").cast("double").as("__n"),
+      sum(col("cnt").cast("double") * col("cnt") * col("cnt") - col("cnt"))
+        .as("__tiesum"))
+    (hist, scalars)
+  }
+
+  /** One-vs-rest Mann–Whitney U per group level: each level's value
+    * distribution against everything else pooled. Returns (group, n1,
+    * n2, u, auc, z) — U from the rank-sum identity, AUC = U/(n1·n2)
+    * (the probabilistic effect size, consistent with
+    * [[Eval.aucByGroup]]), z from the tie-corrected normal
+    * approximation WITHOUT continuity correction (documented choice,
+    * mirrored in the oracle):
+    *
+    *   U  = R₁ − n₁(n₁+1)/2
+    *   σ² = n₁n₂/12 · ((N+1) − Σ(t³−t)/(N(N−1)))
+    *
+    * R₁ per level is Σ over (group, value) CELLS of cnt·avgrank — the
+    * row table is touched by one cell aggregate; T levels cost one
+    * histogram, not T rankings. */
+  def mannWhitneyOneVsRest(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val data = df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+    val (hist, scalars) = valueHist(data, "v")
+    val cells = data.groupBy("g", "v").agg(count(lit(1)).as("gcnt"))
+    val per = cells.join(hist.select("v", "avgrank"), Seq("v"))
+      .groupBy(col("g").as(groupCol))
+      .agg(sum("gcnt").cast("double").as("__n1"),
+        sum(col("gcnt") * col("avgrank")).as("__r1"))
+    val n = col("__n"); val n1 = col("__n1"); val n2 = n - n1
+    val u = col("__r1") - n1 * (n1 + 1) / 2
+    val sigma2 = n1 * n2 / 12 * ((n + 1) - col("__tiesum") / (n * (n - 1)))
+    per.crossJoin(broadcast(scalars))
+      .where(n1 > 0 && n2 > 0)
+      .select(col(groupCol),
+        n1.cast("long").as("n1"), n2.cast("long").as("n2"),
+        round(u, 1).as("u"),
+        round(u / (n1 * n2), 6).as("auc"),
+        round((u - n1 * n2 / 2) / sqrt(sigma2), 6).as("z"))
+      .orderBy(groupCol)
+  }
+
+  /** Kruskal–Wallis rank ANOVA across all levels of `groupCol`: one
+    * row per level (n, mean rank) with the shared statistics in-row
+    * (the q86 in-row-constant convention):
+    *
+    *   H = 12/(N(N+1)) · Σ nᵢ(R̄ᵢ − (N+1)/2)²,   H_c = H / C,
+    *   C = 1 − Σ(t³−t)/(N³−N)
+    *
+    * Same histogram ranking; H totals aggregate the T-row per-group
+    * frame. */
+  def kruskalWallis(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val data = df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+    val (hist, scalars) = valueHist(data, "v")
+    val cells = data.groupBy("g", "v").agg(count(lit(1)).as("gcnt"))
+    val per = cells.join(hist.select("v", "avgrank"), Seq("v"))
+      .groupBy(col("g").as(groupCol))
+      .agg(sum("gcnt").cast("double").as("__ni"),
+        sum(col("gcnt") * col("avgrank")).as("__ri"))
+      .crossJoin(broadcast(scalars))
+      .localCheckpoint(false)
+    val n = col("__n")
+    val dev = col("__ri") / col("__ni") - (n + 1) / 2
+    val hTot = per
+      .agg((lit(12.0) / (first(n) * (first(n) + 1)) *
+          sum(col("__ni") * dev * dev)).as("__h"),
+        (lit(1.0) - first(col("__tiesum")) /
+          (first(n) * first(n) * first(n) - first(n))).as("__c"),
+        (count(lit(1)) - 1).cast("long").as("dof"))
+    per.crossJoin(broadcast(hTot))
+      .select(col(groupCol), col("__ni").cast("long").as("n"),
+        round(col("__ri") / col("__ni"), 6).as("mean_rank"),
+        round(col("__h"), 6).as("h"),
+        col("dof"),
+        round(col("__h") / col("__c"), 6).as("h_tie_corrected"))
+      .orderBy(groupCol)
+  }
+
+  /** Spearman rank-correlation matrix over numeric columns: per-column
+    * histogram average ranks joined back on the value (each join an
+    * equi-shuffle; the histogram side is value-cardinality-sized),
+    * then Pearson `corr` over the rank columns — Spearman's definition
+    * with exact tie handling, the q55 Pearson matrix's monotone
+    * sibling. Output: one row, a `colA_colB` correlation per pair.
+    * Null policy: LISTWISE drop (a row missing any column leaves the
+    * matrix), so every pair correlates the same row set and ranks are
+    * computed once per column. */
+  def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val data = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+      .na.drop(cols)
+    val ranked = cols.foldLeft(data) { (d, c) =>
+      val (hist, _) = valueHist(d.select(col(c).as("v")), "v")
+      d.join(hist.select(col("v").as(c), col("avgrank").as(s"__r_$c")), Seq(c))
+    }
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield round(corr(s"__r_${cols(i)}", s"__r_${cols(j)}"), 6)
+      .as(s"${cols(i)}_${cols(j)}")
+    ranked.agg(pairs.head, pairs.tail: _*)
+  }
+}
