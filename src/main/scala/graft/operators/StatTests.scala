@@ -136,10 +136,16 @@ object StatTests {
     * matrix), so every pair correlates the same row set and ranks are
     * computed once per column. */
   def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // the base frame feeds every column's histogram AND the join
+    // chain — checkpoint so the scan runs once; each histogram builds
+    // from the BASE, not the partially-joined fold (joining adds rank
+    // columns, never rows, so the histograms are identical — building
+    // them from the fold would replay the earlier joins per column)
     val data = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
       .na.drop(cols)
+      .localCheckpoint(false)
     val ranked = cols.foldLeft(data) { (d, c) =>
-      val (hist, _) = valueHist(d.select(col(c).as("v")), "v")
+      val (hist, _) = valueHist(data.select(col(c).as("v")), "v")
       d.join(hist.select(col("v").as(c), col("avgrank").as(s"__r_$c")), Seq(c))
     }
     val pairs = for {
