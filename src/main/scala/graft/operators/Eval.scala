@@ -107,4 +107,54 @@ object Eval {
         round(coalesce(col("__bestinv"), lit(0.0)), 6).as("mrr"))): _*)
       .orderBy(g: _*)
   }
+
+  /** Decile lift / gains table — the targeting readout beside AUC:
+    * bucket the population by score band (1 = highest scores), and per
+    * bucket report size, positives, positive rate, cumulative capture
+    * (share of ALL positives reached by this bucket and better ones)
+    * and lift vs the base rate.
+    *
+    * Buckets come from [[Quantiles.bandCuts]] score thresholds, NOT an
+    * unpartitioned `ntile(10)` (the single-ordering-spine anti-pattern
+    * — see bandCuts): assignment is a row-local comparison against a
+    * broadcast 1-row cut frame, and tied scores always share a bucket
+    * — the statistically honest choice, since equal scores are
+    * indistinguishable to the model; bucket sizes wobble around
+    * n/nBuckets instead of hiding arbitrary tie splits. The per-bucket
+    * cumulative window runs over ≤ nBuckets rows.
+    *
+    * Determinism: counts are integers, rates/lift are single divisions
+    * of exact integers rounded at 6 — no accumulation-order exposure. */
+  def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
+      nBuckets: Int = 10): DataFrame = {
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("int")
+    // pinned: the quantile passes and the banding projection would
+    // otherwise each replay the scored frame's lineage (the q178
+    // lesson — a scored frame is often an expensive upstream plan)
+    val data = df.filter(s.isNotNull && y.isNotNull)
+      .select(s.as("__s"), y.as("__y"))
+      .localCheckpoint(false)
+    val cuts = Quantiles.bandCuts(data, "__s", nBands = nBuckets, prefix = "b")
+    // ascending band 1..n, flipped so bucket 1 = best scores
+    val banded = data.crossJoin(broadcast(cuts))
+      .withColumn("bucket", lit(nBuckets + 1) -
+        Quantiles.bandExpr(col("__s"), (1 until nBuckets).map(i => col(s"b_c$i"))))
+    val perBucket = banded.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("__y").cast("long")).as("n_pos"))
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = perBucket.agg(sum("n").as("__tn"), sum("n_pos").as("__tp"))
+    perBucket
+      .withColumn("cum_pos", sum("n_pos").over(wCum))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round(col("n_pos") / col("n").cast("double"), 6).as("pos_rate"),
+        when(col("__tp") > 0,
+          round(col("cum_pos") / col("__tp").cast("double"), 6)).as("capture"),
+        when(col("__tp") > 0,
+          round((col("n_pos") / col("n").cast("double")) /
+            (col("__tp") / col("__tn").cast("double")), 6)).as("lift"))
+      .orderBy("bucket")
+  }
 }

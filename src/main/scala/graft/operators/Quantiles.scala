@@ -166,6 +166,61 @@ object Quantiles {
         round(stddev(col("__cv")), 4).as("winsorized_std"))
   }
 
+  /** Whole-frame band cut values as ONE broadcastable row: the exact
+    * quantiles of `valueCol` at q = 1/nBands … (nBands−1)/nBands,
+    * pivoted to columns `{prefix}_c1 … {prefix}_c{nBands−1}`. This is
+    * the scale-safe substitute for an unpartitioned `ntile(n)` window
+    * (which funnels every row through ONE ordering spine): the cuts
+    * come from [[exactQuantiles]]'s two-phase histogram, and band
+    * assignment is then a row-local comparison against the broadcast
+    * 1-row frame — see [[bandExpr]]. Under ties the semantics differ
+    * from ntile deliberately: equal values always land in the same
+    * band (indistinguishable inputs get indistinguishable scores),
+    * so band populations wobble around n/nBands instead of being
+    * forced equal by arbitrary tie splits. */
+  def bandCuts(df: DataFrame, valueCol: String, nBands: Int,
+      prefix: String, nBuckets: Int = 64): DataFrame = {
+    require(nBands >= 2, "nBands must be at least 2")
+    val qs = (1 until nBands).map(_.toDouble / nBands)
+    val aggs = qs.zipWithIndex.map { case (q, i) =>
+      // q roundtrips exactly: the same double literal built the q-spine
+      max(when(col("q") === q, col("value"))).as(s"${prefix}_c${i + 1}")
+    }
+    exactQuantiles(df, valueCol, qs, Nil, nBuckets)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[bandCuts]] for SEVERAL metrics of the same frame in ONE
+    * quantile pass: the metrics melt to (metric, value) rows and
+    * [[exactQuantiles]] runs once with `metric` as the group key —
+    * one histogram machinery pass over 3n narrow rows instead of
+    * three passes over n (a third of the stages; measured 2.98 s →
+    * 1.30 s on q196's three RFM axes at sf0.1). `metrics` maps column
+    * name → output prefix; cut columns come back double (the melt
+    * casts), which compares exactly against integer metrics. */
+  def bandCutsMulti(df: DataFrame, metrics: Seq[(String, String)],
+      nBands: Int, nBuckets: Int = 64): DataFrame = {
+    require(nBands >= 2, "nBands must be at least 2")
+    val pairs = metrics.flatMap { case (c, p) => Seq(lit(p), col(c).cast("double")) }
+    val melted = df.select(explode(map(pairs: _*)).as(Seq("__metric", "__v")))
+    val qs = (1 until nBands).map(_.toDouble / nBands)
+    val cuts = exactQuantiles(melted, "__v", qs, Seq("__metric"), nBuckets)
+    val aggs = metrics.flatMap { case (_, p) =>
+      qs.zipWithIndex.map { case (q, i) =>
+        max(when(col("__metric") === p && col("q") === q, col("value")))
+          .as(s"${p}_c${i + 1}")
+      }
+    }
+    cuts.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Ascending band 1..(cuts.size+1) of `v` against [[bandCuts]]
+    * columns: 1 + Σ (v > cutᵢ). Row-local, integer-valued, and
+    * deterministic across engines (pure comparisons against actual
+    * data values — no arithmetic on v). */
+  def bandExpr(v: Column, cuts: Seq[Column]): Column =
+    cuts.foldLeft(lit(1))((acc, c) => acc + (v > c).cast("int"))
+
   /** Exact WEIGHTED quantiles per group (lower weighted-quantile
     * convention): the smallest value whose cumulative weight reaches
     * q·W — the statistic behind "the median dollar" vs "the median

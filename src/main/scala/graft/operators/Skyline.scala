@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** 2-D Pareto frontier (skyline) — the multi-objective shortlist
+  * operator: keep every row not DOMINATED by another (dominated =
+  * some row is ≤ on the minimize axis AND ≥ on the maximize axis,
+  * strictly better on at least one).
+  *
+  * The textbook formulation is an all-pairs NOT EXISTS — quadratic,
+  * dead at scale. The 2-D identity this operator exploits: group by
+  * the minimize value; a row is on the frontier iff
+  *
+  *   maxv = max(maxv) within its minimize value          (best at its cost)
+  *   AND maxv > max(maxv) over all STRICTLY smaller minimize values
+  *                                                        (beats everything cheaper)
+  *
+  * — so the frontier falls out of one per-value aggregate plus a
+  * running max over the DISTINCT-value frame. Scale shape: the data
+  * pays one group-by shuffle on the minimize column; the ordered
+  * running-max window runs on the distinct-value frame (the exact-rank
+  * histogram argument: distinct values, never rows, flow through the
+  * ordering), and the verdict joins back as a broadcast. Equal
+  * (min, max) ties are all kept — neither dominates the other.
+  *
+  * The driver oracle for q198 is the brute-force NOT EXISTS itself,
+  * so the hash match PROVES the running-max identity ≡ the dominance
+  * definition on real data, not merely that both engines ran the same
+  * rewrite. Determinism: pure comparisons on stored values — no
+  * arithmetic at all. */
+object Skyline {
+
+  /** Rows of `df` on the (minimize `minCol`, maximize `maxCol`)
+    * frontier, original columns preserved; null objective rows drop. */
+  def paretoFrontier2D(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
+    val data = df.filter(col(minCol).isNotNull && col(maxCol).isNotNull)
+    val perMin = data.groupBy(col(minCol))
+      .agg(max(col(maxCol)).as("__pmax"))
+    val w = Window.orderBy(col(minCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val verdict = perMin.withColumn("__smax", max(col("__pmax")).over(w))
+    data.join(broadcast(verdict), Seq(minCol))
+      .filter(col(maxCol) === col("__pmax") &&
+        (col("__smax").isNull || col("__pmax") > col("__smax")))
+      .drop("__pmax", "__smax")
+  }
+}

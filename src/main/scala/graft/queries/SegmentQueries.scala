@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{EntityRes, Eval, Rfm, Skyline}
+import graft.sources.Tables
+
+/** Round-7 sixth tranche — segmentation & shortlist operators: RFM
+  * quintile scoring (the scale-safe ntile replacement), blocked fuzzy
+  * entity resolution, the 2-D Pareto frontier, and the decile lift
+  * table. All FULL hash oracles; q198's oracle is the brute-force
+  * NOT-EXISTS dominance definition itself, so the hash match proves
+  * the running-max identity, not just a shared rewrite. */
+object SegmentQueries {
+
+  /** RFM customer segmentation over orders ([[Rfm.scores]]): quintile
+    * cut values from the exact two-phase histogram (never an
+    * unpartitioned ntile window), integer-exact metrics (day diff,
+    * count, cents), deterministic segment labels. */
+  def q196Rfm(s: SparkSession, d: String): DataFrame =
+    Rfm.scores(Tables.orders(s, d), "o_custkey", "o_orderdate", "o_totalprice")
+
+  /** Blocked fuzzy entity resolution over part names
+    * ([[EntityRes.fuzzyNameMatches]]): distinct-name collapse → head-
+    * noun blocking → within-block Levenshtein ≤ 2. */
+  def q197FuzzyEr(s: SparkSession, d: String): DataFrame =
+    EntityRes.fuzzyNameMatches(Tables.part(s, d), "p_name", maxDist = 2)
+
+  /** Cheapest-biggest part shortlist ([[Skyline.paretoFrontier2D]]):
+    * parts on the (minimize retail price, maximize size) frontier via
+    * the per-price running-max identity — one group-by shuffle plus a
+    * distinct-value window, no all-pairs join. */
+  def q198Skyline(s: SparkSession, d: String): DataFrame =
+    Skyline.paretoFrontier2D(
+      Tables.part(s, d).select("p_partkey", "p_name", "p_retailprice", "p_size"),
+      "p_retailprice", "p_size")
+      .select("p_partkey", "p_name", "p_retailprice", "p_size")
+      .orderBy("p_partkey")
+
+  /** Decile lift table of account balance as a predictor of the
+    * BUILDING market segment ([[Eval.liftTable]]) — chance-level on
+    * real data by construction (the q180 no-signal discipline: lift ≈
+    * 1 everywhere; the discriminative path is proven on planted
+    * fixtures in EvalSpec). */
+  def q199Lift(s: SparkSession, d: String): DataFrame =
+    Eval.liftTable(
+      Tables.customer(s, d)
+        .filter(col("c_mktsegment").isNotNull)
+        .withColumn("label", (col("c_mktsegment") === "BUILDING").cast("int")),
+      "c_acctbal", "label", nBuckets = 10)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_rfm" -> (q196Rfm _),
+    "q197_fuzzy_er" -> (q197FuzzyEr _),
+    "q198_skyline" -> (q198Skyline _),
+    "q199_lift" -> (q199Lift _)
+  )
+
+  /** Shared oracle fragment: exact-quantile band cuts of column `v`
+    * over a CTE `d` — value at rank ceil(q·n) (the exactQuantiles rank
+    * rule), one column per cut. */
+  private def cutsSql(nBands: Int): String = {
+    val sel = (1 until nBands).map { i =>
+      val q = i.toDouble / nBands
+      s"    max(CASE WHEN rk = CAST(ceil($q * n.n) AS BIGINT) THEN v END) AS c$i"
+    }.mkString(",\n")
+    s"""n AS (SELECT count(*) AS n FROM d),
+       |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM d),
+       |c AS (
+       |  SELECT
+       |$sel
+       |  FROM r CROSS JOIN n)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    // three rank-rule cut blocks (recency/frequency/monetary), then
+    // row-local band arithmetic — integer metrics end to end
+    "q196_rfm" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    max(CAST(o_orderdate AS DATE)) AS last_d,
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS monetary_cents
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |a AS (SELECT max(last_d) AS anchor FROM pc),
+        |m AS (
+        |  SELECT pc.*, CAST(date_diff('day', last_d, a.anchor) AS BIGINT)
+        |    AS recency_days
+        |  FROM pc CROSS JOIN a),
+        |n AS (SELECT count(*) AS n FROM m),
+        |rr AS (SELECT recency_days AS v,
+        |  row_number() OVER (ORDER BY recency_days) AS rk FROM m),
+        |rc AS (SELECT
+        |    max(CASE WHEN rk = CAST(ceil(0.2 * n.n) AS BIGINT) THEN v END) AS c1,
+        |    max(CASE WHEN rk = CAST(ceil(0.4 * n.n) AS BIGINT) THEN v END) AS c2,
+        |    max(CASE WHEN rk = CAST(ceil(0.6 * n.n) AS BIGINT) THEN v END) AS c3,
+        |    max(CASE WHEN rk = CAST(ceil(0.8 * n.n) AS BIGINT) THEN v END) AS c4
+        |  FROM rr CROSS JOIN n),
+        |rf AS (SELECT n_orders AS v,
+        |  row_number() OVER (ORDER BY n_orders) AS rk FROM m),
+        |fc AS (SELECT
+        |    max(CASE WHEN rk = CAST(ceil(0.2 * n.n) AS BIGINT) THEN v END) AS c1,
+        |    max(CASE WHEN rk = CAST(ceil(0.4 * n.n) AS BIGINT) THEN v END) AS c2,
+        |    max(CASE WHEN rk = CAST(ceil(0.6 * n.n) AS BIGINT) THEN v END) AS c3,
+        |    max(CASE WHEN rk = CAST(ceil(0.8 * n.n) AS BIGINT) THEN v END) AS c4
+        |  FROM rf CROSS JOIN n),
+        |rm AS (SELECT monetary_cents AS v,
+        |  row_number() OVER (ORDER BY monetary_cents) AS rk FROM m),
+        |mc AS (SELECT
+        |    max(CASE WHEN rk = CAST(ceil(0.2 * n.n) AS BIGINT) THEN v END) AS c1,
+        |    max(CASE WHEN rk = CAST(ceil(0.4 * n.n) AS BIGINT) THEN v END) AS c2,
+        |    max(CASE WHEN rk = CAST(ceil(0.6 * n.n) AS BIGINT) THEN v END) AS c3,
+        |    max(CASE WHEN rk = CAST(ceil(0.8 * n.n) AS BIGINT) THEN v END) AS c4
+        |  FROM rm CROSS JOIN n),
+        |sc AS (
+        |  SELECT m.o_custkey, m.recency_days, m.n_orders, m.monetary_cents,
+        |    6 - (1 + (m.recency_days > rc.c1)::INT + (m.recency_days > rc.c2)::INT
+        |      + (m.recency_days > rc.c3)::INT + (m.recency_days > rc.c4)::INT) AS r,
+        |    1 + (m.n_orders > fc.c1)::INT + (m.n_orders > fc.c2)::INT
+        |      + (m.n_orders > fc.c3)::INT + (m.n_orders > fc.c4)::INT AS f,
+        |    1 + (m.monetary_cents > mc.c1)::INT + (m.monetary_cents > mc.c2)::INT
+        |      + (m.monetary_cents > mc.c3)::INT + (m.monetary_cents > mc.c4)::INT AS mm
+        |  FROM m CROSS JOIN rc CROSS JOIN fc CROSS JOIN mc)
+        |SELECT o_custkey, recency_days, n_orders, monetary_cents, r, f,
+        |  mm AS m,
+        |  CASE WHEN r >= 4 AND f >= 4 AND mm >= 4 THEN 'champion'
+        |    WHEN r >= 4 AND f <= 2 THEN 'new_or_promising'
+        |    WHEN r <= 2 AND f >= 4 THEN 'at_risk'
+        |    WHEN r <= 2 AND f <= 2 THEN 'hibernating'
+        |    ELSE 'core' END AS segment
+        |FROM sc ORDER BY o_custkey""".stripMargin,
+    // same normalization, blocking regex, and integer edit distance
+    "q197_fuzzy_er" ->
+      """WITH names AS (
+        |  SELECT lower(trim(p_name)) AS name, count(*) AS n_rows
+        |  FROM part WHERE p_name IS NOT NULL
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT name, n_rows, regexp_extract(name, '(\S+)$', 1) AS block
+        |  FROM names WHERE name <> '')
+        |SELECT a.block, a.name AS name_a, bb.name AS name_b,
+        |  levenshtein(a.name, bb.name) AS dist,
+        |  a.n_rows AS n_rows_a, bb.n_rows AS n_rows_b
+        |FROM b a JOIN b bb ON a.block = bb.block AND a.name < bb.name
+        |WHERE levenshtein(a.name, bb.name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+    // brute-force NOT EXISTS — the dominance DEFINITION, not the
+    // engine's rewrite: the hash match proves the running-max identity
+    "q198_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name, p_retailprice, p_size FROM part
+        |  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL)
+        |SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+        |FROM p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_partkey""".stripMargin,
+    "q199_lift" ->
+      s"""WITH d AS (
+         |  SELECT c_acctbal AS v,
+         |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
+         |  FROM customer
+         |  WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL),
+         |${cutsSql(10)},
+         |band AS (
+         |  SELECT 11 - (1 + (v > c.c1)::INT + (v > c.c2)::INT + (v > c.c3)::INT
+         |    + (v > c.c4)::INT + (v > c.c5)::INT + (v > c.c6)::INT
+         |    + (v > c.c7)::INT + (v > c.c8)::INT + (v > c.c9)::INT) AS bucket, y
+         |  FROM d CROSS JOIN c),
+         |pb AS (SELECT bucket, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+         |  FROM band GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(n_pos) AS BIGINT) AS tp
+         |  FROM pb),
+         |cum AS (SELECT pb.*, CAST(sum(n_pos) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+         |  FROM pb)
+         |SELECT bucket, n, n_pos,
+         |  round(n_pos / (n * 1.0), 6) AS pos_rate,
+         |  CASE WHEN t.tp > 0 THEN round(cum_pos / (t.tp * 1.0), 6) END AS capture,
+         |  CASE WHEN t.tp > 0 THEN
+         |    round((n_pos / (n * 1.0)) / (t.tp / (t.tn * 1.0)), 6) END AS lift
+         |FROM cum CROSS JOIN t ORDER BY bucket""".stripMargin
+  )
+}

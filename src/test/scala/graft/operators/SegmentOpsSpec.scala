@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed oracles for the segmentation/shortlist tranche
+  * (q196–q199): RFM bands on a planted order book, fuzzy ER blocking
+  * + distance cut, skyline vs brute-force dominance, lift table on a
+  * perfectly separating score. */
+class SegmentOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("rfm: planted whale / lapsed / new customers score as expected") {
+    val s = spark; import s.implicits._
+    // 5 customers, anchor date 2024-01-10. Customer 1: frequent,
+    // recent, big spender → champion. Customer 5: one stale small
+    // order → hibernating.
+    val orders = Seq(
+      (1L, "2024-01-10", 500.0), (1L, "2024-01-08", 400.0),
+      (1L, "2024-01-05", 300.0), (1L, "2024-01-02", 200.0),
+      (2L, "2024-01-09", 50.0), (2L, "2024-01-03", 60.0), (2L, "2024-01-01", 40.0),
+      (3L, "2024-01-06", 100.0), (3L, "2024-01-04", 80.0),
+      (4L, "2023-12-20", 90.0), (4L, "2023-12-28", 70.0),
+      (5L, "2023-12-01", 10.0)
+    ).toDF("cust", "d", "amt").withColumn("d", to_dateCol("d"))
+    val out = Rfm.scores(orders, "cust", "d", "amt")
+      .collect().map(r => r.getAs[Long]("cust") ->
+        ((r.getAs[Long]("recency_days"), r.getAs[Long]("n_orders"),
+          r.getAs[Long]("monetary_cents"), r.getAs[Int]("r"),
+          r.getAs[Int]("f"), r.getAs[Int]("m"), r.getAs[String]("segment")))).toMap
+    // metrics: recency (days to 2024-01-10): c1=0 c2=1 c3=4 c4=13 → cuts
+    // at ceil(q*5): k=1,2,3,4 of sorted [0,1,4,13,40]
+    assert(out(1L)._1 == 0L && out(1L)._2 == 4L && out(1L)._3 == 140000L)
+    assert(out(1L)._4 == 5 && out(1L)._5 == 5 && out(1L)._6 == 5)
+    assert(out(1L)._7 == "champion")
+    assert(out(5L)._1 == 40L && out(5L)._2 == 1L && out(5L)._3 == 1000L)
+    assert(out(5L)._4 == 1 && out(5L)._5 == 1 && out(5L)._6 == 1)
+    assert(out(5L)._7 == "hibernating")
+    // customer 4: stale (recency 13 → band 4 → r=2) but mid frequency
+    // (2 orders = value at cuts c1=1,c2=2,c3=3,c4=4 → band 2) → f=2 →
+    // hibernating branch (r<=2 && f<=2)
+    assert(out(4L)._4 == 2 && out(4L)._7 == "hibernating")
+  }
+
+  private def to_dateCol(c: String) = org.apache.spark.sql.functions.to_date(
+    org.apache.spark.sql.functions.col(c))
+
+  test("rfm: tied metric values always share a band") {
+    val s = spark; import s.implicits._
+    // all five customers identical → every cut equals the value →
+    // v > cut false everywhere → band 1 on every axis for everyone
+    val orders = (1 to 5).flatMap(c => Seq((c.toLong, "2024-01-05", 100.0)))
+      .toDF("cust", "d", "amt").withColumn("d", to_dateCol("d"))
+    val out = Rfm.scores(orders, "cust", "d", "amt").collect()
+    assert(out.length == 5)
+    // recency band 1 → r = 5; f and m band 1
+    assert(out.forall(r => r.getAs[Int]("r") == 5 && r.getAs[Int]("f") == 1 &&
+      r.getAs[Int]("m") == 1))
+  }
+
+  test("fuzzy er: blocking bounds candidates, distance cuts, support carried") {
+    val s = spark; import s.implicits._
+    val df = Seq("red bolt", "red bolt", "ted bolt", "blue bolt",
+      "red ring", "rot ring").toDF("name")
+    val out = EntityRes.fuzzyNameMatches(df, "name", maxDist = 2)
+      .collect().map(r => (r.getAs[String]("name_a"), r.getAs[String]("name_b"),
+        r.getAs[Int]("dist"), r.getAs[Long]("n_rows_a"), r.getAs[Long]("n_rows_b")))
+    // "red bolt"–"ted bolt" dist 1; "red ring"–"rot ring" dist 2;
+    // "blue bolt"–"red bolt" dist 3 → cut; cross-block pairs never
+    // generated ("red bolt"–"red ring" dist 3 anyway)
+    assert(out.toSet == Set(
+      ("red bolt", "ted bolt", 1, 2L, 1L),
+      ("red ring", "rot ring", 2, 1L, 1L)))
+  }
+
+  test("skyline: running-max identity matches brute-force dominance") {
+    val s = spark; import s.implicits._
+    val parts = Seq(
+      // (id, price, size): frontier = 1 (cheapest), 3 (same price as 2
+      // but bigger), 5 (pricier but biggest). 2 dominated by 3
+      // (equal price, smaller), 4 dominated by 3 (pricier, smaller),
+      // 6 is an equal-(price,size) tie with 5 — BOTH kept.
+      (1L, 1.0, 3), (2L, 2.0, 4), (3L, 2.0, 5), (4L, 3.0, 4),
+      (5L, 4.0, 9), (6L, 4.0, 9)
+    ).toDF("id", "price", "sz")
+    val got = Skyline.paretoFrontier2D(parts, "price", "sz")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L, 5L, 6L))
+    // brute force on the same frame must agree
+    val rows = parts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val brute = rows.filter { case (_, p, z) =>
+      !rows.exists { case (_, p2, z2) =>
+        p2 <= p && z2 >= z && (p2 < p || z2 > z) }
+    }.map(_._1).toSet
+    assert(got == brute)
+  }
+
+  test("lift table: perfectly separating score concentrates positives in bucket 1") {
+    val s = spark; import s.implicits._
+    // 100 rows, scores 1..100, positives = top 10 scores exactly
+    val df = (1 to 100).map(i => (i.toDouble, if (i > 90) 1 else 0))
+      .toDF("score", "y")
+    val out = Eval.liftTable(df, "score", "y", nBuckets = 10)
+      .collect().map(r => r.getAs[Int]("bucket") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_pos"),
+          r.getAs[Double]("capture"), r.getAs[Double]("lift")))).toMap
+    // cuts at scores 10,20,…,90 → bucket 1 = scores 91..100 = all pos
+    assert(out(1)._1 == 10L && out(1)._2 == 10L)
+    assert(out(1)._3 == 1.0)   // all positives captured by bucket 1
+    assert(out(1)._4 == 10.0)  // pos_rate 1.0 vs base rate 0.1
+    assert(out(10)._2 == 0L && out(10)._3 == 1.0)
+  }
+
+  test("lift table: tied scores share a bucket") {
+    val s = spark; import s.implicits._
+    // one heavy tie: 95 rows score 1, 5 rows score 2 → every cut = 1,
+    // so all score-1 rows land together in the bottom band
+    val df = ((1 to 95).map(_ => (1.0, 0)) ++ (1 to 5).map(_ => (2.0, 1)))
+      .toDF("score", "y")
+    val out = Eval.liftTable(df, "score", "y", nBuckets = 10)
+      .collect().map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_pos")))
+    // bands: score 2 > all cuts → band 10 → bucket 1; score 1 → band 1
+    // → bucket 10; 8 empty buckets absent
+    assert(out.toSet == Set((1, 5L, 5L), (10, 95L, 0L)))
+  }
+}
