@@ -882,6 +882,43 @@ object Dedup {
     }
   }
 
+  /** Shingle CONTAINMENT self-join — the asymmetric sibling of
+    * [[ngramJaccardPairs]]: containment = |A∩B| / min(|A|, |B|)
+    * catches a document EMBEDDED in another (a quoted article, a
+    * header-wrapped repost), which symmetric Jaccard dilutes — a
+    * quote that is 90% of the small doc but 5% of the large one has
+    * J ≈ 0.05 but containment 0.9. The pre-training dedup pipelines
+    * that strip quoted inclusions key on exactly this statistic
+    * (Broder's resemblance-vs-containment distinction, SEQUENCES '97).
+    *
+    * Scale shape: same inverted shingle index as the naive Jaccard
+    * path — one equi-shuffle on the shingle, one count aggregate;
+    * pair work is postings-list-bounded, never corpus². The Jaccard
+    * prefix filter deliberately does NOT apply (it bounds the union,
+    * not the min), which is why this is its own operator rather than
+    * a threshold tweak. Deterministic: shared/min is one division of
+    * exact integers, rounded at the query edge only. */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val sh = docs
+      .withColumn("toks", tokens(textCol))
+      .filter(size(col("toks")) >= n)
+      .withColumn("sh", shingles("toks", n))
+      .select(col(idCol).as("id"), col("sh"), size(col("sh")).as("n_sh"))
+    val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val a = inv.select(col("id").as("doc_a"), col("n_sh").as("na"), col("shingle"))
+    val b = inv.select(col("id").as("doc_b"), col("n_sh").as("nb"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("shared"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("shared"),
+        (col("shared").cast("double") / least(col("na"), col("nb")))
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Paragraph-level exact dedup (the CCNet/Dolma move): every paragraph
     * that already appeared earlier in the corpus — in ANY document — is
     * removed, keeping the first occurrence by (doc id, paragraph

@@ -154,4 +154,38 @@ object StatTests {
       .as(s"${cols(i)}_${cols(j)}")
     ranked.agg(pairs.head, pairs.tail: _*)
   }
+
+  /** Per-row CDF transform (probability integral transform) of
+    * `valueCol` within each group — the rank-based feature
+    * normalization (sklearn's QuantileTransformer shape): every value
+    * maps to its mid-rank empirical CDF, avgrank(v)/n ∈ (0, 1], with
+    * ties sharing one output (equal inputs → equal features). Makes
+    * heavy-tailed features uniform without fitting anything.
+    *
+    * Scale shape: the same value-histogram primitive as the rank
+    * tests, per group — one (group, value) cell aggregate, a
+    * cumulative window over the per-group DISTINCT-value frame
+    * (partitioned by group, bounded by value cardinality), then one
+    * equi-join back on (group, value) to decorate rows. No row-scale
+    * rank window anywhere. Determinism: avgrank is exact halves, /n
+    * is the single final division, rounded at 6. */
+  def cdfTransform(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      keepCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    val v = col(valueCol).cast("double")
+    val data = df.filter(v.isNotNull)
+      .select((keepCols.map(col) ++ g) :+ v.as("__v"): _*)
+    val cells = data.groupBy((g :+ col("__v")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val wCum = Window.partitionBy(g: _*).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wN = Window.partitionBy(g: _*)
+    val hist = cells
+      .withColumn("__avgrank",
+        coalesce(sum("__cnt").over(wCum), lit(0L)) + (col("__cnt") + 1) / 2.0)
+      .withColumn("__n", sum("__cnt").over(wN))
+    data.join(hist, groupCols :+ "__v")
+      .select((keepCols.map(col) ++ g) ++ Seq(col("__v").as(valueCol),
+        round(col("__avgrank") / col("__n"), 6).as("cdf")): _*)
+  }
 }

@@ -2,15 +2,17 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{EntityRes, Eval, Rfm, Skyline}
+import graft.operators.{Dedup, EntityRes, Eval, Rfm, Skyline, StatTests}
 import graft.sources.Tables
 
-/** Round-7 sixth tranche — segmentation & shortlist operators: RFM
-  * quintile scoring (the scale-safe ntile replacement), blocked fuzzy
-  * entity resolution, the 2-D Pareto frontier, and the decile lift
-  * table. All FULL hash oracles; q198's oracle is the brute-force
-  * NOT-EXISTS dominance definition itself, so the hash match proves
-  * the running-max identity, not just a shared rewrite. */
+/** Round-7 sixth/seventh tranches — segmentation, shortlist, and
+  * normalization operators: RFM quintile scoring (the scale-safe
+  * ntile replacement), blocked fuzzy entity resolution, the 2-D
+  * Pareto frontier, the decile lift table, the per-row CDF transform,
+  * and asymmetric shingle containment. All FULL hash oracles; q198's
+  * oracle is the brute-force NOT-EXISTS dominance definition itself,
+  * so the hash match proves the running-max identity, not just a
+  * shared rewrite. */
 object SegmentQueries {
 
   /** RFM customer segmentation over orders ([[Rfm.scores]]): quintile
@@ -49,11 +51,33 @@ object SegmentQueries {
         .withColumn("label", (col("c_mktsegment") === "BUILDING").cast("int")),
       "c_acctbal", "label", nBuckets = 10)
 
+  /** Per-event CDF transform of value within event type
+    * ([[StatTests.cdfTransform]]): rank-based feature normalization
+    * (the QuantileTransformer shape) on the value-histogram primitive
+    * — no row-scale rank window. */
+  def q200CdfTransform(s: SparkSession, d: String): DataFrame =
+    StatTests.cdfTransform(Tables.events(s, d), "value",
+      Seq("event_type"), Seq("event_id"))
+      .orderBy("event_id")
+
+  /** Asymmetric shingle-containment pairs over documents
+    * ([[Dedup.containmentPairs]], τ = 0.2): catches doc-in-doc
+    * inclusion that symmetric Jaccard (q33) dilutes — at sf0.01 this
+    * surfaces the 25 planted full-duplicate pairs PLUS the partial-
+    * overlap tail Jaccard ≥ 0.3 misses. */
+  def q201Containment(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, d), threshold = 0.2)
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("shared"),
+        round(col("containment"), 4).as("containment"))
+      .orderBy("doc_a", "doc_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_rfm" -> (q196Rfm _),
     "q197_fuzzy_er" -> (q197FuzzyEr _),
     "q198_skyline" -> (q198Skyline _),
-    "q199_lift" -> (q199Lift _)
+    "q199_lift" -> (q199Lift _),
+    "q200_cdf_transform" -> (q200CdfTransform _),
+    "q201_containment" -> (q201Containment _)
   )
 
   /** Shared oracle fragment: exact-quantile band cuts of column `v`
@@ -185,6 +209,45 @@ object SegmentQueries {
          |  CASE WHEN t.tp > 0 THEN round(cum_pos / (t.tp * 1.0), 6) END AS capture,
          |  CASE WHEN t.tp > 0 THEN
          |    round((n_pos / (n * 1.0)) / (t.tp / (t.tn * 1.0)), 6) END AS lift
-         |FROM cum CROSS JOIN t ORDER BY bucket""".stripMargin
+         |FROM cum CROSS JOIN t ORDER BY bucket""".stripMargin,
+    // mid-rank empirical CDF restated as the histogram window — exact
+    // halves over integer counts, one final division
+    "q200_cdf_transform" ->
+      """WITH d AS (
+        |  SELECT event_id, event_type, value * 1.0 AS v FROM events
+        |  WHERE value IS NOT NULL),
+        |h AS (SELECT event_type, v, count(*) AS cnt FROM d GROUP BY 1, 2),
+        |h2 AS (SELECT event_type, v,
+        |    coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (cnt + 1) / 2.0 AS ar,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM h)
+        |SELECT d.event_id, d.event_type, d.v AS value,
+        |  round(h2.ar / h2.n, 6) AS cdf
+        |FROM d JOIN h2 ON d.event_type = h2.event_type AND d.v = h2.v
+        |ORDER BY d.event_id""".stripMargin,
+    // same shingling as the q33 oracle; asymmetric min-denominator
+    "q201_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, sa.n AS na, sb.n AS nb, shared,
+        |  round(shared * 1.0 / least(sa.n, sb.n), 4) AS containment
+        |FROM cand
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE shared * 1.0 / least(sa.n, sb.n) >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

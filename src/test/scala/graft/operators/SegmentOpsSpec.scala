@@ -117,6 +117,39 @@ class SegmentOpsSpec extends AnyFunSuite {
     assert(out(10)._2 == 0L && out(10)._3 == 1.0)
   }
 
+  test("cdf transform: mid-rank CDF with ties, per group") {
+    val s = spark; import s.implicits._
+    // group a: values [1, 2, 2, 4] → avgranks 1, 2.5, 2.5, 4 → cdf
+    // 0.25, 0.625, 0.625, 1.0; group b: single value → cdf 1·avg(1)/1? n=1 → (0+1)/1 = 1.0
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 2.0),
+      (4L, "a", 4.0), (5L, "b", 7.0)).toDF("id", "grp", "v")
+    val out = StatTests.cdfTransform(df, "v", Seq("grp"), Seq("id"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("cdf")).toMap
+    assert(out == Map(1L -> 0.25, 2L -> 0.625, 3L -> 0.625, 4L -> 1.0, 5L -> 1.0))
+  }
+
+  test("containment: embedded doc scores high where jaccard dilutes") {
+    val s = spark; import s.implicits._
+    // doc 2 is doc 1 verbatim inside a much larger doc: containment of
+    // the pair is 1.0 on the small side while jaccard is far below
+    val small = "alpha beta gamma delta epsilon"
+    val big = small + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, small), (2L, big), (3L, "zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df, threshold = 0.5)
+      .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        (r.getAs[Int]("na"), r.getAs[Long]("shared"), r.getAs[Double]("containment"))))
+      .toMap
+    // small doc: 3 shingles, all present in big → containment 1.0
+    assert(out.keySet == Set((1L, 2L)))
+    assert(out((1L, 2L)) == ((3, 3L, 1.0)))
+    // the same pair under symmetric jaccard is shared/(na+nb-shared)
+    // = 3/43 ≈ 0.07 — the q33 operator at any useful threshold
+    // misses it, which is the point of this operator
+    val j = Dedup.ngramJaccardPairs(df, threshold = 0.5)
+    assert(j.count() == 0)
+  }
+
   test("lift table: tied scores share a bucket") {
     val s = spark; import s.implicits._
     // one heavy tie: 95 rows score 1, 5 rows score 2 → every cut = 1,
