@@ -274,6 +274,62 @@ object Curation {
       .drop(rank)
   }
 
+  /** Class-balanced downsample: every class cut to the MINORITY
+    * class's size, membership chosen by hash rank — the standard
+    * rebalancing move before training a classifier on skewed labels
+    * (a 95/5 class mix otherwise teaches the majority prior). Pure
+    * composition: the min class size is one scalar aggregate (the
+    * 1-row-collect class, like the t-quantile), then
+    * [[fixedSizeSample]] with that k — same hash-rank determinism,
+    * same one-window-shuffle scale shape, stratified by the class
+    * column. At extreme per-class cardinality compose with the
+    * native `topk_agg` (q179) instead of the rank window — the
+    * equivalence is already driver-proven there. */
+  def classBalancedSample(df: DataFrame, key: String, classCol: String): DataFrame = {
+    val kMin = df.where(col(classCol).isNotNull)
+      .groupBy(col(classCol)).agg(count(lit(1)).as("n"))
+      .agg(min("n")).head().getLong(0)
+    fixedSizeSample(df.where(col(classCol).isNotNull), key, classCol, kMin.toInt)
+  }
+
+  /** Deterministic NEGATIVE sampling — the contrastive-pair generator
+    * for recommender/embedding training: for every entity, k pseudo-
+    * random draws from the item vocabulary, minus any draw that
+    * collides with an OBSERVED positive (exclusion via anti-join, the
+    * part naive random sampling gets wrong). Draws are md5-indexed
+    * (`hash(entity:i) mod |items|`), so the sample is reproducible
+    * across runs, engines, and cluster sizes — and restatable in
+    * oracle SQL.
+    *
+    * Scale shape: candidates are |entities|·k narrow rows; the ranked
+    * item vocabulary broadcasts (vocab-sized); exclusion is one
+    * equi-anti-join on (entity, item). Entities whose draw collides
+    * with a positive yield < k negatives (documented — the caller
+    * resamples or accepts the deficit; deterministic re-draw rounds
+    * compose this same operator with a shifted salt). */
+  def negativeSamples(df: DataFrame, entityCol: String, itemCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val pos = df.select(col(entityCol).as("entity"), col(itemCol).as("item"))
+      .where(col("entity").isNotNull && col("item").isNotNull)
+      .distinct()
+    val items = pos.select(col("item")).distinct()
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("item")))
+    val nItems = items.groupBy().agg(count(lit(1)).as("__n"))
+    val cands = pos.select("entity").distinct()
+      .select(col("entity"), explode(sequence(lit(1), lit(k))).as("draw"))
+      .crossJoin(broadcast(nItems))
+      .withColumn("__rn", pmod(
+        conv(substring(md5(concat(col("entity").cast("string"), lit(":"),
+          col("draw").cast("string"))), 1, 6), 16, 10).cast("long"),
+        col("__n")) + 1)
+      .join(broadcast(items), Seq("__rn"))
+    cands.join(pos, Seq("entity", "item"), "left_anti")
+      .select(col("entity"), col("draw"), col("item"))
+      .orderBy("entity", "draw")
+  }
+
   /** Per-stratum quality calibration: percent_rank of a raw quality
     * signal WITHIN each stratum — the cross-language comparability move
     * (a length/quality threshold tuned on English silently drops most

@@ -87,4 +87,52 @@ object Experiment {
         (coalesce(col("n_t"), lit(0L)) >= 2 && coalesce(col("n_c"), lit(0L)) >= 2)
           .cast("int").as("valid"))
   }
+
+  /** Covariate balance audit — the check that must PASS before any
+    * [[abCuped]] readout is believed: per covariate, the standardized
+    * mean difference between arms,
+    *
+    *   SMD = (mean₁ − mean₀) / sqrt((s₀² + s₁²) / 2)
+    *
+    * with |SMD| < 0.1 as the conventional balanced threshold (Austin
+    * 2009). A randomization bug (biased hash, mid-experiment
+    * assignment change) shows up here before it corrupts the effect
+    * estimate.
+    *
+    * Scale shape: the covariates melt to (covariate, arm, value) rows
+    * — ONE map-side-combinable moments aggregate over 2·C cells, then
+    * cell-frame arithmetic; no per-covariate pass. Determinism: the
+    * q153 discipline — feed per-unit values that are already rounded
+    * (or integer) so the moment sums are reproducible, and every
+    * reported double is rounded once at the edge. Zero-variance
+    * covariates report a null SMD (no scale to standardize by). */
+  def covariateBalance(units: DataFrame, armCol: String,
+      covCols: Seq[String]): DataFrame = {
+    val pairs = covCols.flatMap(c => Seq(lit(c), col(c).cast("double")))
+    val melted = units
+      .where(col(armCol).isin(0, 1))
+      .select(col(armCol).cast("int").as("arm"),
+        explode(map(pairs: _*)).as(Seq("covariate", "v")))
+      .where(col("v").isNotNull)
+    val cells = melted.groupBy("covariate", "arm").agg(
+      count(lit(1)).as("n"), sum("v").as("s"), sum(col("v") * col("v")).as("ss"))
+      .withColumn("m", col("s") / col("n"))
+      .withColumn("var",
+        (col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1))
+    def pick(c: String, a: Int) = max(when(col("arm") === a, col(c)))
+    cells.groupBy("covariate").agg(
+        pick("n", 0).as("n0"), pick("n", 1).as("n1"),
+        pick("m", 0).as("__m0"), pick("m", 1).as("__m1"),
+        pick("var", 0).as("__v0"), pick("var", 1).as("__v1"))
+      .withColumn("__pooled", sqrt((col("__v0") + col("__v1")) / 2))
+      .select(col("covariate"), col("n0"), col("n1"),
+        round(col("__m0"), 4).as("mean0"), round(col("__m1"), 4).as("mean1"),
+        round(sqrt(col("__v0")), 4).as("sd0"), round(sqrt(col("__v1")), 4).as("sd1"),
+        when(col("__pooled") > 0,
+          round((col("__m1") - col("__m0")) / col("__pooled"), 4)).as("smd"),
+        when(col("__pooled") > 0,
+          (abs((col("__m1") - col("__m0")) / col("__pooled")) < 0.1).cast("int"))
+          .as("balanced"))
+      .orderBy("covariate")
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, EntityRes, Eval, Rfm, Skyline, StatTests}
+import graft.operators.{Curation, Dedup, EntityRes, Eval, Experiment, Rfm, Skyline, StatTests}
 import graft.sources.Tables
 
 /** Round-7 sixth/seventh tranches — segmentation, shortlist, and
@@ -71,13 +71,62 @@ object SegmentQueries {
         round(col("containment"), 4).as("containment"))
       .orderBy("doc_a", "doc_b")
 
+  /** Class-balanced corpus downsample by language
+    * ([[Curation.classBalancedSample]]): every language cut to the
+    * minority language's size by hash rank — the skewed-label
+    * rebalancing move, deterministic and engine-stable. */
+  def q202Balanced(s: SparkSession, d: String): DataFrame =
+    Curation.classBalancedSample(Tables.documents(s, d), "doc_id", "lang")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  /** Deterministic negative sampling over the (customer, part)
+    * purchase matrix ([[Curation.negativeSamples]], k = 3):
+    * md5-indexed draws from the 2000-part vocabulary, observed
+    * purchases excluded by anti-join. (The events matrix is the wrong
+    * substrate: with a 5-item vocabulary every heavy user has touched
+    * every item, so the exclusion correctly empties the sample —
+    * negative sampling presumes a sparse interaction matrix.) */
+  def q203NegSampling(s: SparkSession, d: String): DataFrame = {
+    val purchases = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("o_custkey", "l_partkey")
+    Curation.negativeSamples(purchases, "o_custkey", "l_partkey", k = 3)
+      .select(col("entity").as("o_custkey"), col("draw"),
+        col("item").as("l_partkey"))
+  }
+
+  /** Covariate balance audit of the q153 md5 arm assignment
+    * ([[Experiment.covariateBalance]]): SMD per per-user covariate
+    * (event count, rounded value total, distinct types). Balanced by
+    * construction on a hash assignment (the q180 no-signal
+    * discipline); the imbalance path is proven on a planted biased
+    * assignment in the spec. */
+  def q204CovariateBalance(s: SparkSession, d: String): DataFrame = {
+    val units = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(round(sum("value"), 6).as("value_sum"),
+        count(lit(1)).cast("double").as("n_events"),
+        countDistinct("event_type").cast("double").as("n_types"))
+      .withColumn("arm", pmod(
+        conv(substring(md5(col("user_id").cast("string")), 1, 6), 16, 10).cast("long"),
+        lit(2L)).cast("int"))
+    Experiment.covariateBalance(units, "arm",
+      Seq("value_sum", "n_events", "n_types"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_rfm" -> (q196Rfm _),
     "q197_fuzzy_er" -> (q197FuzzyEr _),
     "q198_skyline" -> (q198Skyline _),
     "q199_lift" -> (q199Lift _),
     "q200_cdf_transform" -> (q200CdfTransform _),
-    "q201_containment" -> (q201Containment _)
+    "q201_containment" -> (q201Containment _),
+    "q202_balanced_sample" -> (q202Balanced _),
+    "q203_neg_sampling" -> (q203NegSampling _),
+    "q204_covariate_balance" -> (q204CovariateBalance _)
   )
 
   /** Shared oracle fragment: exact-quantile band cuts of column `v`
@@ -248,6 +297,79 @@ object SegmentQueries {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE shared * 1.0 / least(sa.n, sb.n) >= 0.2
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // hash-rank per class, k = min class size (the fixedSizeSample
+    // rank rule with a data-derived k)
+    "q202_balanced_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL),
+        |cnt AS (SELECT lang, count(*) AS n FROM d GROUP BY 1),
+        |nm AS (SELECT min(n) AS k FROM cnt),
+        |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM d)
+        |SELECT doc_id, lang FROM r CROSS JOIN nm
+        |WHERE rk <= nm.k ORDER BY doc_id""".stripMargin,
+    // md5-indexed draws into the ranked item vocabulary, positives
+    // excluded — the full sampler restated
+    "q203_neg_sampling" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT o.o_custkey, l.l_partkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_custkey IS NOT NULL AND l.l_partkey IS NOT NULL),
+        |items AS (
+        |  SELECT l_partkey, row_number() OVER (ORDER BY l_partkey) AS rn
+        |  FROM (SELECT DISTINCT l_partkey FROM pos)),
+        |nn AS (SELECT count(*) AS n FROM items),
+        |cands AS (
+        |  SELECT p.o_custkey, d.draw,
+        |    (('0x' || substr(md5(CAST(p.o_custkey AS VARCHAR) || ':'
+        |      || CAST(d.draw AS VARCHAR)), 1, 6))::BIGINT % nn.n) + 1 AS rn
+        |  FROM (SELECT DISTINCT o_custkey FROM pos) p
+        |  CROSS JOIN (SELECT unnest(range(1, 4)) AS draw) d
+        |  CROSS JOIN nn)
+        |SELECT c.o_custkey, c.draw, i.l_partkey
+        |FROM cands c JOIN items i ON i.rn = c.rn
+        |WHERE NOT EXISTS (SELECT 1 FROM pos
+        |  WHERE pos.o_custkey = c.o_custkey AND pos.l_partkey = i.l_partkey)
+        |ORDER BY c.o_custkey, c.draw""".stripMargin,
+    // q153's arm assignment + rounded per-unit covariates; moments on
+    // the melted 2xC cell frame
+    "q204_covariate_balance" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 6))::BIGINT
+        |      % 2 AS INT) AS arm,
+        |    round(sum(value), 6) AS value_sum,
+        |    count(*) * 1.0 AS n_events,
+        |    count(DISTINCT event_type) * 1.0 AS n_types
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |m AS (
+        |  SELECT arm, 'value_sum' AS covariate, value_sum AS v FROM u
+        |  UNION ALL SELECT arm, 'n_events', n_events FROM u
+        |  UNION ALL SELECT arm, 'n_types', n_types FROM u),
+        |cells AS (
+        |  SELECT covariate, arm, count(*) AS n, sum(v) AS s, sum(v * v) AS ss
+        |  FROM m WHERE v IS NOT NULL GROUP BY 1, 2),
+        |st AS (
+        |  SELECT covariate, arm, n, s / n AS mn,
+        |    (ss - s * s / n) / (n - 1) AS var
+        |  FROM cells),
+        |p AS (
+        |  SELECT covariate,
+        |    max(CASE WHEN arm = 0 THEN n END) AS n0,
+        |    max(CASE WHEN arm = 1 THEN n END) AS n1,
+        |    max(CASE WHEN arm = 0 THEN mn END) AS m0,
+        |    max(CASE WHEN arm = 1 THEN mn END) AS m1,
+        |    max(CASE WHEN arm = 0 THEN var END) AS v0,
+        |    max(CASE WHEN arm = 1 THEN var END) AS v1
+        |  FROM st GROUP BY 1)
+        |SELECT covariate, n0, n1,
+        |  round(m0, 4) AS mean0, round(m1, 4) AS mean1,
+        |  round(sqrt(v0), 4) AS sd0, round(sqrt(v1), 4) AS sd1,
+        |  CASE WHEN sqrt((v0 + v1) / 2) > 0 THEN
+        |    round((m1 - m0) / sqrt((v0 + v1) / 2), 4) END AS smd,
+        |  CASE WHEN sqrt((v0 + v1) / 2) > 0 THEN
+        |    CAST(abs((m1 - m0) / sqrt((v0 + v1) / 2)) < 0.1 AS INT) END AS balanced
+        |FROM p ORDER BY covariate""".stripMargin
   )
 }

@@ -150,6 +150,58 @@ class SegmentOpsSpec extends AnyFunSuite {
     assert(j.count() == 0)
   }
 
+  test("balanced sample: every class cut to the minority size, hash-stable") {
+    val s = spark; import s.implicits._
+    // classes: a×6, b×3, c×4 → every class keeps exactly 3
+    val df = ((1 to 6).map(i => (i.toLong, "a")) ++
+      (7 to 9).map(i => (i.toLong, "b")) ++
+      (10 to 13).map(i => (i.toLong, "c"))).toDF("id", "cls")
+    val out = Curation.classBalancedSample(df, "id", "cls")
+    val byCls = out.collect().groupBy(_.getAs[String]("cls")).view.mapValues(_.length)
+    assert(byCls.toMap == Map("a" -> 3, "b" -> 3, "c" -> 3))
+    // determinism: same input → same membership
+    val again = Curation.classBalancedSample(df, "id", "cls")
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(again == out.collect().map(_.getAs[Long]("id")).toSet)
+  }
+
+  test("negative sampling: k draws per entity, observed positives excluded") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "x"), (1L, "y"), (2L, "x"), (3L, "z"))
+      .toDF("u", "it")
+    val out = Curation.negativeSamples(df, "u", "it", k = 3).collect()
+    // never more than k rows per entity, and no (entity, item) pair
+    // that was observed as a positive
+    val pos = Set((1L, "x"), (1L, "y"), (2L, "x"), (3L, "z"))
+    assert(out.groupBy(_.getAs[Long]("entity")).forall(_._2.length <= 3))
+    assert(out.forall(r =>
+      !pos.contains((r.getAs[Long]("entity"), r.getAs[String]("item")))))
+    // every sampled item is from the observed vocabulary
+    assert(out.forall(r => Set("x", "y", "z").contains(r.getAs[String]("item"))))
+    // deterministic across runs
+    val again = Curation.negativeSamples(df, "u", "it", k = 3).collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq)
+  }
+
+  test("covariate balance: planted biased assignment flags imbalance") {
+    val s = spark; import s.implicits._
+    // arm 1 systematically higher on cov_biased, identical on cov_ok
+    val units = (0 until 40).map { i =>
+      val arm = i % 2
+      (arm, (i % 7).toDouble, if (arm == 1) 100.0 + i else 10.0 + i)
+    }.toDF("arm", "cov_ok", "cov_biased")
+    val out = Experiment.covariateBalance(units, "arm", Seq("cov_ok", "cov_biased"))
+      .collect().map(r => r.getAs[String]("covariate") ->
+        ((r.getAs[Double]("smd"), r.getAs[Int]("balanced")))).toMap
+    assert(out("cov_biased")._1 > 1.0 && out("cov_biased")._2 == 0)
+    assert(math.abs(out("cov_ok")._1) < 0.5)
+    // zero-variance covariate reports null smd, not a NaN
+    val degen = Seq((0, 1.0), (0, 1.0), (1, 1.0), (1, 1.0)).toDF("arm", "c")
+    val d = Experiment.covariateBalance(degen, "arm", Seq("c")).collect()(0)
+    assert(d.isNullAt(d.fieldIndex("smd")))
+  }
+
   test("lift table: tied scores share a bucket") {
     val s = spark; import s.implicits._
     // one heavy tie: 95 rows score 1, 5 rows score 2 → every cut = 1,
