@@ -286,9 +286,19 @@ object Curation {
     * native `topk_agg` (q179) instead of the rank window — the
     * equivalence is already driver-proven there. */
   def classBalancedSample(df: DataFrame, key: String, classCol: String): DataFrame = {
-    val kMin = df.where(col(classCol).isNotNull)
+    val row = df.where(col(classCol).isNotNull)
       .groupBy(col(classCol)).agg(count(lit(1)).as("n"))
-      .agg(min("n")).head().getLong(0)
+      .agg(min("n")).head()
+    // no classes at all (empty input / all-null class) → empty sample,
+    // not an NPE on the null min
+    if (row.isNullAt(0)) return df.where(lit(false))
+    val kMin = row.getLong(0)
+    // fixedSizeSample's rank cut is Int-typed; a minority class beyond
+    // Int.MaxValue rows means "balance" would keep >2^31 rows per class
+    // — refuse loudly rather than truncate the cut silently
+    require(kMin <= Int.MaxValue,
+      s"minority class has $kMin rows — beyond the exact-rank cut; " +
+        "downsample by hash threshold (stratifiedSample) first")
     fixedSizeSample(df.where(col(classCol).isNotNull), key, classCol, kMin.toInt)
   }
 
@@ -303,10 +313,13 @@ object Curation {
     *
     * Scale shape: candidates are |entities|·k narrow rows; the ranked
     * item vocabulary broadcasts (vocab-sized); exclusion is one
-    * equi-anti-join on (entity, item). Entities whose draw collides
-    * with a positive yield < k negatives (documented — the caller
+    * equi-anti-join on (entity, item). Entities can yield < k
+    * negatives two ways — a draw collides with a positive (anti-join
+    * drops it), or two draws hash to the SAME item (deduped here,
+    * keeping the lowest draw, so no negative is silently
+    * double-weighted in training). Documented contract: the caller
     * resamples or accepts the deficit; deterministic re-draw rounds
-    * compose this same operator with a shifted salt). */
+    * compose this same operator with a shifted salt. */
   def negativeSamples(df: DataFrame, entityCol: String, itemCol: String,
       k: Int = 3): DataFrame = {
     require(k >= 1, "k must be positive")
@@ -326,6 +339,7 @@ object Curation {
         col("__n")) + 1)
       .join(broadcast(items), Seq("__rn"))
     cands.join(pos, Seq("entity", "item"), "left_anti")
+      .groupBy("entity", "item").agg(min("draw").as("draw"))
       .select(col("entity"), col("draw"), col("item"))
       .orderBy("entity", "draw")
   }

@@ -37,6 +37,13 @@ object Rfm {
   def scores(orders: DataFrame, custCol: String, dateCol: String,
       amountCol: String): DataFrame = {
     val cents = round(col(amountCol).cast("double") * 100).cast("long")
+    // checkpoint the rollup ITSELF, before anything branches: the
+    // anchor aggregate, the melted quantile pass, and the scoring
+    // projection all read it — pinned any later, the orders scan +
+    // per-customer shuffle would run once per branch (review finding
+    // on this tranche: the first cut checkpointed below the anchor
+    // cross-join, leaving the scan in both the main and broadcast
+    // subtrees)
     val perCust0 = orders
       .filter(col(custCol).isNotNull && col(dateCol).isNotNull &&
         col(amountCol).isNotNull)
@@ -44,14 +51,12 @@ object Rfm {
       .agg(max(to_date(col(dateCol))).as("__last"),
         count(lit(1)).as("n_orders"),
         sum(cents).as("monetary_cents"))
+      .localCheckpoint(false)
     val anchor = perCust0.agg(max(col("__last")).as("__anchor"))
-    // materialize recency BEFORE the quantile passes: 4 consumers read
-    // this frame
     val perCust = perCust0.crossJoin(broadcast(anchor))
       .withColumn("recency_days",
         datediff(col("__anchor"), col("__last")).cast("long"))
       .drop("__last", "__anchor")
-      .localCheckpoint(false)
 
     // all three axes' quintile cuts from ONE melted quantile pass —
     // see Quantiles.bandCutsMulti

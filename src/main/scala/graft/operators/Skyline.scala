@@ -22,8 +22,16 @@ import org.apache.spark.sql.functions._
   * pays one group-by shuffle on the minimize column; the ordered
   * running-max window runs on the distinct-value frame (the exact-rank
   * histogram argument: distinct values, never rows, flow through the
-  * ordering), and the verdict joins back as a broadcast. Equal
+  * ordering), and the verdict join is left to the planner (a small
+  * verdict frame broadcasts via AQE; a large one shuffle-joins). Equal
   * (min, max) ties are all kept — neither dominates the other.
+  *
+  * Contract for CONTINUOUS minimize axes: the distinct-value argument
+  * assumes bounded value cardinality. A near-unique double axis (raw
+  * prices at billions of rows) makes the verdict frame row-scale —
+  * quantize the axis first (the q127 histogram discipline, mirrored
+  * from StatTests): frontier-over-buckets then exact within the
+  * boundary buckets if needed.
   *
   * The driver oracle for q198 is the brute-force NOT EXISTS itself,
   * so the hash match PROVES the running-max identity ≡ the dominance
@@ -41,7 +49,7 @@ object Skyline {
     val w = Window.orderBy(col(minCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val verdict = perMin.withColumn("__smax", max(col("__pmax")).over(w))
-    data.join(broadcast(verdict), Seq(minCol))
+    data.join(verdict, Seq(minCol))
       .filter(col(maxCol) === col("__pmax") &&
         (col("__smax").isNull || col("__pmax") > col("__smax")))
       .drop("__pmax", "__smax")

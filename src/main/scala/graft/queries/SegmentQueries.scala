@@ -129,67 +129,47 @@ object SegmentQueries {
     "q204_covariate_balance" -> (q204CovariateBalance _)
   )
 
-  /** Shared oracle fragment: exact-quantile band cuts of column `v`
-    * over a CTE `d` — value at rank ceil(q·n) (the exactQuantiles rank
-    * rule), one column per cut. */
-  private def cutsSql(nBands: Int): String = {
+  /** Shared oracle fragment: exact-quantile band cuts of column
+    * `vcol` over CTE `src` — value at rank ceil(q·n) (the
+    * exactQuantiles rank rule), one column per cut, emitted as CTEs
+    * `{p}n`/`{p}r`/`{p}` so several metrics can restate the SAME rule
+    * without hand-copied blocks (any future tie-rule fix lands once). */
+  private def cutsSql(nBands: Int, src: String, vcol: String, p: String): String = {
     val sel = (1 until nBands).map { i =>
       val q = i.toDouble / nBands
-      s"    max(CASE WHEN rk = CAST(ceil($q * n.n) AS BIGINT) THEN v END) AS c$i"
+      s"    max(CASE WHEN rk = CAST(ceil($q * ${p}n.n) AS BIGINT) THEN v END) AS c$i"
     }.mkString(",\n")
-    s"""n AS (SELECT count(*) AS n FROM d),
-       |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM d),
-       |c AS (
+    s"""${p}n AS (SELECT count(*) AS n FROM $src),
+       |${p}r AS (SELECT $vcol AS v, row_number() OVER (ORDER BY $vcol) AS rk FROM $src),
+       |$p AS (
        |  SELECT
        |$sel
-       |  FROM r CROSS JOIN n)""".stripMargin
+       |  FROM ${p}r CROSS JOIN ${p}n)""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     // three rank-rule cut blocks (recency/frequency/monetary), then
     // row-local band arithmetic — integer metrics end to end
     "q196_rfm" ->
-      """WITH pc AS (
-        |  SELECT o_custkey,
-        |    max(CAST(o_orderdate AS DATE)) AS last_d,
-        |    count(*) AS n_orders,
-        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-        |      AS monetary_cents
-        |  FROM orders
-        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
-        |    AND o_totalprice IS NOT NULL
-        |  GROUP BY 1),
-        |a AS (SELECT max(last_d) AS anchor FROM pc),
-        |m AS (
-        |  SELECT pc.*, CAST(date_diff('day', last_d, a.anchor) AS BIGINT)
-        |    AS recency_days
-        |  FROM pc CROSS JOIN a),
-        |n AS (SELECT count(*) AS n FROM m),
-        |rr AS (SELECT recency_days AS v,
-        |  row_number() OVER (ORDER BY recency_days) AS rk FROM m),
-        |rc AS (SELECT
-        |    max(CASE WHEN rk = CAST(ceil(0.2 * n.n) AS BIGINT) THEN v END) AS c1,
-        |    max(CASE WHEN rk = CAST(ceil(0.4 * n.n) AS BIGINT) THEN v END) AS c2,
-        |    max(CASE WHEN rk = CAST(ceil(0.6 * n.n) AS BIGINT) THEN v END) AS c3,
-        |    max(CASE WHEN rk = CAST(ceil(0.8 * n.n) AS BIGINT) THEN v END) AS c4
-        |  FROM rr CROSS JOIN n),
-        |rf AS (SELECT n_orders AS v,
-        |  row_number() OVER (ORDER BY n_orders) AS rk FROM m),
-        |fc AS (SELECT
-        |    max(CASE WHEN rk = CAST(ceil(0.2 * n.n) AS BIGINT) THEN v END) AS c1,
-        |    max(CASE WHEN rk = CAST(ceil(0.4 * n.n) AS BIGINT) THEN v END) AS c2,
-        |    max(CASE WHEN rk = CAST(ceil(0.6 * n.n) AS BIGINT) THEN v END) AS c3,
-        |    max(CASE WHEN rk = CAST(ceil(0.8 * n.n) AS BIGINT) THEN v END) AS c4
-        |  FROM rf CROSS JOIN n),
-        |rm AS (SELECT monetary_cents AS v,
-        |  row_number() OVER (ORDER BY monetary_cents) AS rk FROM m),
-        |mc AS (SELECT
-        |    max(CASE WHEN rk = CAST(ceil(0.2 * n.n) AS BIGINT) THEN v END) AS c1,
-        |    max(CASE WHEN rk = CAST(ceil(0.4 * n.n) AS BIGINT) THEN v END) AS c2,
-        |    max(CASE WHEN rk = CAST(ceil(0.6 * n.n) AS BIGINT) THEN v END) AS c3,
-        |    max(CASE WHEN rk = CAST(ceil(0.8 * n.n) AS BIGINT) THEN v END) AS c4
-        |  FROM rm CROSS JOIN n),
-        |sc AS (
+      s"""WITH pc AS (
+         |  SELECT o_custkey,
+         |    max(CAST(o_orderdate AS DATE)) AS last_d,
+         |    count(*) AS n_orders,
+         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |      AS monetary_cents
+         |  FROM orders
+         |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND o_totalprice IS NOT NULL
+         |  GROUP BY 1),
+         |a AS (SELECT max(last_d) AS anchor FROM pc),
+         |m AS (
+         |  SELECT pc.*, CAST(date_diff('day', last_d, a.anchor) AS BIGINT)
+         |    AS recency_days
+         |  FROM pc CROSS JOIN a),
+         |${cutsSql(5, "m", "recency_days", "rc")},
+         |${cutsSql(5, "m", "n_orders", "fc")},
+         |${cutsSql(5, "m", "monetary_cents", "mc")},
+         |sc AS (
         |  SELECT m.o_custkey, m.recency_days, m.n_orders, m.monetary_cents,
         |    6 - (1 + (m.recency_days > rc.c1)::INT + (m.recency_days > rc.c2)::INT
         |      + (m.recency_days > rc.c3)::INT + (m.recency_days > rc.c4)::INT) AS r,
@@ -240,7 +220,7 @@ object SegmentQueries {
          |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
          |  FROM customer
          |  WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL),
-         |${cutsSql(10)},
+         |${cutsSql(10, "d", "v", "c")},
          |band AS (
          |  SELECT 11 - (1 + (v > c.c1)::INT + (v > c.c2)::INT + (v > c.c3)::INT
          |    + (v > c.c4)::INT + (v > c.c5)::INT + (v > c.c6)::INT
@@ -327,11 +307,12 @@ object SegmentQueries {
         |  FROM (SELECT DISTINCT o_custkey FROM pos) p
         |  CROSS JOIN (SELECT unnest(range(1, 4)) AS draw) d
         |  CROSS JOIN nn)
-        |SELECT c.o_custkey, c.draw, i.l_partkey
+        |SELECT c.o_custkey, min(c.draw) AS draw, i.l_partkey
         |FROM cands c JOIN items i ON i.rn = c.rn
         |WHERE NOT EXISTS (SELECT 1 FROM pos
         |  WHERE pos.o_custkey = c.o_custkey AND pos.l_partkey = i.l_partkey)
-        |ORDER BY c.o_custkey, c.draw""".stripMargin,
+        |GROUP BY c.o_custkey, i.l_partkey
+        |ORDER BY c.o_custkey, draw""".stripMargin,
     // q153's arm assignment + rounded per-unit covariates; moments on
     // the melted 2xC cell frame
     "q204_covariate_balance" ->

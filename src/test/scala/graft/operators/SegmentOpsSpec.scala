@@ -178,6 +178,10 @@ class SegmentOpsSpec extends AnyFunSuite {
       !pos.contains((r.getAs[Long]("entity"), r.getAs[String]("item")))))
     // every sampled item is from the observed vocabulary
     assert(out.forall(r => Set("x", "y", "z").contains(r.getAs[String]("item"))))
+    // no duplicate negatives: two draws hashing to the same item are
+    // deduped (lowest draw kept), never double-weighted
+    val pairs = out.map(r => (r.getAs[Long]("entity"), r.getAs[String]("item")))
+    assert(pairs.distinct.length == pairs.length)
     // deterministic across runs
     val again = Curation.negativeSamples(df, "u", "it", k = 3).collect()
     assert(out.map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq ==
