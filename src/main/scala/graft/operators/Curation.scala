@@ -352,6 +352,51 @@ object Curation {
       .orderBy("entity", "draw")
   }
 
+  /** Packing-efficiency audit — the planning readout BEFORE running
+    * [[packSequences]]/[[chunkTokens]] over 100 TB: for a context
+    * budget B, what fraction of trained-on tokens would be padding or
+    * overflow under each packing policy?
+    *
+    *   - `truncate`: one sequence per document, cut at B — overflow =
+    *     Σ max(len−B, 0), padding = Σ (B − min(len, B));
+    *   - `chunk`: each document split into ⌈len/B⌉ sequences (the q92
+    *     shape) — no overflow, padding = Σ (⌈len/B⌉·B − len);
+    *   - `concat`: cross-document stream packing (the q60 shape's
+    *     lower bound) — ⌈T/B⌉ sequences, padding = ⌈T/B⌉·B − T.
+    *
+    * ONE aggregate over the length frame computes every policy's
+    * integer sums; the 3-row report is arithmetic on that single row.
+    * All counts are exact integers; efficiency = used/(seqs·B) is the
+    * only division, rounded at 6. */
+  def packingAudit(df: DataFrame, nTokens: Column, budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val b = lit(budget.toLong)
+    val len = nTokens.cast("long")
+    val agg = df.select(len.as("__len")).where(col("__len").isNotNull)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__len")).as("t"),
+        sum(least(col("__len"), b)).as("kept_trunc"),
+        sum(greatest(col("__len") - b, lit(0L))).as("overflow_trunc"),
+        sum(ceil(col("__len") / b.cast("double")).cast("long")).as("seqs_chunk"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val policies = Seq("1_truncate", "2_chunk", "3_concat").toDF("policy")
+    policies.crossJoin(broadcast(agg))
+      .select(col("policy"),
+        when(col("policy") === "1_truncate", col("n_docs"))
+          .when(col("policy") === "2_chunk", col("seqs_chunk"))
+          .otherwise(ceil(col("t") / b.cast("double")).cast("long")).as("n_seqs"),
+        when(col("policy") === "1_truncate", col("kept_trunc"))
+          .otherwise(col("t")).as("used_tokens"),
+        when(col("policy") === "1_truncate", col("overflow_trunc"))
+          .otherwise(lit(0L)).as("overflow_tokens"))
+      .withColumn("padded_tokens", col("n_seqs") * b - col("used_tokens"))
+      .withColumn("efficiency",
+        round(col("used_tokens") / (col("n_seqs") * b).cast("double"), 6))
+      .orderBy("policy")
+  }
+
   /** Per-stratum quality calibration: percent_rank of a raw quality
     * signal WITHIN each stratum — the cross-language comparability move
     * (a length/quality threshold tuned on English silently drops most

@@ -919,6 +919,35 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Canonical survivor election per duplicate cluster — the step
+    * between clustering (q61) and removal (q80) that real pipelines
+    * ship: inside each near-dup cluster, KEEP the highest-quality
+    * member (ties → lowest id, deterministic) instead of the arbitrary
+    * min-id member, so dedup never discards the best copy of a
+    * document.
+    *
+    * Pure composition: [[ngramJaccardPairs]] → [[connectedComponents]]
+    * → one quality join + a per-cluster argmax (max-quality aggregate,
+    * equality filter, min-id aggregate — no window). Scale: the argmax
+    * frames are cluster-count-sized; the only data-scale work is the
+    * pair generation already audited under q33/q61. */
+  def canonicalPerCluster(docs: DataFrame, qualityCol: String,
+      threshold: Double = 0.8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, threshold, idCol, textCol)
+    val members = connectedComponents(pairs)
+      .join(docs.select(col(idCol), col(qualityCol)), Seq(idCol))
+    val best = members.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(col(qualityCol)).as("best_quality"))
+    members.join(best, Seq("cluster_id"))
+      .filter(col(qualityCol) === col("best_quality"))
+      .groupBy("cluster_id", "n_members", "best_quality")
+      .agg(min(col(idCol)).as("kept_doc_id"))
+      .select("cluster_id", "kept_doc_id", "n_members", "best_quality")
+      .orderBy("cluster_id")
+  }
+
   /** Paragraph-level exact dedup (the CCNet/Dolma move): every paragraph
     * that already appeared earlier in the corpus — in ANY document — is
     * removed, keeping the first occurrence by (doc id, paragraph

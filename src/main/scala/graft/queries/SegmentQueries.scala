@@ -117,6 +117,22 @@ object SegmentQueries {
       Seq("value_sum", "n_events", "n_types"))
   }
 
+  /** Canonical survivor per near-dup cluster
+    * ([[Dedup.canonicalPerCluster]], τ = 0.8 over q61's clusters):
+    * keep the longest member (n_chars as the quality signal), ties →
+    * lowest id — the election step between clustering and removal. */
+  def q205Canonical(s: SparkSession, d: String): DataFrame =
+    Dedup.canonicalPerCluster(Tables.documents(s, d), "n_chars",
+      threshold = 0.8)
+
+  /** Packing-efficiency audit at context budget 128
+    * ([[Curation.packingAudit]]): padding/overflow/efficiency of the
+    * truncate / chunk / concat policies from ONE length aggregate —
+    * the plan-before-you-pack readout. */
+  def q206PackingAudit(s: SparkSession, d: String): DataFrame =
+    Curation.packingAudit(Tables.documents(s, d),
+      size(graft.functions.TextFunctions.tokens("text")), budget = 128)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_rfm" -> (q196Rfm _),
     "q197_fuzzy_er" -> (q197FuzzyEr _),
@@ -126,7 +142,9 @@ object SegmentQueries {
     "q201_containment" -> (q201Containment _),
     "q202_balanced_sample" -> (q202Balanced _),
     "q203_neg_sampling" -> (q203NegSampling _),
-    "q204_covariate_balance" -> (q204CovariateBalance _)
+    "q204_covariate_balance" -> (q204CovariateBalance _),
+    "q205_canonical" -> (q205Canonical _),
+    "q206_packing_audit" -> (q206PackingAudit _)
   )
 
   /** Shared oracle fragment: exact-quantile band cuts of column
@@ -351,6 +369,72 @@ object SegmentQueries {
         |    round((m1 - m0) / sqrt((v0 + v1) / 2), 4) END AS smd,
         |  CASE WHEN sqrt((v0 + v1) / 2) > 0 THEN
         |    CAST(abs((m1 - m0) / sqrt((v0 + v1) / 2)) < 0.1 AS INT) END AS balanced
-        |FROM p ORDER BY covariate""".stripMargin
+        |FROM p ORDER BY covariate""".stripMargin,
+    // q61's recursive-CTE closure + the per-cluster argmax election
+    "q205_canonical" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT doc_a, doc_b FROM cand
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.8),
+        |und AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |        UNION SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |nodes AS (SELECT DISTINCT a AS id FROM und),
+        |cc AS (
+        |  SELECT n.id AS doc_id, least(n.id, min(r.b)) AS cluster_id
+        |  FROM nodes n JOIN reach r ON r.a = n.id GROUP BY n.id),
+        |mem AS (
+        |  SELECT cc.cluster_id, cc.doc_id, d.n_chars
+        |  FROM cc JOIN documents d ON d.doc_id = cc.doc_id),
+        |best AS (
+        |  SELECT cluster_id, count(*) AS n_members, max(n_chars) AS best_quality
+        |  FROM mem GROUP BY 1)
+        |SELECT b.cluster_id, min(m.doc_id) AS kept_doc_id,
+        |  b.n_members, b.best_quality
+        |FROM best b JOIN mem m ON m.cluster_id = b.cluster_id
+        |  AND m.n_chars = b.best_quality
+        |GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin,
+    // every policy's sums from one length frame; pure integer
+    // arithmetic, one rounded division
+    "q206_packing_audit" ->
+      """WITH d AS (
+        |  SELECT len(string_split_regex(lower(trim(text)), '\s+')) AS l
+        |  FROM documents),
+        |a AS (
+        |  SELECT count(*) AS n_docs,
+        |    CAST(sum(l) AS BIGINT) AS t,
+        |    CAST(sum(least(l, 128)) AS BIGINT) AS kept_trunc,
+        |    CAST(sum(greatest(l - 128, 0)) AS BIGINT) AS overflow_trunc,
+        |    CAST(sum(CAST(ceil(l / 128.0) AS BIGINT)) AS BIGINT) AS seqs_chunk
+        |  FROM d),
+        |pol AS (
+        |  SELECT '1_truncate' AS policy, n_docs AS n_seqs,
+        |    kept_trunc AS used_tokens, overflow_trunc AS overflow_tokens FROM a
+        |  UNION ALL
+        |  SELECT '2_chunk', seqs_chunk, t, 0 FROM a
+        |  UNION ALL
+        |  SELECT '3_concat', CAST(ceil(t / 128.0) AS BIGINT), t, 0 FROM a)
+        |SELECT policy, n_seqs, used_tokens,
+        |  CAST(overflow_tokens AS BIGINT) AS overflow_tokens,
+        |  n_seqs * 128 - used_tokens AS padded_tokens,
+        |  round(used_tokens / (n_seqs * 128.0), 6) AS efficiency
+        |FROM pol ORDER BY policy""".stripMargin
   )
 }

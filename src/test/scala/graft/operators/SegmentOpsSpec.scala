@@ -206,6 +206,41 @@ class SegmentOpsSpec extends AnyFunSuite {
     assert(d.isNullAt(d.fieldIndex("smd")))
   }
 
+  test("canonical per cluster: keeps the highest-quality member, ties to lowest id") {
+    val s = spark; import s.implicits._
+    // docs 1,2,3 are near-identical (one cluster); 3 is the longest →
+    // kept; docs 10,11 identical text AND equal quality → tie, keep 10
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, base, 40L), (2L, base + " iota", 45L), (3L, base + " iota kappa", 50L),
+      (10L, "one two three four five six", 30L), (11L, "one two three four five six", 30L),
+      (20L, "totally different words here entirely unrelated", 99L)
+    ).toDF("doc_id", "text", "n_chars")
+    val out = Dedup.canonicalPerCluster(df, "n_chars", threshold = 0.5)
+      .collect().map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("kept_doc_id"), r.getAs[Long]("n_members"),
+          r.getAs[Long]("best_quality")))).toMap
+    assert(out(1L) == ((3L, 3L, 50L)))
+    assert(out(10L) == ((10L, 2L, 30L)))
+    assert(!out.contains(20L)) // singletons form no cluster
+  }
+
+  test("packing audit: integer waste accounting per policy") {
+    val s = spark; import s.implicits._
+    // lengths 3, 5, 12 with budget 4:
+    //   truncate: 3 seqs, kept 3+4+4=11, overflow 0+1+8=9, pad 12-11=1
+    //   chunk: ceil(3/4)+ceil(5/4)+ceil(12/4) = 1+2+3 = 6 seqs, used 20, pad 4
+    //   concat: ceil(20/4) = 5 seqs, used 20, pad 0
+    val df = Seq(3L, 5L, 12L).toDF("len")
+    val out = Curation.packingAudit(df, org.apache.spark.sql.functions.col("len"), budget = 4)
+      .collect().map(r => r.getAs[String]("policy") ->
+        ((r.getAs[Long]("n_seqs"), r.getAs[Long]("used_tokens"),
+          r.getAs[Long]("overflow_tokens"), r.getAs[Long]("padded_tokens")))).toMap
+    assert(out("1_truncate") == ((3L, 11L, 9L, 1L)))
+    assert(out("2_chunk") == ((6L, 20L, 0L, 4L)))
+    assert(out("3_concat") == ((5L, 20L, 0L, 0L)))
+  }
+
   test("lift table: tied scores share a bucket") {
     val s = spark; import s.implicits._
     // one heavy tie: 95 rows score 1, 5 rows score 2 → every cut = 1,
