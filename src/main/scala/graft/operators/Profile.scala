@@ -27,6 +27,34 @@ import org.apache.spark.sql.types._
   */
 object Profile {
 
+  /** Exact per-group MODE — the missing member of the scalar-stat
+    * family (min/max/exact-median/mean ship under A10/q127): the most
+    * frequent value per group, ties broken by the SMALLEST value
+    * (deterministic, engine-stable).
+    *
+    * Scale shape: one (group, value) cell aggregate (map-side
+    * combinable), then the q205 argmax discipline on the cell frame —
+    * max count per group, equality filter, min value — no window, no
+    * sort. The cell frame is distinct-value-bounded (the exact-rank
+    * histogram argument); a continuous column should be binned first
+    * (mode of raw doubles is ill-posed anyway). */
+  def modeByGroup(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val cells = df.filter(col(valueCol).isNotNull)
+      .groupBy((g :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val best = cells.groupBy(g: _*)
+      .agg(max("__cnt").as("mode_count"), count(lit(1)).as("n_distinct"))
+    cells.join(best, groupCols)
+      .filter(col("__cnt") === col("mode_count"))
+      .groupBy((g :+ col("mode_count")) :+ col("n_distinct"): _*)
+      .agg(min(col(valueCol)).as("mode_value"))
+      .select((g ++ Seq(col("mode_value"), col("mode_count"),
+        col("n_distinct"))): _*)
+      .orderBy(g: _*)
+  }
+
   def profile(df: DataFrame): DataFrame = {
     val cols = df.schema.fields
     def isNum(t: DataType) = t match {
