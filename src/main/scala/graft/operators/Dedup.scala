@@ -893,20 +893,40 @@ object Dedup {
     *
     * Scale shape: same inverted shingle index as the naive Jaccard
     * path — one equi-shuffle on the shingle, one count aggregate;
-    * pair work is postings-list-bounded, never corpus². The Jaccard
-    * prefix filter deliberately does NOT apply (it bounds the union,
-    * not the min), which is why this is its own operator rather than
-    * a threshold tweak. Deterministic: shared/min is one division of
-    * exact integers, rounded at the query edge only. */
+    * pair work is Σ|postings|² over the surviving shingles. The
+    * Jaccard prefix filter deliberately does NOT apply (it bounds the
+    * union, not the min), which is why this is its own operator rather
+    * than a threshold tweak. CAVEAT without a cap: one corpus-wide
+    * boilerplate shingle (a license line, a shared header) makes the
+    * self-join quadratic in that posting list's length — `maxPosting`
+    * drops shingles whose posting list exceeds it BEFORE the join
+    * (the PPJoin stop-shingle move). The trade is explicit: capped
+    * runs UNDER-count `shared`, so containment becomes a recall-lossy
+    * LOWER bound — candidate generation, not an exact statistic; the
+    * default (no cap) is exact and postings-bounded only as far as the
+    * corpus's hottest shingle. Deterministic either way: shared/min is
+    * one division of exact integers, rounded at the query edge only. */
   def containmentPairs(docs: DataFrame, threshold: Double = 0.5,
-      idCol: String = "doc_id", textCol: String = "text", n: Int = 3): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
+      maxPosting: Int = Int.MaxValue): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
     val sh = docs
       .withColumn("toks", tokens(textCol))
       .filter(size(col("toks")) >= n)
       .withColumn("sh", shingles("toks", n))
       .select(col(idCol).as("id"), col("sh"), size(col("sh")).as("n_sh"))
-    val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val inv0 = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val inv =
+      if (maxPosting == Int.MaxValue) inv0
+      else {
+        // one extra aggregate over the postings (shingle-keyed, map-side
+        // combinable) buys the quadratic bound; hot shingles are the
+        // least discriminative, so recall loss concentrates on pairs
+        // that share ONLY boilerplate
+        val hot = inv0.groupBy("shingle").agg(count(lit(1)).as("__plen"))
+          .filter(col("__plen") > maxPosting).select("shingle")
+        inv0.join(broadcast(hot), Seq("shingle"), "left_anti")
+      }
     val a = inv.select(col("id").as("doc_a"), col("n_sh").as("na"), col("shingle"))
     val b = inv.select(col("id").as("doc_b"), col("n_sh").as("nb"), col("shingle"))
     a.join(b, Seq("shingle"))
@@ -935,7 +955,11 @@ object Dedup {
       threshold: Double = 0.8, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val pairs = ngramJaccardPairs(docs, threshold, idCol, textCol)
+    // connectedComponents emits its member column as 'doc_id' no matter
+    // what the pair columns were named — realign to idCol so the
+    // quality join works for any caller-supplied id column
     val members = connectedComponents(pairs)
+      .withColumnRenamed("doc_id", idCol)
       .join(docs.select(col(idCol), col(qualityCol)), Seq(idCol))
     val best = members.groupBy("cluster_id")
       .agg(count(lit(1)).as("n_members"),
@@ -946,6 +970,66 @@ object Dedup {
       .agg(min(col(idCol)).as("kept_doc_id"))
       .select("cluster_id", "kept_doc_id", "n_members", "best_quality")
       .orderBy("cluster_id")
+  }
+
+  /** The nightly corpus-refresh dedup pipeline, end to end in ONE
+    * maintained operator — the composition a production corpus
+    * actually runs: snapshot diff → delta-only near-dup →
+    * connected components → canonical (best-quality) survivor
+    * election → survivor removal. Returns the refreshed, deduplicated
+    * corpus (all `newDocs` columns, losers removed).
+    *
+    * Stages (each individually oracled under q130/q61/q205/q80):
+    *   1. [[Curation.snapshotDiff]] classifies new vs old on a
+    *      content fingerprint; only `changed ∪ added` ids form the
+    *      delta — at 100 TB the unchanged bulk is never re-paired.
+    *   2. [[incrementalNearDupsExact]] pairs the delta against the
+    *      untouched remainder (and itself) via the inverted shingle
+    *      index: exact recall at the threshold, old×old postings
+    *      generate nothing.
+    *   3. [[connectedComponents]] merges pairs into clusters (tiered:
+    *      local union-find / min-label propagation / large-star by
+    *      edge count).
+    *   4. Within each cluster the member with the highest `quality`
+    *      survives (ties → lowest id, deterministic); everyone else —
+    *      including an untouched incumbent beaten by a better new
+    *      copy — is dropped by one anti-join. Loser sets are tiny
+    *      relative to the corpus, so the final join broadcasts.
+    *
+    * Correctness contract (the q129/q130 proof shape): because stage-2
+    * recall is exact, the output equals the FULL-REBUILD pipeline
+    * restricted to clusters touching the delta — which is what the
+    * driver's q207 oracle rebuilds in SQL.
+    *
+    * @param quality expression over `newDocs` columns scoring each
+    *                doc (higher survives); e.g. `length(col("text"))` */
+  def corpusRefresh(oldDocs: DataFrame, newDocs: DataFrame,
+      quality: Column, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text",
+      contentCols: Seq[String] = Seq("text")): DataFrame = {
+    // the delta id frame feeds a semi- AND an anti-join; checkpoint so
+    // the full-outer fingerprint diff underneath runs once
+    val delta = Curation.snapshotDiff(oldDocs, newDocs, idCol, contentCols)
+      .filter(col("status").isin("changed", "added"))
+      .select(col(idCol)).localCheckpoint(false)
+    val deltaDocs = newDocs.join(delta, Seq(idCol), "left_semi")
+    val untouched = newDocs.join(delta, Seq(idCol), "left_anti")
+    val pairs = incrementalNearDupsExact(deltaDocs, untouched, threshold,
+      idCol = idCol, textCol = textCol)
+    // cluster-member frames are duplicate-count-sized; checkpoint the
+    // scored frame so its corpus join doesn't replay per consumer
+    // (election reads it three times)
+    val members = connectedComponents(pairs).withColumnRenamed("doc_id", idCol)
+    val scored = members.join(newDocs.select(col(idCol), quality.as("__q")), Seq(idCol))
+      .localCheckpoint(false)
+    val best = scored.groupBy("cluster_id").agg(max("__q").as("__bq"))
+    val kept = scored.join(best, Seq("cluster_id"))
+      .filter(col("__q") === col("__bq"))
+      .groupBy("cluster_id").agg(min(col(idCol)).as("__keep"))
+    val losers = scored.join(kept, Seq("cluster_id"))
+      .filter(col(idCol) =!= col("__keep"))
+      .select(col(idCol))
+    newDocs.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Paragraph-level exact dedup (the CCNet/Dolma move): every paragraph

@@ -117,8 +117,13 @@ object Experiment {
     val cells = melted.groupBy("covariate", "arm").agg(
       count(lit(1)).as("n"), sum("v").as("s"), sum(col("v") * col("v")).as("ss"))
       .withColumn("m", col("s") / col("n"))
+      // a single-unit arm divides by (n-1)=0 — Spark yields NaN where
+      // DuckDB's division-by-zero yields NULL; guard so both engines
+      // (and the sd0/sd1 columns, which bypass the pooled>0 check)
+      // report NULL for an undefined sample variance
       .withColumn("var",
-        (col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1))
+        when(col("n") > 1,
+          (col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1)))
     def pick(c: String, a: Int) = max(when(col("arm") === a, col(c)))
     cells.groupBy("covariate").agg(
         pick("n", 0).as("n0"), pick("n", 1).as("n1"),

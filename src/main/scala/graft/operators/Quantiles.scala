@@ -55,7 +55,8 @@ object Quantiles {
     *                  candidate sets (cost is one ≤ |groups|·nBuckets
     *                  aggregate either way) */
   def exactQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double],
-      groupCols: Seq[String] = Nil, nBuckets: Int = 64): DataFrame = {
+      groupCols: Seq[String] = Nil, nBuckets: Int = 64,
+      checkpointInput: Boolean = true): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "each q must be in (0, 1]")
     require(nBuckets >= 1, "nBuckets must be positive")
     val spark = df.sparkSession
@@ -65,8 +66,20 @@ object Quantiles {
     // pandas convention). Unfiltered nulls would corrupt both sides of
     // the selection: count(1) would inflate n (shifting every rank k)
     // while null-skipping least() would clamp null rows into the TOP
-    // bucket's histogram count
-    val data = df.filter(v.isNotNull)
+    // bucket's histogram count.
+    //
+    // The filtered frame is consumed THREE times below (the stats
+    // aggregate, the histogram aggregate, and the phase-4 ranking
+    // join), so its lineage replays 3× — harmless over a raw parquet
+    // scan, but a caller feeding a join/aggregate output (q164's
+    // as-of-join latencies) pays the whole upstream plan per pass.
+    // Column-prune to exactly (groupCols, valueCol) and lazily
+    // localCheckpoint so the upstream runs once; the checkpointed
+    // frame is n narrow rows. Callers handing a cheap raw scan can
+    // opt out with checkpointInput = false.
+    val pruned = df.select((groupCols :+ valueCol).distinct.map(col): _*)
+      .filter(v.isNotNull)
+    val data = if (checkpointInput) pruned.localCheckpoint(false) else pruned
 
     val stats = data.groupBy(g: _*).agg(
       min(v).as("__lo"), max(v).as("__hi"), count(lit(1)).as("__n"))
@@ -146,9 +159,14 @@ object Quantiles {
     val v = col(valueCol).cast("double")
     // same non-null convention as exactQuantiles — an unfiltered null
     // would survive least/greatest's null-skip as the hi bound and
-    // inflate n/mean
-    val data = df.filter(v.isNotNull)
-    val qs = exactQuantiles(data, valueCol, Seq(loQ, hiQ), groupCols, nBuckets)
+    // inflate n/mean. Checkpoint ONCE here (pruned to the needed
+    // columns) and tell the inner exactQuantiles not to re-checkpoint:
+    // the clipped aggregate below is a 4th consumer of the same frame,
+    // so the checkpoint must sit above BOTH uses.
+    val data = df.select((groupCols :+ valueCol).distinct.map(col): _*)
+      .filter(v.isNotNull).localCheckpoint(false)
+    val qs = exactQuantiles(data, valueCol, Seq(loQ, hiQ), groupCols, nBuckets,
+      checkpointInput = false)
     val bounds = qs.groupBy(groupCols.map(col): _*)
       .agg(max(when(col("q") === loQ, col("value"))).as("__lo"),
         max(when(col("q") === hiQ, col("value"))).as("__hi"))

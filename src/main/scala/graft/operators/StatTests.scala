@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,9 +17,19 @@ import org.apache.spark.sql.functions._
   *   avgrank(v) = (Σ_{v'<v} cnt(v')) + (cnt(v)+1)/2
   *
   * — one map-side-combinable groupBy to the distinct-value histogram,
-  * one cumulative window OVER THE HISTOGRAM (bounded by value
-  * cardinality, not row count; for continuous columns at extreme
-  * scale, quantize first — the q127 histogram discipline), then
+  * then a TWO-PHASE cumulative count over it (the q127 bucket
+  * discipline): each distinct value maps to one of `HistBuckets`
+  * monotone value-range buckets; per-bucket totals (≤ HistBuckets
+  * rows — constant-bounded) carry the cross-bucket offsets through
+  * the only unpartitioned window, and the within-bucket cumulative
+  * window is PARTITIONED BY bucket. A continuous column whose
+  * distinct count ≈ row count therefore never funnels through a
+  * single ordering spine — the widest window partition sorts one
+  * bucket's slice of the value RANGE (~distinct/HistBuckets values
+  * under uniform ranges; range skew concentrates values in fewer
+  * buckets and is the residual, documented bound). The result is
+  * EXACT — bucket order agrees with value order, so the composed
+  * cumulative count is identical to the single-window one. Then
   * cell-frame arithmetic or an equi-join back on the value. Row-level
   * data is touched by exactly one aggregate (and one join where
   * per-row ranks are genuinely needed); nothing row-scale ever passes
@@ -32,17 +42,49 @@ import org.apache.spark.sql.functions._
   * are exact for tie blocks to ~2M rows. */
 object StatTests {
 
+  /** Width of the value-range bucketing in the two-phase cumulative
+    * count: the only unpartitioned window in this file runs over
+    * ≤ this many aggregated rows. */
+  private val HistBuckets = 4096
+
+  /** Monotone value-range bucket of `v` in [lo, hi] — clamps the
+    * degenerate lo == hi frame and the v == hi edge into band 0 /
+    * the top band (the exactQuantiles convention). */
+  private def bucketOf(v: Column, lo: Column, hi: Column): Column =
+    when(hi === lo, lit(0)).otherwise(
+      least(floor((v - lo) / (hi - lo) * HistBuckets).cast("int"),
+        lit(HistBuckets - 1)))
+
   /** (v, cnt, avgrank) per distinct value of `valueCol` (null rows
     * dropped), plus the scalars every rank test needs: n (total rows)
-    * and tiesum = Σ(cnt³−cnt). */
+    * and tiesum = Σ(cnt³−cnt). Cumulative counts use the two-phase
+    * bucket composition described in the object scaladoc — exact, and
+    * never a row-scale single-partition sort. */
   private def valueHist(df: DataFrame, valueCol: String): (DataFrame, DataFrame) = {
-    val hist = df.select(col(valueCol).cast("double").as("v"))
+    // the distinct-value frame feeds the range stats, the per-bucket
+    // offsets, and the within-bucket window — checkpoint so the
+    // row-scale aggregate beneath it runs once
+    val hist0 = df.select(col(valueCol).cast("double").as("v"))
       .where(col("v").isNotNull)
       .groupBy("v").agg(count(lit(1)).as("cnt"))
-      .withColumn("__cumBefore",
+      .localCheckpoint(false)
+    val stats = hist0.agg(min("v").as("__lo"), max("v").as("__hi"))
+    val bucketed = hist0.crossJoin(broadcast(stats))
+      .withColumn("__qb", bucketOf(col("v"), col("__lo"), col("__hi")))
+      .drop("__lo", "__hi")
+    // cross-bucket offsets: ≤ HistBuckets aggregated rows through the
+    // one unpartitioned (constant-bounded) window
+    val offsets = bucketed.groupBy("__qb").agg(sum("cnt").as("__bcnt"))
+      .withColumn("__boffset", coalesce(sum("__bcnt").over(
+        Window.orderBy("__qb").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__qb", "__boffset")
+    val hist = bucketed.join(broadcast(offsets), Seq("__qb"))
+      .withColumn("__cumBefore", col("__boffset") +
         coalesce(sum("cnt").over(
-          Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          Window.partitionBy("__qb").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("avgrank", col("__cumBefore") + (col("cnt") + 1) / 2.0)
+      .drop("__qb")
       .localCheckpoint(false)
     val scalars = hist.agg(
       sum("cnt").cast("double").as("__n"),
@@ -163,27 +205,51 @@ object StatTests {
     * heavy-tailed features uniform without fitting anything.
     *
     * Scale shape: the same value-histogram primitive as the rank
-    * tests, per group — one (group, value) cell aggregate, a
-    * cumulative window over the per-group DISTINCT-value frame
-    * (partitioned by group, bounded by value cardinality), then one
-    * equi-join back on (group, value) to decorate rows. No row-scale
-    * rank window anywhere. Determinism: avgrank is exact halves, /n
-    * is the single final division, rounded at 6. */
+    * tests, per group — one (group, value) cell aggregate, then the
+    * two-phase bucket composition WITHIN each group: per-(group,
+    * bucket) totals carry offsets and per-group totals through
+    * windows over the |groups|·HistBuckets aggregate frame, and the
+    * within-bucket cumulative window is partitioned by (group,
+    * bucket) — a group whose distinct count ≈ its row count never
+    * sorts through one per-group spine. One equi-join back on
+    * (group, value) decorates rows. No row-scale rank window
+    * anywhere. Determinism: avgrank is exact halves, /n is the
+    * single final division, rounded at 6. */
   def cdfTransform(df: DataFrame, valueCol: String, groupCols: Seq[String],
       keepCols: Seq[String]): DataFrame = {
     val g = groupCols.map(col)
     val v = col(valueCol).cast("double")
     val data = df.filter(v.isNotNull)
       .select((keepCols.map(col) ++ g) :+ v.as("__v"): _*)
+    // the cell frame feeds the per-group range stats, the bucket
+    // offsets, and the within-bucket window — checkpoint so the
+    // row-scale aggregate runs once
     val cells = data.groupBy((g :+ col("__v")): _*)
       .agg(count(lit(1)).as("__cnt"))
-    val wCum = Window.partitionBy(g: _*).orderBy("__v")
+      .localCheckpoint(false)
+    val stats = cells.groupBy(g: _*)
+      .agg(min("__v").as("__lo"), max("__v").as("__hi"))
+    val withStats =
+      if (groupCols.isEmpty) cells.crossJoin(broadcast(stats))
+      else cells.join(broadcast(stats), groupCols)
+    val bucketed = withStats
+      .withColumn("__qb", bucketOf(col("__v"), col("__lo"), col("__hi")))
+      .drop("__lo", "__hi")
+    // offsets frame: |groups|·HistBuckets aggregated rows; its windows
+    // are per-group over ≤ HistBuckets rows
+    val wOff = Window.partitionBy(g: _*).orderBy("__qb")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wN = Window.partitionBy(g: _*)
-    val hist = cells
-      .withColumn("__avgrank",
-        coalesce(sum("__cnt").over(wCum), lit(0L)) + (col("__cnt") + 1) / 2.0)
-      .withColumn("__n", sum("__cnt").over(wN))
+    val offsets = bucketed.groupBy((g :+ col("__qb")): _*)
+      .agg(sum("__cnt").as("__bcnt"))
+      .withColumn("__boffset", coalesce(sum("__bcnt").over(wOff), lit(0L)))
+      .withColumn("__n", sum("__bcnt").over(Window.partitionBy(g: _*)))
+      .select((g ++ Seq(col("__qb"), col("__boffset"), col("__n"))): _*)
+    val wIn = Window.partitionBy((g :+ col("__qb")): _*).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = bucketed.join(offsets, groupCols :+ "__qb")
+      .withColumn("__avgrank", col("__boffset") +
+        coalesce(sum("__cnt").over(wIn), lit(0L)) + (col("__cnt") + 1) / 2.0)
+      .select((g ++ Seq(col("__v"), col("__avgrank"), col("__n"))): _*)
     data.join(hist, groupCols :+ "__v")
       .select((keepCols.map(col) ++ g) ++ Seq(col("__v").as(valueCol),
         round(col("__avgrank") / col("__n"), 6).as("cdf")): _*)

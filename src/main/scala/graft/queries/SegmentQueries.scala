@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, EntityRes, Eval, Experiment, Rfm, Skyline, StatTests}
+import graft.operators.{Curation, Dedup, EntityRes, Eval, Experiment, Profile, Rfm, Skyline, StatTests}
 import graft.sources.Tables
 
 /** Round-7 sixth/seventh tranches — segmentation, shortlist, and
@@ -133,6 +133,38 @@ object SegmentQueries {
     Curation.packingAudit(Tables.documents(s, d),
       size(graft.functions.TextFunctions.tokens("text")), budget = 128)
 
+  /** The nightly corpus refresh, end to end ([[Dedup.corpusRefresh]]):
+    * snapshot diff → delta-only exact near-dup (τ = 0.5) → connected
+    * components → best-quality survivor election (quality =
+    * text length, ties → lowest id) → removal. Same synthetic revision
+    * as q130 (`%10=3` removed, `%10=4` revised, 5 lowest re-added
+    * under shifted ids); the oracle is the FULL-REBUILD pipeline
+    * restricted to delta-touching pairs — revised docs beat their
+    * unrevised duplicates on length, re-added docs tie and lose to
+    * the original's lower id. */
+  def q207CorpusRefresh(s: SparkSession, d: String): DataFrame = {
+    val old = Tables.documents(s, d).select("doc_id", "text", "lang")
+    val added = old.orderBy("doc_id").limit(5)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"), col("lang"))
+    val neu = old.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+      .withColumn("text", when(pmod(col("doc_id"), lit(10)) === 4,
+        concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+      .unionByName(added)
+    Dedup.corpusRefresh(old, neu, quality = length(col("text")),
+        threshold = 0.5)
+      .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact per-group mode ([[Profile.modeByGroup]]): the most frequent
+    * order priority per order status, ties → smallest value — the
+    * scalar-stat family's missing member, on the q205 argmax
+    * discipline (cell aggregate → max count → equality filter → min
+    * value; no window). */
+  def q208Mode(s: SparkSession, d: String): DataFrame =
+    Profile.modeByGroup(Tables.orders(s, d), Seq("o_orderstatus"),
+      "o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_rfm" -> (q196Rfm _),
     "q197_fuzzy_er" -> (q197FuzzyEr _),
@@ -144,7 +176,9 @@ object SegmentQueries {
     "q203_neg_sampling" -> (q203NegSampling _),
     "q204_covariate_balance" -> (q204CovariateBalance _),
     "q205_canonical" -> (q205Canonical _),
-    "q206_packing_audit" -> (q206PackingAudit _)
+    "q206_packing_audit" -> (q206PackingAudit _),
+    "q207_corpus_refresh" -> (q207CorpusRefresh _),
+    "q208_mode" -> (q208Mode _)
   )
 
   /** Shared oracle fragment: exact-quantile band cuts of column
@@ -416,7 +450,7 @@ object SegmentQueries {
     "q206_packing_audit" ->
       """WITH d AS (
         |  SELECT len(string_split_regex(lower(trim(text)), '\s+')) AS l
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |a AS (
         |  SELECT count(*) AS n_docs,
         |    CAST(sum(l) AS BIGINT) AS t,
@@ -435,6 +469,85 @@ object SegmentQueries {
         |  CAST(overflow_tokens AS BIGINT) AS overflow_tokens,
         |  n_seqs * 128 - used_tokens AS padded_tokens,
         |  round(used_tokens / (n_seqs * 128.0), 6) AS efficiency
-        |FROM pol ORDER BY policy""".stripMargin
+        |FROM pol ORDER BY policy""".stripMargin,
+    // the full-rebuild restriction: the ENTIRE new snapshot's exact
+    // pair join (q130's CTE chain) restricted to delta-touching
+    // pairs, q61's recursive closure, the q205 argmax election on
+    // text length, then one anti-join — the incremental engine plan
+    // must reproduce the surviving corpus row for row
+    "q207_corpus_refresh" ->
+      """WITH RECURSIVE low5 AS (
+        |  SELECT doc_id, text, lang FROM documents ORDER BY doc_id LIMIT 5),
+        |added AS (SELECT doc_id + 10000000 AS doc_id, text, lang FROM low5),
+        |neu AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 4 THEN text || ' [rev2]' ELSE text END AS text,
+        |    lang
+        |  FROM documents WHERE doc_id % 10 <> 3
+        |  UNION ALL SELECT doc_id, text, lang FROM added),
+        |delta AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 10 = 4
+        |  UNION ALL SELECT doc_id FROM added),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM neu),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT doc_a, doc_b FROM cand
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
+        |    AND (doc_a IN (SELECT doc_id FROM delta)
+        |      OR doc_b IN (SELECT doc_id FROM delta))),
+        |und AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |        UNION SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |nodes AS (SELECT DISTINCT a AS id FROM und),
+        |cc AS (
+        |  SELECT n.id AS doc_id, least(n.id, min(r.b)) AS cluster_id
+        |  FROM nodes n JOIN reach r ON r.a = n.id GROUP BY n.id),
+        |mem AS (
+        |  SELECT cc.cluster_id, cc.doc_id, length(nu.text) AS q
+        |  FROM cc JOIN neu nu ON nu.doc_id = cc.doc_id),
+        |best AS (SELECT cluster_id, max(q) AS bq FROM mem GROUP BY 1),
+        |keep AS (
+        |  SELECT b.cluster_id, min(m.doc_id) AS keep_id
+        |  FROM best b JOIN mem m
+        |    ON m.cluster_id = b.cluster_id AND m.q = b.bq
+        |  GROUP BY 1),
+        |losers AS (
+        |  SELECT m.doc_id FROM mem m
+        |  JOIN keep k ON k.cluster_id = m.cluster_id
+        |  WHERE m.doc_id <> k.keep_id)
+        |SELECT n2.doc_id, n2.lang, length(n2.text) AS text_len
+        |FROM neu n2
+        |WHERE n2.doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY 1""".stripMargin,
+    // the same argmax restated: cell counts, per-group max, min value
+    // on the tie edge
+    "q208_mode" ->
+      """WITH cells AS (
+        |  SELECT o_orderstatus, o_orderpriority AS v, count(*) AS c
+        |  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1, 2),
+        |best AS (
+        |  SELECT o_orderstatus, max(c) AS mode_count,
+        |    count(*) AS n_distinct
+        |  FROM cells GROUP BY 1)
+        |SELECT b.o_orderstatus, min(c.v) AS mode_value,
+        |  b.mode_count, b.n_distinct
+        |FROM best b JOIN cells c
+        |  ON c.o_orderstatus = b.o_orderstatus AND c.c = b.mode_count
+        |GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin
   )
 }

@@ -204,6 +204,58 @@ class SegmentOpsSpec extends AnyFunSuite {
     val degen = Seq((0, 1.0), (0, 1.0), (1, 1.0), (1, 1.0)).toDF("arm", "c")
     val d = Experiment.covariateBalance(degen, "arm", Seq("c")).collect()(0)
     assert(d.isNullAt(d.fieldIndex("smd")))
+    // a single-unit arm has an UNDEFINED sample variance: sd must be
+    // NULL (the DuckDB division-by-zero convention), never 0/0 = NaN
+    val single = Seq((0, 1.0), (0, 3.0), (1, 2.0)).toDF("arm", "c")
+    val sr = Experiment.covariateBalance(single, "arm", Seq("c")).collect()(0)
+    assert(!sr.isNullAt(sr.fieldIndex("sd0")))
+    assert(sr.isNullAt(sr.fieldIndex("sd1")))
+    assert(sr.isNullAt(sr.fieldIndex("smd")))
+  }
+
+  test("mode by group: argmax with tie to smallest value, nulls dropped") {
+    val s = spark; import s.implicits._
+    // g1: b×3 beats a×2; g2: a×2 ties c×2 → keep 'a'; nulls never count
+    val df = (Seq.fill(2)(("g1", "a")) ++ Seq.fill(3)(("g1", "b")) ++
+      Seq.fill(2)(("g2", "a")) ++ Seq.fill(2)(("g2", "c")) ++
+      Seq(("g2", "b")) ++ Seq(("g2", null: String)))
+      .toDF("g", "v")
+    val out = Profile.modeByGroup(df, Seq("g"), "v")
+      .collect().map(r => r.getAs[String]("g") ->
+        ((r.getAs[String]("mode_value"), r.getAs[Long]("mode_count"),
+          r.getAs[Long]("n_distinct")))).toMap
+    assert(out("g1") == (("b", 3L, 2L)))
+    assert(out("g2") == (("a", 2L, 3L)))
+  }
+
+  test("canonical per cluster: non-default id column works end to end") {
+    val s = spark; import s.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq((1L, base, 40L), (2L, base + " iota", 45L))
+      .toDF("pk", "text", "quality")
+    val out = Dedup.canonicalPerCluster(df, "quality", threshold = 0.5,
+      idCol = "pk").collect()
+    assert(out.length == 1 && out(0).getAs[Long]("kept_doc_id") == 2L)
+  }
+
+  test("corpus refresh: revision beats incumbent, re-add ties and loses") {
+    val s = spark; import s.implicits._
+    // old corpus: 1 and 2 near-identical (2 survives full dedup by
+    // length), 3 standalone. new snapshot: 2 revised (longer — must
+    // now beat 1), 3 unchanged, 4 = re-ingest of 3's text under a new
+    // id (tie on quality → incumbent 3 survives), 5 brand-new unique
+    val d1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val d3 = "one two three four five six seven eight"
+    val old = Seq((1L, d1), (2L, d1 + " iota"), (3L, d3)).toDF("doc_id", "text")
+    val neu = Seq((1L, d1), (2L, d1 + " iota kappa lambda"), (3L, d3),
+      (4L, d3), (5L, "totally different unrelated words entirely here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.corpusRefresh(old, neu,
+        quality = org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")),
+        threshold = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out == Set(2L, 3L, 5L))
   }
 
   test("canonical per cluster: keeps the highest-quality member, ties to lowest id") {

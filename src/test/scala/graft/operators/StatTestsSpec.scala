@@ -87,6 +87,46 @@ class StatTestsSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Double]("pct_rows_below_k") == 0.416667))
   }
 
+  test("two-phase ranks: 200k all-distinct values, exact closed-form U") {
+    val s = spark; import s.implicits._
+    // every value distinct (the continuous-column shape the two-phase
+    // bucketing exists for): group a = odd ranks 1,3,…,199999 →
+    // R1 = 100000², U = 10¹⁰ − 100000·100001/2 = 4 999 950 000
+    val n = 200000L
+    val df = s.range(1, n + 1)
+      .select(org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("id") % 2 === 1, "a").otherwise("b").as("grp"),
+        org.apache.spark.sql.functions.col("id").cast("double").as("v"))
+    val out = StatTests.mannWhitneyOneVsRest(df, "v", "grp")
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(out("a").getAs[Double]("u") == 4999950000.0)
+    assert(out("a").getAs[Double]("auc") == 0.499995)
+    assert(out("b").getAs[Double]("auc") == 0.500005)
+  }
+
+  test("cdfTransform: no unpartitioned row-scale window in the plan") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val n = 100000L
+    val df = s.range(1, n + 1)
+      .select(org.apache.spark.sql.functions.col("id").cast("double").as("v"),
+        org.apache.spark.sql.functions.lit("k").as("seg"))
+    val out = StatTests.cdfTransform(df, "v", Seq.empty, Seq("seg"))
+    // every logical Window must either be partitioned (the per-bucket
+    // cumulative) or run over the bounded per-bucket offsets frame
+    // (child carries __bcnt) — never an unpartitioned sort of the
+    // row-scale distinct-value histogram
+    val wins = out.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    val unpart = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpart.forall(_.child.output.exists(_.name == "__bcnt")),
+      "unpartitioned window over a non-offsets frame:\n" + unpart.mkString("\n"))
+    // exactness on the all-distinct column: cdf(i) = i/n
+    val got = out.filter(org.apache.spark.sql.functions.col("v").isin(1.0, 50000.0, 100000.0))
+      .collect().map(r => r.getAs[Double]("v") -> r.getAs[Double]("cdf")).toMap
+    assert(got == Map(1.0 -> 1.0E-5, 50000.0 -> 0.5, 100000.0 -> 1.0))
+  }
+
   test("cadence: metronome flags, bursty doesn't, single-gap user excluded") {
     val s = spark; import s.implicits._
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
