@@ -58,11 +58,17 @@ object TextFunctions {
 
   /** Rolling polynomial fingerprint over the token stream (order-
     * sensitive, unlike the set-based hashes), computed mod 2^31-1 so
-    * every step stays in long range under ANSI arithmetic. */
+    * every step stays in long range under ANSI arithmetic. The
+    * per-token hash is the md5 cross-engine value — the first 15 md5
+    * hex digits as an integer, `('0x' || substr(md5(t), 1, 15))::BIGINT`
+    * in DuckDB terms — so an external engine can recompute the
+    * fingerprint exactly (xxhash64 exists only inside Spark); the
+    * max step is acc·1000003 + 2⁶⁰ < 2⁶¹, overflow-free. */
   def rollingFingerprint(toksCol: String): Column =
     expr(
       s"""aggregate($toksCol, cast(0 as bigint),
-         |  (acc, t) -> pmod(acc * 1000003L + (xxhash64(t) & 4294967295L), 2147483647L))""".stripMargin)
+         |  (acc, t) -> pmod(acc * 1000003L
+         |    + cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint), 2147483647L))""".stripMargin)
 
   /** Count of tokens drawn from a marker set (the language-ID / stopword
     * primitive). */

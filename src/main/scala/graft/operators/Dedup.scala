@@ -55,12 +55,30 @@ object Dedup {
     * would re-run tokenize+shingle per row before the Project runs the
     * full chain again — measured ~2× sketch CPU for nothing. */
   def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", k: Int = 32, bands: Int = 8): DataFrame = {
+      textCol: String = "text", k: Int = 32, bands: Int = 8,
+      md5Mode: Boolean = false): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
-    docs
+    val sketched = docs
       .withColumn("toks", tokens(textCol))
       .filter(size(col("toks")) >= 3)
       .withColumn("sh", shingles("toks"))
+    // md5Mode: signatures from the md5 double-hash family
+    // (minhash_sig_md5 — see Sketches.Md5Hash) and band keys as RAW
+    // signature slices instead of band hashes. Every downstream value
+    // — candidates, pairs, the dedup output itself — becomes
+    // reproducible by any engine that can md5 a string, which is what
+    // lets the driver's DuckDB oracle hash-check the whole pipeline.
+    // xxhash64 (default) is ~5× faster and right for production runs
+    // nobody external needs to replay.
+    if (md5Mode) {
+      require(k % bands == 0, s"bands=$bands must divide k=$k")
+      val r = k / bands
+      sketched
+        .withColumn("sig", expr(s"minhash_sig_md5(sh, $k)"))
+        .withColumn("bandhash",
+          expr(s"transform(sequence(0, ${bands - 1}), j -> slice(sig, j * $r + 1, $r))"))
+        .select(col(idCol), col("sh"), col("sig"), col("bandhash"))
+    } else sketched
       .withColumn("sig", minhashSignature("sh", k))
       .withColumn("bandhash", bandHashes("sig", k, bands))
       .select(col(idCol), col("sh"), col("sig"), col("bandhash"))
@@ -110,8 +128,9 @@ object Dedup {
     * arrays are the same order of magnitude as the corpus itself. */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
       k: Int = 32, bands: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, k, bands)
+      idCol: String = "doc_id", textCol: String = "text",
+      md5Mode: Boolean = false): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, k, bands, md5Mode)
     val pairs = minhashCandidates(sigs, idCol).cache()
     pairs.count() // eager: two downstream scans of a cold cache would
                   // re-sketch the whole corpus twice
@@ -148,20 +167,26 @@ object Dedup {
   def minhashBandingSweep(docs: DataFrame, bandConfigs: Seq[Int] = Seq(4, 8, 16),
       k: Int = 32, threshold: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text",
-      maxBucket: Int = 100): DataFrame = {
+      maxBucket: Int = 100, md5Mode: Boolean = false): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
     bandConfigs.foreach(b => require(k % b == 0, s"bands=$b must divide k=$k"))
     val sigs = docs
       .withColumn("toks", tokens(textCol))
       .filter(size(col("toks")) >= 3)
       .withColumn("sh", shingles("toks"))
-      .withColumn("sig", minhashSignature("sh", k))
+      .withColumn("sig",
+        if (md5Mode) expr(s"minhash_sig_md5(sh, $k)") else minhashSignature("sh", k))
       .select(col(idCol), col("sh"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       bandConfigs.map { b =>
+        // md5 mode keys buckets on raw signature slices (engine-
+        // replicable); default hashes each band (compact shuffles)
         val banded = sigs
-          .withColumn("bandhash", bandHashes("sig", k, b))
+          .withColumn("bandhash",
+            if (md5Mode) expr(
+              s"transform(sequence(0, ${b - 1}), j -> slice(sig, j * ${k / b} + 1, ${k / b}))")
+            else bandHashes("sig", k, b))
           .select(col(idCol), col("bandhash"))
         val pairs = minhashCandidates(banded, idCol, maxBucket)
         verifyJaccard(pairs, sigs.select(col(idCol), col("sh")), idCol)

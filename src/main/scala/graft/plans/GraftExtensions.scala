@@ -52,6 +52,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints", "winnow_fingerprints(shingles, w) - winnowing fingerprint set"),
       (exprs: Seq[Expression]) => WinnowFingerprints(exprs(0), intLit(exprs(1)))))
+    ext.injectFunction((FunctionIdentifier("winnow_fingerprints_md5"),
+      info("winnow_fingerprints_md5",
+        "winnow_fingerprints_md5(shingles, w) - winnowing with the md5 cross-engine hash"),
+      (exprs: Seq[Expression]) => WinnowFingerprints(exprs(0), intLit(exprs(1)), md5Hash = true)))
+    ext.injectFunction((FunctionIdentifier("minhash_sig_md5"),
+      info("minhash_sig_md5",
+        "minhash_sig_md5(shingles, k) - MinHash signature, md5 double-hash family"),
+      (exprs: Seq[Expression]) => MinHashSigMd5(exprs(0), intLit(exprs(1)))))
     ext.injectFunction((FunctionIdentifier("mmr_select"),
       info("mmr_select", "mmr_select(candidates, k, lambda) - maximal-marginal-relevance top-k"),
       (exprs: Seq[Expression]) => MmrSelect(exprs(0), intLit(exprs(1)), dblLit(exprs(2)))))

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.catalyst.expressions.graft.{CosineSimilarity, HashFeatures, LshBucket, MinHashBands, MinHashSig, MmrSelect, Morton2, ShingleSeq, Shingles, SimHash64, SrpProject, TopKAgg, VectorSum, WinnowFingerprints}
+import org.apache.spark.sql.catalyst.expressions.graft.{CosineSimilarity, HashFeatures, LshBucket, MinHashBands, MinHashSig, MinHashSigMd5, MmrSelect, Morton2, ShingleSeq, Shingles, SimHash64, SrpProject, TopKAgg, VectorSum, WinnowFingerprints}
 
 /** Session-scoped registration of graft's native Catalyst expressions,
   * so they are callable from `expr("cosine_sim(a, b)")` / SQL text.
@@ -43,6 +43,14 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "winnow_fingerprints",
       exprs => WinnowFingerprints(exprs(0), intLit(exprs(1))), "built-in")
+    // _md5 variants: the cross-engine-auditable hash family (see
+    // Md5Hash) — identical structure, hashes any engine can recompute
+    // from the md5 hex string
+    reg.createOrReplaceTempFunction(
+      "winnow_fingerprints_md5",
+      exprs => WinnowFingerprints(exprs(0), intLit(exprs(1)), md5Hash = true), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig_md5", exprs => MinHashSigMd5(exprs(0), intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "morton2", exprs => Morton2(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(

@@ -20,6 +20,39 @@ private[graft] object SketchHash {
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
 }
 
+/** md5-derived hash values, bit-identical to what any ANSI engine can
+  * compute from the md5 HEX STRING — the cross-engine-auditable hash
+  * family behind the `_md5` sketch variants:
+  *
+  *   h1 = first 15 hex digits  = ('0x' || substr(md5(s), 1, 15))::BIGINT
+  *   h2 = hex digits 17..29    = ('0x' || substr(md5(s), 17, 13))::BIGINT
+  *
+  * (60 and 52 bits — both well under 2⁶³, so the affine combinations
+  * below never overflow). xxhash64 is the production default (~5×
+  * faster, one unsafe pass, no allocation); md5 is what you pick when
+  * an EXTERNAL system must reproduce the sketch byte for byte — e.g.
+  * the driver's DuckDB oracle, or a second engine auditing a dedup
+  * run. MessageDigest instances are thread-local (they are stateful
+  * and not thread-safe; executor task threads are long-lived). */
+private[graft] object Md5Hash {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  /** (h1, h2) as defined above: h1 = digest bytes 0..7 big-endian
+    * shifted to 60 bits; h2 = bytes 8..14 big-endian shifted to 52. */
+  @inline def pair(s: UTF8String): (Long, Long) = {
+    val d = md.get(); d.reset()
+    val dig = d.digest(s.getBytes)
+    var v1 = 0L; var i = 0
+    while (i < 8) { v1 = (v1 << 8) | (dig(i) & 0xffL); i += 1 }
+    var v2 = 0L; i = 8
+    while (i < 15) { v2 = (v2 << 8) | (dig(i) & 0xffL); i += 1 }
+    (v1 >>> 4, v2 >>> 4)
+  }
+  @inline def h1(s: UTF8String): Long = pair(s)._1
+}
+
 /** MinHash signature of an array<string> shingle set: the j-th hash
   * family member is `xxhash64(base, seed = j)` of the shingle's base
   * hash, minimized over the set. Each shingle's STRING is hashed once;
@@ -53,6 +86,52 @@ case class MinHashSig(child: Expression, k: Int)
       while (j < k) {
         val h = XXH64.hashLong(base, j.toLong)
         if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature from the md5 DOUBLE-HASH family — the
+  * cross-engine-replicable sibling of [[MinHashSig]]: member j is
+  *
+  *   hⱼ(x) = h1(x) + j·h2(x)      (Kirsch & Mitzenmacher, ESA 2006:
+  *                                 two hashes simulate k independent
+  *                                 ones with no loss for sketches)
+  *
+  * with (h1, h2) from [[Md5Hash]], minimized over the shingle set.
+  * Every value is plain integer arithmetic over the md5 hex string,
+  * so a second engine (the DuckDB oracle, an external auditor) can
+  * recompute signatures — and therefore LSH candidates and the whole
+  * dedup output — EXACTLY, which the xxhash64 family cannot offer
+  * (xxhash64 exists only inside Spark). One md5 per shingle, k
+  * additions; j·h2 ≤ 63·2⁵² < 2⁵⁸ keeps the sum under 2⁶¹ —
+  * overflow-free in any int64 engine. Trade: md5 costs ~5× xxhash64
+  * per shingle — production corpora that never need external
+  * verification should keep [[MinHashSig]]. */
+case class MinHashSigMd5(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1 && k <= 64, "k must be in [1, 64]")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_md5"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val (a, b) = Md5Hash.pair(arr.getUTF8String(i))
+      var h = a
+      var j = 0
+      while (j < k) {
+        if (h < mins(j)) mins(j) = h
+        h += b
         j += 1
       }
       i += 1
@@ -368,11 +447,13 @@ case class SrpProject(child: Expression, m: Int)
   * ([[ShingleSeq]]) as input — one entry per token position, duplicates
   * preserved. Feeding the deduped [[Shingles]] set breaks window/text
   * position alignment for documents with repeated k-grams. */
-case class WinnowFingerprints(child: Expression, w: Int)
+case class WinnowFingerprints(child: Expression, w: Int,
+    md5Hash: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "winnow_fingerprints"
+  override def prettyName: String =
+    if (md5Hash) "winnow_fingerprints_md5" else "winnow_fingerprints"
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -382,7 +463,13 @@ case class WinnowFingerprints(child: Expression, w: Int)
       val hs = new Array[Long](n)
       var i = 0
       while (i < n) {
-        hs(i) = SketchHash.hash(arr.getUTF8String(i), 42L)
+        // md5 variant: k-gram hash = Md5Hash.h1, replicable by any
+        // engine from the md5 hex string (window minima over equal
+        // VALUES are tie-break-insensitive, so the emitted set is
+        // engine-independent arithmetic end to end)
+        hs(i) =
+          if (md5Hash) Md5Hash.h1(arr.getUTF8String(i))
+          else SketchHash.hash(arr.getUTF8String(i), 42L)
         i += 1
       }
       val seen = new java.util.LinkedHashSet[java.lang.Long]()

@@ -25,19 +25,20 @@ object TextQueries {
   def q30DedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exactGroups(docs(s, d)).orderBy("fingerprint")
 
-  /** MinHash+LSH near-dup pairs, Jaccard-verified (threshold 0.5).
+  /** MinHash+LSH near-dup pairs, Jaccard-verified (threshold 0.5),
+    * run in the md5 double-hash mode — FULL hash oracle: signatures,
+    * band buckets, candidates, and verified pairs are all integer
+    * arithmetic over md5 hex strings that DuckDB recomputes term for
+    * term (`Dedup.minhashSignatures` md5Mode; the xxhash64 default
+    * stays the production path and keeps its spec oracles).
     *
-    * Rows-only for the driver (xxhash64 sketches aren't replicable in
-    * DuckDB SQL), so the check carries its own guarantee in-row: two
-    * planted pairs with negative ids are unioned in-query — (-1,-2)
-    * identical text, and (-3,-4) DIFFERENT texts (3 vs 4 repetitions of
-    * the same token cycle) whose distinct-shingle SETS are identical.
-    * Set-equal inputs produce identical MinHash signatures, identical
-    * band hashes, and therefore a guaranteed shared bucket — recovery
-    * is deterministic, not probabilistic — and verification yields
-    * jaccard exactly 1.0. `planted_recovered` (constant across rows)
-    * counts recovered planted pairs; 2 is the only correct value, so
-    * the query can never go vacuously green at any scale factor. */
+    * The planted guarantee stays (it documents the algorithm, not the
+    * check): two planted pairs with negative ids are unioned in-query
+    * — (-1,-2) identical text, and (-3,-4) DIFFERENT texts (3 vs 4
+    * repetitions of the same token cycle) whose distinct-shingle SETS
+    * are identical. Set-equal inputs produce identical signatures and
+    * band keys, so recovery is deterministic and verification yields
+    * jaccard exactly 1.0; `planted_recovered` = 2 in every row. */
   def q31DedupMinhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val planted = Seq(
@@ -50,7 +51,8 @@ object TextQueries {
     // checkpoint the (tiny) verified pair set before branching: the
     // guarantee aggregate and the main output would otherwise each
     // re-run the verification join
-    val pairs = Dedup.minhashNearDups(all, threshold = 0.5).localCheckpoint()
+    val pairs = Dedup.minhashNearDups(all, threshold = 0.5, md5Mode = true)
+      .localCheckpoint()
     val guarantee = pairs.agg(
       sum(when(col("doc_a") < 0 && col("doc_b") < 0, 1).otherwise(0))
         .as("planted_recovered"))
@@ -63,11 +65,13 @@ object TextQueries {
   /** LSH banding calibration sweep (bands ∈ {4, 8, 16}, k = 32): one
     * sketch pass, per-config candidate volume / verified pairs /
     * precision — the tuning table that picks a production (b, r).
-    * Rows-only (xxhash64), guarantee-carrying twice over: the planted
-    * exact-dup pair (identical sig ⇒ identical band hashes at EVERY
-    * config) makes `planted_recovered` = 1 on every row, and the
-    * sub-band superset property makes `n_candidates` non-decreasing in
-    * `bands` — both asserted by spec. */
+    * md5 double-hash mode → FULL hash oracle: DuckDB rebuilds the
+    * signatures, re-slices every config's band keys, applies the same
+    * bucket cap, and reproduces every count (the q31 upgrade applied
+    * to the sweep). The guarantees remain as spec'd: the planted
+    * exact-dup pair makes `planted_recovered` = 1 at every config, and
+    * the sub-band superset property makes `n_candidates`
+    * non-decreasing in `bands`. */
   def q103BandingSweep(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val planted = Seq(
@@ -75,7 +79,8 @@ object TextQueries {
       (-1L, "yyra yyrb yyrc yyrd yyre yyrf yyrg yyrh yyri yyrj"))
       .toDF("doc_id", "text")
     val all = docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
-    Dedup.minhashBandingSweep(all, bandConfigs = Seq(4, 8, 16), k = 32, threshold = 0.5)
+    Dedup.minhashBandingSweep(all, bandConfigs = Seq(4, 8, 16), k = 32,
+        threshold = 0.5, md5Mode = true)
       .orderBy("bands")
   }
 
@@ -309,11 +314,12 @@ object TextQueries {
         TextFunctions.bpeTokenCount("text").as("bpe_tokens"))
       .orderBy("doc_id")
 
-  /** Order-sensitive rolling-hash document fingerprint (rows-only:
-    * xxhash64 not replicable in DuckDB). `corpus_checksum` (bit-xor of
-    * every fingerprint, constant across rows) makes the rows-only check
-    * self-evidencing: any fingerprint regression flips the checksum in
-    * the dumped output even though DuckDB cannot recompute the hash. */
+  /** Order-sensitive rolling-hash document fingerprint — FULL hash
+    * oracle since the per-token hash moved to the md5 cross-engine
+    * value ([[TextFunctions.rollingFingerprint]]): DuckDB folds the
+    * identical polynomial over the identical token hashes.
+    * `corpus_checksum` (bit-xor of every fingerprint, constant across
+    * rows) stays: one regressed fingerprint flips every row. */
   def q39Fingerprint(s: SparkSession, d: String): DataFrame = {
     val fp = docs(s, d)
       .withColumn("toks", TextFunctions.tokens("text"))
@@ -322,13 +328,14 @@ object TextQueries {
     fp.crossJoin(broadcast(chk)).orderBy("doc_id")
   }
 
-  /** Winnowing fingerprints (Schleimer et al. 2003) per document, with
-    * the algorithm's own guarantee surfaced in-row: two planted docs
-    * sharing a ≥(w+k−1)-token substring are unioned in-query, and every
-    * output row carries `planted_shared` = their common-fingerprint
-    * count, which winnowing guarantees ≥ 1 — a rows-only check that can
-    * never be vacuously green. `fp_checksum` (xor-fold) makes any
-    * fingerprint regression visible in the dump. */
+  /** Winnowing fingerprints (Schleimer et al. 2003) per document, in
+    * the md5 cross-engine hash mode — FULL hash oracle: DuckDB
+    * recomputes the k-gram hashes from md5 hex, slides the same
+    * w-window minima (tie-break-insensitive — equal hashes have equal
+    * VALUES, and only values are emitted), and reproduces count and
+    * xor checksum exactly. The algorithm's guarantee stays in-row: two
+    * planted docs sharing a ≥(w+k−1)-token substring carry
+    * `planted_shared` ≥ 1 by the winnowing theorem. */
   def q78Winnow(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.plans.GraftFunctions.register(s)
@@ -345,7 +352,7 @@ object TextQueries {
       .filter(size(col("toks")) >= 3) // token-count filter: see Dedup.minhashSignatures
       .withColumn("sh", TextFunctions.shingleSeq("toks"))
       .select(col("doc_id"), size(col("sh")).as("n_shingles"),
-        expr("winnow_fingerprints(sh, 4)").as("fps"))
+        expr("winnow_fingerprints_md5(sh, 4)").as("fps"))
     val shared = fp.filter(col("doc_id") === -1L).select(col("fps").as("fa"))
       .crossJoin(fp.filter(col("doc_id") === -2L).select(col("fps").as("fb")))
       .select(size(array_intersect(col("fa"), col("fb"))).as("planted_shared"))
@@ -432,7 +439,183 @@ object TextQueries {
       .replace("SPAN", (1 to 24).map(i => s"span$i").mkString(" "))
       .replace("SUB", (1 to 12).map(i => s"sub$i").mkString(" ")))
 
+  /** Shared CTE chain for the md5 double-hash MinHash oracles (q31,
+    * q103): planted docs ∪ documents → distinct 3-shingles (+ sizes)
+    * → (h1, h2) per shingle → the k = 32 signature rows (doc_id, i,
+    * v). Mirrors `minhash_sig_md5` exactly — h1/h2 are integer reads
+    * of md5 hex substrings, member i is h1 + i·h2 (Kirsch–
+    * Mitzenmacher double hashing), minimized per doc. */
+  private def md5SigCte(plantedValues: String): String =
+    s"""WITH pl(doc_id, text) AS (VALUES
+       |$plantedValues),
+       |allc AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM pl),
+       |toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+       |  FROM allc),
+       |shl AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |sizes AS (SELECT doc_id, len(s) AS n FROM shl),
+       |ex AS (SELECT doc_id, unnest(s) AS shingle FROM shl),
+       |hs AS (SELECT doc_id,
+       |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+       |    ('0x' || substr(md5(shingle), 17, 13))::BIGINT AS h2
+       |  FROM ex),
+       |sig AS (
+       |  SELECT doc_id, k.i, min(h1 + k.i * h2) AS v
+       |  FROM hs CROSS JOIN (SELECT unnest(range(0, 32)) AS i) k
+       |  GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // the full md5-minhash pipeline restated: band keys are signature
+    // slices, buckets capped at 100 members, candidate pairs verified
+    // by exact Jaccard over the distinct shingle sets
+    "q31_dedup_minhash" ->
+      (md5SigCte(
+        """  (-4, 'zzqa zzqb zzqc zzqa zzqb zzqc zzqa zzqb zzqc'),
+          |  (-3, 'zzqa zzqb zzqc zzqa zzqb zzqc zzqa zzqb zzqc zzqa zzqb zzqc'),
+          |  (-2, 'yyra yyrb yyrc yyrd yyre yyrf yyrg yyrh yyri yyrj'),
+          |  (-1, 'yyra yyrb yyrc yyrd yyre yyrf yyrg yyrh yyri yyrj')""".stripMargin) +
+        """,
+          |bnd AS (
+          |  SELECT doc_id, i // 4 AS band, list(v ORDER BY i) AS bkey
+          |  FROM sig GROUP BY 1, 2),
+          |okb AS (
+          |  SELECT band, bkey FROM bnd GROUP BY band, bkey
+          |  HAVING count(*) BETWEEN 2 AND 100),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bnd a
+          |  JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey
+          |    AND a.doc_id < b.doc_id
+          |  JOIN okb o ON o.band = a.band AND o.bkey = a.bkey),
+          |shared AS (
+          |  SELECT c.doc_a, c.doc_b, count(*) AS sc
+          |  FROM cand c
+          |  JOIN ex ea ON ea.doc_id = c.doc_a
+          |  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+          |  GROUP BY 1, 2),
+          |p AS (
+          |  SELECT s.doc_a, s.doc_b, s.sc * 1.0 / (sa.n + sb.n - s.sc) AS jac
+          |  FROM shared s
+          |  JOIN sizes sa ON sa.doc_id = s.doc_a
+          |  JOIN sizes sb ON sb.doc_id = s.doc_b
+          |  WHERE s.sc * 1.0 / (sa.n + sb.n - s.sc) >= 0.5),
+          |g AS (
+          |  SELECT CAST(sum(CASE WHEN doc_a < 0 AND doc_b < 0 THEN 1
+          |    ELSE 0 END) AS BIGINT) AS planted_recovered FROM p)
+          |SELECT p.doc_a, p.doc_b, round(p.jac, 4) AS jaccard,
+          |  g.planted_recovered
+          |FROM p CROSS JOIN g ORDER BY 1, 2""".stripMargin),
+    // the sweep: same sig rows re-sliced per config; counts over the
+    // VERIFIED candidate frame (no threshold filter on n_candidates),
+    // design recall is closed-form arithmetic
+    "q103_banding_sweep" ->
+      (md5SigCte(
+        """  (-2, 'yyra yyrb yyrc yyrd yyre yyrf yyrg yyrh yyri yyrj'),
+          |  (-1, 'yyra yyrb yyrc yyrd yyre yyrf yyrg yyrh yyri yyrj')""".stripMargin) +
+        """,
+          |conf AS (SELECT unnest([4, 8, 16]) AS b),
+          |bnd AS (
+          |  SELECT c.b, s.doc_id, s.i // (32 // c.b) AS band,
+          |    list(s.v ORDER BY s.i) AS bkey
+          |  FROM sig s CROSS JOIN conf c GROUP BY 1, 2, 3),
+          |okb AS (
+          |  SELECT b, band, bkey FROM bnd GROUP BY b, band, bkey
+          |  HAVING count(*) BETWEEN 2 AND 100),
+          |cand AS (
+          |  SELECT DISTINCT a.b, a.doc_id AS doc_a, b2.doc_id AS doc_b
+          |  FROM bnd a
+          |  JOIN bnd b2 ON a.b = b2.b AND a.band = b2.band
+          |    AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
+          |  JOIN okb o ON o.b = a.b AND o.band = a.band AND o.bkey = a.bkey),
+          |shared AS (
+          |  SELECT c.b, c.doc_a, c.doc_b, count(*) AS sc
+          |  FROM cand c
+          |  JOIN ex ea ON ea.doc_id = c.doc_a
+          |  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+          |  GROUP BY 1, 2, 3),
+          |p AS (
+          |  SELECT s.b, s.doc_a, s.doc_b,
+          |    s.sc * 1.0 / (sa.n + sb.n - s.sc) AS jac
+          |  FROM shared s
+          |  JOIN sizes sa ON sa.doc_id = s.doc_a
+          |  JOIN sizes sb ON sb.doc_id = s.doc_b),
+          |per AS (
+          |  SELECT b, CAST(count(*) AS BIGINT) AS n_candidates,
+          |    CAST(coalesce(sum(CASE WHEN jac >= 0.5 THEN 1 END), 0)
+          |      AS BIGINT) AS n_true_pairs,
+          |    CAST(coalesce(sum(CASE WHEN doc_a < 0 AND doc_b < 0 THEN 1 END),
+          |      0) AS BIGINT) AS planted_recovered
+          |  FROM p GROUP BY 1)
+          |SELECT c.b AS bands, 32 // c.b AS rows_per_band,
+          |  coalesce(per.n_candidates, 0) AS n_candidates,
+          |  coalesce(per.n_true_pairs, 0) AS n_true_pairs,
+          |  round(coalesce(per.n_true_pairs, 0) * 1.0 /
+          |    greatest(coalesce(per.n_candidates, 0), 1), 4) AS "precision",
+          |  round(1 - power(1 - power(0.5, 32 // c.b), c.b), 4)
+          |    AS design_recall_at_t,
+          |  coalesce(per.planted_recovered, 0) AS planted_recovered
+          |FROM conf c LEFT JOIN per ON per.b = c.b
+          |ORDER BY 1""".stripMargin),
+    // the identical polynomial fold over the identical md5-derived
+    // token hashes; bit_xor folds the corpus checksum
+    "q39_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(toks, x ->
+        |        ('0x' || substr(md5(x), 1, 15))::BIGINT)),
+        |      (a, h) -> (a * 1000003 + h) % 2147483647) AS fingerprint
+        |  FROM t),
+        |c AS (SELECT bit_xor(fingerprint) AS corpus_checksum FROM f)
+        |SELECT f.doc_id, f.fingerprint, c.corpus_checksum
+        |FROM f CROSS JOIN c ORDER BY 1""".stripMargin,
+    // winnowing restated: positional shingles, md5-hex hashes, sliding
+    // w=4 window minima (values only — tie positions don't matter),
+    // distinct, xor-folded; planted overlap via list_intersect
+    "q78_winnow" ->
+      """WITH pl(doc_id, text) AS (VALUES
+        |  (-1, 'first preamble words then the shared boilerplate passage that both planted documents quote verbatim across many tokens and a unique first tail'),
+        |  (-2, 'second intro differs here the shared boilerplate passage that both planted documents quote verbatim across many tokens followed by another ending entirely')),
+        |allc AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM pl),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM allc),
+        |shp AS (
+        |  SELECT doc_id, list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |hv AS (
+        |  SELECT doc_id, len(s) AS n_shingles,
+        |    list_transform(s, x ->
+        |      ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+        |  FROM shp),
+        |fps AS (
+        |  SELECT doc_id, n_shingles,
+        |    list_distinct(CASE WHEN n_shingles <= 4
+        |      THEN [list_min(hs)]
+        |      ELSE list_transform(range(1, n_shingles - 2),
+        |        st -> list_min(hs[st:st+3])) END) AS fp
+        |  FROM hv),
+        |sh2 AS (
+        |  SELECT len(list_intersect(a.fp, b.fp)) AS planted_shared
+        |  FROM (SELECT fp FROM fps WHERE doc_id = -1) a,
+        |       (SELECT fp FROM fps WHERE doc_id = -2) b)
+        |SELECT f.doc_id, CAST(f.n_shingles AS INT) AS n_shingles,
+        |  CAST(len(f.fp) AS INT) AS n_fingerprints,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), f.fp),
+        |    (a, b) -> xor(a, b)) AS fp_checksum,
+        |  CAST(sh2.planted_shared AS INT) AS planted_shared
+        |FROM fps f CROSS JOIN sh2 ORDER BY 1""".stripMargin,
     "q104_repeated_spans" ->
       (SpanIslandsCte +
         """
