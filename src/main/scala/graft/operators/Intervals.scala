@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval-overlap join — the temporal sibling of the q53 range join
+  * and the q186 geo grid join: pair every left interval with every
+  * right interval OF THE SAME KEY whose [start, end] ranges intersect
+  * (closed intervals; touching endpoints count as overlap, mirroring
+  * the sessionize gap convention). The log-correlation primitive:
+  * "which purchases happened during an active browsing session",
+  * deploy windows × error bursts, meeting overlaps.
+  *
+  * Scale shape — the naive form is a key equi-join with an overlap
+  * filter, which degenerates to |L_k|·|R_k| per key the moment one key
+  * carries many intervals (the 100 TB reality: one tenant, months of
+  * sessions). Instead both sides explode to fixed-width time buckets
+  * and the join runs on (key, bucket): each pair meets only in buckets
+  * both intervals cover, so join work is bounded by per-bucket
+  * CONCURRENCY (intervals alive in the same window), not per-key
+  * volume. Two standard grid-join costs, both documented knobs:
+  *
+  *  - an interval of length len explodes to ~len/bucketWidth + 1
+  *    bucket rows — size bucketWidth near the typical interval length
+  *    (too small = row blowup, too large = per-bucket all-pairs);
+  *  - a pair overlapping many buckets would emit many times; instead
+  *    of a `distinct` over the pair set, each pair is emitted ONLY in
+  *    the canonical bucket containing its overlap START
+  *    (`max(lStart, rStart)`): every overlapping pair lands in
+  *    exactly one bucket — dedup is free, and the post-join filter is
+  *    row-local arithmetic.
+  *
+  * The bucketing is result-invariant (the driver's q209 hash oracle
+  * is the PLAIN overlap join — the grid must change the schedule,
+  * never the answer; the q131 salting proof shape). Bounds are longs
+  * (epoch micros by convention) — integer arithmetic end to end. */
+object Intervals {
+
+  /** @param keys        equi-join key columns present on both sides
+    * @param bucketWidth time-axis grid width in the bounds' unit;
+    *                    must exceed 0 */
+  def overlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(keys.nonEmpty, "overlapJoin needs at least one key column")
+    def buckets(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn("__b",
+        explode(sequence(expr(s"$s div ${bucketWidth}L"),
+          expr(s"$e div ${bucketWidth}L"))))
+    val l = buckets(left, lStart, lEnd)
+    val r = buckets(right, rStart, rEnd)
+    l.join(r, keys :+ "__b")
+      .filter(col(lEnd) >= col(rStart) && col(rEnd) >= col(lStart))
+      .filter(col("__b") ===
+        expr(s"greatest($lStart, $rStart) div ${bucketWidth}L"))
+      .drop("__b")
+      .withColumn("overlap_start", greatest(col(lStart), col(rStart)))
+      .withColumn("overlap_end", least(col(lEnd), col(rEnd)))
+  }
+}

@@ -60,6 +60,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_sig_md5",
         "minhash_sig_md5(shingles, k) - MinHash signature, md5 double-hash family"),
       (exprs: Seq[Expression]) => MinHashSigMd5(exprs(0), intLit(exprs(1)))))
+    ext.injectFunction((FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", "jaro_winkler(s1, s2) - Jaro-Winkler similarity in [0, 1]"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("mmr_select"),
       info("mmr_select", "mmr_select(candidates, k, lambda) - maximal-marginal-relevance top-k"),
       (exprs: Seq[Expression]) => MmrSelect(exprs(0), intLit(exprs(1)), dblLit(exprs(2)))))

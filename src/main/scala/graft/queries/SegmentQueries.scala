@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, EntityRes, Eval, Experiment, Profile, Rfm, Skyline, StatTests}
+import graft.operators.{Curation, Dedup, EntityRes, Eval, Experiment, Intervals, Profile, Rfm, Skyline, StatTests}
 import graft.sources.Tables
 
 /** Round-7 sixth/seventh tranches — segmentation, shortlist, and
@@ -165,6 +165,42 @@ object SegmentQueries {
     Profile.modeByGroup(Tables.orders(s, d), Seq("o_orderstatus"),
       "o_orderpriority")
 
+  /** Interval-overlap join ([[Intervals.overlapJoin]], 1 h grid):
+    * purchases-during-browsing — per (user, day), the day's view
+    * activity window [first, last view] overlap-joined with its
+    * purchase window, epoch-micros bounds, composite (user, day) key.
+    * The oracle is the PLAIN overlap join (q131 proof shape: the
+    * bucket grid and canonical-bucket dedup must change the schedule,
+    * never the answer). */
+  def q209OverlapJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def win(t: String, p: String): DataFrame =
+      ev.filter(col("event_type") === t)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(unix_micros(min(col("ts"))).as(s"${p}_start"),
+          unix_micros(max(col("ts"))).as(s"${p}_end"),
+          count(lit(1)).as(s"${p}_events"))
+    Intervals.overlapJoin(win("view", "v"), win("purchase", "p"),
+        Seq("user_id", "day"), "v_start", "v_end", "p_start", "p_end",
+        bucketWidth = 3600L * 1000000L)
+      .select(col("user_id"), col("day"),
+        col("v_events"), col("p_events"),
+        col("overlap_start"), col("overlap_end"),
+        round((col("overlap_end") - col("overlap_start")) / lit(1e6), 3)
+          .as("overlap_sec"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Jaro–Winkler name linkage over part names
+    * ([[EntityRes.jaroWinklerMatches]], τ = 0.9): the q197 blocking
+    * with the prefix-weighted similarity record linkage defaults to
+    * for names — native `jaro_winkler` expression (Spark has no
+    * builtin), DuckDB oracle via its `jaro_winkler_similarity`
+    * (semantics matched incl. the 0.7 boost gate; both sides compare
+    * the score rounded at 4). */
+  def q210JaroLinkage(s: SparkSession, d: String): DataFrame =
+    EntityRes.jaroWinklerMatches(Tables.part(s, d), "p_name", threshold = 0.9)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_rfm" -> (q196Rfm _),
     "q197_fuzzy_er" -> (q197FuzzyEr _),
@@ -178,7 +214,9 @@ object SegmentQueries {
     "q205_canonical" -> (q205Canonical _),
     "q206_packing_audit" -> (q206PackingAudit _),
     "q207_corpus_refresh" -> (q207CorpusRefresh _),
-    "q208_mode" -> (q208Mode _)
+    "q208_mode" -> (q208Mode _),
+    "q209_overlap_join" -> (q209OverlapJoin _),
+    "q210_jaro_linkage" -> (q210JaroLinkage _)
   )
 
   /** Shared oracle fragment: exact-quantile band cuts of column
@@ -534,6 +572,47 @@ object SegmentQueries {
         |FROM neu n2
         |WHERE n2.doc_id NOT IN (SELECT doc_id FROM losers)
         |ORDER BY 1""".stripMargin,
+    // same blocking, DuckDB's own jaro_winkler_similarity as the
+    // score; both engines cut on the 4-dp rounded value
+    "q210_jaro_linkage" ->
+      """WITH names AS (
+        |  SELECT lower(trim(p_name)) AS name, count(*) AS n_rows
+        |  FROM part WHERE p_name IS NOT NULL
+        |    AND lower(trim(p_name)) <> ''
+        |  GROUP BY 1),
+        |blocked AS (
+        |  SELECT name, n_rows,
+        |    regexp_extract(name, '(\S+)$', 1) AS block
+        |  FROM names)
+        |SELECT a.block, a.name AS name_a, b.name AS name_b,
+        |  round(jaro_winkler_similarity(a.name, b.name), 4) AS jw,
+        |  a.n_rows AS n_rows_a, b.n_rows AS n_rows_b
+        |FROM blocked a JOIN blocked b
+        |  ON a.block = b.block AND a.name < b.name
+        |WHERE round(jaro_winkler_similarity(a.name, b.name), 4) >= 0.9
+        |ORDER BY name_a, name_b""".stripMargin,
+    // the PLAIN overlap join over independently-derived sessions: the
+    // engine's bucket grid + canonical-bucket dedup must reproduce it
+    // row for row
+    "q209_overlap_join" ->
+      """WITH sess AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+        |    epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e,
+        |    count(*) AS n
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1, 2, 3),
+        |v AS (SELECT user_id, day, s AS v_start, e AS v_end,
+        |    n AS v_events FROM sess WHERE event_type = 'view'),
+        |p AS (SELECT user_id, day, s AS p_start, e AS p_end,
+        |    n AS p_events FROM sess WHERE event_type = 'purchase')
+        |SELECT v.user_id, v.day, v.v_events, p.p_events,
+        |  greatest(v.v_start, p.p_start) AS overlap_start,
+        |  least(v.v_end, p.p_end) AS overlap_end,
+        |  round((least(v.v_end, p.p_end)
+        |    - greatest(v.v_start, p.p_start)) / 1000000.0, 3) AS overlap_sec
+        |FROM v JOIN p ON p.user_id = v.user_id AND p.day = v.day
+        |  AND v.v_end >= p.p_start AND p.p_end >= v.v_start
+        |ORDER BY 1, 2""".stripMargin,
     // the same argmax restated: cell counts, per-group max, min value
     // on the tie edge
     "q208_mode" ->

@@ -238,6 +238,28 @@ class SegmentOpsSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getAs[Long]("kept_doc_id") == 2L)
   }
 
+  test("jaro-winkler: textbook values, boost gate, and blocked linkage") {
+    val s = spark; import s.implicits._
+    graft.plans.GraftFunctions.register(s)
+    // classic probe set (values match DuckDB's jaro_winkler_similarity)
+    val cases = Seq(
+      ("martha", "marhta", 0.961111), ("dixon", "dicksonx", 0.813333),
+      ("duane", "dwayne", 0.84), ("crates", "traces", 0.777778),
+      ("abc", "abc", 1.0), ("abc", "xyz", 0.0),
+      // jaro = 0.6 ≤ 0.7 → the prefix boost must NOT apply
+      ("abcdxxxxxx", "abcdyyyyyy", 0.6))
+    val got = cases.toDF("a", "b", "want")
+      .selectExpr("round(jaro_winkler(a, b), 6) AS got", "want")
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
+    // blocked linkage: same-noun near-names pair, cross-noun never
+    val df = Seq("small ring", "smal ring", "small bolt", "tiny gear")
+      .toDF("nm")
+    val out = EntityRes.jaroWinklerMatches(df, "nm", threshold = 0.9)
+      .collect().map(r => (r.getAs[String]("name_a"), r.getAs[String]("name_b")))
+    assert(out.toSeq == Seq(("smal ring", "small ring")))
+  }
+
   test("corpus refresh: revision beats incumbent, re-add ties and loses") {
     val s = spark; import s.implicits._
     // old corpus: 1 and 2 near-identical (2 survives full dedup by
