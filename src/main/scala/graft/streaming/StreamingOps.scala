@@ -228,7 +228,16 @@ object StreamingOps {
     try spark.catalog.dropTempView(name) catch { case _: Exception => () }
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(prev.toInt, drainPartitions).toString)
+    // the reduced drain width is a SMALL-scale optimization (state
+    // store init dominates tiny drains); at 10× data the stateful
+    // work itself dominates and 4 single-threaded state partitions
+    // become the bottleneck (measured: q85 session-window drain at
+    // derived sf1 = 61 s at width 4, ~linear again at 16). The env
+    // knob lets a larger-SF run widen the drain without touching
+    // call sites; a real cluster run never reduces at all.
+    val width = sys.env.get("SPARK_GRAFT_DRAIN_PARTITIONS")
+      .map(_.toInt).getOrElse(drainPartitions)
+    spark.conf.set(key, math.min(prev.toInt, width).toString)
     // append-mode emission of watermark-closed windows/evicted outer
     // rows happens in the trailing NO-DATA micro-batch, which
     // processAllAvailable does not wait for. Primary wait: a listener
@@ -363,9 +372,26 @@ object StreamingOps {
     import java.nio.file._
     val dir = Files.createTempDirectory("graft_stream_sentinel").toString
     val p = Paths.get(path)
-    val link = Paths.get(dir).resolve(p.getFileName)
-    try Files.createSymbolicLink(link, p)
-    catch { case _: Exception => Files.copy(p, link) }
+    // a production events source is a DIRECTORY of part files, not one
+    // file — the file stream source does not descend into a symlinked
+    // subdirectory (it lists leaves), so flatten: link each part file
+    // into the staged dir. Found at the derived sf1 (multi-file
+    // events), where the single-file symlink silently staged an empty
+    // stream and every sentinel query timed out to 0 rows.
+    def linkInto(target: Path): Unit = {
+      val link = Paths.get(dir).resolve(target.getFileName)
+      try Files.createSymbolicLink(link, target)
+      catch { case _: Exception => Files.copy(target, link) }
+    }
+    if (Files.isDirectory(p)) {
+      val it = Files.list(p).iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getFileName.toString
+        if (!n.startsWith("_") && !n.startsWith(".") && Files.isRegularFile(f))
+          linkInto(f)
+      }
+    } else linkInto(p)
     val tsType = eventsTsType(spark, path)
     val maxRow = normalizeTs(spark.read.parquet(path))
       .agg(max(unix_micros(col("ts")))).head()
