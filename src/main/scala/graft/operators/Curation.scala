@@ -579,4 +579,59 @@ object Curation {
       df.repartition(parts)
     }
   }
+
+  /** Corpus datasheet card — the "Datasheets for Datasets" summary
+    * (Gebru et al., CACM 2021) a training corpus ships with: one LONG
+    * frame (section, key, value) so the schema never changes as
+    * sections grow. Sections:
+    *  - `count`: total docs; `count_<dim>`: per-value doc counts for
+    *    each dimension column (language, source, …);
+    *  - `len_chars`: min/mean/max plus EXACT p50/p90 document length
+    *    ([[Quantiles.exactQuantiles]] — two-phase histogram, no
+    *    global sort, checkpointed input);
+    *  - `dup`: exact-duplicate accounting (md5 text groups): number
+    *    of duplicated fingerprints and docs sitting in them — the
+    *    headline "X% of the corpus is copies" number.
+    *
+    * Scale shape: every section is one aggregate over the pruned
+    * (dims, length, text-hash) projection, checkpointed once and
+    * shared — adding a section adds an aggregate over the SAME
+    * materialized narrow frame, never a new corpus scan. Values are
+    * doubles rounded at 4 (counts are exact integers in double well
+    * below 2⁵³). */
+  def corpusCard(docs: DataFrame, textCol: String,
+      dimCols: Seq[String]): DataFrame = {
+    val base = docs.select(
+        (dimCols.map(col) :+ length(col(textCol)).cast("double").as("__len"))
+          :+ md5(col(textCol)).as("__fp"): _*)
+      .filter(col("__len").isNotNull)
+      .localCheckpoint(false)
+    def row(section: Column, key: Column, value: Column): Column =
+      struct(section.as("section"), key.cast("string").as("key"),
+        round(value.cast("double"), 4).as("value"))
+    val total = base.agg(explode(array(
+      row(lit("count"), lit("total"), count(lit(1))),
+      row(lit("len_chars"), lit("min"), min("__len")),
+      row(lit("len_chars"), lit("mean"), avg("__len")),
+      row(lit("len_chars"), lit("max"), max("__len")))).as("r"))
+    val dims = dimCols.map { c =>
+      base.groupBy(col(c)).agg(count(lit(1)).as("__n"))
+        .select(row(lit(s"count_$c"), coalesce(col(c).cast("string"), lit("null")),
+          col("__n")).as("r"))
+    }
+    val qs = Quantiles.exactQuantiles(base, "__len", Seq(0.5, 0.9),
+        checkpointInput = false)
+      .select(row(lit("len_chars"),
+        concat(lit("p"), (col("q") * 100).cast("int")), col("value")).as("r"))
+    val dup = base.groupBy("__fp").agg(count(lit(1)).as("__copies"))
+      .filter(col("__copies") > 1)
+      .agg(explode(array(
+        row(lit("dup"), lit("dup_fingerprints"), count(lit(1))),
+        row(lit("dup"), lit("dup_docs"), coalesce(sum("__copies"), lit(0L)))))
+        .as("r"))
+    (Seq(total) ++ dims ++ Seq(qs, dup)).reduce(_ unionByName _)
+      .select(col("r.section").as("section"), col("r.key").as("key"),
+        col("r.value").as("value"))
+      .orderBy("section", "key")
+  }
 }

@@ -401,4 +401,44 @@ object TextSearch {
         col("c12"), col("c1"), col("c2"), col("pmi"), col("npmi"))
       .orderBy("rank")
   }
+
+  /** Zipf's-law fit of the corpus rank–frequency curve: OLS of
+    * ln(freq) on ln(rank) over the top-`topK` vocabulary — slope ≈ −1
+    * is Zipf; a much flatter slope flags boilerplate-heavy or
+    * template-generated text, a steeper one vocabulary collapse
+    * (Zipf 1949; the corpus-health law every NL dataset audit plots).
+    * One row: n_terms, top-1 share, slope, intercept, r² (rounded 6 —
+    * the q55/q14 aggregated-double discipline; ln parity across
+    * engines is the q97 precedent).
+    *
+    * Scale shape: token counts are one map-combinable aggregate; the
+    * top-K cut is a distributed TakeOrdered (never a full sort); the
+    * rank window and the OLS moments run on the K-row frame only. */
+  def zipfFit(docs: DataFrame, topK: Int = 1000,
+      textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(explode(TextFunctions.tokens(textCol)).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = tf.agg(sum("cnt").as("__tot"))
+    val top = tf.orderBy(col("cnt").desc, col("tok")).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+    val pts = top.select(log(col("rank").cast("double")).as("x"),
+      log(col("cnt").cast("double")).as("y"),
+      col("cnt"), col("rank"))
+    val m = pts.agg(count(lit(1)).cast("double").as("n"),
+      sum("x").as("sx"), sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      max(when(col("rank") === 1, col("cnt"))).as("top1"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val denY = col("n") * col("syy") - col("sy") * col("sy")
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    m.crossJoin(broadcast(total))
+      .select(col("n").cast("long").as("n_terms"),
+        round(col("top1") / col("__tot"), 6).as("top1_share"),
+        round(cov / den, 6).as("slope"),
+        round((col("sy") - cov / den * col("sx")) / col("n"), 6).as("intercept"),
+        round(cov * cov / (den * denY), 6).as("r2"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, EntityRes, Eval, Experiment, Intervals, Profile, Rfm, Skyline, StatTests}
+import graft.operators.{Changepoint, Curation, Dedup, EntityRes, Eval, Experiment, Intervals, Profile, Rfm, Skyline, StatTests}
 import graft.sources.Tables
 
 /** Round-7 sixth/seventh tranches — segmentation, shortlist, and
@@ -201,6 +201,33 @@ object SegmentQueries {
   def q210JaroLinkage(s: SparkSession, d: String): DataFrame =
     EntityRes.jaroWinklerMatches(Tables.part(s, d), "p_name", threshold = 0.9)
 
+  /** Corpus datasheet card ([[Curation.corpusCard]]): the one-frame
+    * "Datasheets for Datasets" summary — totals, per-lang/source
+    * counts, exact length quantiles, exact-duplicate accounting —
+    * every section an aggregate over one shared checkpointed
+    * projection. Long (section, key, value) schema. */
+  def q211CorpusCard(s: SparkSession, d: String): DataFrame =
+    Curation.corpusCard(Tables.documents(s, d), "text", Seq("lang", "source"))
+
+  /** Exact single changepoint per event-type daily series
+    * ([[Changepoint.singleChangepoint]]): the split maximizing the
+    * two-segment SSE reduction, integer-cents prefix sums so the
+    * argmax is engine-exact. q158's CUSUM flags drift; this locates
+    * it. */
+  def q212Changepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("daily_value"))
+    Changepoint.singleChangepoint(daily, "event_type", "day", "daily_value")
+  }
+
+  /** Zipf's-law fit over the top-1000 vocabulary
+    * ([[graft.operators.TextSearch.zipfFit]]): log-log OLS slope /
+    * intercept / r² + top-1 token share — the corpus-health law a
+    * dataset audit plots before training. */
+  def q213Zipf(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextSearch.zipfFit(Tables.documents(s, d), topK = 1000)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_rfm" -> (q196Rfm _),
     "q197_fuzzy_er" -> (q197FuzzyEr _),
@@ -216,7 +243,10 @@ object SegmentQueries {
     "q207_corpus_refresh" -> (q207CorpusRefresh _),
     "q208_mode" -> (q208Mode _),
     "q209_overlap_join" -> (q209OverlapJoin _),
-    "q210_jaro_linkage" -> (q210JaroLinkage _)
+    "q210_jaro_linkage" -> (q210JaroLinkage _),
+    "q211_corpus_card" -> (q211CorpusCard _),
+    "q212_changepoint" -> (q212Changepoint _),
+    "q213_zipf" -> (q213Zipf _)
   )
 
   /** Shared oracle fragment: exact-quantile band cuts of column
@@ -572,6 +602,131 @@ object SegmentQueries {
         |FROM neu n2
         |WHERE n2.doc_id NOT IN (SELECT doc_id FROM losers)
         |ORDER BY 1""".stripMargin,
+    // identical OLS moments over the identical top-1000 (cnt desc,
+    // token) rank frame; ln parity across engines per the q97
+    // precedent
+    "q213_zipf" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT tok, count(*) AS cnt FROM toks
+        |  WHERE tok <> '' GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM tf),
+        |top AS (
+        |  SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS r
+        |  FROM tf ORDER BY cnt DESC, tok LIMIT 1000),
+        |pts AS (SELECT ln(r) AS x, ln(cnt) AS y, cnt, r FROM top),
+        |m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+        |    sum(y * y) AS syy,
+        |    max(CASE WHEN r = 1 THEN cnt END) AS top1
+        |  FROM pts)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |  round(top1 / t, 6) AS top1_share,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+        |    AS intercept,
+        |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM m CROSS JOIN tot""".stripMargin,
+    // identical integer-cents prefix-sum arithmetic: every quantity
+    // before a division is an exact BIGINT, so the float argmax can
+    // never flip between engines; ties to the earliest split
+    "q212_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(sum(value), 2) AS dv
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, day,
+        |    CAST(round(dv * 100) AS BIGINT) AS v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+        |    sum(CAST(round(dv * 100) AS BIGINT)) OVER (
+        |      PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+        |    sum(CAST(round(dv * 100) AS BIGINT)
+        |        * CAST(round(dv * 100) AS BIGINT)) OVER (
+        |      PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs2,
+        |    count(*) OVER (PARTITION BY event_type) AS n,
+        |    sum(CAST(round(dv * 100) AS BIGINT)) OVER (
+        |      PARTITION BY event_type) AS ts,
+        |    sum(CAST(round(dv * 100) AS BIGINT)
+        |        * CAST(round(dv * 100) AS BIGINT)) OVER (
+        |      PARTITION BY event_type) AS ts2
+        |  FROM daily),
+        |cand AS (
+        |  SELECT *, i - 1 AS ln, cs - v AS ls, cs2 - v * v AS ls2,
+        |    n - i + 1 AS rn, ts - (cs - v) AS rs,
+        |    ts2 - (cs2 - v * v) AS rs2
+        |  FROM c WHERE i >= 2 AND n >= 2),
+        |red AS (
+        |  SELECT event_type, day, i, n, ls, ln, rs, rn,
+        |    (ts2 - ts * ts / n)
+        |      - ((ls2 - ls * ls / ln) + (rs2 - rs * rs / rn)) AS r
+        |  FROM cand),
+        |best AS (
+        |  SELECT event_type, max(r) AS br FROM red GROUP BY 1),
+        |win AS (
+        |  SELECT r.event_type, r.n, b.br, min(r.i) AS bi
+        |  FROM red r JOIN best b
+        |    ON b.event_type = r.event_type AND r.r = b.br
+        |  GROUP BY 1, 2, 3)
+        |SELECT w.event_type, w.n,
+        |  r.day AS change_day,
+        |  r.ls / r.ln / 100 AS before_mean,
+        |  r.rs / r.rn / 100 AS after_mean,
+        |  w.br / 10000 AS sse_reduction
+        |FROM win w JOIN red r
+        |  ON r.event_type = w.event_type AND r.i = w.bi
+        |ORDER BY 1""".stripMargin,
+    // every card section restated: counts/mean/min/max directly, the
+    // exact quantiles via the rank rule ceil(q·n), dup accounting
+    // over md5 text groups
+    "q211_corpus_card" ->
+      """WITH base AS (
+        |  SELECT lang, source, CAST(length(text) AS DOUBLE) AS len,
+        |    md5(text) AS fp
+        |  FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM base),
+        |r AS (SELECT len AS v, row_number() OVER (ORDER BY len) AS rk
+        |  FROM base),
+        |card AS (
+        |  SELECT 'count' AS section, 'total' AS key,
+        |    CAST(count(*) AS DOUBLE) AS value FROM base
+        |  UNION ALL
+        |  SELECT 'len_chars', 'min', min(len) FROM base
+        |  UNION ALL
+        |  SELECT 'len_chars', 'mean', round(avg(len), 4) FROM base
+        |  UNION ALL
+        |  SELECT 'len_chars', 'max', max(len) FROM base
+        |  UNION ALL
+        |  SELECT 'len_chars', 'p50',
+        |    max(CASE WHEN rk = CAST(ceil(0.5 * n.n) AS BIGINT) THEN v END)
+        |  FROM r CROSS JOIN n
+        |  UNION ALL
+        |  SELECT 'len_chars', 'p90',
+        |    max(CASE WHEN rk = CAST(ceil(0.9 * n.n) AS BIGINT) THEN v END)
+        |  FROM r CROSS JOIN n
+        |  UNION ALL
+        |  SELECT 'count_lang', coalesce(CAST(lang AS VARCHAR), 'null'),
+        |    CAST(count(*) AS DOUBLE)
+        |  FROM base GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'count_source', coalesce(CAST(source AS VARCHAR), 'null'),
+        |    CAST(count(*) AS DOUBLE)
+        |  FROM base GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'dup', 'dup_fingerprints', CAST(count(*) AS DOUBLE)
+        |  FROM (SELECT fp FROM base GROUP BY fp HAVING count(*) > 1)
+        |  UNION ALL
+        |  SELECT 'dup', 'dup_docs',
+        |    CAST(coalesce(sum(c), 0) AS DOUBLE)
+        |  FROM (SELECT count(*) AS c FROM base GROUP BY fp
+        |        HAVING count(*) > 1))
+        |SELECT section, key, round(value, 4) AS value FROM card
+        |ORDER BY section, key""".stripMargin,
     // same blocking, DuckDB's own jaro_winkler_similarity as the
     // score; both engines cut on the 4-dp rounded value
     "q210_jaro_linkage" ->

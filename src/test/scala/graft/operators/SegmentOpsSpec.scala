@@ -238,6 +238,33 @@ class SegmentOpsSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getAs[Long]("kept_doc_id") == 2L)
   }
 
+  test("zipf fit: an exact 1/rank corpus fits slope -1, r2 = 1") {
+    val s = spark; import s.implicits._
+    // counts 12/6/4/3 = 12/rank exactly → ln-ln OLS is a perfect line
+    val toks = Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd")
+    val df = toks.map(t => Tuple1(t)).toDF("text")
+    val r = graft.operators.TextSearch.zipfFit(df, topK = 4).collect()(0)
+    assert(r.getAs[Long]("n_terms") == 4L)
+    assert(r.getAs[Double]("slope") == -1.0)
+    assert(r.getAs[Double]("r2") == 1.0)
+    assert(r.getAs[Double]("top1_share") == 0.48) // 12/25
+  }
+
+  test("corpus card: planted mini-corpus accounting") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "aaaa", "en"), (2L, "aaaa", "en"), (3L, "bb", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.corpusCard(df, "text", Seq("lang"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out(("count", "total")) == 3.0)
+    assert(out(("count_lang", "en")) == 2.0 && out(("count_lang", "de")) == 1.0)
+    assert(out(("len_chars", "min")) == 2.0 && out(("len_chars", "max")) == 4.0)
+    assert(out(("len_chars", "p50")) == 4.0) // ceil(0.5·3) = rank 2 → 4
+    assert(out(("dup", "dup_fingerprints")) == 1.0)
+    assert(out(("dup", "dup_docs")) == 2.0)
+  }
+
   test("jaro-winkler: textbook values, boost gate, and blocked linkage") {
     val s = spark; import s.implicits._
     graft.plans.GraftFunctions.register(s)
