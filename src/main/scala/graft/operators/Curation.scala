@@ -580,6 +580,79 @@ object Curation {
     }
   }
 
+  /** Water-filling token-budget allocation across sources — the
+    * PLANNING step in front of [[tokenBudgetMix]]: given each source's
+    * available tokens aₛ and a relative integer weight wₛ, split a
+    * global budget B as allocₛ = min(aₛ, λ·wₛ) with the water level λ
+    * chosen so the allocations sum to min(B, Σa) — small sources
+    * saturate, the surplus redistributes by weight (the DoReMi-style
+    * static mix with availability caps).
+    *
+    * Exactness: λ never materializes as a float. Sources sort by the
+    * saturation ratio aₛ/wₛ; with i sources saturated, the segment
+    * test and the unsaturated allocation are pure integer arithmetic —
+    *   saturated:  aᵢ·W̄ᵢ ≤ (B′−Sᵢ)·wᵢ,   alloc = (B′−Sᵢ)·wₛ div W̄ᵢ
+    * (Sᵢ = saturated availability, W̄ᵢ = unsaturated weight, B′ =
+    * min(B, Σa)) — identical in any int64 engine; floors leave at
+    * most one token per unsaturated source unallocated (documented
+    * remainder). The frame is SOURCES-sized, so the one ordered
+    * window is the bounded-aggregate kind.
+    *
+    * @param budget 1-row frame with a `budget` column (often derived:
+    *               `avail.agg(floor(sum(a) * frac))`) */
+  def waterFillAllocation(avail: DataFrame, sourceCol: String,
+      availCol: String, weightCol: String, budget: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a0 = avail.select(col(sourceCol).as("source"),
+        col(availCol).cast("long").as("a"),
+        col(weightCol).cast("long").as("wt"))
+      .filter(col("a") >= 0 && col("wt") > 0)
+    val totals = a0.agg(sum("a").as("__ta"), sum("wt").as("__tw"),
+        count(lit(1)).as("__n"))
+      .crossJoin(broadcast(budget.select(col("budget").cast("long").as("__b"))))
+      .withColumn("__bp", least(col("__b"), col("__ta")))
+    // sources-sized frame: ONE ordered window over it is bounded by
+    // the source count, never row-scale
+    val w = Window.orderBy(col("a") * lit(1.0) / col("wt"), col("source"))
+    val ranked = a0.crossJoin(broadcast(totals))
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__s", sum("a").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__wsuf", col("__tw") - sum("wt").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__nextA", lead("a", 1).over(w))
+      .withColumn("__nextW", lead("wt", 1).over(w))
+      .localCheckpoint(false)
+    val zero = totals.select(lit(0L).as("__i"), lit(0L).as("__s"),
+      col("__tw").as("__wsuf"), col("__bp"))
+    val candI = ranked.select(col("__i"), col("__s"), col("__wsuf"), col("__bp"),
+      col("a"), col("wt"), col("__nextA"), col("__nextW"))
+    val iStar = candI
+      .filter(col("a") * col("__wsuf") <= (col("__bp") - col("__s")) * col("wt"))
+      .select("__i", "__s", "__wsuf", "__bp")
+      .unionByName(zero)
+      // the boundary row: its saturated set is consistent AND the next
+      // source (if any) is NOT saturated at this water level — on an
+      // exact-boundary tie both candidates allocate identically, so
+      // min i is a pure determinism choice
+      .join(broadcast(ranked.select(col("__i").as("__inext"),
+        col("a").as("__na"), col("wt").as("__nw"))),
+        col("__inext") === col("__i") + 1, "left")
+      .filter(col("__na").isNull ||
+        col("__na") * col("__wsuf") > (col("__bp") - col("__s")) * col("__nw"))
+      .orderBy("__i").limit(1)
+    ranked.crossJoin(broadcast(
+        iStar.select(col("__i").as("__istar"), col("__s").as("__sstar"),
+          col("__wsuf").as("__wstar"))))
+      .select(col("source"), col("a").as("available"), col("wt").as("weight"),
+        when(col("__i") <= col("__istar"), col("a"))
+          .otherwise(expr("(__bp - __sstar) * wt div __wstar"))
+          .as("allocated"),
+        (col("__i") <= col("__istar")).as("saturated"),
+        col("__bp").as("effective_budget"))
+      .orderBy("source")
+  }
+
   /** Corpus datasheet card — the "Datasheets for Datasets" summary
     * (Gebru et al., CACM 2021) a training corpus ships with: one LONG
     * frame (section, key, value) so the schema never changes as

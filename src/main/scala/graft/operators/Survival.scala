@@ -57,4 +57,75 @@ object Survival {
       .select("t", "n_at_risk", "n_events", "n_censored", "survival")
       .orderBy("t")
   }
+
+  /** Log-rank test (Mantel 1966) — "do the survival curves differ":
+    * the hypothesis test that completes [[kaplanMeier]]'s estimate,
+    * comparing event incidence across groups at every event time
+    * against what the pooled at-risk shares would predict. Per group:
+    * observed events O_g and expected E_g = Σ_t d_t·n_{g,t}/n_t; for
+    * the 2-group case the classic statistic rides in-row (the q86
+    * in-row-constant convention):
+    *
+    *   Var = Σ_t d_t·(n₁ₜ/nₜ)·(1−n₁ₜ/nₜ)·(nₜ−d_t)/(nₜ−1),
+    *   χ² = (O₁ − E₁)²/Var          (null when groups ≠ 2)
+    *
+    * Scale shape: unit rows collapse to the per-(group, duration)
+    * life-table cells in one aggregate; the cell frame DENSIFIES to
+    * the (event-times × groups) grid (at-risk counts exist at every
+    * event time, including times a group has no exits), at-risk
+    * counts are per-group cumulative windows over that bounded grid,
+    * and every statistic is an aggregate of it. Counts are exact
+    * integers; E/Var are double sums over the times frame, rounded
+    * at 4 (the aggregated-double discipline). */
+  def logRankTest(units: DataFrame, durationCol: String, eventCol: String,
+      groupCol: String): DataFrame = {
+    val u = units.select(col(groupCol).as("g"),
+        col(durationCol).cast("long").as("t"),
+        col(eventCol).cast("int").as("e"))
+      .where(col("g").isNotNull && col("t").isNotNull && col("t") >= 0 &&
+        col("e").isin(0, 1))
+    val cells = u.groupBy("g", "t")
+      .agg(sum(col("e")).cast("long").as("d"),
+        count(lit(1)).cast("long").as("x")) // x = all exits at t
+      .localCheckpoint(false)
+    val times = cells.select("t").distinct()
+    val groups = cells.groupBy("g").agg(sum("x").as("n_g"))
+    val grid = times.crossJoin(broadcast(groups))
+      .join(cells, Seq("g", "t"), "left")
+      .na.fill(0L, Seq("d", "x"))
+    val byG = Window.partitionBy("g").orderBy("t")
+    val atRisk = grid.withColumn("exited_before",
+        coalesce(sum("x").over(byG.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("n_gt", col("n_g") - col("exited_before"))
+    val byT = Window.partitionBy("t")
+    val full = atRisk
+      .withColumn("n_t", sum("n_gt").over(byT))
+      .withColumn("d_t", sum("d").over(byT))
+      .filter(col("d_t") > 0)
+    val per = full.groupBy(col("g").as(groupCol))
+      .agg(sum("d").as("observed"),
+        sum(col("d_t") * col("n_gt") / col("n_t")).as("__e"))
+    // 2-group variance from the pooled frame, keyed on the SMALLEST
+    // group label (deterministic choice of "group 1")
+    val g1 = groups.agg(min("g").as("__g1"))
+    val varChi = full.crossJoin(broadcast(g1))
+      .filter(col("g") === col("__g1") && col("n_t") > 1)
+      .agg(sum(col("d_t") * (col("n_gt") / col("n_t")) *
+        (lit(1.0) - col("n_gt") / col("n_t")) *
+        (col("n_t") - col("d_t")) / (col("n_t") - 1)).as("__var"))
+    val o1e1 = per.crossJoin(broadcast(g1))
+      .filter(col(groupCol) === col("__g1"))
+      .select(col("observed").as("__o1"), col("__e").as("__e1"))
+    val nGroups = groups.agg(count(lit(1)).as("__k"))
+    per.crossJoin(broadcast(varChi)).crossJoin(broadcast(o1e1))
+      .crossJoin(broadcast(nGroups))
+      .select(col(groupCol), col("observed"),
+        round(col("__e"), 4).as("expected"),
+        when(col("__k") === 2 && col("__var") > 0,
+          round((col("__o1") - col("__e1")) * (col("__o1") - col("__e1"))
+            / col("__var"), 4))
+          .as("chi2"))
+      .orderBy(groupCol)
+  }
 }

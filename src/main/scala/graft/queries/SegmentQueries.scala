@@ -228,6 +228,47 @@ object SegmentQueries {
   def q213Zipf(s: SparkSession, d: String): DataFrame =
     graft.operators.TextSearch.zipfFit(Tables.documents(s, d), topK = 1000)
 
+  /** Log-rank test between hash arms on time-to-first-error
+    * ([[graft.operators.Survival.logRankTest]], q160's substrate split
+    * by the q153 md5 arm): O/E per arm + the 2-group χ² in-row —
+    * null-by-construction on a hash split (the q180 no-signal
+    * discipline); the separated path is spec-proven. */
+  def q214LogRank(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+    val span = e.groupBy("user_id")
+      .agg(min("day").as("first_day"), max("day").as("last_day"))
+    val firstErr = e.where(col("event_type") === "error")
+      .groupBy("user_id").agg(min("day").as("err_day"))
+    val units = span.join(firstErr, Seq("user_id"), "left")
+      .select(
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 6), 16, 10)
+          .cast("long"), lit(2L)).cast("int").as("arm"),
+        when(col("err_day").isNotNull, datediff(col("err_day"), col("first_day")))
+          .otherwise(datediff(col("last_day"), col("first_day")))
+          .cast("long").as("duration"),
+        col("err_day").isNotNull.cast("int").as("errored"))
+    graft.operators.Survival.logRankTest(units, "duration", "errored", "arm")
+  }
+
+  /** Water-filling token-budget allocation across sources
+    * ([[Curation.waterFillAllocation]]): 60% global budget, integer
+    * weights cycling 1–4 by source index so heavy-weighted small
+    * sources SATURATE while the rest split by weight — the mix
+    * planning step in front of q115/q113, integer-exact end to end. */
+  def q215WaterFill(s: SparkSession, d: String): DataFrame = {
+    val avail = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(sum(size(graft.functions.TextFunctions.tokens("text")))
+        .cast("long").as("avail_tokens"))
+      .withColumn("wt",
+        pmod(regexp_extract(col("source"), "([0-9]+)", 1).cast("long"),
+          lit(4L)) + 1L)
+    val budget = avail.agg(floor(sum("avail_tokens") * 0.6).cast("long")
+      .as("budget"))
+    Curation.waterFillAllocation(avail, "source", "avail_tokens", "wt", budget)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_rfm" -> (q196Rfm _),
     "q197_fuzzy_er" -> (q197FuzzyEr _),
@@ -246,7 +287,9 @@ object SegmentQueries {
     "q210_jaro_linkage" -> (q210JaroLinkage _),
     "q211_corpus_card" -> (q211CorpusCard _),
     "q212_changepoint" -> (q212Changepoint _),
-    "q213_zipf" -> (q213Zipf _)
+    "q213_zipf" -> (q213Zipf _),
+    "q214_logrank" -> (q214LogRank _),
+    "q215_water_fill" -> (q215WaterFill _)
   )
 
   /** Shared oracle fragment: exact-quantile band cuts of column
@@ -601,6 +644,109 @@ object SegmentQueries {
         |SELECT n2.doc_id, n2.lang, length(n2.text) AS text_len
         |FROM neu n2
         |WHERE n2.doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY 1""".stripMargin,
+    // identical integer water-filling: same ratio sort, same segment
+    // test, same integer-division allocations
+    "q215_water_fill" ->
+      """WITH avail AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split_regex(lower(trim(text)), '\s+')))
+        |      AS BIGINT) AS a,
+        |    CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4 + 1
+        |      AS wt
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(wt) AS BIGINT) AS tw,
+        |    CAST(floor(sum(a) * 0.6) AS BIGINT) AS b
+        |  FROM avail),
+        |t2 AS (SELECT ta, tw, least(b, ta) AS bp FROM tot),
+        |rk AS (
+        |  SELECT av.source, av.a, av.wt, t2.bp,
+        |    row_number() OVER (ORDER BY av.a * 1.0 / av.wt, av.source) AS i,
+        |    sum(av.a) OVER (ORDER BY av.a * 1.0 / av.wt, av.source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+        |    t2.tw - sum(av.wt) OVER (ORDER BY av.a * 1.0 / av.wt, av.source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wsuf,
+        |    lead(av.a) OVER (ORDER BY av.a * 1.0 / av.wt, av.source) AS na,
+        |    lead(av.wt) OVER (ORDER BY av.a * 1.0 / av.wt, av.source) AS nw
+        |  FROM avail av CROSS JOIN t2),
+        |cand AS (
+        |  SELECT i, s, wsuf, bp, na, nw FROM rk
+        |  WHERE a * wsuf <= (bp - s) * wt
+        |  UNION ALL
+        |  SELECT 0, 0, t2.tw, t2.bp,
+        |    (SELECT a FROM rk WHERE i = 1),
+        |    (SELECT wt FROM rk WHERE i = 1)
+        |  FROM t2),
+        |istar AS (
+        |  SELECT i AS istar, s AS sstar, wsuf AS wstar, bp FROM cand
+        |  WHERE na IS NULL OR na * wsuf > (bp - s) * nw
+        |  ORDER BY i LIMIT 1)
+        |SELECT rk.source, rk.a AS available, rk.wt AS weight,
+        |  CAST(CASE WHEN rk.i <= istar.istar THEN rk.a
+        |       ELSE (istar.bp - istar.sstar) * rk.wt // istar.wstar END
+        |    AS BIGINT) AS allocated,
+        |  rk.i <= istar.istar AS saturated,
+        |  istar.bp AS effective_budget
+        |FROM rk CROSS JOIN istar ORDER BY source""".stripMargin,
+    // the same life-table grid: per-(arm, duration) exits, densified
+    // to event-times x arms, cumulative at-risk, O/E sums and the
+    // 2-group variance restricted to arm 0 rows with n_t > 1
+    "q214_logrank" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS day FROM events),
+        |span AS (
+        |  SELECT user_id, min(day) AS fd, max(day) AS ld
+        |  FROM e GROUP BY 1),
+        |ferr AS (
+        |  SELECT user_id, min(day) AS ed FROM e
+        |  WHERE event_type = 'error' GROUP BY 1),
+        |units AS (
+        |  SELECT
+        |    CAST(('0x' || substr(md5(CAST(s.user_id AS VARCHAR)), 1, 6))::BIGINT
+        |      % 2 AS INT) AS g,
+        |    CAST(CASE WHEN f.ed IS NOT NULL
+        |      THEN date_diff('day', s.fd, f.ed)
+        |      ELSE date_diff('day', s.fd, s.ld) END AS BIGINT) AS t,
+        |    CAST(f.ed IS NOT NULL AS INT) AS ev
+        |  FROM span s LEFT JOIN ferr f ON f.user_id = s.user_id),
+        |cells AS (
+        |  SELECT g, t, CAST(sum(ev) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM units WHERE t >= 0 GROUP BY 1, 2),
+        |times AS (SELECT DISTINCT t FROM cells),
+        |grp AS (SELECT g, CAST(sum(x) AS BIGINT) AS n_g FROM cells GROUP BY 1),
+        |grid AS (
+        |  SELECT tm.t, gr.g, gr.n_g,
+        |    coalesce(c.d, 0) AS d, coalesce(c.x, 0) AS x
+        |  FROM times tm CROSS JOIN grp gr
+        |  LEFT JOIN cells c ON c.g = gr.g AND c.t = tm.t),
+        |ar AS (
+        |  SELECT *, n_g - coalesce(sum(x) OVER (PARTITION BY g ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_gt
+        |  FROM grid),
+        |full_t AS (
+        |  SELECT *, sum(n_gt) OVER (PARTITION BY t) AS n_t,
+        |    sum(d) OVER (PARTITION BY t) AS d_t
+        |  FROM ar),
+        |evt AS (SELECT * FROM full_t WHERE d_t > 0),
+        |per AS (
+        |  SELECT g AS arm, CAST(sum(d) AS BIGINT) AS observed,
+        |    sum(d_t * n_gt / n_t) AS e
+        |  FROM evt GROUP BY 1),
+        |v AS (
+        |  SELECT sum(d_t * (n_gt / n_t) * (1 - n_gt / n_t)
+        |    * (n_t - d_t) / (n_t - 1)) AS var
+        |  FROM evt WHERE g = (SELECT min(g) FROM grp) AND n_t > 1),
+        |o1 AS (
+        |  SELECT observed AS obs1, e AS e1 FROM per
+        |  WHERE arm = (SELECT min(g) FROM grp)),
+        |k AS (SELECT count(*) AS k FROM grp)
+        |SELECT p.arm, p.observed, round(p.e, 4) AS expected,
+        |  CASE WHEN k.k = 2 AND v.var > 0 THEN
+        |    round((o1.obs1 - o1.e1) * (o1.obs1 - o1.e1) / v.var, 4) END
+        |    AS chi2
+        |FROM per p CROSS JOIN v CROSS JOIN o1 CROSS JOIN k
         |ORDER BY 1""".stripMargin,
     // identical OLS moments over the identical top-1000 (cnt desc,
     // token) rank frame; ln parity across engines per the q97

@@ -238,6 +238,47 @@ class SegmentOpsSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getAs[Long]("kept_doc_id") == 2L)
   }
 
+  test("water-fill: small source saturates, surplus splits by weight") {
+    val s = spark; import s.implicits._
+    // A(10,w1) saturates; remaining 100 splits over w=3:
+    // B(100,w1)→33, C(100,w2)→66; 1 token floor remainder
+    val avail = Seq(("A", 10L, 1L), ("B", 100L, 1L), ("C", 100L, 2L))
+      .toDF("src", "a", "w")
+    val budget = avail.agg(org.apache.spark.sql.functions.lit(110L).as("budget"))
+    val out = Curation.waterFillAllocation(avail, "src", "a", "w", budget)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("allocated"), r.getAs[Boolean]("saturated")))).toMap
+    assert(out("A") == ((10L, true)))
+    assert(out("B") == ((33L, false)))
+    assert(out("C") == ((66L, false)))
+    // budget above total availability: everything saturates
+    val big = avail.agg(org.apache.spark.sql.functions.lit(10000L).as("budget"))
+    val all = Curation.waterFillAllocation(avail, "src", "a", "w", big)
+      .collect()
+    assert(all.forall(_.getAs[Boolean]("saturated")))
+    assert(all.map(_.getAs[Long]("allocated")).sum == 210L)
+  }
+
+  test("log-rank: hand-computed O/E/chi2 on alternating event times") {
+    val s = spark; import s.implicits._
+    // A events at t=1,3; B at t=2,4 — E_A = .5 + 1/3 + .5 = 1.3333,
+    // Var = .25 + 2/9 + .25 = 0.7222, chi2 = (2 - 4/3)^2/0.7222 = 0.6154
+    val df = Seq(("A", 1L, 1), ("A", 3L, 1), ("B", 2L, 1), ("B", 4L, 1))
+      .toDF("g", "dur", "ev")
+    val out = Survival.logRankTest(df, "dur", "ev", "g")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("A").getAs[Long]("observed") == 2L)
+    assert(out("A").getAs[Double]("expected") == 1.3333)
+    assert(out("B").getAs[Double]("expected") == 2.6667)
+    assert(out("A").getAs[Double]("chi2") == 0.6154)
+    // censored-only group contributes at-risk mass but no events
+    val df2 = Seq(("A", 2L, 1), ("B", 2L, 0), ("B", 3L, 0)).toDF("g", "dur", "ev")
+    val o2 = Survival.logRankTest(df2, "dur", "ev", "g")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(o2("B").getAs[Long]("observed") == 0L)
+    assert(o2("A").getAs[Double]("expected") == 0.3333) // 1·(1/3)
+  }
+
   test("zipf fit: an exact 1/rank corpus fits slope -1, r2 = 1") {
     val s = spark; import s.implicits._
     // counts 12/6/4/3 = 12/rank exactly → ln-ln OLS is a perfect line
