@@ -60,4 +60,55 @@ object Embeddings {
           s"cast((cast(x as double) - element_at(__m, i + 1)) / element_at(__s, i + 1) as float))"))
       .drop("__m", "__s")
   }
+
+  /** Corpus geometry audit: the pairwise-cosine DISTRIBUTION on a
+    * deterministic sample of pairs — the embedding-space health
+    * snapshot (anisotropy/collapse detection: a healthy corpus has a
+    * broad cosine spread; a collapsed or un-centered one concentrates
+    * near 1; Ethayarajh 2019's contextual-anisotropy measurement).
+    * Computing all n² cosines is the thing this must NOT do; instead
+    * each vector pairs with the vectors `offsets` ranks away in
+    * vec-id rank order — with id-uncorrelated embeddings this is a
+    * uniform pair sample of size |offsets|·n, created by |offsets|
+    * self-equi-joins on rank (no cross join anywhere).
+    *
+    * Output: one row per cosine bin (width 0.1 over [−1, 1], rounded
+    * cosine at 6 before binning so both engines bin the same value),
+    * with n_pairs / share and the sample mean cosine in-row. */
+  def cosineHistogram(spark: SparkSession, emb: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      offsets: Seq[Int] = Seq(1, 17, 97)): DataFrame = {
+    GraftFunctions.register(spark)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+    // rank spine: one pass; the unpartitioned row_number is over the
+    // embeddings table — vec-count scale, the bounded frame the ANN
+    // family already treats as the driver-scale side at local SF; at
+    // 100 TB swap for zipWithIndex-style dense ids on write
+    val ranked = emb.where(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol))
+      .withColumn("__r", row_number().over(w))
+      .localCheckpoint(false)
+    val pairs = offsets.map { o =>
+      ranked.select(col("__r"), col(vecCol).as("__va"))
+        .join(ranked.select((col("__r") - o).as("__r"), col(vecCol).as("__vb")),
+          Seq("__r"))
+    }.reduce(_ unionByName _)
+    val cos = pairs.select(
+      round(expr("cosine_sim(__va, __vb)"), 6).as("__c"))
+    val binned = cos
+      .withColumn("bin",
+        least(greatest(floor((col("__c") + 1.0) * 10).cast("int"), lit(0)),
+          lit(19)))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+    val tot = binned.agg(sum("n_pairs").as("__t"),
+      count(lit(1)).as("__nb"))
+    val meanC = cos.agg(round(avg("__c"), 4).as("mean_cosine"))
+    binned.crossJoin(broadcast(tot)).crossJoin(broadcast(meanC))
+      .select(col("bin"),
+        round(lit(-1.0) + col("bin") / 10.0, 1).as("bin_lo"),
+        col("n_pairs"),
+        round(col("n_pairs") / col("__t"), 6).as("share"),
+        col("mean_cosine"))
+      .orderBy("bin")
+  }
 }

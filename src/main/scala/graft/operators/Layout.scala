@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.plans.GraftFunctions
 
@@ -123,5 +123,42 @@ object Layout {
         sum(col("s_band") * col("n_rows")).as("band_rows_scanned"),
         sum("n_band").as("band_rows_matched"))
       .orderBy("layout")
+  }
+
+  /** Partition-key advisor — the planning audit before `partitionBy`
+    * commits a table layout for years: for each CANDIDATE key
+    * expression, the partition-count / balance / small-file profile
+    * that decides between them. Per candidate (one row each):
+    * n_partitions, min/avg/max rows per partition, skew = max/avg
+    * (the straggler predictor), and how many partitions fall under
+    * `smallRows` (the small-file problem at the other end — a
+    * thousand 100-row partitions is as bad as one hot one).
+    *
+    * Scale shape: per candidate one map-combinable value-count
+    * aggregate over the pruned single column, then a candidate-count
+    * aggregate of the value-count frame; candidates union — cost is
+    * one narrow scan per candidate, no shuffle wider than the value
+    * counts. All outputs are exact integers plus one rounded division.
+    *
+    * @param candidates (name, expression) pairs; expressions must be
+    *                   row-local (a date_trunc, a column, a bucket) */
+  def partitionAdvisor(df: DataFrame, candidates: Seq[(String, Column)],
+      smallRows: Long = 1000L): DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate")
+    candidates.map { case (name, e) =>
+      df.select(e.cast("string").as("__k"))
+        .groupBy("__k").agg(count(lit(1)).as("__n"))
+        .agg(count(lit(1)).as("n_partitions"),
+          min("__n").as("min_rows"),
+          max("__n").as("max_rows"),
+          sum("__n").as("__total"),
+          sum((col("__n") < smallRows).cast("long")).as("n_small"))
+        .select(lit(name).as("candidate"), col("n_partitions"),
+          col("min_rows"), col("max_rows"),
+          round(col("__total") / col("n_partitions"), 2).as("avg_rows"),
+          round(col("max_rows") * col("n_partitions") / col("__total"), 4)
+            .as("skew"),
+          col("n_small"))
+    }.reduce(_ unionByName _).orderBy("candidate")
   }
 }

@@ -269,6 +269,28 @@ object SegmentQueries {
     Curation.waterFillAllocation(avail, "source", "avail_tokens", "wt", budget)
   }
 
+  /** Partition-key advisor over lineitem
+    * ([[graft.operators.Layout.partitionAdvisor]]): ship date vs ship
+    * month vs return flag vs a 64-bucket orderkey hash — partition
+    * counts, balance, skew, and small-partition exposure per
+    * candidate, the numbers that pick a table layout. */
+  def q216PartitionAdvisor(s: SparkSession, d: String): DataFrame =
+    graft.operators.Layout.partitionAdvisor(Tables.lineitem(s, d), Seq(
+      "1_ship_date" -> to_date(col("l_shipdate")).cast("string"),
+      "2_ship_month" -> date_format(col("l_shipdate"), "yyyy-MM"),
+      "3_returnflag" -> col("l_returnflag"),
+      "4_orderkey_hash64" -> pmod(
+        conv(substring(md5(col("l_orderkey").cast("string")), 1, 6), 16, 10)
+          .cast("long"), lit(64L))), smallRows = 1000L)
+
+  /** Embedding-space geometry audit
+    * ([[graft.operators.Embeddings.cosineHistogram]]): the pairwise
+    * cosine distribution on a deterministic rank-offset pair sample
+    * (never n²) — anisotropy/collapse detection before any ANN or
+    * semantic-dedup run trusts the space. */
+  def q217CosineHistogram(s: SparkSession, d: String): DataFrame =
+    graft.operators.Embeddings.cosineHistogram(s, Tables.embeddings(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_rfm" -> (q196Rfm _),
     "q197_fuzzy_er" -> (q197FuzzyEr _),
@@ -289,7 +311,9 @@ object SegmentQueries {
     "q212_changepoint" -> (q212Changepoint _),
     "q213_zipf" -> (q213Zipf _),
     "q214_logrank" -> (q214LogRank _),
-    "q215_water_fill" -> (q215WaterFill _)
+    "q215_water_fill" -> (q215WaterFill _),
+    "q216_partition_advisor" -> (q216PartitionAdvisor _),
+    "q217_cosine_histogram" -> (q217CosineHistogram _)
   )
 
   /** Shared oracle fragment: exact-quantile band cuts of column
@@ -645,6 +669,61 @@ object SegmentQueries {
         |FROM neu n2
         |WHERE n2.doc_id NOT IN (SELECT doc_id FROM losers)
         |ORDER BY 1""".stripMargin,
+    // the identical rank-offset pair sample; cosine via DuckDB's
+    // list_cosine_similarity rounded at 6 before binning (the q34
+    // parity convention)
+    "q217_cosine_histogram" ->
+      """WITH rk AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    row_number() OVER (ORDER BY vec_id) AS r
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |pairs AS (
+        |  SELECT round(list_cosine_similarity(a.v, b.v), 6) AS c
+        |  FROM rk a JOIN rk b ON b.r = a.r + 1
+        |  UNION ALL
+        |  SELECT round(list_cosine_similarity(a.v, b.v), 6)
+        |  FROM rk a JOIN rk b ON b.r = a.r + 17
+        |  UNION ALL
+        |  SELECT round(list_cosine_similarity(a.v, b.v), 6)
+        |  FROM rk a JOIN rk b ON b.r = a.r + 97),
+        |binned AS (
+        |  SELECT least(greatest(CAST(floor((c + 1.0) * 10) AS INT), 0), 19)
+        |      AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM pairs GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS t FROM binned),
+        |mc AS (SELECT round(avg(c), 4) AS mean_cosine FROM pairs)
+        |SELECT bin, round(-1.0 + bin / 10.0, 1) AS bin_lo, n_pairs,
+        |  round(n_pairs / t, 6) AS share, mean_cosine
+        |FROM binned CROSS JOIN tot CROSS JOIN mc ORDER BY bin""".stripMargin,
+    // per-candidate value-count profiles, exact integers + two
+    // rounded divisions; the md5 bucket is the shared cross-engine
+    // hash idiom
+    "q216_partition_advisor" ->
+      """WITH li AS (
+        |  SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS c1,
+        |    strftime(l_shipdate, '%Y-%m') AS c2,
+        |    l_returnflag AS c3,
+        |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 6))
+        |      ::BIGINT % 64 AS VARCHAR) AS c4
+        |  FROM lineitem),
+        |cands AS (
+        |  SELECT '1_ship_date' AS candidate, c1 AS k FROM li
+        |  UNION ALL SELECT '2_ship_month', c2 FROM li
+        |  UNION ALL SELECT '3_returnflag', c3 FROM li
+        |  UNION ALL SELECT '4_orderkey_hash64', c4 FROM li),
+        |vc AS (
+        |  SELECT candidate, k, CAST(count(*) AS BIGINT) AS n
+        |  FROM cands GROUP BY 1, 2)
+        |SELECT candidate, CAST(count(*) AS BIGINT) AS n_partitions,
+        |  min(n) AS min_rows, max(n) AS max_rows,
+        |  round(CAST(sum(n) AS BIGINT) / CAST(count(*) AS BIGINT), 2)
+        |    AS avg_rows,
+        |  round(max(n) * CAST(count(*) AS BIGINT)
+        |    / CAST(sum(n) AS BIGINT), 4) AS skew,
+        |  CAST(sum(CASE WHEN n < 1000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_small
+        |FROM vc GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical integer water-filling: same ratio sort, same segment
     // test, same integer-division allocations
     "q215_water_fill" ->

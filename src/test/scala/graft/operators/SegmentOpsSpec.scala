@@ -238,6 +238,35 @@ class SegmentOpsSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getAs[Long]("kept_doc_id") == 2L)
   }
 
+  test("partition advisor: counts, skew, and small-partition exposure") {
+    val s = spark; import s.implicits._
+    // k: a×6, b×2, c×2 → 3 parts, avg 3.33, skew 6/(10/3) = 1.8
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c"))
+      .toDF("k")
+    val out = graft.operators.Layout.partitionAdvisor(df,
+      Seq("by_k" -> org.apache.spark.sql.functions.col("k")), smallRows = 3L)
+      .collect()(0)
+    assert(out.getAs[Long]("n_partitions") == 3L)
+    assert(out.getAs[Long]("max_rows") == 6L)
+    assert(out.getAs[Double]("avg_rows") == 3.33)
+    assert(out.getAs[Double]("skew") == 1.8)
+    assert(out.getAs[Long]("n_small") == 2L)
+  }
+
+  test("cosine histogram: orthogonal plants split bins, all pairs counted") {
+    val s = spark; import s.implicits._
+    // 4 axis vectors: offset-1 pairs orthogonal (cos 0 → bin 10),
+    // offset-2 pairs equal-axis scaled (cos 1 → bin 19, clamped)
+    val vs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(2f, 0f)), (3L, Array(0f, 3f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Embeddings.cosineHistogram(s, vs,
+        offsets = Seq(1, 2))
+      .collect().map(r => r.getAs[Int]("bin") -> r.getAs[Long]("n_pairs")).toMap
+    assert(out == Map(10 -> 3L, 19 -> 2L))
+  }
+
   test("water-fill: small source saturates, surplus splits by weight") {
     val s = spark; import s.implicits._
     // A(10,w1) saturates; remaining 100 splits over w=3:
