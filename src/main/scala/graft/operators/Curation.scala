@@ -580,6 +580,68 @@ object Curation {
     }
   }
 
+  /** The end-to-end curation funnel — the whole pre-training data
+    * pipeline as ONE operator with per-stage attrition accounting,
+    * composing the individually-oracled stages in their production
+    * order: raw → train split ([[split]]) → quality cut (the q115
+    * score) → exact dedup (min-id per md5 fingerprint) → benchmark
+    * decontamination (exact `shingleN`-gram join against the test
+    * split — GPT-3 App. C) → token budget (the q113 two-phase prefix
+    * cut at `budgetFrac` of surviving tokens). Output: one row per
+    * stage with docs and tokens remaining — the attrition table every
+    * corpus release publishes.
+    *
+    * Scale shape: one narrow (id, split, tokens, quality, fp) frame is
+    * checkpointed and every stage filter/join works off it; text is
+    * re-read only for the decontamination shingle join (restricted to
+    * stage-4 survivors and the test split). The budget cut reuses
+    * [[tokenBudgetCut]]'s bucketed prefix sums — no corpus-wide
+    * ordered window anywhere. */
+  def curationFunnel(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minQuality: Double = 0.3,
+      budgetFrac: Double = 0.6, shingleN: Int = 13): DataFrame = {
+    import graft.functions.TextFunctions._
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val narrow = split(docs, idCol)
+      .withColumn("__toks", tokens(textCol))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("__q", round(
+        least(col("__n") / lit(50.0), lit(1.0)) *
+          (lit(1.0) - expr("size(filter(__toks, x -> x IN ('the','a')))")
+            / col("__n")), 4))
+      .select(col(idCol), col("split"), col("__n"), col("__q"),
+        md5(col(textCol)).as("__fp"))
+      .localCheckpoint(false)
+    val s2 = narrow.filter(col("split") === "train")
+    val s3 = s2.filter(col("__q") >= minQuality)
+    val keepIds = s3.groupBy("__fp").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    val s4 = s3.join(keepIds, Seq(idCol), "left_semi")
+    def shinglesOf(ids: DataFrame) = docs
+      .join(ids, Seq(idCol), "left_semi")
+      .withColumn("__toks", tokens(textCol))
+      .filter(size(col("__toks")) >= shingleN)
+      .select(col(idCol), explode(shingles("__toks", shingleN)).as("shingle"))
+    val testSh = shinglesOf(narrow.filter(col("split") === "test")
+      .select(idCol)).select("shingle").distinct()
+    val contaminated = shinglesOf(s4.select(idCol))
+      .join(testSh, Seq("shingle")).select(idCol).distinct()
+    val s5 = s4.join(contaminated, Seq(idCol), "left_anti")
+      .localCheckpoint(false) // budget stage consumes it twice
+    val budget = s5.agg(floor(sum("__n") * budgetFrac).cast("long").as("__b"))
+    val s6 = tokenBudgetCut(s5.crossJoin(broadcast(budget)),
+      col("__q"), col(idCol), col("__n"), col("__b"))
+    def stage(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("__n"), lit(0L)).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    Seq(stage("1_raw", narrow), stage("2_train_split", s2),
+      stage("3_quality", s3), stage("4_dedup", s4),
+      stage("5_decontaminate", s5), stage("6_token_budget", s6))
+      .reduce(_ unionByName _)
+      .orderBy("stage")
+  }
+
   /** Water-filling token-budget allocation across sources — the
     * PLANNING step in front of [[tokenBudgetMix]]: given each source's
     * available tokens aₛ and a relative integer weight wₛ, split a

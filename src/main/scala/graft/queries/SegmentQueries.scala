@@ -291,6 +291,14 @@ object SegmentQueries {
   def q217CosineHistogram(s: SparkSession, d: String): DataFrame =
     graft.operators.Embeddings.cosineHistogram(s, Tables.embeddings(s, d))
 
+  /** The end-to-end curation funnel ([[Curation.curationFunnel]]):
+    * split → quality → exact dedup → 13-gram decontamination → token
+    * budget, per-stage docs/tokens — the attrition table a corpus
+    * release ships, every stage individually oracled elsewhere and
+    * the composition hash-checked here. */
+  def q218CurationFunnel(s: SparkSession, d: String): DataFrame =
+    Curation.curationFunnel(Tables.documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_rfm" -> (q196Rfm _),
     "q197_fuzzy_er" -> (q197FuzzyEr _),
@@ -313,7 +321,8 @@ object SegmentQueries {
     "q214_logrank" -> (q214LogRank _),
     "q215_water_fill" -> (q215WaterFill _),
     "q216_partition_advisor" -> (q216PartitionAdvisor _),
-    "q217_cosine_histogram" -> (q217CosineHistogram _)
+    "q217_cosine_histogram" -> (q217CosineHistogram _),
+    "q218_curation_funnel" -> (q218CurationFunnel _)
   )
 
   /** Shared oracle fragment: exact-quantile band cuts of column
@@ -669,6 +678,61 @@ object SegmentQueries {
         |FROM neu n2
         |WHERE n2.doc_id NOT IN (SELECT doc_id FROM losers)
         |ORDER BY 1""".stripMargin,
+    // every stage restated in its already-proven oracle idiom: md5
+    // split buckets, q115 quality score, min-id md5 dedup, q116-style
+    // 13-gram shingles, q113's budget cut as a plain cumsum
+    "q218_curation_funnel" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks,
+        |    md5(text) AS fp,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+        |      % 100 AS bkt
+        |  FROM documents),
+        |n1 AS (
+        |  SELECT doc_id, fp, CAST(len(toks) AS BIGINT) AS n,
+        |    round(least(len(toks) / 50.0, 1.0) *
+        |      (1.0 - len(list_filter(toks, x -> x IN ('the','a'))) * 1.0
+        |        / len(toks)), 4) AS q,
+        |    CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val'
+        |      ELSE 'test' END AS spl
+        |  FROM base),
+        |s2 AS (SELECT * FROM n1 WHERE spl = 'train'),
+        |s3 AS (SELECT * FROM s2 WHERE q >= 0.3),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM s3 GROUP BY fp),
+        |s4 AS (SELECT s3.* FROM s3 JOIN keep USING (doc_id)),
+        |tsh AS (
+        |  SELECT DISTINCT unnest(list_transform(
+        |    range(0, greatest(len(b.toks) - 12, 0)),
+        |    i -> array_to_string(b.toks[i+1:i+13], ' '))) AS shingle
+        |  FROM n1 JOIN base b USING (doc_id)
+        |  WHERE n1.spl = 'test' AND len(b.toks) >= 13),
+        |s4sh AS (
+        |  SELECT s4.doc_id, unnest(list_transform(
+        |    range(0, greatest(len(b.toks) - 12, 0)),
+        |    i -> array_to_string(b.toks[i+1:i+13], ' '))) AS shingle
+        |  FROM s4 JOIN base b USING (doc_id) WHERE len(b.toks) >= 13),
+        |cont AS (SELECT DISTINCT s.doc_id FROM s4sh s JOIN tsh USING (shingle)),
+        |s5 AS (SELECT * FROM s4
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        |bud AS (SELECT CAST(floor(sum(n) * 0.6) AS BIGINT) AS b FROM s5),
+        |c6 AS (SELECT *, CAST(sum(n) OVER (ORDER BY q DESC, doc_id
+        |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM s5),
+        |s6 AS (SELECT c6.* FROM c6 CROSS JOIN bud WHERE cum <= bud.b),
+        |funnel AS (
+        |  SELECT '1_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(coalesce(sum(n), 0) AS BIGINT) AS n_tokens FROM n1
+        |  UNION ALL SELECT '2_train_split', count(*),
+        |    CAST(coalesce(sum(n), 0) AS BIGINT) FROM s2
+        |  UNION ALL SELECT '3_quality', count(*),
+        |    CAST(coalesce(sum(n), 0) AS BIGINT) FROM s3
+        |  UNION ALL SELECT '4_dedup', count(*),
+        |    CAST(coalesce(sum(n), 0) AS BIGINT) FROM s4
+        |  UNION ALL SELECT '5_decontaminate', count(*),
+        |    CAST(coalesce(sum(n), 0) AS BIGINT) FROM s5
+        |  UNION ALL SELECT '6_token_budget', count(*),
+        |    CAST(coalesce(sum(n), 0) AS BIGINT) FROM s6)
+        |SELECT stage, n_docs, n_tokens FROM funnel ORDER BY stage""".stripMargin,
     // the identical rank-offset pair sample; cosine via DuckDB's
     // list_cosine_similarity rounded at 6 before binning (the q34
     // parity convention)
