@@ -316,18 +316,23 @@ object Dedup {
 
   /** Per-doc 64-bit SimHash fingerprint. Row-local. */
   def simhashFingerprints(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", md5Mode: Boolean = false): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
     docs.withColumn("toks", tokens(textCol))
-      .select(col(idCol), simhash64("toks").as("simhash"))
+      .select(col(idCol),
+        (if (md5Mode) expr("simhash64_md5(toks)") else simhash64("toks"))
+          .as("simhash"))
   }
 
   /** SimHash near-dup pairs: band the 64-bit fingerprint into four
     * 16-bit chunks (any exact-matching chunk → candidate; guarantees
-    * recall for Hamming distance ≤ 3), then verify with bit_count(xor). */
+    * recall for Hamming distance ≤ 3), then verify with bit_count(xor).
+    * `md5Mode` votes with the md5 word (see `Md5Hash`) so fingerprints,
+    * buckets, and pairs are engine-replicable — the q31 discipline. */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
-      idCol: String = "doc_id", maxBucket: Int = 100): DataFrame = {
-    val fp = simhashFingerprints(docs, idCol)
+      idCol: String = "doc_id", maxBucket: Int = 100,
+      md5Mode: Boolean = false): DataFrame = {
+    val fp = simhashFingerprints(docs, idCol, md5Mode = md5Mode)
     val banded = fp.select(col(idCol).as("id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> shiftrightunsigned(simhash, b * 16) & 65535)"))

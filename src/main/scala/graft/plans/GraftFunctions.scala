@@ -54,6 +54,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "simhash64_md5", exprs => SimHash64(exprs(0), md5Hash = true), "built-in")
+    reg.createOrReplaceTempFunction(
       "morton2", exprs => Morton2(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "mmr_select",

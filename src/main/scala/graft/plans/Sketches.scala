@@ -51,6 +51,19 @@ private[graft] object Md5Hash {
     (v1 >>> 4, v2 >>> 4)
   }
   @inline def h1(s: UTF8String): Long = pair(s)._1
+
+  /** The first 16 md5 hex digits as one 64-bit word (bytes 0..7
+    * big-endian). An int64 engine reads it as TWO 32-bit halves —
+    * hi = ('0x'||substr(md5,1,8))::BIGINT, lo = ('0x'||substr(md5,9,8))
+    * — because the unsigned 64-bit value itself would overflow; bit j
+    * of this word is bit j of lo for j < 32, bit j−32 of hi above. */
+  @inline def word64(s: UTF8String): Long = {
+    val d = md.get(); d.reset()
+    val dig = d.digest(s.getBytes)
+    var v = 0L; var i = 0
+    while (i < 8) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    v
+  }
 }
 
 /** MinHash signature of an array<string> shingle set: the j-th hash
@@ -291,11 +304,12 @@ case class ShingleSeq(child: Expression, n: Int)
 
 /** 64-bit SimHash of an array<string> token stream: per-bit vote of the
   * token hash, sign → bit. One hash per token, 64 bit-tests per token. */
-case class SimHash64(child: Expression)
+case class SimHash64(child: Expression, md5Hash: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
-  override def prettyName: String = "simhash64"
+  override def prettyName: String =
+    if (md5Hash) "simhash64_md5" else "simhash64"
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -303,7 +317,12 @@ case class SimHash64(child: Expression)
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = SketchHash.hash(arr.getUTF8String(i), 42L)
+      // md5 variant: votes come from Md5Hash.word64's bits, which any
+      // engine reads from the md5 hex string in two 32-bit halves —
+      // the cross-engine-auditable family (see Md5Hash)
+      val h =
+        if (md5Hash) Md5Hash.word64(arr.getUTF8String(i))
+        else SketchHash.hash(arr.getUTF8String(i), 42L)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

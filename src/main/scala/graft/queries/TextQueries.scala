@@ -174,13 +174,17 @@ object TextQueries {
       .orderBy("phase", "doc_a", "doc_b")
   }
 
-  /** SimHash fingerprints + near-dup pairs within Hamming distance 3.
+  /** SimHash fingerprints + near-dup pairs within Hamming distance 3,
+    * md5 vote mode → FULL hash oracle (the q31/q103 upgrade): DuckDB
+    * re-votes every fingerprint bit from the md5 word's two 32-bit
+    * halves, re-bands the 16-bit chunks with the same bucket cap, and
+    * reproduces pairs + Hamming distances exactly.
     *
-    * Same self-evidencing pattern as q31: the planted pair (-2,-1) has
-    * the same token MULTISET in a different order, and SimHash is a
-    * per-token bit-vote sum — order-invariant — so the fingerprints are
-    * bit-identical (Hamming 0) and chunk banding MUST propose the pair.
-    * `planted_recovered` = 1 is guaranteed by the algorithm. */
+    * The planted guarantee stays: the pair (-2,-1) has the same token
+    * MULTISET in a different order, and SimHash is a per-token
+    * bit-vote sum — order-invariant — so the fingerprints are
+    * bit-identical (Hamming 0) and chunk banding MUST propose the
+    * pair; `planted_recovered` = 1 in every row. */
   def q32DedupSimhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val planted = Seq(
@@ -188,7 +192,8 @@ object TextQueries {
       (-1L, "wwsh wwsg wwsf wwse wwsd wwsc wwsb wwsa"))
       .toDF("doc_id", "text")
     val all = docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
-    val pairs = Dedup.simhashNearDups(all, maxHamming = 3).localCheckpoint()
+    val pairs = Dedup.simhashNearDups(all, maxHamming = 3, md5Mode = true)
+      .localCheckpoint()
     val guarantee = pairs.agg(
       sum(when(col("doc_a") < 0 && col("doc_b") < 0, 1).otherwise(0))
         .as("planted_recovered"))
@@ -470,6 +475,63 @@ object TextQueries {
        |  GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // fingerprint bits re-voted from the md5 word's 32-bit halves,
+    // chunks re-banded with the same cap, Hamming from two popcounts
+    "q32_dedup_simhash" ->
+      """WITH pl(doc_id, text) AS (VALUES
+        |  (-2, 'wwsa wwsb wwsc wwsd wwse wwsf wwsg wwsh'),
+        |  (-1, 'wwsh wwsg wwsf wwse wwsd wwsc wwsb wwsa')),
+        |allc AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM pl),
+        |tk AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM allc),
+        |th AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo,
+        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi
+        |  FROM tk),
+        |bits AS (SELECT unnest(range(0, 32)) AS j),
+        |v AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN ((lo >> j) & 1) = 1 THEN 1 ELSE -1 END) AS vlo,
+        |    sum(CASE WHEN ((hi >> j) & 1) = 1 THEN 1 ELSE -1 END) AS vhi
+        |  FROM th CROSS JOIN bits GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN vlo > 0 THEN (CAST(1 AS BIGINT) << j)
+        |      ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN vhi > 0 THEN (CAST(1 AS BIGINT) << j)
+        |      ELSE 0 END) AS BIGINT) AS hi
+        |  FROM v GROUP BY 1),
+        |ch AS (
+        |  SELECT doc_id, lo, hi, b,
+        |    CASE b WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+        |           WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS chunk
+        |  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+        |okb AS (
+        |  SELECT b, chunk FROM ch GROUP BY b, chunk
+        |  HAVING count(*) BETWEEN 2 AND 100),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    x.lo AS lo_a, x.hi AS hi_a, y.lo AS lo_b, y.hi AS hi_b
+        |  FROM ch x
+        |  JOIN ch y ON x.b = y.b AND x.chunk = y.chunk
+        |    AND x.doc_id < y.doc_id
+        |  JOIN okb o ON o.b = x.b AND o.chunk = x.chunk),
+        |p AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+        |      AS INT) AS hamming
+        |  FROM cand
+        |  WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 3),
+        |g AS (
+        |  SELECT CAST(sum(CASE WHEN doc_a < 0 AND doc_b < 0 THEN 1
+        |    ELSE 0 END) AS BIGINT) AS planted_recovered FROM p)
+        |SELECT p.doc_a, p.doc_b, p.hamming, g.planted_recovered
+        |FROM p CROSS JOIN g ORDER BY 1, 2""".stripMargin,
     // the full md5-minhash pipeline restated: band keys are signature
     // slices, buckets capped at 100 members, candidate pairs verified
     // by exact Jaccard over the distinct shingle sets
