@@ -358,15 +358,34 @@ object Dedup {
     * same scale shape as the text sketches. */
   def embeddingNearDups(emb: DataFrame, threshold: Double = 0.9,
       idCol: String = "vec_id", embCol: String = "embedding",
-      nBits: Int = 12, tables: Int = 4, maxBucket: Int = 200): DataFrame = {
+      nBits: Int = 12, tables: Int = 4, maxBucket: Int = 200,
+      md5Mode: Boolean = false): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
-    val tableBuckets = (0 until tables)
-      .map(t => s"struct($t AS tbl, lsh_bucket($embCol, $nBits, $t) AS bucket)")
-      .mkString(", ")
-    val bucketed = emb
-      .select(col(idCol).as("id"), col(embCol).as("e"),
-        explode(expr(s"array($tableBuckets)")).as("tb"))
-      .select(col("id"), col("e"), col("tb.tbl"), col("tb.bucket"))
+    // md5Mode: sign buckets from the SRP md5 ±1 family instead of the
+    // xxhash64 hyperplanes — the q112 idiom, whose projections an
+    // external engine recomputes term for term; signs are taken on the
+    // 6-dp-rounded projection (the q112 boundary convention) and the
+    // cosine threshold compares the 6-dp-rounded value, so buckets,
+    // candidates, and verified pairs are all engine-replicable
+    val bucketed = if (md5Mode) {
+      val m = nBits * tables
+      emb.select(col(idCol).as("id"), col(embCol).as("e"),
+          expr(s"srp_project($embCol, $m)").as("__proj"))
+        .select(col("id"), col("e"), explode(expr(
+          s"""transform(sequence(0, ${tables - 1}), t -> struct(t AS tbl,
+             |  aggregate(sequence(0, ${nBits - 1}), 0, (a, b) ->
+             |    a + IF(round(element_at(__proj, t * $nBits + b + 1), 6) >= 0D,
+             |      shiftleft(1, b), 0)) AS bucket))""".stripMargin)).as("tb"))
+        .select(col("id"), col("e"), col("tb.tbl"), col("tb.bucket"))
+    } else {
+      val tableBuckets = (0 until tables)
+        .map(t => s"struct($t AS tbl, lsh_bucket($embCol, $nBits, $t) AS bucket)")
+        .mkString(", ")
+      emb
+        .select(col(idCol).as("id"), col(embCol).as("e"),
+          explode(expr(s"array($tableBuckets)")).as("tb"))
+        .select(col("id"), col("e"), col("tb.tbl"), col("tb.bucket"))
+    }
     bucketed
       .groupBy("tbl", "bucket")
       .agg(sort_array(collect_list(struct(col("id"), col("e")))).as("xs"))
@@ -377,7 +396,9 @@ object Dedup {
         .as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), expr("cosine_sim(p.ea, p.eb)").as("cosine"))
       .distinct()
-      .filter(col("cosine") >= threshold)
+      .filter(
+        if (md5Mode) round(col("cosine"), 6) >= threshold
+        else col("cosine") >= threshold)
   }
 
   /** Connected components over an undirected near-duplicate pair list:

@@ -258,16 +258,17 @@ object ExtendedQueries {
       .orderBy("c_custkey")
 
   /** Embedding-cosine near-dup pairs via LSH candidates + native cosine
-    * verify (rows-only: the LSH hyperplanes are xxhash64-derived).
+    * verify, in the md5 SRP-sign bucket mode — FULL hash oracle (the
+    * q112 idiom applied to dedup): DuckDB recomputes every ±1 sign,
+    * every 12-bit table bucket (projection signs on the 6-dp-rounded
+    * value), the 200-member bucket cap, and the round-6 cosine
+    * threshold. The xxhash64 hyperplane mode stays available for
+    * production.
     *
-    * The raw embeddings table has no genuine 0.9-cosine pairs at any
-    * scale factor, which would make a rows-only check vacuous — so the
-    * query plants deterministic near-duplicates in-line (the q16/q28
-    * null-injection pattern): each vec_id < 8 gets a scaled copy at
-    * id+1000000. Scaling preserves direction exactly, so cosine = 1.0
-    * and the LSH sign-buckets match in every table — the 8 planted
-    * pairs are guaranteed recovered, and the driver sees stable
-    * rows > 0 at every scale factor. */
+    * The planted guarantee stays: each vec_id < 8 gets a scaled copy
+    * at id+1000000 — scaling preserves direction exactly, so cosine =
+    * 1.0 and the sign buckets match in every table; the 8 planted
+    * pairs are recovered at every scale factor. */
   def q41EmbeddingDedup(s: SparkSession, d: String): DataFrame = {
     val base = Tables.embeddings(s, d)
     val planted = base.filter(col("vec_id") < 8)
@@ -275,7 +276,7 @@ object ExtendedQueries {
         expr("transform(embedding, x -> x * cast(2.0 as float))").as("embedding"),
         col("label"))
     Dedup.embeddingNearDups(base.select("vec_id", "embedding", "label").unionByName(planted),
-        threshold = 0.9)
+        threshold = 0.9, md5Mode = true)
       .select(col("doc_a"), col("doc_b"), round(col("cosine"), 4).as("cosine"),
         (col("doc_b") >= 1000000L).as("planted"))
       .orderBy("doc_a", "doc_b")
@@ -478,6 +479,49 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // full md5-SRP restatement: every ±1 sign, every table bucket
+    // (signs on the 6-dp projection), the bucket cap, and the round-6
+    // cosine cut — the q112 oracle machinery applied to dedup
+    "q41_embedding_dedup" ->
+      """WITH pl AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id < 8),
+        |allv AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM pl),
+        |codes AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    list_transform(range(0, 4), t ->
+        |      list_sum(list_transform(range(0, 12), b ->
+        |        CASE WHEN round(list_sum(list_transform(range(1, 65), i ->
+        |            CAST(embedding[i] AS DOUBLE) *
+        |            CASE WHEN ('0x' || substr(md5('srp:' || i || ':'
+        |                || (t * 12 + b + 1)), 1, 6))::BIGINT % 2 = 0
+        |              THEN 1.0 ELSE -1.0 END)), 6) >= 0
+        |          THEN (CAST(1 AS BIGINT) << b)
+        |          ELSE CAST(0 AS BIGINT) END))) AS bks
+        |  FROM allv),
+        |ch AS (
+        |  SELECT vec_id, emb, tt.t, bks[tt.t + 1] AS bucket
+        |  FROM codes CROSS JOIN (SELECT unnest(range(0, 4)) AS t) tt),
+        |okb AS (
+        |  SELECT t, bucket FROM ch GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND 200),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS doc_a, y.vec_id AS doc_b,
+        |    x.emb AS ea, y.emb AS eb
+        |  FROM ch x
+        |  JOIN ch y ON x.t = y.t AND x.bucket = y.bucket
+        |    AND x.vec_id < y.vec_id
+        |  JOIN okb o ON o.t = x.t AND o.bucket = x.bucket),
+        |p AS (
+        |  SELECT doc_a, doc_b, list_cosine_similarity(ea, eb) AS c
+        |  FROM cand
+        |  WHERE round(list_cosine_similarity(ea, eb), 6) >= 0.9)
+        |SELECT doc_a, doc_b, round(c, 4) AS cosine,
+        |  doc_b >= 1000000 AS planted
+        |FROM p ORDER BY 1, 2""".stripMargin,
     "q106_tooltip_format" ->
       """WITH daily AS (
         | SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS v
