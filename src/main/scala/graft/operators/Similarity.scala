@@ -470,26 +470,59 @@ object Similarity {
     * Duplicate candidates across tables are dropped before the exact
     * rerank. */
   def lshTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-      k: Int = 10, nBits: Int = 8, tables: Int = 4): DataFrame = {
+      k: Int = 10, nBits: Int = 8, tables: Int = 4,
+      md5Mode: Boolean = false): DataFrame = {
     GraftFunctions.register(spark)
-    val tableBuckets = (0 until tables)
-      .map(t => s"struct($t AS tbl, ${bucketExpr("embedding", nBits, t)} AS bucket)")
-      .mkString(", ")
-    val bucketed = corpus.select(col("vec_id"), col("embedding"))
-      .select(col("vec_id"), col("embedding"),
-        explode(expr(s"array($tableBuckets)")).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val probeSets = (0 until tables).map { t =>
-      val b0 = bucketExpr("q_emb", nBits, t)
-      s"""transform(
-         |  array_union(array($b0), transform(sequence(0, ${nBits - 1}), b -> $b0 ^ shiftleft(1, b))),
-         |  x -> struct($t AS tbl, x AS bucket))""".stripMargin
-    }.mkString(", ")
-    val q = broadcast(
-      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-        .select(col("query_id"), col("q_emb"),
-          explode(expr(s"flatten(array($probeSets))")).as("tb"))
-        .select(col("query_id"), col("q_emb"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket")))
+    // md5Mode: table buckets from the SRP ±1 md5 sign family (signs of
+    // the 6-dp-rounded projections — the q112/q41 convention) instead
+    // of xxhash64 hyperplanes, making candidates externally
+    // replicable; the multiprobe bit flips are plain integer XOR
+    // either way. The projection is computed ONCE per row and every
+    // table reads its slice.
+    val m = nBits * tables
+    def md5Bucket(projCol: String) =
+      s"""aggregate(sequence(0, ${nBits - 1}), 0, (a, b) ->
+         |  a + IF(round(element_at($projCol, t * $nBits + b + 1), 6) >= 0D,
+         |    shiftleft(1, b), 0))""".stripMargin
+    val bucketed = (if (md5Mode)
+      corpus.select(col("vec_id"), col("embedding"),
+          expr(s"srp_project(embedding, $m)").as("__p"))
+        .select(col("vec_id"), col("embedding"), explode(expr(
+          s"""transform(sequence(0, ${tables - 1}), t ->
+             |  struct(t AS tbl, ${md5Bucket("__p")} AS bucket))""".stripMargin))
+          .as("tb"))
+    else {
+      val tableBuckets = (0 until tables)
+        .map(t => s"struct($t AS tbl, ${bucketExpr("embedding", nBits, t)} AS bucket)")
+        .mkString(", ")
+      corpus.select(col("vec_id"), col("embedding"))
+        .select(col("vec_id"), col("embedding"),
+          explode(expr(s"array($tableBuckets)")).as("tb"))
+    }).select(col("vec_id"), col("embedding"),
+      col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val q0 = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val qExploded = if (md5Mode) {
+      val bk = md5Bucket("__qp")
+      q0.select(col("query_id"), col("q_emb"),
+          expr(s"srp_project(q_emb, $m)").as("__qp"))
+        .select(col("query_id"), col("q_emb"), explode(expr(
+          s"""flatten(transform(sequence(0, ${tables - 1}), t ->
+             |  transform(
+             |    array_union(array($bk),
+             |      transform(sequence(0, ${nBits - 1}), b2 -> ($bk) ^ shiftleft(1, b2))),
+             |    x -> struct(t AS tbl, x AS bucket))))""".stripMargin)).as("tb"))
+    } else {
+      val probeSets = (0 until tables).map { t =>
+        val b0 = bucketExpr("q_emb", nBits, t)
+        s"""transform(
+           |  array_union(array($b0), transform(sequence(0, ${nBits - 1}), b -> $b0 ^ shiftleft(1, b))),
+           |  x -> struct($t AS tbl, x AS bucket))""".stripMargin
+      }.mkString(", ")
+      q0.select(col("query_id"), col("q_emb"),
+        explode(expr(s"flatten(array($probeSets))")).as("tb"))
+    }
+    val q = broadcast(qExploded
+      .select(col("query_id"), col("q_emb"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket")))
     val scored = bucketed.join(q, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .dropDuplicates("query_id", "vec_id")

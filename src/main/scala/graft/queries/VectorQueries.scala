@@ -14,9 +14,11 @@ import graft.operators.Similarity
   * the same sequential double accumulation as the native
   * [[graft.plans.CosineSimilarity]] expression, and ranking orders by
   * the similarity rounded to 1e-6 (tie-break vec_id) on both sides so
-  * float jitter cannot flip ranks. q35 (LSH) uses xxhash64-derived
-  * hyperplanes DuckDB cannot replicate → rows-only + ScalaTest recall
-  * checks.
+  * float jitter cannot flip ranks. q35 (LSH) runs the md5 SRP-sign
+  * bucket mode (8 tables × 8 bits, 1-bit multiprobe), so DuckDB
+  * replicates buckets, probes, candidates, and recall — full hash
+  * oracle since r8; the xxhash64 hyperplane mode remains for
+  * production and keeps its ScalaTest recall checks.
   */
 object VectorQueries {
 
@@ -30,14 +32,16 @@ object VectorQueries {
   }
 
   /** LSH-bucketed approximate top-10 for the same query set, annotated
-    * with per-query recall against the exact result so the rows-only
-    * check is self-evidencing (the dumped output carries its own
-    * quality measure). */
+    * with per-query recall against the exact result — FULL hash oracle
+    * in the md5 SRP-sign bucket mode (q41/q112 idiom): DuckDB
+    * recomputes every table bucket, the multiprobe bit flips, the
+    * candidate top-10 (rounded-sim order), and the recall join against
+    * its own brute-force restatement. */
   def q35KnnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val q = emb.filter(col("vec_id") < NQueries)
     Similarity.recallVsExact(
-        Similarity.lshTopK(s, emb, q, k = 10, nBits = 8),
+        Similarity.lshTopK(s, emb, q, k = 10, nBits = 8, tables = 8, md5Mode = true),
         Similarity.bruteForceTopK(s, emb, q, k = 10), k = 10)
       .orderBy("query_id", "rank")
   }
@@ -413,6 +417,73 @@ object VectorQueries {
         |      THEN 1.0 ELSE -1.0 END)), 6) AS z
         |FROM embeddings CROSS JOIN range(1, 17) t(j)
         |ORDER BY vec_id, dim""".stripMargin,
+    // the full md5-SRP LSH restated: 8-bit buckets per table from
+    // 6-dp projection signs, multiprobe = base bucket + all 1-bit
+    // XOR flips, candidate top-10 by rounded sim, recall against the
+    // brute-force restatement
+    "q35_knn_lsh" ->
+      s"""WITH codes AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    list_transform(range(0, 8), t ->
+         |      list_sum(list_transform(range(0, 8), b ->
+         |        CASE WHEN round(list_sum(list_transform(range(1, 65), i ->
+         |            CAST(embedding[i] AS DOUBLE) *
+         |            CASE WHEN ('0x' || substr(md5('srp:' || i || ':'
+         |                || (t * 8 + b + 1)), 1, 6))::BIGINT % 2 = 0
+         |              THEN 1.0 ELSE -1.0 END)), 6) >= 0
+         |          THEN (CAST(1 AS BIGINT) << b)
+         |          ELSE CAST(0 AS BIGINT) END))) AS bks
+         |  FROM embeddings),
+         |ch AS (
+         |  SELECT vec_id, emb, tt.t, bks[tt.t + 1] AS bucket
+         |  FROM codes CROSS JOIN (SELECT unnest(range(0, 8)) AS t) tt),
+         |qq AS (SELECT vec_id AS query_id, emb AS q_emb, bks AS q_bks
+         |  FROM codes WHERE vec_id < $NQueries),
+         |probes AS (
+         |  SELECT query_id, q_emb, tt.t,
+         |    unnest(list_distinct(list_prepend(q_bks[tt.t + 1],
+         |      list_transform(range(0, 8), b2 ->
+         |        xor(q_bks[tt.t + 1], (CAST(1 AS BIGINT) << b2))))))
+         |      AS bucket
+         |  FROM qq CROSS JOIN (SELECT unnest(range(0, 8)) AS t) tt),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, c.vec_id, p.q_emb, c.emb
+         |  FROM probes p
+         |  JOIN ch c ON c.t = p.t AND c.bucket = p.bucket
+         |  WHERE c.vec_id <> p.query_id),
+         |scored AS (
+         |  SELECT query_id, vec_id,
+         |    round(list_cosine_similarity(emb, q_emb), 6) AS sim
+         |  FROM cand),
+         |lsh AS (
+         |  SELECT query_id, vec_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, vec_id) AS INT) AS rank
+         |  FROM scored QUALIFY rank <= 10),
+         |ex AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id,
+         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |      CAST(q.embedding AS DOUBLE[])), 6) AS sim
+         |  FROM embeddings e CROSS JOIN embeddings q
+         |  WHERE q.vec_id < $NQueries AND e.vec_id <> q.vec_id),
+         |ext AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, vec_id) AS r
+         |    FROM ex) WHERE r <= 10),
+         |en AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM ext GROUP BY 1),
+         |j AS (
+         |  SELECT l.query_id, l.vec_id, l.sim, l.rank,
+         |    CASE WHEN e2.vec_id IS NOT NULL THEN 1 ELSE 0 END AS in_exact
+         |  FROM lsh l LEFT JOIN ext e2
+         |    ON e2.query_id = l.query_id AND e2.vec_id = l.vec_id)
+         |SELECT j.query_id, j.vec_id, j.sim, j.rank, j.in_exact,
+         |  round(sum(j.in_exact) OVER (PARTITION BY j.query_id) * 1.0
+         |    / en.n_exact, 2) AS recall_vs_exact
+         |FROM j JOIN en USING (query_id)
+         |ORDER BY query_id, rank""".stripMargin,
     "q112_srp_hamming_topk" ->
       s"""WITH codes AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
