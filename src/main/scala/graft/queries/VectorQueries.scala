@@ -46,9 +46,17 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** IVF-bucketed approximate top-10 (rows-only: centroid choice is an
-    * engine detail), annotated with per-query recall against the exact
-    * result — same self-evidencing pattern as q35. */
+  /** IVF-bucketed approximate top-10, annotated with per-query recall
+    * against the exact result — FULL hash oracle since r8: the seed
+    * centroids are percentile-picked vec_ids whose rank rule
+    * (1-based rank ⌊q·n⌋+1, verified empirically at two corpus sizes;
+    * exact because the sketch retains all samples below its accuracy)
+    * DuckDB restates over the ordered id spine; cell assignment and
+    * query probes re-derive from raw cosines with the (sim DESC,
+    * cid DESC) tie rule, and the candidate top-10 + recall join follow
+    * the q35 restatement. Caveat (documented, not hit at the oracle
+    * SF): at corpus sizes divisible by 32 the quantile targets land on
+    * exact integers where the sketch's rank rule is unverified. */
   def q43KnnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val q = emb.filter(col("vec_id") < NQueries)
@@ -417,6 +425,77 @@ object VectorQueries {
         |      THEN 1.0 ELSE -1.0 END)), 6) AS z
         |FROM embeddings CROSS JOIN range(1, 17) t(j)
         |ORDER BY vec_id, dim""".stripMargin,
+    // seeds via the verified floor(q*n)+1 rank rule over the id spine,
+    // cells/probes from raw cosines with (sim DESC, cid DESC) ties,
+    // then the q35 candidate-top-10 + recall machinery
+    "q43_knn_ivf" ->
+      s"""WITH nrow AS (SELECT count(*) AS n FROM embeddings),
+         |rk AS (
+         |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS r
+         |  FROM embeddings),
+         |cids AS (
+         |  SELECT DISTINCT rk.vec_id AS cid
+         |  FROM rk CROSS JOIN nrow
+         |  JOIN (SELECT unnest(range(0, 16)) AS i) ii
+         |    ON rk.r = CAST(floor((2 * ii.i + 1) / 32.0 * nrow.n)
+         |      AS BIGINT) + 1),
+         |cent AS (
+         |  SELECT c.cid, CAST(e.embedding AS DOUBLE[]) AS cv
+         |  FROM cids c JOIN embeddings e ON e.vec_id = c.cid),
+         |sims AS (
+         |  SELECT e.vec_id, c.cid,
+         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) AS s
+         |  FROM embeddings e CROSS JOIN cent c),
+         |cells AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY s DESC, cid DESC) AS rr
+         |    FROM sims) WHERE rr = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY s DESC, cid DESC) AS rr
+         |    FROM sims WHERE vec_id < $NQueries) x WHERE rr <= 4),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, ce.vec_id
+         |  FROM probes p JOIN cells ce ON ce.cell = p.cell
+         |  WHERE ce.vec_id <> p.query_id),
+         |scored AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |      CAST(qe.embedding AS DOUBLE[])), 6) AS sim
+         |  FROM cand c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN embeddings qe ON qe.vec_id = c.query_id),
+         |ivf AS (
+         |  SELECT query_id, vec_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, vec_id) AS INT) AS rank
+         |  FROM scored QUALIFY rank <= 10),
+         |ex AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id,
+         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |      CAST(q.embedding AS DOUBLE[])), 6) AS sim
+         |  FROM embeddings e CROSS JOIN embeddings q
+         |  WHERE q.vec_id < $NQueries AND e.vec_id <> q.vec_id),
+         |ext AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, vec_id) AS r
+         |    FROM ex) WHERE r <= 10),
+         |en AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM ext GROUP BY 1),
+         |j AS (
+         |  SELECT l.query_id, l.vec_id, l.sim, l.rank,
+         |    CASE WHEN e2.vec_id IS NOT NULL THEN 1 ELSE 0 END AS in_exact
+         |  FROM ivf l LEFT JOIN ext e2
+         |    ON e2.query_id = l.query_id AND e2.vec_id = l.vec_id)
+         |SELECT j.query_id, j.vec_id, j.sim, j.rank, j.in_exact,
+         |  round(sum(j.in_exact) OVER (PARTITION BY j.query_id) * 1.0
+         |    / en.n_exact, 2) AS recall_vs_exact
+         |FROM j JOIN en USING (query_id)
+         |ORDER BY query_id, rank""".stripMargin,
     // the full md5-SRP LSH restated: 8-bit buckets per table from
     // 6-dp projection signs, multiprobe = base bucket + all 1-bit
     // XOR flips, candidate top-10 by rounded sim, recall against the
