@@ -125,6 +125,52 @@ object Eval {
     *
     * Determinism: counts are integers, rates/lift are single divisions
     * of exact integers rounded at 6 — no accumulation-order exposure. */
+  /** Murphy decomposition of the Brier score (Murphy 1973) — the
+    * calibration diagnosis behind a single "brier = X" number: over
+    * `nBins` equal-width probability bins,
+    *
+    *   reliability = Σ nₖ(p̄ₖ − ȳₖ)²/N   (calibration error — down is good)
+    *   resolution  = Σ nₖ(ȳₖ − ȳ)²/N    (discrimination — up is good)
+    *   uncertainty = ȳ(1 − ȳ)           (the data's irreducible floor)
+    *
+    * with brier ≈ reliability − resolution + uncertainty (exact when
+    * forecasts are bin-constant). One row per non-empty bin (n, mean
+    * predicted, observed frequency) with the four scalars in-row (q86
+    * convention). Scale shape: one row-local bin assignment, one bin
+    * aggregate (≤nBins cells), scalar arithmetic on the cell frame.
+    * Aggregated doubles round at 6 (the q55 discipline). */
+  def brierDecomposition(df: DataFrame, probCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "nBins must be at least 2")
+    val p = col(probCol).cast("double")
+    val y = col(labelCol).cast("double")
+    val binned = df.filter(p.isNotNull && y.isNotNull)
+      .select(p.as("__p"), y.as("__y"),
+        least(floor(p * nBins).cast("int"), lit(nBins - 1)).as("bin"))
+    val cells = binned.groupBy("bin")
+      .agg(count(lit(1)).as("n"), avg("__p").as("__mp"), avg("__y").as("__fy"))
+      .localCheckpoint(false) // scalars + output both read the cells
+    val brier = binned.agg(
+      avg((col("__p") - col("__y")) * (col("__p") - col("__y"))).as("__brier"))
+    val tot = cells.agg(sum("n").as("__N"),
+      (sum(col("__fy") * col("n")) / sum("n")).as("__ybar"))
+    val scal = cells.crossJoin(broadcast(tot)).agg(
+      (sum(col("n") * (col("__mp") - col("__fy")) * (col("__mp") - col("__fy")))
+        / first("__N")).as("__rel"),
+      (sum(col("n") * (col("__fy") - col("__ybar")) * (col("__fy") - col("__ybar")))
+        / first("__N")).as("__res"),
+      (first("__ybar") * (lit(1.0) - first("__ybar"))).as("__unc"))
+    cells.crossJoin(broadcast(brier)).crossJoin(broadcast(scal))
+      .select(col("bin"), col("n"),
+        round(col("__mp"), 6).as("mean_predicted"),
+        round(col("__fy"), 6).as("frac_positive"),
+        round(col("__brier"), 6).as("brier"),
+        round(col("__rel"), 6).as("reliability"),
+        round(col("__res"), 6).as("resolution"),
+        round(col("__unc"), 6).as("uncertainty"))
+      .orderBy("bin")
+  }
+
   def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
       nBuckets: Int = 10): DataFrame = {
     val s = col(scoreCol).cast("double")

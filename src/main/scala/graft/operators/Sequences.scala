@@ -109,4 +109,59 @@ object Sequences {
       .select("gram", "n_occurrences", "n_users", "support")
       .orderBy("gram")
   }
+
+  /** Markov next-state BACKTEST — the held-out accuracy check that
+    * turns the q147 transition matrix from a descriptive table into a
+    * validated predictor: keys split train/test by the md5 hash bucket
+    * (the q56 discipline — key-level, so no test key leaks sequence
+    * context into training), the predictor is fit on TRAIN transitions
+    * only (per state: argmax next-state count, ties → lexicographic
+    * min — deterministic), and scored on TEST transitions. One row per
+    * state: the prediction, train support, test count/correct/accuracy,
+    * with the overall accuracy in-row (q86 convention).
+    *
+    * Scale shape: one key-partitioned lead() window builds all
+    * transitions; fit and score are state-cell aggregates (≤|states|²);
+    * the predictor joins back as a broadcast. Counts exact; the
+    * accuracy divisions are single divisions of exact longs —
+    * bit-identical in any engine — and therefore deliberately
+    * UNROUNDED (the q212 lesson: rounding would only reintroduce the
+    * decimal-half boundary hazard). */
+  def markovBacktest(df: DataFrame, keyCol: String, tsCol: String,
+      stateCol: String, tieCol: String, trainPct: Int = 80): DataFrame = {
+    val data = df.filter(col(keyCol).isNotNull)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = data
+      .withColumn("__next", lead(col(stateCol), 1).over(w))
+      .where(col("__next").isNotNull)
+      .withColumn("__split",
+        when(Curation.hashBucket(col(keyCol)) < trainPct, "train")
+          .otherwise("test"))
+      .select(col(stateCol).as("state"), col("__next"), col("__split"))
+      .localCheckpoint(false) // fit + score both consume the window pass
+    val fit = pairs.filter(col("__split") === "train")
+      .groupBy("state", "__next").agg(count(lit(1)).as("__n"))
+    val best = fit.groupBy("state").agg(max("__n").as("__bn"),
+      sum("__n").as("train_total"))
+    val predictor = fit.join(best, Seq("state"))
+      .filter(col("__n") === col("__bn"))
+      .groupBy("state", "__bn", "train_total")
+      .agg(min("__next").as("predicted_next"))
+    val scored = pairs.filter(col("__split") === "test")
+      .join(broadcast(predictor), Seq("state"))
+      .groupBy("state", "predicted_next", "train_total")
+      .agg(count(lit(1)).as("n_test"),
+        sum((col("__next") === col("predicted_next")).cast("long"))
+          .as("n_correct"))
+    val overall = scored.agg(
+      (coalesce(sum("n_correct"), lit(0L)) /
+        greatest(coalesce(sum("n_test"), lit(0L)), lit(1L)))
+        .as("overall_accuracy"))
+    scored.crossJoin(broadcast(overall))
+      .select(col("state"), col("predicted_next"), col("train_total"),
+        col("n_test"), col("n_correct"),
+        (col("n_correct") / col("n_test")).as("accuracy"),
+        col("overall_accuracy"))
+      .orderBy("state")
+  }
 }

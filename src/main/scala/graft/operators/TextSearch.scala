@@ -414,6 +414,59 @@ object TextSearch {
     * Scale shape: token counts are one map-combinable aggregate; the
     * top-K cut is a distributed TakeOrdered (never a full sort); the
     * rank window and the OLS moments run on the K-row frame only. */
+  /** Heaps'-law fit of vocabulary growth — [[zipfFit]]'s companion
+    * corpus law (Heaps 1978: V(N) ≈ K·N^β, β ≈ 0.4–0.6 for natural
+    * text): vocabulary size vs corpus token count at `nCheckpoints`
+    * corpus prefixes, plus the log-log OLS (β, ln K, r²) in-row. A β
+    * near 0 flags a closed template vocabulary; near 1, id-like noise
+    * tokens — the tokenizer-budget planning curve.
+    *
+    * Scale shape — deliberately NO corpus-ordered row_number spine:
+    * prefixes are defined by EXACT doc-id quantile thresholds
+    * ([[Quantiles.exactQuantiles]], two-phase), each token carries its
+    * min containing doc id (one exploded aggregate), and every
+    * checkpoint's (N, V) is an aggregate against the broadcast 10-row
+    * threshold frame. The OLS runs on nCheckpoints rows. */
+  def heapsFit(docs: DataFrame, nCheckpoints: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nCheckpoints >= 3, "need at least 3 checkpoints to fit")
+    val qs = (1 to nCheckpoints).map(_.toDouble / nCheckpoints)
+    // 10-row threshold frame, consumed by three joins — pin it so the
+    // quantile selection runs once
+    val cuts = Quantiles.exactQuantiles(docs, idCol, qs)
+      .select(col("q"), col("value").cast("long").as("__cut"))
+      .localCheckpoint(false)
+    val tok = docs
+      .select(col(idCol), explode(TextFunctions.tokens(textCol)).as("tok"))
+      .filter(col("tok") =!= "")
+      .localCheckpoint(false) // feeds first-occurrence AND length sums
+    val firstDoc = tok.groupBy("tok").agg(min(col(idCol)).as("__fd"))
+    val docLen = tok.groupBy(idCol).agg(count(lit(1)).as("__len"))
+    val pts = cuts
+      .join(docLen.crossJoin(broadcast(cuts)).filter(col(idCol) <= col("__cut"))
+        .groupBy("q").agg(sum("__len").as("n_tokens"),
+          count(lit(1)).as("n_docs")), Seq("q"))
+      .join(firstDoc.crossJoin(broadcast(cuts)).filter(col("__fd") <= col("__cut"))
+        .groupBy("q").agg(count(lit(1)).as("vocab")), Seq("q"))
+      .localCheckpoint(false)
+    val m = pts.select(log(col("n_tokens").cast("double")).as("x"),
+        log(col("vocab").cast("double")).as("y"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val denY = col("n") * col("syy") - col("sy") * col("sy")
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val fit = m.select(
+      round(cov / den, 6).as("beta"),
+      round((col("sy") - cov / den * col("sx")) / col("n"), 6).as("ln_k"),
+      round(cov * cov / (den * denY), 6).as("r2"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("q"), col("__cut").as("doc_id_cut"), col("n_docs"),
+        col("n_tokens"), col("vocab"), col("beta"), col("ln_k"), col("r2"))
+      .orderBy("q")
+  }
+
   def zipfFit(docs: DataFrame, topK: Int = 1000,
       textCol: String = "text"): DataFrame = {
     val tf = docs

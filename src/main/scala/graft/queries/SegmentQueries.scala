@@ -299,6 +299,42 @@ object SegmentQueries {
   def q218CurationFunnel(s: SparkSession, d: String): DataFrame =
     Curation.curationFunnel(Tables.documents(s, d))
 
+  /** Markov next-event backtest
+    * ([[graft.operators.Sequences.markovBacktest]]): fit the q147
+    * transition argmax on md5-split train users, score held-out test
+    * transitions — the validated-predictor loop, exact integer
+    * accounting with unrounded exact-ratio accuracies. */
+  def q219MarkovBacktest(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sequences.markovBacktest(Tables.events(s, d),
+      keyCol = "user_id", tsCol = "ts", stateCol = "event_type",
+      tieCol = "event_id")
+
+  /** Brier-score Murphy decomposition ([[Eval.brierDecomposition]]):
+    * min-max-normalized account balance as a probability forecast of
+    * the BUILDING segment — chance-level by construction (the q180
+    * no-signal discipline: resolution ≈ 0, reliability ≈ the
+    * miscalibration of a uniform score); the discriminative path is
+    * spec-proven on a planted calibrated forecast. */
+  def q220Brier(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment").isNotNull &&
+      col("c_acctbal").isNotNull)
+    val mm = c.agg(min("c_acctbal").as("__lo"), max("c_acctbal").as("__hi"))
+    val scored = c.crossJoin(broadcast(mm))
+      .select(
+        ((col("c_acctbal") - col("__lo")) / (col("__hi") - col("__lo")))
+          .as("prob"),
+        (col("c_mktsegment") === "BUILDING").cast("int").as("label"))
+    Eval.brierDecomposition(scored, "prob", "label", nBins = 10)
+  }
+
+  /** Heaps'-law vocabulary-growth fit
+    * ([[graft.operators.TextSearch.heapsFit]]): V(N) at ten exact
+    * doc-id quantile prefixes + the log-log OLS (β, ln K, r²) in-row —
+    * q213's companion corpus law, with no corpus-ordered spine (the
+    * prefixes come from the two-phase quantile machinery). */
+  def q221Heaps(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextSearch.heapsFit(Tables.documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_rfm" -> (q196Rfm _),
     "q197_fuzzy_er" -> (q197FuzzyEr _),
@@ -322,7 +358,10 @@ object SegmentQueries {
     "q215_water_fill" -> (q215WaterFill _),
     "q216_partition_advisor" -> (q216PartitionAdvisor _),
     "q217_cosine_histogram" -> (q217CosineHistogram _),
-    "q218_curation_funnel" -> (q218CurationFunnel _)
+    "q218_curation_funnel" -> (q218CurationFunnel _),
+    "q219_markov_backtest" -> (q219MarkovBacktest _),
+    "q220_brier" -> (q220Brier _),
+    "q221_heaps" -> (q221Heaps _)
   )
 
   /** Shared oracle fragment: exact-quantile band cuts of column
@@ -678,6 +717,129 @@ object SegmentQueries {
         |FROM neu n2
         |WHERE n2.doc_id NOT IN (SELECT doc_id FROM losers)
         |ORDER BY 1""".stripMargin,
+    // thresholds via the exactQuantiles rank rule (cutsSql shape),
+    // vocab from token first-occurrence ids, same OLS moments
+    "q221_heaps" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |r AS (SELECT doc_id AS v,
+        |    row_number() OVER (ORDER BY doc_id) AS rk FROM documents),
+        |cuts AS (
+        |  SELECT qq.q,
+        |    max(CASE WHEN r.rk = CAST(ceil(qq.q * n.n) AS BIGINT)
+        |      THEN r.v END) AS cut
+        |  FROM r CROSS JOIN n
+        |  CROSS JOIN (SELECT unnest(range(1, 11)) / 10.0 AS q) qq
+        |  GROUP BY 1),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+        |fd AS (SELECT tok, min(doc_id) AS fdoc FROM tk GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+        |  FROM tk GROUP BY 1),
+        |nt AS (
+        |  SELECT c.q, CAST(sum(dl.len) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM cuts c JOIN dl ON dl.doc_id <= c.cut GROUP BY 1),
+        |vv AS (
+        |  SELECT c.q, CAST(count(*) AS BIGINT) AS vocab
+        |  FROM cuts c JOIN fd ON fd.fdoc <= c.cut GROUP BY 1),
+        |pts AS (
+        |  SELECT c.q, c.cut, nt.n_docs, nt.n_tokens, vv.vocab
+        |  FROM cuts c JOIN nt USING (q) JOIN vv USING (q)),
+        |m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    sum(ln(n_tokens)) AS sx, sum(ln(vocab)) AS sy,
+        |    sum(ln(n_tokens) * ln(vocab)) AS sxy,
+        |    sum(ln(n_tokens) * ln(n_tokens)) AS sxx,
+        |    sum(ln(vocab) * ln(vocab)) AS syy
+        |  FROM pts)
+        |SELECT pts.q, pts.cut AS doc_id_cut, pts.n_docs, pts.n_tokens,
+        |  pts.vocab,
+        |  round((m.n * m.sxy - m.sx * m.sy)
+        |    / (m.n * m.sxx - m.sx * m.sx), 6) AS beta,
+        |  round((m.sy - (m.n * m.sxy - m.sx * m.sy)
+        |    / (m.n * m.sxx - m.sx * m.sx) * m.sx) / m.n, 6) AS ln_k,
+        |  round((m.n * m.sxy - m.sx * m.sy) * (m.n * m.sxy - m.sx * m.sy)
+        |    / ((m.n * m.sxx - m.sx * m.sx) * (m.n * m.syy - m.sy * m.sy)), 6)
+        |    AS r2
+        |FROM pts CROSS JOIN m ORDER BY q""".stripMargin,
+    // identical bin cells and Murphy arithmetic; aggregated doubles
+    // rounded at 6 on both sides
+    "q220_brier" ->
+      """WITH c AS (
+        |  SELECT c_acctbal, c_mktsegment FROM customer
+        |  WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL),
+        |mm AS (SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM c),
+        |s AS (
+        |  SELECT (c_acctbal - mm.lo) / (mm.hi - mm.lo) AS p,
+        |    CAST(c_mktsegment = 'BUILDING' AS INT) AS y
+        |  FROM c CROSS JOIN mm),
+        |b AS (
+        |  SELECT p, CAST(y AS DOUBLE) AS y,
+        |    least(CAST(floor(p * 10) AS INT), 9) AS bin
+        |  FROM s),
+        |cells AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    avg(p) AS mp, avg(y) AS fy
+        |  FROM b GROUP BY 1),
+        |br AS (SELECT avg((p - y) * (p - y)) AS brier FROM b),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    sum(fy * n) / sum(n) AS ybar
+        |  FROM cells),
+        |sc AS (
+        |  SELECT sum(n * (mp - fy) * (mp - fy)) / tot.nn AS rel,
+        |    sum(n * (fy - tot.ybar) * (fy - tot.ybar)) / tot.nn AS res,
+        |    any_value(tot.ybar) * (1 - any_value(tot.ybar)) AS unc
+        |  FROM cells CROSS JOIN tot GROUP BY tot.nn, tot.ybar)
+        |SELECT cells.bin, cells.n,
+        |  round(cells.mp, 6) AS mean_predicted,
+        |  round(cells.fy, 6) AS frac_positive,
+        |  round(br.brier, 6) AS brier,
+        |  round(sc.rel, 6) AS reliability,
+        |  round(sc.res, 6) AS resolution,
+        |  round(sc.unc, 6) AS uncertainty
+        |FROM cells CROSS JOIN br CROSS JOIN sc
+        |ORDER BY bin""".stripMargin,
+    // same lead() pairs, md5 user split, train argmax with lexical
+    // tie, held-out scoring; accuracies are unrounded exact-long
+    // ratios
+    "q219_markov_backtest" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt,
+        |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 6))
+        |      ::BIGINT % 100 < 80 THEN 'train' ELSE 'test' END AS spl
+        |  FROM events WHERE user_id IS NOT NULL),
+        |p AS (SELECT * FROM pairs WHERE nxt IS NOT NULL),
+        |fit AS (
+        |  SELECT state, nxt, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE spl = 'train' GROUP BY 1, 2),
+        |best AS (
+        |  SELECT state, max(n) AS bn, CAST(sum(n) AS BIGINT) AS train_total
+        |  FROM fit GROUP BY 1),
+        |pred AS (
+        |  SELECT f.state, b.train_total, min(f.nxt) AS predicted_next
+        |  FROM fit f JOIN best b ON b.state = f.state AND f.n = b.bn
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT p.state, pr.predicted_next, pr.train_total,
+        |    CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN p.nxt = pr.predicted_next THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_correct
+        |  FROM p JOIN pred pr ON pr.state = p.state
+        |  WHERE p.spl = 'test' GROUP BY 1, 2, 3),
+        |ov AS (
+        |  SELECT coalesce(sum(n_correct), 0) * 1.0 /
+        |    greatest(coalesce(sum(n_test), 0), 1) AS overall_accuracy
+        |  FROM scored)
+        |SELECT s.state, s.predicted_next, s.train_total, s.n_test,
+        |  s.n_correct, s.n_correct * 1.0 / s.n_test AS accuracy,
+        |  ov.overall_accuracy
+        |FROM scored s CROSS JOIN ov ORDER BY 1""".stripMargin,
     // every stage restated in its already-proven oracle idiom: md5
     // split buckets, q115 quality score, min-id md5 dedup, q116-style
     // 13-gram shingles, q113's budget cut as a plain cumsum

@@ -238,6 +238,52 @@ class SegmentOpsSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getAs[Long]("kept_doc_id") == 2L)
   }
 
+  test("markov backtest: deterministic alternating sequences score 1.0") {
+    val s = spark; import s.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // every user alternates A,B,A,B,A → transitions A->B, B->A always
+    val rows = (0 until 40).flatMap { u =>
+      (0 until 5).map(i => (s"u$u", i.toLong, ts(i * 60L),
+        if (i % 2 == 0) "A" else "B"))
+    }
+    val df = rows.toDF("user_id", "event_id", "ts", "event_type")
+    val out = Sequences.markovBacktest(df, "user_id", "ts", "event_type",
+      "event_id").collect()
+    assert(out.nonEmpty)
+    val m = out.map(r => r.getAs[String]("state") ->
+      r.getAs[String]("predicted_next")).toMap
+    assert(m == Map("A" -> "B", "B" -> "A"))
+    assert(out.forall(_.getAs[Double]("accuracy") == 1.0))
+    assert(out.forall(_.getAs[Double]("overall_accuracy") == 1.0))
+  }
+
+  test("brier decomposition: calibrated two-bin forecast, exact Murphy terms") {
+    val s = spark; import s.implicits._
+    // 8 @ p=.25 (2 pos) + 8 @ p=.75 (6 pos): reliability 0,
+    // resolution .0625, uncertainty .25, brier = 0 - .0625 + .25 = .1875
+    val rows = (Seq.fill(2)((0.25, 1)) ++ Seq.fill(6)((0.25, 0)) ++
+      Seq.fill(6)((0.75, 1)) ++ Seq.fill(2)((0.75, 0)))
+    val out = Eval.brierDecomposition(rows.toDF("p", "y"), "p", "y", nBins = 10)
+      .collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Double]("reliability") == 0.0))
+    assert(out.forall(_.getAs[Double]("resolution") == 0.0625))
+    assert(out.forall(_.getAs[Double]("uncertainty") == 0.25))
+    assert(out.forall(_.getAs[Double]("brier") == 0.1875))
+  }
+
+  test("heaps fit: hand-built vocabulary growth points") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "a b"), (2L, "a c"), (3L, "a b c d"), (4L, "e"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextSearch.heapsFit(df, nCheckpoints = 4)
+      .collect().sortBy(_.getAs[Double]("q"))
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq == Seq(2L, 4L, 8L, 9L))
+    assert(out.map(_.getAs[Long]("vocab")).toSeq == Seq(2L, 3L, 4L, 5L))
+    assert(out.head.getAs[Double]("beta") > 0.0)
+    assert(out.head.getAs[Double]("r2") > 0.8)
+  }
+
   test("partition advisor: counts, skew, and small-partition exposure") {
     val s = spark; import s.implicits._
     // k: a×6, b×2, c×2 → 3 parts, avg 3.33, skew 6/(10/3) = 1.8
