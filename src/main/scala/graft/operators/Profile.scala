@@ -55,6 +55,30 @@ object Profile {
       .orderBy(g: _*)
   }
 
+  /** Schema profile of a free-form JSON column — the first question
+    * against a landed `props`/payload field: which keys exist, how
+    * often, with how many distinct values, and what share parse as
+    * numbers (the "is this really a metric" signal before anyone
+    * writes `props.k` into a pipeline). Malformed JSON rows contribute
+    * nothing (parse-to-null, the q42 convention).
+    *
+    * Scale shape: one `from_json` map parse + explode (row-local),
+    * one key-cell aggregate. The numeric share is an unrounded
+    * exact-long ratio (bit-identical across engines — the q212
+    * discipline); distinct counts are exact. */
+  def jsonProfile(df: DataFrame, jsonCol: String): DataFrame = {
+    val kv = df.select(explode(
+        from_json(col(jsonCol), MapType(StringType, StringType)))
+        .as(Seq("key", "value")))
+      .filter(col("key").isNotNull)
+    kv.groupBy("key").agg(
+        count(lit(1)).as("n_present"),
+        countDistinct("value").as("n_distinct"),
+        (sum(col("value").rlike("^-?[0-9]+(\\.[0-9]+)?$").cast("long"))
+          / count(lit(1))).as("numeric_share"))
+      .orderBy("key")
+  }
+
   def profile(df: DataFrame): DataFrame = {
     val cols = df.schema.fields
     def isNum(t: DataType) = t match {

@@ -436,10 +436,16 @@ object TextSearch {
     val cuts = Quantiles.exactQuantiles(docs, idCol, qs)
       .select(col("q"), col("value").cast("long").as("__cut"))
       .localCheckpoint(false)
+    // the exploded (doc, token) stream feeds two aggregates with
+    // DIFFERENT keys (token-min and doc-count), so exchange reuse
+    // cannot share it; the checkpoint trades executor storage of the
+    // narrow token stream for the second tokenize+explode pass — at
+    // extreme scale prefer dropping it and paying the re-scan (the
+    // storage is corpus-order; the re-scan is map-only)
     val tok = docs
       .select(col(idCol), explode(TextFunctions.tokens(textCol)).as("tok"))
       .filter(col("tok") =!= "")
-      .localCheckpoint(false) // feeds first-occurrence AND length sums
+      .localCheckpoint(false)
     val firstDoc = tok.groupBy("tok").agg(min(col(idCol)).as("__fd"))
     val docLen = tok.groupBy(idCol).agg(count(lit(1)).as("__len"))
     val pts = cuts

@@ -335,6 +335,53 @@ object SegmentQueries {
   def q221Heaps(s: SparkSession, d: String): DataFrame =
     graft.operators.TextSearch.heapsFit(Tables.documents(s, d))
 
+  /** JSON payload schema profile ([[Profile.jsonProfile]]) over event
+    * props ∪ planted heterogeneous/malformed docs (q67 pattern — the
+    * real column is single-key, so the multi-key, boolean, float, and
+    * parse-failure paths are all exercised in-query). */
+  def q222JsonProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      (-1L, """{"k": 5, "tag": "alpha", "flag": true}"""),
+      (-2L, """{"tag": "beta", "ratio": 0.5}"""),
+      (-3L, "not json"))
+      .toDF("event_id", "props")
+    val all = Tables.events(s, d).select("event_id", "props")
+      .unionByName(planted)
+    Profile.jsonProfile(all, "props")
+  }
+
+  /** Pareto contribution cut over part revenue — "the smallest part
+    * set covering 80% of revenue" — as a COMPOSITION of the q113
+    * bucketed budget cut (never an unpartitioned cumsum): scores are
+    * max-normalized revenue, tokens are exact revenue cents, budget =
+    * 80% of total cents. Output: surviving parts with their cumulative
+    * cents, plus in-row coverage stats. */
+  def q223Pareto(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .groupBy("l_partkey")
+      .agg(sum(round(col("l_extendedprice") * 100)).cast("long")
+        .as("rev_cents"))
+      .localCheckpoint(false) // feeds the minmax, the cut, and the stats
+    val mm = rev.agg(max("rev_cents").as("__mx"),
+      sum("rev_cents").as("__tot"),
+      floor(sum("rev_cents") * 0.8).cast("long").as("__b"),
+      count(lit(1)).as("__nparts"))
+    val cut = Curation.tokenBudgetCut(
+      rev.crossJoin(broadcast(mm)),
+      score = col("rev_cents") / col("__mx"),
+      tieBreak = col("l_partkey"),
+      nTokens = col("rev_cents"),
+      budgetTokens = col("__b"))
+    val kept = cut.agg(count(lit(1)).as("__nkept"),
+      sum("rev_cents").as("__kc"))
+    cut.crossJoin(broadcast(kept))
+      .select(col("l_partkey"), col("rev_cents"), col("cum_tokens"),
+        col("__nkept").as("n_parts_kept"), col("__nparts").as("n_parts_total"),
+        (col("__kc") / col("__tot")).as("covered_share"))
+      .orderBy("l_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_rfm" -> (q196Rfm _),
     "q197_fuzzy_er" -> (q197FuzzyEr _),
@@ -361,7 +408,9 @@ object SegmentQueries {
     "q218_curation_funnel" -> (q218CurationFunnel _),
     "q219_markov_backtest" -> (q219MarkovBacktest _),
     "q220_brier" -> (q220Brier _),
-    "q221_heaps" -> (q221Heaps _)
+    "q221_heaps" -> (q221Heaps _),
+    "q222_json_profile" -> (q222JsonProfile _),
+    "q223_pareto" -> (q223Pareto _)
   )
 
   /** Shared oracle fragment: exact-quantile band cuts of column
@@ -765,6 +814,52 @@ object SegmentQueries {
         |    / ((m.n * m.sxx - m.sx * m.sx) * (m.n * m.syy - m.sy * m.sy)), 6)
         |    AS r2
         |FROM pts CROSS JOIN m ORDER BY q""".stripMargin,
+    // json_keys + dynamic json_extract_string restate the map parse;
+    // malformed rows excluded by json_valid (the parse-to-null twin)
+    "q222_json_profile" ->
+      """WITH pl(event_id, props) AS (VALUES
+        |  (-1, '{"k": 5, "tag": "alpha", "flag": true}'),
+        |  (-2, '{"tag": "beta", "ratio": 0.5}'),
+        |  (-3, 'not json')),
+        |allp AS (
+        |  SELECT props FROM events UNION ALL SELECT props FROM pl),
+        |ok AS (SELECT props FROM allp WHERE json_valid(props)),
+        |kv AS (SELECT unnest(json_keys(props)) AS key, props FROM ok),
+        |v AS (
+        |  SELECT key, json_extract_string(props, '$.' || key) AS value
+        |  FROM kv)
+        |SELECT key, CAST(count(*) AS BIGINT) AS n_present,
+        |  CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+        |  CAST(sum(CASE WHEN regexp_matches(value,
+        |    '^-?[0-9]+(\.[0-9]+)?$') THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1.0 / count(*) AS numeric_share
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the plain desc-order cumulative window IS the oracle; the
+    // engine's bucketed prefix must reproduce it (q113 proof shape)
+    "q223_pareto" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(round(l_extendedprice * 100)) AS BIGINT) AS rev_cents
+        |  FROM lineitem GROUP BY 1),
+        |mm AS (
+        |  SELECT CAST(sum(rev_cents) AS BIGINT) AS tot,
+        |    CAST(floor(sum(rev_cents) * 0.8) AS BIGINT) AS b,
+        |    CAST(count(*) AS BIGINT) AS nparts
+        |  FROM rev),
+        |c AS (
+        |  SELECT l_partkey, rev_cents,
+        |    CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM rev),
+        |cut AS (SELECT c.* FROM c CROSS JOIN mm WHERE cum_tokens <= mm.b),
+        |k AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nkept,
+        |    CAST(sum(rev_cents) AS BIGINT) AS kc
+        |  FROM cut)
+        |SELECT cut.l_partkey, cut.rev_cents, cut.cum_tokens,
+        |  k.nkept AS n_parts_kept, mm.nparts AS n_parts_total,
+        |  k.kc * 1.0 / mm.tot AS covered_share
+        |FROM cut CROSS JOIN k CROSS JOIN mm ORDER BY 1""".stripMargin,
     // identical bin cells and Murphy arithmetic; aggregated doubles
     // rounded at 6 on both sides
     "q220_brier" ->
