@@ -28,6 +28,43 @@ import org.apache.spark.sql.functions._
   * has no skew problem) and the fact side skews. */
 object SkewJoin {
 
+  /** Pre-join skew audit — the diagnosis that decides between a plain
+    * shuffle join, [[saltedEquiJoin]], and a broadcast: per join key
+    * (top `topN` by join work), both sides' row counts, the key's
+    * OUTPUT contribution left_n·right_n (the reducer that would build
+    * it), and in-row totals: total output rows, the top-1 key's share
+    * of output (the straggler predictor — one reducer owns that
+    * share under a plain hash join), and both sides' key counts.
+    *
+    * Scale shape: one value-count aggregate per side, an inner join of
+    * the two COUNT frames (key-cardinality-sized, never the data),
+    * and a distributed top-N on the product. Counts/products exact
+    * (below 2⁶³ for any real key); the share is an unrounded
+    * exact-long ratio. */
+  def skewReport(left: DataFrame, right: DataFrame, keys: Seq[String],
+      topN: Int = 20): DataFrame = {
+    require(keys.nonEmpty, "skewReport needs join keys")
+    val k = keys.map(col)
+    def counts(df: DataFrame, out: String) =
+      df.select(k: _*).na.drop(keys)
+        .groupBy(k: _*).agg(count(lit(1)).as(out))
+    val joined = counts(left, "left_n").join(counts(right, "right_n"), keys)
+      .withColumn("out_n", col("left_n") * col("right_n"))
+      .localCheckpoint(false) // totals + top-N both read it
+    val tot = joined.agg(
+      coalesce(sum("out_n"), lit(0L)).as("__tot"),
+      coalesce(max("out_n"), lit(0L)).as("__max"),
+      count(lit(1)).as("__nkeys"))
+    val top = Ranking.topK(joined, topN, (col("out_n").desc +: k): _*)
+    top.crossJoin(broadcast(tot))
+      .select((k :+ col("rank")) ++ Seq(col("left_n"), col("right_n"),
+        col("out_n"),
+        col("__tot").as("total_output_rows"),
+        (col("__max") / greatest(col("__tot"), lit(1L))).as("top1_share"),
+        col("__nkeys").as("n_join_keys")): _*)
+      .orderBy("rank")
+  }
+
   /** Inner equi-join of `fact` ⨝ `dim` on `keys`, salted `salts` ways.
     * Column sets must be disjoint apart from `keys` (standard join
     * hygiene; the result carries keys + both sides' payloads). */

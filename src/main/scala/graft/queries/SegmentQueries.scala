@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Changepoint, Curation, Dedup, EntityRes, Eval, Experiment, Intervals, Profile, Rfm, Skyline, StatTests}
+import graft.operators.{Changepoint, Curation, Dedup, EntityRes, Eval, Experiment, Intervals, Profile, Quantiles, Rfm, Skyline, StatTests}
 import graft.sources.Tables
 
 /** Round-7 sixth/seventh tranches — segmentation, shortlist, and
@@ -382,6 +382,42 @@ object SegmentQueries {
       .orderBy("l_partkey")
   }
 
+  /** Pre-join skew audit ([[graft.operators.SkewJoin.skewReport]])
+    * for the events self-join on user_id: per heavy key both sides'
+    * counts and the output blow-up, with the top-1 reducer share
+    * in-row — the diagnosis that decides plain vs salted (q131) vs
+    * broadcast. */
+  def q224SkewReport(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("user_id", "event_id")
+    graft.operators.SkewJoin.skewReport(ev, ev, Seq("user_id"), topN = 20)
+  }
+
+  /** Transition dwell times: per (state → next) of the q147 matrix,
+    * the count, mean, and EXACT median inter-event gap
+    * ([[Quantiles.exactQuantiles]] grouped by the transition) — "how
+    * long from view to purchase", integer-micros gaps end to end. */
+  def q225TransitionGaps(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .withColumn("__next", lead(col("event_type"), 1).over(w))
+      .withColumn("__gap",
+        lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+      .where(col("__next").isNotNull)
+      .select(col("event_type").as("state"), col("__next").as("next_state"),
+        col("__gap"))
+      .localCheckpoint(false) // stats + median both read the window pass
+    val stats = pairs.groupBy("state", "next_state")
+      .agg(count(lit(1)).as("n"),
+        (sum("__gap") / count(lit(1)) / 1e6).as("mean_gap_sec"))
+    val med = Quantiles.exactQuantiles(pairs, "__gap", Seq(0.5),
+        Seq("state", "next_state"), checkpointInput = false)
+      .select(col("state"), col("next_state"),
+        (col("value") / 1e6).as("p50_gap_sec"))
+    stats.join(med, Seq("state", "next_state"))
+      .orderBy("state", "next_state")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_rfm" -> (q196Rfm _),
     "q197_fuzzy_er" -> (q197FuzzyEr _),
@@ -410,7 +446,9 @@ object SegmentQueries {
     "q220_brier" -> (q220Brier _),
     "q221_heaps" -> (q221Heaps _),
     "q222_json_profile" -> (q222JsonProfile _),
-    "q223_pareto" -> (q223Pareto _)
+    "q223_pareto" -> (q223Pareto _),
+    "q224_skew_report" -> (q224SkewReport _),
+    "q225_transition_gaps" -> (q225TransitionGaps _)
   )
 
   /** Shared oracle fragment: exact-quantile band cuts of column
@@ -814,6 +852,58 @@ object SegmentQueries {
         |    / ((m.n * m.sxx - m.sx * m.sx) * (m.n * m.syy - m.sy * m.sy)), 6)
         |    AS r2
         |FROM pts CROSS JOIN m ORDER BY q""".stripMargin,
+    // count frames joined on the key, product work, top-20 by (out_n
+    // DESC, key); share = unrounded exact-long ratio
+    "q224_skew_report" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |j AS (
+        |  SELECT user_id, n AS left_n, n AS right_n, n * n AS out_n
+        |  FROM c),
+        |tot AS (
+        |  SELECT CAST(sum(out_n) AS BIGINT) AS tot,
+        |    CAST(max(out_n) AS BIGINT) AS mx,
+        |    CAST(count(*) AS BIGINT) AS nk
+        |  FROM j),
+        |top AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY out_n DESC, user_id)
+        |    AS INT) AS rank
+        |  FROM j QUALIFY rank <= 20)
+        |SELECT top.user_id, top.rank, top.left_n, top.right_n, top.out_n,
+        |  tot.tot AS total_output_rows,
+        |  tot.mx * 1.0 / greatest(tot.tot, 1) AS top1_share,
+        |  tot.nk AS n_join_keys
+        |FROM top CROSS JOIN tot ORDER BY rank""".stripMargin,
+    // same lead() pairs; the exact median restates the ceil(0.5·n)
+    // rank rule per transition; gaps are integer micros
+    "q225_transition_gaps" ->
+      """WITH p AS (
+        |  SELECT event_type AS state,
+        |    lead(event_type) OVER w AS next_state,
+        |    epoch_us(lead(ts) OVER w) - epoch_us(ts) AS g
+        |  FROM events WHERE user_id IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |pp AS (SELECT * FROM p WHERE next_state IS NOT NULL),
+        |st AS (
+        |  SELECT state, next_state, CAST(count(*) AS BIGINT) AS n,
+        |    sum(g) / count(*) / 1000000.0 AS mean_gap_sec
+        |  FROM pp GROUP BY 1, 2),
+        |r AS (
+        |  SELECT state, next_state, g,
+        |    row_number() OVER (PARTITION BY state, next_state
+        |      ORDER BY g) AS rk,
+        |    count(*) OVER (PARTITION BY state, next_state) AS cnt
+        |  FROM pp),
+        |med AS (
+        |  SELECT state, next_state,
+        |    max(CASE WHEN rk = CAST(ceil(0.5 * cnt) AS BIGINT) THEN g END)
+        |      / 1000000.0 AS p50_gap_sec
+        |  FROM r GROUP BY 1, 2)
+        |SELECT st.state, st.next_state, st.n, st.mean_gap_sec,
+        |  med.p50_gap_sec
+        |FROM st JOIN med USING (state, next_state)
+        |ORDER BY 1, 2""".stripMargin,
     // json_keys + dynamic json_extract_string restate the map parse;
     // malformed rows excluded by json_valid (the parse-to-null twin)
     "q222_json_profile" ->
