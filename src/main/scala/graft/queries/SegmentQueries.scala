@@ -418,6 +418,54 @@ object SegmentQueries {
       .orderBy("state", "next_state")
   }
 
+  /** TTL streaming dedup ([[graft.streaming.StreamingOps
+    * .dedupStreamTtl]], `dropDuplicatesWithinWatermark`, 1-day TTL)
+    * driven through a 3-batch staged timeline (`maxFilesPerTrigger`
+    * 1, mtime-ordered files): batch 2 re-delivers a fingerprint
+    * WITHIN the TTL (must drop) and pushes the watermark 10 days out;
+    * batch 3 re-delivers the same fingerprint AFTER state expiry
+    * (must land again). Both TTL paths are therefore forced and the
+    * oracle states the exact surviving (doc_id, fingerprint) set —
+    * the bounded-state semantics q71's NoTimeout dedup cannot offer. */
+  def q226StreamDedupTtl(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import java.nio.file._
+    def ts(off: Long) = new java.sql.Timestamp((1704067200L + off) * 1000L)
+    val day = 86400L
+    val f1 = Seq((1L, "alpha beta gamma", ts(0L)),
+      (2L, "delta epsilon zeta", ts(60L)))
+    val f2 = Seq((100L, "watermark pusher text", ts(10 * day)),
+      (3L, "alpha beta gamma", ts(3600L))) // within TTL → dropped
+    // state eviction runs at batch END (after that batch's dedup
+    // checks), so the post-expiry re-delivery needs its own batch
+    // AFTER one that ran with the advanced watermark — the spacer
+    val f3 = Seq((101L, "second pusher text", ts(10 * day + 60L)))
+    val f4 = Seq((4L, "alpha beta gamma", ts(9 * day + 3600L)), // post-expiry → lands
+      (5L, "omega psi chi", ts(9 * day + 7200L)))
+    val dir = Files.createTempDirectory("graft_q226").toString
+    Seq(f1, f2, f3, f4).zipWithIndex.foreach { case (rows, i) =>
+      val p = s"$dir/batch$i"
+      rows.toDF("doc_id", "text", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(p)
+      // deterministic batch order: the file source lists by mtime
+      val it = Files.list(Paths.get(p)).iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        Files.setLastModifiedTime(f,
+          attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+    }
+    val stream = s.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/batch*")
+    graft.streaming.StreamingOps.runToMemory(s,
+        graft.streaming.StreamingOps.dedupStreamTtl(stream, "1 day"),
+        "graft_stream_dedup_ttl", outputMode = "append", awaitRows = 6L)
+      .select(col("doc_id"), col("fingerprint"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_rfm" -> (q196Rfm _),
     "q197_fuzzy_er" -> (q197FuzzyEr _),
@@ -448,7 +496,8 @@ object SegmentQueries {
     "q222_json_profile" -> (q222JsonProfile _),
     "q223_pareto" -> (q223Pareto _),
     "q224_skew_report" -> (q224SkewReport _),
-    "q225_transition_gaps" -> (q225TransitionGaps _)
+    "q225_transition_gaps" -> (q225TransitionGaps _),
+    "q226_stream_dedup_ttl" -> (q226StreamDedupTtl _)
   )
 
   /** Shared oracle fragment: exact-quantile band cuts of column
@@ -852,6 +901,19 @@ object SegmentQueries {
         |    / ((m.n * m.sxx - m.sx * m.sx) * (m.n * m.syy - m.sy * m.sy)), 6)
         |    AS r2
         |FROM pts CROSS JOIN m ORDER BY q""".stripMargin,
+    // the forced TTL timeline's exact surviving set: batch-1 firsts
+    // land, the within-TTL re-delivery (doc 3) drops, the post-expiry
+    // re-delivery (doc 4) lands again, plus the pusher and the novel
+    // doc — fingerprints recomputed by DuckDB's md5
+    "q226_stream_dedup_ttl" ->
+      """SELECT doc_id, md5(text) AS fingerprint FROM (VALUES
+        |  (1, 'alpha beta gamma'),
+        |  (2, 'delta epsilon zeta'),
+        |  (4, 'alpha beta gamma'),
+        |  (5, 'omega psi chi'),
+        |  (100, 'watermark pusher text'),
+        |  (101, 'second pusher text')) AS t(doc_id, text)
+        |ORDER BY doc_id""".stripMargin,
     // count frames joined on the key, product work, top-20 by (out_n
     // DESC, key); share = unrounded exact-long ratio
     "q224_skew_report" ->

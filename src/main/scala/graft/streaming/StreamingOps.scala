@@ -206,6 +206,22 @@ object StreamingOps {
     w.start()
   }
 
+  /** Streaming dedup with BOUNDED state — the TTL fix for
+    * [[dedupStream]]'s NoTimeout `GroupState` (whose fingerprint state
+    * grows forever; at 100 TB of continuous ingest that is the state
+    * store that eventually evicts everything else):
+    * `dropDuplicatesWithinWatermark` keeps the FIRST row per
+    * fingerprint and lets the watermark expire fingerprint state once
+    * event time moves `ttl` past it. The semantic trade is explicit
+    * and intended: a duplicate re-delivered WITHIN the ttl is dropped;
+    * one arriving after state expiry lands again — exactly the
+    * contract of every production streaming dedup (dedup windows, not
+    * dedup forever), and the two paths q226 plants and hash-checks. */
+  def dedupStreamTtl(docs: DataFrame, ttl: String): DataFrame =
+    docs.selectExpr("doc_id", "ts", "md5(text) AS fingerprint")
+      .withWatermark("ts", ttl)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** Drain a streaming aggregate to a memory sink synchronously
     * (complete mode) and return the result table — the local test/verify
     * harness for streaming queries.
