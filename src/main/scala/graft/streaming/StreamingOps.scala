@@ -319,12 +319,20 @@ object StreamingOps {
         q.recentProgress.foreach(p => if (p.runId == q.runId && qualifies(p)) latch.countDown())
       q.processAllAvailable()
       if (needsDrainWait) {
-        val drained =
-          latch.await(30, java.util.concurrent.TimeUnit.SECONDS) &&
+        // passthrough emitters (dropDuplicatesWithinWatermark, plain
+        // filters) land their rows in the DATA batches — if the sink
+        // already holds the promised rows, there is no terminal
+        // eviction batch to wait for and the latch may never fire
+        // (measured: 30 s of pure latch timeout on q226 before this
+        // check existed)
+        val alreadyDrained = awaitRows > 0 && target.isEmpty &&
+          spark.table(name).count() >= awaitRows
+        val drained = alreadyDrained ||
+          (latch.await(30, java.util.concurrent.TimeUnit.SECONDS) &&
             // the latch proves the terminal eviction batch committed;
             // in awaitRows mode additionally confirm the sink actually
             // holds the promised rows before trusting it
-            (awaitRows <= 0 || spark.table(name).count() >= awaitRows)
+            (awaitRows <= 0 || spark.table(name).count() >= awaitRows))
         if (!drained) {
           // fallback: the original bounded sleep-polls
           val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
