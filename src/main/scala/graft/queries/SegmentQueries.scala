@@ -470,6 +470,36 @@ object SegmentQueries {
       .orderBy("doc_id")
   }
 
+  /** Local-supplier revenue by nation (the TPC-H Q5 shape): the
+    * 6-table join — region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈
+    * supplier with the local-supply condition c_nationkey =
+    * s_nationkey — over a date window. The multi-join planning
+    * showcase: three broadcast dims (region, nation, supplier), two
+    * fact shuffles (orders⋈customer on custkey feeding lineitem on
+    * orderkey), revenue as exact cents. */
+  def q227LocalRevenue(s: SparkSession, d: String): DataFrame = {
+    val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(s, d)
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1998-01-01")
+    val li = Tables.lineitem(s, d)
+    val supp = Tables.supplier(s, d)
+    cust
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .join(ord, col("o_custkey") === col("c_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100))
+        .cast("long").as("revenue_cents"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("revenue_cents").desc, col("n_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_rfm" -> (q196Rfm _),
     "q197_fuzzy_er" -> (q197FuzzyEr _),
@@ -501,7 +531,8 @@ object SegmentQueries {
     "q223_pareto" -> (q223Pareto _),
     "q224_skew_report" -> (q224SkewReport _),
     "q225_transition_gaps" -> (q225TransitionGaps _),
-    "q226_stream_dedup_ttl" -> (q226StreamDedupTtl _)
+    "q226_stream_dedup_ttl" -> (q226StreamDedupTtl _),
+    "q227_local_revenue" -> (q227LocalRevenue _)
   )
 
   /** Shared oracle fragment: exact-quantile band cuts of column
@@ -905,6 +936,24 @@ object SegmentQueries {
         |    / ((m.n * m.sxx - m.sx * m.sx) * (m.n * m.syy - m.sy * m.sy)), 6)
         |    AS r2
         |FROM pts CROSS JOIN m ORDER BY q""".stripMargin,
+    // the same 6-table join; revenue summed in exact cents
+    "q227_local_revenue" ->
+      """SELECT n.n_name,
+        |  CAST(sum(round(l.l_extendedprice * (1.0 - l.l_discount) * 100))
+        |    AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n_lineitems
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  AND s.s_nationkey = c.c_nationkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= DATE '1996-01-01'
+        |  AND o.o_orderdate < DATE '1998-01-01'
+        |GROUP BY 1
+        |ORDER BY revenue_cents DESC, n_name""".stripMargin,
     // the forced TTL timeline's exact surviving set: batch-1 firsts
     // land, the within-TTL re-delivery (doc 3) drops, the post-expiry
     // re-delivery (doc 4) lands again, plus the pusher and the novel
