@@ -33,7 +33,11 @@ import org.apache.spark.sql.functions._
   * The bucketing is result-invariant (the driver's q209 hash oracle
   * is the PLAIN overlap join — the grid must change the schedule,
   * never the answer; the q131 salting proof shape). Bounds are longs
-  * (epoch micros by convention) — integer arithmetic end to end. */
+  * (epoch micros by convention) — integer arithmetic end to end.
+  * Negative bounds are safe despite `div`'s truncate-toward-zero
+  * (bucket 0 spans 2·width−1 values there): the mapping stays
+  * MONOTONE, which is the only property the covering sequences and
+  * the canonical-bucket equality rely on. */
 object Intervals {
 
   /** @param keys        equi-join key columns present on both sides

@@ -126,7 +126,13 @@ object Sequences {
     * accuracy divisions are single divisions of exact longs —
     * bit-identical in any engine — and therefore deliberately
     * UNROUNDED (the q212 lesson: rounding would only reintroduce the
-    * decimal-half boundary hazard). */
+    * decimal-half boundary hazard).
+    *
+    * Cold-start contract (explicit): a TEST transition whose state
+    * never appeared in training has no prediction and is EXCLUDED —
+    * `overall_accuracy` measures accuracy ON PREDICTABLE STATES, the
+    * deployable-model question; a caller wanting coverage-penalized
+    * accuracy left-joins the test pairs against this output. */
   def markovBacktest(df: DataFrame, keyCol: String, tsCol: String,
       stateCol: String, tieCol: String, trainPct: Int = 80): DataFrame = {
     val data = df.filter(col(keyCol).isNotNull)

@@ -46,6 +46,16 @@ class IntervalsSpec extends AnyFunSuite {
     assert(out.count() == 1L)
   }
 
+  test("negative bounds: truncating div stays monotone, grid still exact") {
+    val l = left(("a", 1L, -25L, -5L), ("a", 2L, -100L, -80L))
+    val r = right(("a", 1L, -10L, 3L), ("a", 2L, -79L, -60L))
+    for (w <- Seq(1L, 7L, 64L)) {
+      val out = Intervals.overlapJoin(l, r, Seq("k"), "ls", "le", "rs", "re", w)
+        .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(out == Set((1L, 1L)), s"bucketWidth=$w")
+    }
+  }
+
   test("grid-invariance: any bucket width reproduces the naive join") {
     val s = spark; import s.implicits._
     // deterministic pseudo-random intervals on 3 keys
