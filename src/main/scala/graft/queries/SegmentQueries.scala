@@ -500,6 +500,48 @@ object SegmentQueries {
       .orderBy(col("revenue_cents").desc, col("n_name"))
   }
 
+  /** Trailing-1-hour RANGE-frame window per user (the event-time
+    * range frame the row-frame q48 cannot express: "events in the
+    * last hour" regardless of how many rows that is). Sums ride in
+    * exact integer cents so the moving-frame aggregation order
+    * (sequential vs segment-tree) can never show through. */
+  def q228TrailingWindow(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("__us"))
+      .rangeBetween(-(hourUs - 1), org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.events(s, d).filter(col("user_id").isNotNull)
+      .withColumn("__us", unix_micros(col("ts")))
+      .withColumn("__cents", round(col("value") * 100).cast("long"))
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("events_1h"),
+        (sum("__cents").over(w) / 100.0).as("value_1h"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Fulfillment lead time by order priority: days from order to each
+    * line's ship date — count, exact mean, and EXACT p50/p90 (grouped
+    * [[Quantiles.exactQuantiles]]) per priority; integer day gaps end
+    * to end. */
+  def q229LeadTime(s: SparkSession, d: String): DataFrame = {
+    val gaps = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+          .as("__days"))
+      .filter(col("__days").isNotNull)
+      .localCheckpoint(false) // stats + quantiles both consume the join
+    val stats = gaps.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        (sum("__days") / count(lit(1))).as("mean_days"))
+    val qs = Quantiles.exactQuantiles(gaps, "__days", Seq(0.5, 0.9),
+        Seq("o_orderpriority"), checkpointInput = false)
+      .groupBy("o_orderpriority")
+      .agg(max(when(col("q") === 0.5, col("value"))).as("p50_days"),
+        max(when(col("q") === 0.9, col("value"))).as("p90_days"))
+    stats.join(qs, Seq("o_orderpriority")).orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_rfm" -> (q196Rfm _),
     "q197_fuzzy_er" -> (q197FuzzyEr _),
@@ -532,7 +574,9 @@ object SegmentQueries {
     "q224_skew_report" -> (q224SkewReport _),
     "q225_transition_gaps" -> (q225TransitionGaps _),
     "q226_stream_dedup_ttl" -> (q226StreamDedupTtl _),
-    "q227_local_revenue" -> (q227LocalRevenue _)
+    "q227_local_revenue" -> (q227LocalRevenue _),
+    "q228_trailing_window" -> (q228TrailingWindow _),
+    "q229_lead_time" -> (q229LeadTime _)
   )
 
   /** Shared oracle fragment: exact-quantile band cuts of column
@@ -936,6 +980,50 @@ object SegmentQueries {
         |    / ((m.n * m.sxx - m.sx * m.sx) * (m.n * m.syy - m.sy * m.sy)), 6)
         |    AS r2
         |FROM pts CROSS JOIN m ORDER BY q""".stripMargin,
+    // the identical RANGE frame in micros; sums in exact cents so
+    // windowed-aggregation order cannot show through
+    "q228_trailing_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id IS NOT NULL)
+        |SELECT user_id, event_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS events_1h,
+        |  CAST(sum(cents) OVER w AS BIGINT) / 100.0 AS value_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    // same join, integer day gaps, grouped ceil(q·n) rank rule for
+    // the exact quantiles
+    "q229_lead_time" ->
+      """WITH g AS (
+        |  SELECT o.o_orderpriority,
+        |    CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+        |      AS d
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL),
+        |st AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |    sum(d) / count(*) AS mean_days
+        |  FROM g GROUP BY 1),
+        |r AS (
+        |  SELECT o_orderpriority, d,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY d)
+        |      AS rk,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+        |  FROM g),
+        |qv AS (
+        |  SELECT o_orderpriority,
+        |    max(CASE WHEN rk = CAST(ceil(0.5 * cnt) AS BIGINT) THEN d END)
+        |      AS p50_days,
+        |    max(CASE WHEN rk = CAST(ceil(0.9 * cnt) AS BIGINT) THEN d END)
+        |      AS p90_days
+        |  FROM r GROUP BY 1)
+        |SELECT st.o_orderpriority, st.n, st.mean_days,
+        |  qv.p50_days, qv.p90_days
+        |FROM st JOIN qv USING (o_orderpriority)
+        |ORDER BY 1""".stripMargin,
     // the same 6-table join; revenue summed in exact cents
     "q227_local_revenue" ->
       """SELECT n.n_name,
