@@ -331,7 +331,14 @@ object Similarity {
       .select(col("query_id"),
         posexplode(expr(s"mmr_select(cands, $k, ${lambda}D)")).as(Seq("i", "m")))
       .select(col("query_id"), col("m.id").as(idCol),
-        round(col("m.mmr"), 6).as("mmr"), col("m.rank").as("rank"))
+        // rounded at 4, a precision chosen against BOTH float hazards:
+        // λ·(6-dp score) lands on exact decimal halves at 7 dp (so
+        // round-6 diverges between decimal-string and binary
+        // rounders), while an external engine's vectorized dot
+        // summation drifts the deep-rank objectives by an ulp (so
+        // unrounded diverges); no 6-dp score times 0.7 can terminate
+        // on a 4-dp half, and an ulp cannot cross one
+        round(col("m.mmr"), 4).as("mmr"), col("m.rank").as("rank"))
   }
 
   /** Spherical k-means (cosine assignment — the metric embeddings are

@@ -67,12 +67,15 @@ object VectorQueries {
   }
 
   /** MMR diversity re-rank (native [[MmrSelect]] greedy tail over the
-    * exact top-50 candidates, λ=0.7). Rows-only — the greedy recursion
-    * is not SQL-expressible — but guarantee-carrying: MMR's first pick
-    * per query is BY CONSTRUCTION the exact top-1 (pure-relevance
-    * argmax with the same tie-break), surfaced as the in-row constant
-    * `n_first_matches_top1` = number of queries; the spec additionally
-    * proves λ=1 degenerates to the exact ranking. */
+    * exact top-50 candidates, λ=0.7) — FULL hash oracle since r8: the
+    * greedy recursion IS SQL-expressible as a recursive CTE whose
+    * per-step argmax runs on bit-identical doubles (6-dp-rounded
+    * relevance, sequential normalized dots, the literal (1.0 − 0.7)
+    * weight) with the same (objective, min id) tie rule; all 50 picks
+    * across 10 steps × 5 queries replay exactly, and the emitted
+    * objective rounds at 4 (see mmrRerank's hazard analysis). The
+    * in-row `n_first_matches_top1` guarantee and the λ=1 degeneration
+    * spec are retained. */
   def q94Mmr(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val q = emb.filter(col("vec_id") < NQueries)
@@ -495,6 +498,78 @@ object VectorQueries {
          |  round(sum(j.in_exact) OVER (PARTITION BY j.query_id) * 1.0
          |    / en.n_exact, 2) AS recall_vs_exact
          |FROM j JOIN en USING (query_id)
+         |ORDER BY query_id, rank""".stripMargin,
+    // the greedy MMR chain replayed exactly via a recursive CTE: the
+    // per-step argmax runs on bit-identical doubles (6-dp-rounded
+    // relevance scores, sequential normalized dots, the literal
+    // (1.0 - 0.7) diversity weight), winners resolve with the same
+    // (objective, min id) tie, and the emitted objective rounds at
+    // 4 (see mmrRerank: immune to both the 7-dp decimal-half and the
+    // vectorized-dot ulp hazards)
+    "q94_mmr" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS id,
+         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |      CAST(q.embedding AS DOUBLE[])), 6) AS score,
+         |    CAST(e.embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings e CROSS JOIN embeddings q
+         |  WHERE q.vec_id < $NQueries AND e.vec_id <> q.vec_id),
+         |top50 AS (
+         |  SELECT query_id, id, score, emb FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, id) AS r FROM base) WHERE r <= 50),
+         |norm AS (
+         |  SELECT query_id, id, score,
+         |    CASE WHEN nrm > 0 THEN list_transform(emb, x -> x / nrm)
+         |         ELSE emb END AS v
+         |  FROM (SELECT *,
+         |      sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+         |    FROM top50)),
+         |t AS (
+         |  SELECT query_id, id, score, v, CAST(-1.0 AS DOUBLE) AS maxsim,
+         |    0 AS picked_rank, CAST(NULL AS DOUBLE) AS mmr_val, 0 AS step
+         |  FROM norm
+         |  UNION ALL
+         |  SELECT query_id, id, score, v,
+         |    CASE WHEN picked_rank > 0 OR id = wid THEN maxsim
+         |         ELSE greatest(maxsim, list_dot_product(v, wv)) END,
+         |    CASE WHEN picked_rank > 0 THEN picked_rank
+         |         WHEN id = wid THEN step + 1 ELSE 0 END,
+         |    CASE WHEN picked_rank > 0 THEN mmr_val
+         |         WHEN id = wid THEN wemit ELSE NULL END,
+         |    step + 1
+         |  FROM (
+         |    SELECT *,
+         |      min(CASE WHEN obj = wobj THEN id END)
+         |        OVER (PARTITION BY query_id) AS wid,
+         |      max(CASE WHEN obj = wobj THEN v END)
+         |        OVER (PARTITION BY query_id) AS wv,
+         |      max(CASE WHEN obj = wobj AND step = 0 THEN 0.7 * score
+         |               WHEN obj = wobj THEN obj END)
+         |        OVER (PARTITION BY query_id) AS wemit
+         |    FROM (
+         |      SELECT *, max(obj) OVER (PARTITION BY query_id) AS wobj
+         |      FROM (
+         |        SELECT *, CASE WHEN picked_rank > 0 THEN NULL
+         |          WHEN step = 0 THEN score
+         |          ELSE 0.7 * score - (1.0 - 0.7) * maxsim END AS obj
+         |        FROM t WHERE step < 10) z1) z2) z3),
+         |fin AS (
+         |  SELECT query_id, id AS vec_id, round(mmr_val, 4) AS mmr,
+         |    CAST(picked_rank AS INT) AS rank
+         |  FROM t WHERE step = 10 AND picked_rank > 0),
+         |top1 AS (
+         |  SELECT query_id, id FROM (
+         |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, id) AS r FROM top50) WHERE r = 1),
+         |fm AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS nf
+         |  FROM fin f JOIN top1 x
+         |    ON x.query_id = f.query_id AND x.id = f.vec_id
+         |  WHERE f.rank = 1)
+         |SELECT fin.query_id, fin.vec_id, fin.mmr, fin.rank,
+         |  fm.nf AS n_first_matches_top1
+         |FROM fin CROSS JOIN fm
          |ORDER BY query_id, rank""".stripMargin,
     // the full md5-SRP LSH restated: 8-bit buckets per table from
     // 6-dp projection signs, multiprobe = base bucket + all 1-bit
