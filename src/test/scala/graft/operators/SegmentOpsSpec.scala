@@ -238,6 +238,21 @@ class SegmentOpsSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getAs[Long]("kept_doc_id") == 2L)
   }
 
+  test("json profile: keys, distincts, numeric share, malformed dropped") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      """{"a": 1, "b": "x"}""", """{"a": 2.5, "b": "x"}""",
+      """{"a": "word"}""", "not json at all")
+      .map(Tuple1(_)).toDF("js")
+    val out = Profile.jsonProfile(df, "js")
+      .collect().map(r => r.getAs[String]("key") ->
+        ((r.getAs[Long]("n_present"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("numeric_share")))).toMap
+    assert(out(("a")) == ((3L, 3L, 2.0 / 3)))
+    assert(out(("b")) == ((2L, 1L, 0.0)))
+    assert(out.size == 2) // the malformed row contributes nothing
+  }
+
   test("markov backtest: deterministic alternating sequences score 1.0") {
     val s = spark; import s.implicits._
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
