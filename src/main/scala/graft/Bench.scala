@@ -75,31 +75,43 @@ object Bench {
       graft.operators.Similarity.lshTopK(spark, tinyVec, tinyVec.limit(2), k = 3).count()
       graft.operators.Similarity.bruteForceTopK(spark, tinyVec, tinyVec.limit(2), k = 3).count()
     } catch { case e: Throwable => System.err.println(s"[bench] sketch warmup skipped: ${e.getMessage}") }
-    // Per-query time = MIN of two back-to-back runs (standard
-    // steady-state benchmarking): single-run numbers on a shared box
-    // swing 2-4× with background load and residual JIT, which in earlier
-    // rounds made per-query comparisons noise-dominated. The metric line
-    // declares "runs": 2, so the methodology is explicit in the
-    // artifact. A failed first run is reported as-is, not retried.
-    System.err.println("[bench] per-query timing = min of 2 runs (steady state)")
+    // Per-query time = MIN over TWO FULL SUITE PASSES (r8 verdict
+    // item 2): the earlier back-to-back min-of-2 put both samples of a
+    // query inside the same ~seconds contention window, so a neighbor
+    // workload's burst inflated BOTH runs and the artifact carried
+    // 3-7× spikes on queries whose plans were clean (r7 q138/q150,
+    // r8 q141/q142 — all adjudicated as contention by isolated
+    // re-runs). Separating the two samples by the full suite duration
+    // (~minutes) makes a sustained burst the only way to inflate a
+    // query's reported time, which is the best a shared box allows.
+    // Same total cost (2 runs/query), just reordered. The metric line
+    // declares "runs": 2 and "protocol": "two-pass", so the
+    // methodology is explicit in the artifact. A query that fails in
+    // pass 1 is reported as-is and skipped in pass 2.
+    System.err.println("[bench] per-query timing = min across two full suite passes")
     // local-iteration filter (the Verify.scala convention); the driver
     // never sets it, so official runs always time the full registry
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val registry = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-      def once(): (Double, Long) = {
-        val t0 = System.nanoTime()
-        val n = try fn(spark, sfDir).count() catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            -1L
-        }
-        ((System.nanoTime() - t0) / 1e9, n)
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = try fn(spark, sfDir).count() catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1L
       }
-      val (t1, n1) = once()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val pass1 = registry.map { case (name, fn) =>
+      val (t, n) = once(name, fn)
+      System.err.println(f"[bench] pass1 $name%-24s $t%8.2f s  ($n rows)")
+      name -> (t, n)
+    }.toMap
+    val results = registry.map { case (name, fn) =>
+      val (t1, n1) = pass1(name)
       val (sec, n) = if (n1 < 0) (t1, n1) else {
-        val (t2, n2) = once()
+        val (t2, n2) = once(name, fn)
         (math.min(t1, t2), n2)
       }
       System.err.println(f"[bench] $name%-24s $sec%8.2f s  ($n rows)")
@@ -114,9 +126,9 @@ object Bench {
     // stdout line compact (total + methodology only) and write the full
     // per-query map to stderr plus a sidecar JSON next to the repo.
     val metricLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"protocol":"two-pass","n_queries":${results.size},"sf":"$sfDir"}"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"protocol":"two-pass","queries":$qs,"sf":"$sfDir"}"""
     System.err.println(s"[bench] per-query map: $fullJson")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_queries.json"),

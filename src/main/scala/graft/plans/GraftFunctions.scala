@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.catalyst.expressions.graft.{CosineSimilarity, HashFeatures, JaroWinkler, LshBucket, MinHashBands, MinHashSig, MinHashSigMd5, MmrSelect, Morton2, ShingleSeq, Shingles, SimHash64, SrpProject, TopKAgg, VectorSum, WinnowFingerprints}
+import org.apache.spark.sql.catalyst.expressions.graft.{CdcBoundaries, CosineSimilarity, HashFeatures, JaroWinkler, LshBucket, MinHashBands, MinHashSig, MinHashSigMd5, MmrSelect, Morton2, ShingleSeq, Shingles, SimHash64, SrpProject, TopKAgg, VectorSum, WinnowFingerprints}
 
 /** Session-scoped registration of graft's native Catalyst expressions,
   * so they are callable from `expr("cosine_sim(a, b)")` / SQL text.
@@ -51,6 +51,14 @@ object GraftFunctions {
       exprs => WinnowFingerprints(exprs(0), intLit(exprs(1)), md5Hash = true), "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_sig_md5", exprs => MinHashSigMd5(exprs(0), intLit(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "cdc_boundaries_md5",
+      exprs => CdcBoundaries(exprs(0), intLit(exprs(1)), intLit(exprs(2)),
+        poly = false), "built-in")
+    reg.createOrReplaceTempFunction(
+      "cdc_boundaries_poly",
+      exprs => CdcBoundaries(exprs(0), intLit(exprs(1)), intLit(exprs(2)),
+        poly = true), "built-in")
     reg.createOrReplaceTempFunction(
       "jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(

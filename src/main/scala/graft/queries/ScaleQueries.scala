@@ -322,6 +322,18 @@ object ScaleQueries {
     Cdc.contentDefinedChunks(Tables.documents(s, d))
       .orderBy("doc_id", "chunk_id")
 
+  /** CDC chunking in the PRODUCTION hash mode (r9): the same boundary
+    * discipline as q141 but with the Rabin–Karp rolling polynomial
+    * over per-token md5 h1 values — ONE md5 per token and an O(1)
+    * update per position instead of q141's O(w) window re-hash. Still
+    * a FULL hash oracle: the window hash is a w-term power sum of
+    * md5-hex integers mod 2³¹−1, which DuckDB recomputes term for
+    * term (the rolling-vs-direct equivalence is spec-proven in
+    * ScaleOpsSpec). */
+  def q230CdcPoly(s: SparkSession, d: String): DataFrame =
+    Cdc.contentDefinedChunks(Tables.documents(s, d), mode = "poly")
+      .orderBy("doc_id", "chunk_id")
+
   /** Z-order layout audit ([[Layout.layoutPruningStats]]): scores
     * Morton-cell vs sort-by-x vs hash file layouts by min/max-stats
     * skipping under a 2-D box probe and a y-only band probe, in one
@@ -744,6 +756,7 @@ object ScaleQueries {
     "q139_oversized_blocks" -> (q139OversizedBlocks _),
     "q140_agg_merge" -> (q140AggMerge _),
     "q141_cdc_chunks" -> (q141CdcChunks _),
+    "q230_cdc_poly" -> (q230CdcPoly _),
     "q142_zorder" -> (q142Zorder _),
     "q143_contracts" -> (q143Contracts _),
     "q144_seasonal" -> (q144Seasonal _),
@@ -1243,6 +1256,42 @@ object ScaleQueries {
         |      list_filter(list_transform(range(4, greatest(n, 4) + 1), i ->
         |        CASE WHEN i <= n AND
         |          ('0x' || substr(md5(array_to_string(list_slice(toks, i - 3, i), ' ')), 1, 6))::BIGINT % 8 = 0
+        |        THEN i END), x -> x IS NOT NULL),
+        |      [n]))) AS bpos
+        |  FROM n0),
+        |c AS (SELECT doc_id, toks, list_prepend(0, bpos) AS bounds FROM b),
+        |e AS (
+        |  SELECT doc_id, toks, bounds,
+        |    unnest(range(1, len(bounds))) AS j
+        |  FROM c)
+        |SELECT doc_id, CAST(j AS INT) AS chunk_id,
+        |  CAST(bounds[j] + 1 AS INT) AS start_tok,
+        |  CAST(bounds[j + 1] AS INT) AS end_tok,
+        |  CAST(bounds[j + 1] - bounds[j] AS INT) AS n_tokens,
+        |  md5(array_to_string(list_slice(toks, bounds[j] + 1, bounds[j + 1]), ' ')) AS chunk_md5
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+    // the poly-mode boundary rule as a DIRECT w-term power sum per
+    // window (the rolling O(1) update is equivalent by modular
+    // algebra, spec-proven): per-token hash = first 15 md5 hex digits
+    // mod P (P = 2³¹−1), window hash = Σ hp_j·B^(3−j) mod P with
+    // B = 1000003, every product mod-reduced termwise so nothing
+    // leaves int64; boundary where the window hash ≡ 0 (mod 8)
+    "q230_cdc_poly" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |n0 AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+        |b AS (
+        |  SELECT doc_id, toks, n,
+        |    list_sort(list_distinct(list_concat(
+        |      list_filter(list_transform(range(4, greatest(n, 4) + 1), i ->
+        |        CASE WHEN i <= n AND
+        |          (list_sum(list_transform(range(0, 4), j ->
+        |            ((('0x' || substr(md5(toks[i - 3 + j]), 1, 15))::BIGINT % 2147483647)
+        |             * ([(1000003::BIGINT * 1000003 % 2147483647) * 1000003 % 2147483647,
+        |                 1000003::BIGINT * 1000003 % 2147483647,
+        |                 1000003::BIGINT, 1::BIGINT][j + 1])) % 2147483647))
+        |           % 2147483647) % 8 = 0
         |        THEN i END), x -> x IS NOT NULL),
         |      [n]))) AS bpos
         |  FROM n0),

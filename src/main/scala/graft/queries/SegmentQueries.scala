@@ -474,9 +474,15 @@ object SegmentQueries {
     * 6-table join — region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈
     * supplier with the local-supply condition c_nationkey =
     * s_nationkey — over a date window. The multi-join planning
-    * showcase: three broadcast dims (region, nation, supplier), two
-    * fact shuffles (orders⋈customer on custkey feeding lineitem on
-    * orderkey), revenue as exact cents. */
+    * showcase: two broadcast dims (region, nation — bounded geography
+    * that does NOT grow with volume), two fact shuffles
+    * (orders⋈customer on custkey feeding lineitem on orderkey),
+    * revenue as exact cents. supplier is deliberately NOT hinted:
+    * unlike geography it scales linearly with the fact tables
+    * (sf100 ≈ 1 M rows), so a forced broadcast is a driver-memory
+    * hazard at scale — AQE picks broadcast at small SF and falls back
+    * to a shuffle join past the threshold on its own (r8 verdict
+    * item 5). */
   def q227LocalRevenue(s: SparkSession, d: String): DataFrame = {
     val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
     val nation = Tables.nation(s, d)
@@ -491,7 +497,7 @@ object SegmentQueries {
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .join(ord, col("o_custkey") === col("c_custkey"))
       .join(li, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
         col("s_nationkey") === col("c_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100))

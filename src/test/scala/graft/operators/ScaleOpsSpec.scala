@@ -240,6 +240,76 @@ class ScaleOpsSpec extends AnyFunSuite {
       tiny.head.getAs[Int]("end_tok") === 2)
   }
 
+  test("cdc_boundaries_md5 (native) reproduces the original SQL boundary rule exactly") {
+    val s = spark; import s.implicits._
+    graft.plans.GraftFunctions.register(s)
+    // varied lengths incl. n < window, n = window, repeats, punctuation
+    val docs = Seq(
+      (1L, (1 to 97).map(i => s"t${i * 13 % 31}").mkString(" ")),
+      (2L, "a b c"), (3L, "a b c d"), (4L, ("x " * 40).trim),
+      (5L, (1 to 64).map(i => s"w${i % 9}-p${i % 4}").mkString(" "))
+    ).toDF("doc_id", "text")
+    val (w, m) = (4, 8)
+    val both = docs
+      .withColumn("__toks", graft.functions.TextFunctions.tokens("text"))
+      .withColumn("__n", size(col("__toks")))
+      .selectExpr("doc_id",
+        s"cdc_boundaries_md5(__toks, $w, $m) AS native",
+        // the pre-r9 interpreted SQL formulation, kept verbatim as the
+        // regression reference for the native expression
+        s"""filter(transform(sequence($w, greatest(__n, $w)), i ->
+           |  CASE WHEN i <= __n AND
+           |    conv(substring(md5(concat_ws(' ', slice(__toks, i - ${w - 1}, $w))), 1, 6), 16, 10) % $m = 0
+           |  THEN i END), x -> x IS NOT NULL) AS legacy""".stripMargin)
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Int](1).toList === r.getSeq[Any](2).map(_.toString.toInt).toList,
+        s"doc ${r.getLong(0)}: native vs legacy boundary mismatch")
+    }
+  }
+
+  test("contentDefinedChunks poly mode: rolling update ≡ direct window hash; same CDC invariants") {
+    val s = spark; import s.implicits._
+    graft.plans.GraftFunctions.register(s)
+    val toks = (1 to 80).map(i => s"v${i * 11 % 29}y$i")
+    val (w, m) = (4, 8)
+    // reference: DIRECT (non-rolling) w-term power-sum window hash —
+    // the formulation the q230 DuckDB oracle restates; equality with
+    // the native expression proves the O(1) rolling update correct
+    val P = 2147483647L; val B = 1000003L
+    def h1(t: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      var v = 0L; (0 until 8).foreach(i => v = (v << 8) | (d(i) & 0xffL))
+      v >>> 4
+    }
+    val expected = (w to toks.length).filter { i =>
+      val win = toks.slice(i - w, i)
+      val h = win.foldLeft(0L)((acc, t) => (acc * B + h1(t) % P) % P)
+      h % m == 0
+    }
+    val native = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      .withColumn("__toks", graft.functions.TextFunctions.tokens("text"))
+      .selectExpr(s"cdc_boundaries_poly(__toks, $w, $m) AS b")
+      .head().getSeq[Int](0).toList
+    assert(native === expected.toList, "poly rolling hash must equal the direct window hash")
+    // same chunking invariants as md5 mode: contiguous partition + edit
+    // stability (boundaries are local content in BOTH modes)
+    val doc = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val chunks = Cdc.contentDefinedChunks(doc, mode = "poly").orderBy("chunk_id").collect()
+      .map(r => (r.getAs[Int]("start_tok"), r.getAs[Int]("end_tok"), r.getAs[String]("chunk_md5")))
+    assert(chunks.head._1 === 1 && chunks.last._2 === 80)
+    chunks.sliding(2).foreach { case Array(a, b) => assert(b._1 === a._2 + 1); case _ => }
+    val edited = Seq((1L, (toks ++ Seq("qq1", "qq2", "qq3")).mkString(" "))).toDF("doc_id", "text")
+    val editedChunks = Cdc.contentDefinedChunks(edited, mode = "poly").orderBy("chunk_id").collect()
+      .map(r => (r.getAs[Int]("start_tok"), r.getAs[Int]("end_tok"), r.getAs[String]("chunk_md5")))
+    assert(editedChunks.take(chunks.length - 1).toSeq === chunks.dropRight(1).toSeq,
+      "poly-mode chunks before the edit must be byte-identical")
+    // and the two modes agree on the chunk CONTRACT for sub-window docs
+    val tiny = Cdc.contentDefinedChunks(Seq((2L, "a b")).toDF("doc_id", "text"), mode = "poly").collect()
+    assert(tiny.length === 1 && tiny.head.getAs[Int]("end_tok") === 2)
+  }
+
   test("mergeAdditive: incremental aggregate equals the full rebuild, history untouched") {
     val s = spark; import s.implicits._
     val rows = (0 until 120).map(i => (s"k${i % 5}", i / 40, i.toDouble))
