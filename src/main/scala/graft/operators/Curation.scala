@@ -131,7 +131,8 @@ object Curation {
     * same corpus + fpp gives the same filter bits on every run and
     * cluster layout. */
   def bloomContaminationPrefilter(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", n: Int = 3, fpp: Double = 0.01): DataFrame = {
+      textCol: String = "text", n: Int = 3, fpp: Double = 0.01,
+      md5Oracle: Boolean = false): DataFrame = {
     import graft.functions.TextFunctions._
     graft.plans.GraftFunctions.register(docs.sparkSession)
     val tagged = split(docs, idCol)
@@ -149,6 +150,8 @@ object Curation {
       // empty test split: a zero-item sketch is degenerate, and
       // semantically nothing can be contaminated
       train.select(col(idCol).as("train_doc"), col("sh"), lit(false).as("bloom_hit"))
+    } else if (md5Oracle) {
+      md5BloomPrefilter(tagged, testSh, train, nItems, idCol)
     } else {
       val bfBytes = shingleBloomBytes(docs.sparkSession, testSh, nItems, fpp)
       val probe = exists(col("sh"),
@@ -156,6 +159,60 @@ object Curation {
       train.select(col(idCol).as("train_doc"), col("sh"),
         coalesce(probe, lit(false)).as("bloom_hit"))
     }
+  }
+
+  /** The md5-double-hash ORACLE mode of [[bloomContaminationPrefilter]]
+    * (r8 verdict item 3, the q31/q35 upgrade applied to the Bloom
+    * family): a Bloom filter is nothing but a bit SET plus k hash
+    * functions, so with Kirsch–Mitzenmacher positions from the md5
+    * family — pos_i(s) = (h1(s) mod m + i·(h2(s) mod m)) mod m,
+    * h1/h2 integer reads of the md5 hex string (`plans.Sketches
+    * .Md5Hash`) — the bits become a relation any engine can rebuild:
+    * `bits = distinct positions over the test shingles`, and a train
+    * shingle HITS iff all of its k positions are set. Same
+    * no-false-negative guarantee (every test shingle's positions are
+    * in `bits` by construction); false-positive rate governed by the
+    * same m/n, k trade.
+    *
+    * Sizing is INTEGER-ONLY so both engines derive identical geometry
+    * with zero floating-point (a libm last-ulp difference in
+    * `ceil(-n·ln fpp / ln²2)` would silently flip every bit
+    * position): m = max(64, 10·nItems) bits — the fpp = 0.01 optimum
+    * of 9.585 bits/item rounded up — and k = 7 = round(ln 2 · 10).
+    *
+    * Shape: the production binary-sketch mode probes row-locally with
+    * no shuffle and stays the 100 TB default; this mode pays one
+    * broadcast join of the (KB-scale) bit relation per probed
+    * position — the price of cross-engine replicability, paid only
+    * when an external auditor must replay the filter. */
+  private def md5BloomPrefilter(tagged: DataFrame, testSh: DataFrame,
+      train: DataFrame, nItems: Long, idCol: String): DataFrame = {
+    val m = math.max(64L, 10L * nItems)
+    val k = 7
+    // k positions of the shingle in column `__s`
+    val positions: Column =
+      expr(s"transform(sequence(0, ${k - 1}), i -> pmod(" +
+        s"pmod(cast(conv(substring(md5(__s), 1, 15), 16, 10) as bigint), ${m}L)" +
+        s" + i * pmod(cast(conv(substring(md5(__s), 17, 13), 16, 10) as bigint), ${m}L), ${m}L))")
+    val bits = testSh.select(col("shingle").as("__s"))
+      .distinct()
+      .select(explode(positions).as("pos"))
+      .distinct()
+    val docHits = train
+      .select(col(idCol).as("train_doc"), explode(col("sh")).as("__s"))
+      .select(col("train_doc"), col("__s"),
+        posexplode(positions).as(Seq("__i", "pos")))
+      .join(broadcast(bits.withColumn("__set", lit(true))), Seq("pos"), "left")
+      .groupBy("train_doc", "__s")
+      // min(bool) = AND over the shingle's k positions; max = OR over
+      // the doc's shingles
+      .agg(min(coalesce(col("__set"), lit(false))).as("__sh_hit"))
+      .groupBy("train_doc")
+      .agg(max(col("__sh_hit")).as("bloom_hit"))
+    train.select(col(idCol).as("train_doc"), col("sh"))
+      .join(docHits, Seq("train_doc"), "left")
+      .select(col("train_doc"), col("sh"),
+        coalesce(col("bloom_hit"), lit(false)).as("bloom_hit"))
   }
 
   /** Shared native-bloom build over a `shingle` column: optimal bit

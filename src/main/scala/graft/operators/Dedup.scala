@@ -661,21 +661,35 @@ object Dedup {
     *    [[minhashNearDups]] re-shingles candidates instead of caching;
     *    an index gets to pay that storage once). Jaccard over the hash
     *    sets is exact up to 64-bit collisions.
-    *  - `{name}_meta`     (k, bands, buckets, sketch_version) — the
-    *    sketch config; a probe MUST band identically AND hash with the
-    *    same member family or candidates are garbage, so probes and
-    *    appends fail fast on a [[SketchFormatVersion]] mismatch.
+    *  - `{name}_meta`     (k, bands, buckets, sketch_version,
+    *    md5_mode) — the sketch config; a probe MUST band identically
+    *    AND hash with the same member family or candidates are
+    *    garbage, so probes and appends fail fast on a
+    *    [[SketchFormatVersion]] mismatch and follow the recorded
+    *    md5_mode (production xxhash64 vs the cross-engine md5 family
+    *    — see [[minhashSignatures]]).
     */
+  /** Per-shingle hash for the index's verification table: xxhash64 in
+    * production, md5 h1 (15 hex digits as int — `Md5Hash`) in the
+    * cross-engine oracle mode. Jaccard over either hashed set equals
+    * Jaccard over the string sets up to 64-bit collisions; the md5
+    * variant is what lets DuckDB recompute the sets verbatim (q108). */
+  private def shingleHashExpr(md5Mode: Boolean): String =
+    if (md5Mode)
+      "transform(sh, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint))"
+    else "transform(sh, x -> xxhash64(x))"
+
   def writeLshIndex(spark: SparkSession, docs: DataFrame, name: String,
       k: Int = 32, bands: Int = 8, buckets: Int = 16,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+      idCol: String = "doc_id", textCol: String = "text",
+      md5Mode: Boolean = false): Unit = {
     import spark.implicits._
     // cache the HASHED projection, not the sketch output: the string
     // shingle arrays are text-sized and feed nothing downstream — both
     // index tables derive from (id, shingle hashes, band hashes)
-    val sigs = minhashSignatures(docs, idCol, textCol, k, bands)
+    val sigs = minhashSignatures(docs, idCol, textCol, k, bands, md5Mode)
       .select(col(idCol).as("doc_id"),
-        expr("transform(sh, x -> xxhash64(x))").as("sh_h"), col("bandhash"))
+        expr(shingleHashExpr(md5Mode)).as("sh_h"), col("bandhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       graft.sources.Sinks.writeBucketed(
@@ -687,10 +701,18 @@ object Dedup {
         sigs.select(col("doc_id"), col("sh_h")),
         s"${name}_shingles", buckets, Seq("doc_id"))
       graft.sources.Sinks.replaceManagedTable(
-        Seq((k, bands, buckets, SketchFormatVersion))
-          .toDF("k", "bands", "buckets", "sketch_version"), s"${name}_meta")()
+        Seq((k, bands, buckets, SketchFormatVersion, md5Mode))
+          .toDF("k", "bands", "buckets", "sketch_version", "md5_mode"), s"${name}_meta")()
     } finally sigs.unpersist(false)
   }
+
+  /** Whether an index was built in the md5 oracle mode (older indexes
+    * without the column read as production/xxhash). A probe or append
+    * MUST hash with the index's recorded family — mixing families
+    * silently yields garbage candidates, the same failure mode
+    * [[SketchFormatVersion]] guards across builds. */
+  private def indexMd5Mode(meta: DataFrame): Boolean =
+    meta.columns.contains("md5_mode") && meta.select("md5_mode").head().getBoolean(0)
 
   /** Probe a [[writeLshIndex]] index with an ingest batch: near-dup
     * (new, indexed) pairs at `threshold`, with NO scan of old corpus
@@ -712,13 +734,15 @@ object Dedup {
       threshold: Double = 0.5, idCol: String = "doc_id", textCol: String = "text",
       pruneLimit: Int = 64): DataFrame = {
     requireSketchVersion(spark, name)
-    val meta = spark.table(s"${name}_meta").head()
+    val metaDf = spark.table(s"${name}_meta")
+    val meta = metaDf.head()
     val (k, bands) = (meta.getInt(0), meta.getInt(1))
+    val md5Mode = indexMd5Mode(metaDf)
     // same hashed-projection caching as the build: verification reads
     // sh_a from here, the strings never leave the sketch pipeline
-    val sigs = minhashSignatures(newDocs, idCol, textCol, k, bands)
+    val sigs = minhashSignatures(newDocs, idCol, textCol, k, bands, md5Mode)
       .select(col(idCol).as("doc_a"),
-        expr("transform(sh, x -> xxhash64(x))").as("sh_a"), col("bandhash"))
+        expr(shingleHashExpr(md5Mode)).as("sh_a"), col("bandhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // eager localCheckpoint, not cache(): the two verify joins
@@ -777,11 +801,13 @@ object Dedup {
   def appendToLshIndex(spark: SparkSession, newDocs: DataFrame, name: String,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     requireSketchVersion(spark, name)
-    val meta = spark.table(s"${name}_meta").head()
+    val metaDf = spark.table(s"${name}_meta")
+    val meta = metaDf.head()
     val (k, bands, buckets) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
-    val sigs = minhashSignatures(newDocs, idCol, textCol, k, bands)
+    val md5Mode = indexMd5Mode(metaDf)
+    val sigs = minhashSignatures(newDocs, idCol, textCol, k, bands, md5Mode)
       .select(col(idCol).as("doc_id"),
-        expr("transform(sh, x -> xxhash64(x))").as("sh_h"), col("bandhash"))
+        expr(shingleHashExpr(md5Mode)).as("sh_h"), col("bandhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // repartition on the bucket key first — same file-count

@@ -143,7 +143,15 @@ object TextQueries {
     * indexed partner is found at probe 1), `n_novel_pairs` = 0 (a
     * disjoint-vocabulary doc matches nothing), `append_found` = 1
     * (probe 2 finds the doc APPENDED in between — proving the
-    * append is visible to the probe path). */
+    * append is visible to the probe path).
+    *
+    * Since r9 the index is built in `md5Mode` → FULL hash oracle (r8
+    * verdict item 3, the q31 family applied to the PERSISTED index):
+    * DuckDB rebuilds signatures → band slices → per-phase candidate
+    * sets (probe × index membership at each phase) → verified
+    * jaccard, reproducing both probes and the append's visibility.
+    * The production xxhash64 index mode is unchanged and remains the
+    * default; q79/q109/q130 keep exercising it. */
   def q108LshIndex(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     def rep(cycle: String, times: Int) = Array.fill(times)(cycle).mkString(" ")
@@ -151,7 +159,7 @@ object TextQueries {
     val cycleB = "qqna qqnb qqnc qqnd qqne qqnf"
     val corpus = docs(s, d).select(col("doc_id"), col("text"))
       .unionByName(Seq((-11L, rep(cycleA, 3))).toDF("doc_id", "text"))
-    Dedup.writeLshIndex(s, corpus, "graft_lsh_q108", buckets = 8)
+    Dedup.writeLshIndex(s, corpus, "graft_lsh_q108", buckets = 8, md5Mode = true)
     val batch1 = Seq((-100L, rep(cycleA, 4)), (-101L, rep(cycleB, 3)))
       .toDF("doc_id", "text")
     val p1 = Dedup.nearDupsFromLshIndex(s, batch1, "graft_lsh_q108")
@@ -475,6 +483,80 @@ object TextQueries {
        |  GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the persisted-index lifecycle replayed relationally: one sig
+    // computation per doc (md5 double-hash family), band keys as
+    // 4-long signature slices, per-phase candidates = probe docs ×
+    // the docs indexed AT THAT PHASE (corpus at probe 1; corpus +
+    // batch1 at probe 2 — the append), verification by exact string
+    // Jaccard (≡ the engine's md5-h1 hashed-set Jaccard up to 64-bit
+    // collisions)
+    "q108_lsh_index" ->
+      """WITH corpus(doc_id, text) AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT -11, trim(repeat('zzka zzkb zzkc zzkd zzke zzkf ', 3))),
+        |b1(doc_id, text) AS (VALUES
+        |  (-100, trim(repeat('zzka zzkb zzkc zzkd zzke zzkf ', 4))),
+        |  (-101, trim(repeat('qqna qqnb qqnc qqnd qqne qqnf ', 3)))),
+        |b2(doc_id, text) AS (VALUES
+        |  (-200, trim(repeat('qqna qqnb qqnc qqnd qqne qqnf ', 4)))),
+        |allc AS (
+        |  SELECT 0 AS grp, doc_id, text FROM corpus
+        |  UNION ALL SELECT 1, doc_id, text FROM b1
+        |  UNION ALL SELECT 2, doc_id, text FROM b2),
+        |toks AS (
+        |  SELECT grp, doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM allc),
+        |shl AS (
+        |  SELECT grp, doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |m AS (SELECT grp, doc_id FROM shl),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM shl),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM shl),
+        |hs AS (SELECT doc_id,
+        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+        |    ('0x' || substr(md5(shingle), 17, 13))::BIGINT AS h2
+        |  FROM ex),
+        |sig AS (
+        |  SELECT doc_id, k.i, min(h1 + k.i * h2) AS v
+        |  FROM hs CROSS JOIN (SELECT unnest(range(0, 32)) AS i) k
+        |  GROUP BY 1, 2),
+        |bnd AS (
+        |  SELECT doc_id, i // 4 AS band, list(v ORDER BY i) AS bkey
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT 1 AS phase, p.doc_id AS doc_a, x.doc_id AS doc_b
+        |  FROM bnd p
+        |  JOIN bnd x ON p.band = x.band AND p.bkey = x.bkey
+        |  JOIN m mp ON mp.doc_id = p.doc_id AND mp.grp = 1
+        |  JOIN m mx ON mx.doc_id = x.doc_id AND mx.grp = 0
+        |  UNION
+        |  SELECT DISTINCT 2, p.doc_id, x.doc_id
+        |  FROM bnd p
+        |  JOIN bnd x ON p.band = x.band AND p.bkey = x.bkey
+        |  JOIN m mp ON mp.doc_id = p.doc_id AND mp.grp = 2
+        |  JOIN m mx ON mx.doc_id = x.doc_id AND mx.grp IN (0, 1)),
+        |shared AS (
+        |  SELECT c.phase, c.doc_a, c.doc_b, count(*) AS sc
+        |  FROM cand c
+        |  JOIN ex ea ON ea.doc_id = c.doc_a
+        |  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+        |  GROUP BY 1, 2, 3),
+        |p AS (
+        |  SELECT s.phase, s.doc_a, s.doc_b,
+        |    s.sc * 1.0 / (sa.n + sb.n - s.sc) AS jac
+        |  FROM shared s
+        |  JOIN sizes sa ON sa.doc_id = s.doc_a
+        |  JOIN sizes sb ON sb.doc_id = s.doc_b
+        |  WHERE s.sc * 1.0 / (sa.n + sb.n - s.sc) >= 0.5),
+        |g AS (SELECT
+        |  CAST(coalesce(sum(CASE WHEN phase = 1 AND doc_a = -100 AND doc_b = -11 THEN 1 ELSE 0 END), 0) AS BIGINT) AS planted_found,
+        |  CAST(coalesce(sum(CASE WHEN phase = 1 AND (doc_a = -101 OR doc_b = -101) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_novel_pairs,
+        |  CAST(coalesce(sum(CASE WHEN phase = 2 AND doc_a = -200 AND doc_b = -101 THEN 1 ELSE 0 END), 0) AS BIGINT) AS append_found
+        |  FROM p)
+        |SELECT p.phase, p.doc_a, p.doc_b, round(p.jac, 4) AS jaccard,
+        |  g.planted_found, g.n_novel_pairs, g.append_found
+        |FROM p CROSS JOIN g ORDER BY 1, 2, 3""".stripMargin,
     // fingerprint bits re-voted from the md5 word's 32-bit halves,
     // chunks re-banded with the same cap, Hamming from two popcounts
     "q32_dedup_simhash" ->

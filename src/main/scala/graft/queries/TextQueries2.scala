@@ -326,11 +326,15 @@ object TextQueries2 {
     * surfaced in-row: `n_missed` (docs with exact hits but no bloom
     * hit) is 0 by construction of the sketch — any other value is a
     * bug — and `n_pruned` shows the work the funnel saves the exact
-    * join. Rows-only for the driver (bloom bits aren't replicable in
-    * DuckDB SQL), but the exact columns carry the ground truth. */
+    * join. Since r9 this runs the md5 Kirsch–Mitzenmacher ORACLE mode
+    * ([[graft.operators.Curation]] md5BloomPrefilter) → FULL hash
+    * oracle: DuckDB rebuilds the bit set from the test shingles'
+    * md5-derived positions and re-derives every membership verdict;
+    * the xxhash64 binary-sketch mode remains the production default. */
   def q84BloomDecontaminate(s: SparkSession, d: String): DataFrame = {
     val all = docs(s, d)
-    val pre = graft.operators.Curation.bloomContaminationPrefilter(all, fpp = 0.01)
+    val pre = graft.operators.Curation.bloomContaminationPrefilter(all, fpp = 0.01,
+        md5Oracle = true)
       .select(col("train_doc"), col("bloom_hit"))
     val tagged = graft.operators.Curation.split(all, "doc_id")
       .withColumn("toks", TextFunctions.tokens("text"))
@@ -621,6 +625,58 @@ object TextQueries2 {
         |        < least(1.0, n_chars / 2000.0))
         |SELECT lang, count(*) AS n_kept, round(avg(n_chars), 2) AS avg_chars
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the md5 Kirsch–Mitzenmacher Bloom rebuilt relationally: bit set
+    // = distinct positions pos_i = (h1 mod m + i·(h2 mod m)) mod m of
+    // the test shingles (h1/h2 = md5 hex reads, i < 7), sizing
+    // integer-only (m = max(64, 10·n_items)) so no libm ulp can flip
+    // a position; a train shingle hits iff ALL its positions are set,
+    // a doc iff ANY shingle hits — the exact membership algebra the
+    // engine's md5BloomPrefilter computes
+    "q84_bloom_decontaminate" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 AS bucket
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, bucket, string_split_regex(lower(trim(text)), '\s+') AS t FROM b),
+        |sh AS (
+        |  SELECT doc_id, bucket, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, bucket, unnest(s) AS shingle FROM sh),
+        |mk AS (SELECT greatest(64, 10 * count(*)) AS m FROM ex WHERE bucket >= 90),
+        |tsh AS (SELECT DISTINCT shingle FROM ex WHERE bucket >= 90),
+        |bits AS (
+        |  SELECT DISTINCT ((('0x' || substr(md5(shingle), 1, 15))::BIGINT % m
+        |      + i.i * (('0x' || substr(md5(shingle), 17, 13))::BIGINT % m)) % m) AS pos
+        |  FROM tsh CROSS JOIN mk CROSS JOIN (SELECT unnest(range(0, 7)) AS i) i),
+        |trsh AS (SELECT doc_id AS train_doc, shingle FROM ex WHERE bucket < 80),
+        |trpos AS (
+        |  SELECT train_doc, trsh.shingle,
+        |    ((('0x' || substr(md5(trsh.shingle), 1, 15))::BIGINT % m
+        |      + i.i * (('0x' || substr(md5(trsh.shingle), 17, 13))::BIGINT % m)) % m) AS pos
+        |  FROM trsh CROSS JOIN mk CROSS JOIN (SELECT unnest(range(0, 7)) AS i) i),
+        |shhit AS (
+        |  SELECT train_doc, shingle, bool_and(bits.pos IS NOT NULL) AS sh_hit
+        |  FROM trpos LEFT JOIN bits ON trpos.pos = bits.pos
+        |  GROUP BY 1, 2),
+        |dochit AS (SELECT train_doc, bool_or(sh_hit) AS bloom_hit FROM shhit GROUP BY 1),
+        |exact AS (
+        |  SELECT tr.train_doc, count(*) AS n_exact_hits
+        |  FROM trsh tr JOIN ex te ON te.shingle = tr.shingle AND te.bucket >= 90
+        |  GROUP BY 1),
+        |rows_out AS (
+        |  SELECT s.doc_id AS train_doc,
+        |    coalesce(e.n_exact_hits, 0) AS n_exact_hits,
+        |    coalesce(d.bloom_hit, false) AS bloom_hit
+        |  FROM sh s
+        |  LEFT JOIN exact e ON e.train_doc = s.doc_id
+        |  LEFT JOIN dochit d ON d.train_doc = s.doc_id
+        |  WHERE s.bucket < 80)
+        |SELECT train_doc, n_exact_hits, bloom_hit,
+        |  CAST(SUM(CASE WHEN n_exact_hits > 0 AND NOT bloom_hit THEN 1 ELSE 0 END) OVER () AS BIGINT) AS n_missed,
+        |  CAST(SUM(CASE WHEN NOT bloom_hit THEN 1 ELSE 0 END) OVER () AS BIGINT) AS n_pruned
+        |FROM rows_out ORDER BY train_doc""".stripMargin,
     "q59_contamination" ->
       """WITH b AS (
         |  SELECT doc_id, text,
