@@ -826,4 +826,42 @@ object Curation {
         col("r.value").as("value"))
       .orderBy("section", "key")
   }
+
+  /** Per-document n-gram NOVELTY against the training split — the
+    * memorization-audit flip side of [[contaminationReport]]: where
+    * decontamination asks "which TRAIN docs leak into test", novelty
+    * asks "how much of each held-out doc is ALREADY verbatim in the
+    * training corpus" (the n-gram overlap audit of GPT-style eval
+    * hygiene; high-overlap eval docs measure memorization, not
+    * generalization). For each test-split doc: its distinct n-token
+    * shingle count, how many of those shingles occur anywhere in the
+    * train split, and `novelty` = 1 − seen/total.
+    *
+    * Scale shape: the train vocabulary is one distinct-aggregating
+    * shuffle of (shingle) — map-side combined, no document text ever
+    * shuffled; the probe side (test split, per-mille of the corpus)
+    * joins on the shingle key. At 100 TB the join input prunes the
+    * same way q84 does — a Bloom prefilter of the test shingles can
+    * gate the train-vocab scan; kept un-sketched here because the
+    * probe side is already the small side. */
+  def noveltyReport(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 5): DataFrame = {
+    import graft.functions.TextFunctions._
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val tagged = split(docs, idCol)
+      .withColumn("toks", tokens(textCol))
+      .filter(size(col("toks")) >= n)
+      .withColumn("sh", shingles("toks", n))
+      .select(col(idCol), col("split"), col("sh"))
+    val trainVocab = tagged.filter(col("split") === "train")
+      .select(explode(col("sh")).as("shingle")).distinct()
+    tagged.filter(col("split") === "test")
+      .select(col(idCol).as("test_doc"), explode(col("sh")).as("shingle"))
+      .join(trainVocab.withColumn("__seen", lit(true)), Seq("shingle"), "left")
+      .groupBy("test_doc")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__seen"), 1L).otherwise(0L)).as("n_seen"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("n_seen") / col("n_shingles"), 4))
+  }
 }

@@ -548,7 +548,89 @@ object SegmentQueries {
     stats.join(qs, Seq("o_orderpriority")).orderBy("o_orderpriority")
   }
 
+  /** Cross-engine HyperLogLog cardinality rollup ([[graft.operators
+    * .Hll.estimateDistinct]], m = 256 registers from the md5 family):
+    * distinct parts shipped per month, with the EXACT count and the
+    * sketch's relative error in-row — the self-evidencing pattern
+    * (q84's n_missed) applied to cardinality estimation. Unlike q62's
+    * `approx_count_distinct` (Spark-internal HLL++ bits, rows-only),
+    * every register and the scaled-integer harmonic sum here are
+    * restated by DuckDB — a FULL hash oracle for a cardinality
+    * sketch. */
+  def q231HllMd5(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .withColumn("ship_month", substring(col("l_shipdate").cast("string"), 1, 7))
+    val exact = li.groupBy("ship_month")
+      .agg(countDistinct("l_partkey").as("n_exact"))
+    graft.operators.Hll.estimateDistinct(li, "l_partkey", Seq("ship_month"))
+      .join(exact, Seq("ship_month"))
+      .withColumn("rel_err",
+        round((col("hll_estimate") - col("n_exact")) / col("n_exact"), 4))
+      .orderBy("ship_month")
+  }
+
+  /** National market share (the TPC-H Q8 shape): NATION_3 suppliers'
+    * share of PROMO-part revenue delivered to ASIA-region customers,
+    * by order year — the 8-relation join with TWO nation roles
+    * (customer geography filters, supplier nationality classifies).
+    * Share = conditional-sum / sum over exact cents, one division per
+    * year row. Only the bounded dims (region, the two 25-row nation
+    * roles) are broadcast-hinted; part, supplier, customer scale with
+    * SF and are left to AQE (the q227 discipline). */
+  def q232MarketShare(s: SparkSession, d: String): DataFrame = {
+    val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val part = Tables.part(s, d).filter(col("p_type") === "PROMO")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1998-01-01")
+    Tables.lineitem(s, d)
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+      .withColumn("o_year", year(col("o_orderdate")))
+      .withColumn("cents",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long"))
+      .groupBy("o_year")
+      .agg(sum(when(col("supp_nation") === "NATION_3", col("cents"))
+          .otherwise(0L)).as("nation_cents"),
+        sum("cents").as("total_cents"))
+      .withColumn("mkt_share", round(col("nation_cents") / col("total_cents"), 6))
+      .orderBy("o_year")
+  }
+
+  /** Held-out n-gram novelty audit ([[graft.operators.Curation
+    * .noveltyReport]], 5-grams): how much of each test-split document
+    * already occurs verbatim in the training corpus. A planted pair
+    * pins the arithmetic: doc −1 hashes into the train bucket and
+    * doc −2 into the test bucket (md5-bucket split), sharing a
+    * 12-token span → exactly 8 of the test doc's 12 distinct 5-grams
+    * are train-seen, novelty 0.3333; the organic corpus rows
+    * quantify template overlap in the synthetic documents. */
+  def q233Novelty(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val shared = (1 to 12).map(i => s"nova$i").mkString(" ")
+    val planted = Seq(
+      (-1L, s"$shared trtail1 trtail2 trtail3"), // bucket 74 → train
+      (-2L, s"$shared tstail1 tstail2 tstail3 tstail4")) // bucket 90 → test
+      .toDF("doc_id", "text")
+    val all = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    graft.operators.Curation.noveltyReport(all)
+      .orderBy("test_doc")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_hll_md5" -> (q231HllMd5 _),
+    "q232_market_share" -> (q232MarketShare _),
+    "q233_novelty" -> (q233Novelty _),
     "q196_rfm" -> (q196Rfm _),
     "q197_fuzzy_er" -> (q197FuzzyEr _),
     "q198_skyline" -> (q198Skyline _),
@@ -1031,6 +1113,92 @@ object SegmentQueries {
         |FROM st JOIN qv USING (o_orderpriority)
         |ORDER BY 1""".stripMargin,
     // the same 6-table join; revenue summed in exact cents
+    // the raw-HLL core restated register for register: h from md5
+    // hex, j = h mod 256, rank from length(bin(w)) — both engines'
+    // bin() prints without leading zeros, so bitlength is exact
+    // integer reading, no floating log2 — and the harmonic sum kept
+    // integer-exact as Σ 2^(53−M_j); the estimate is the SAME
+    // collapsed double literal K = α·m²·2^53 divided once per group
+    // (multi-term SQL float chains are non-portable: Spark parses
+    // decimal literals as DECIMAL — see Hll.scala)
+    "q231_hll_md5" ->
+      """WITH li AS (
+        |  SELECT substr(CAST(l_shipdate AS VARCHAR), 1, 7) AS ship_month, l_partkey,
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT ship_month, h % 256 AS j,
+        |    CASE WHEN h // 256 > 0 THEN 53 - length(bin(h // 256)) ELSE 53 END AS rnk
+        |  FROM li),
+        |mx AS (SELECT ship_month, j, max(rnk) AS mj FROM r GROUP BY 1, 2),
+        |s AS (
+        |  SELECT ship_month,
+        |    CAST(sum(CAST(1 AS BIGINT) << (53 - mj)) AS BIGINT)
+        |      + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS big_s,
+        |    CAST(count(*) AS BIGINT) AS n_registers_set
+        |  FROM mx GROUP BY 1),
+        |e AS (SELECT ship_month, count(DISTINCT l_partkey) AS n_exact FROM li GROUP BY 1),
+        |est AS (
+        |  SELECT s.ship_month, n_registers_set, n_exact,
+        |    round(4.2399330249068963e+20 / big_s, 2) AS hll_estimate
+        |  FROM s JOIN e ON e.ship_month = s.ship_month)
+        |SELECT ship_month, hll_estimate, n_registers_set, n_exact,
+        |  round((hll_estimate - n_exact) / n_exact, 4) AS rel_err
+        |FROM est ORDER BY ship_month""".stripMargin,
+    // the Q8 shape with both nation roles; cents and the share
+    // division mirror the engine's exact-integer-then-one-division
+    // discipline
+    "q232_market_share" ->
+      """WITH f AS (
+        |  SELECT year(o.o_orderdate) AS o_year,
+        |    CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT) AS cents,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |  JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        |  JOIN supplier sp ON l.l_suppkey = sp.s_suppkey
+        |  JOIN nation n2 ON sp.s_nationkey = n2.n_nationkey
+        |  WHERE o.o_orderdate >= DATE '1996-01-01'
+        |    AND o.o_orderdate < DATE '1998-01-01')
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) AS BIGINT) AS nation_cents,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(cents) AS DOUBLE), 6) AS mkt_share
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // novelty = 1 − train-seen fraction of each test doc's distinct
+    // 5-grams; the planted train/test pair shares a 12-token span →
+    // the −2 row reads exactly 8/12 seen
+    "q233_novelty" ->
+      """WITH pl(doc_id, text) AS (VALUES
+        |  (-1, 'nova1 nova2 nova3 nova4 nova5 nova6 nova7 nova8 nova9 nova10 nova11 nova12 trtail1 trtail2 trtail3'),
+        |  (-2, 'nova1 nova2 nova3 nova4 nova5 nova6 nova7 nova8 nova9 nova10 nova11 nova12 tstail1 tstail2 tstail3 tstail4')),
+        |allc AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM pl),
+        |b AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 AS bucket
+        |  FROM allc),
+        |toks AS (
+        |  SELECT doc_id, bucket, string_split_regex(lower(trim(text)), '\s+') AS t FROM b),
+        |shl AS (
+        |  SELECT doc_id, bucket, list_distinct(list_transform(range(1, len(t) - 3),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS s
+        |  FROM toks WHERE len(t) >= 5),
+        |ex AS (SELECT doc_id, bucket, unnest(s) AS shingle FROM shl),
+        |tv AS (SELECT DISTINCT shingle FROM ex WHERE bucket < 80),
+        |te AS (SELECT doc_id AS test_doc, shingle FROM ex WHERE bucket >= 90),
+        |agg AS (
+        |  SELECT test_doc, CAST(count(*) AS BIGINT) AS n_shingles,
+        |    CAST(sum(CASE WHEN tv.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+        |  FROM te LEFT JOIN tv ON te.shingle = tv.shingle GROUP BY 1)
+        |SELECT test_doc, n_shingles, n_seen,
+        |  round(1.0 - CAST(n_seen AS DOUBLE) / n_shingles, 4) AS novelty
+        |FROM agg ORDER BY test_doc""".stripMargin,
     "q227_local_revenue" ->
       """SELECT n.n_name,
         |  CAST(sum(round(l.l_extendedprice * (1.0 - l.l_discount) * 100))
