@@ -30,10 +30,18 @@ import org.apache.spark.sql.functions._
   * parses `0.7213` as DECIMAL and runs the whole chain in decimal
   * arithmetic — caught by the oracle differing in the 4th decimal of
   * rel_err), while literal-parse + one division is bit-deterministic
-  * on any IEEE-754 engine. The small/large-range corrections of the
-  * paper are deliberately omitted: linear counting needs ln(), whose
-  * libm values differ across engines — this is the raw-HLL core,
-  * accurate to ~1.04/√m once n ≳ 3m.
+  * on any IEEE-754 engine.
+  *
+  * The paper's SMALL-RANGE correction is included (raw HLL
+  * overestimates by +80% at n ≈ 0.6m, measured): when raw ≤ 2.5m and
+  * empty registers exist, E = m·ln(m/V) with V = the exact integer
+  * count of empty registers — linear counting (Whang et al. 1990).
+  * ln() is the one libm call in the family; engines may differ by
+  * 1-2 ulp there, but a 1e-16 relative shift crosses a 0.01 rounding
+  * boundary with probability ~1e-11 per row — unlike the
+  * DECIMAL-vs-double parse trap above (a 1e-6 SYSTEMATIC shift),
+  * ulp-level noise is safely below the round(·, 2) contract. The
+  * large-range correction is moot at a 60-bit hash.
   *
   * Scale shape: one partial-aggregating shuffle on (groups, j) —
   * m-bounded per group — then an m-row-per-group reduce; the sketch
@@ -41,32 +49,60 @@ import org.apache.spark.sql.functions._
   * how a 1000-executor cardinality rollup wants to run. */
 object Hll {
 
-  /** Per-group raw-HLL distinct estimate of `keyCol`. Output:
-    * groupCols + (`hll_estimate` double rounded 2, `n_registers_set`
-    * long). b = register-index bits (m = 2^b). */
-  def estimateDistinct(df: DataFrame, keyCol: String, groupCols: Seq[String],
+  /** The persisted-sketch half: per-group register table
+    * (groupCols..., `reg_j` int, `reg_m` int). This IS the mergeable
+    * state — registers for any coarser grouping (or a later batch)
+    * merge by max, so a daily register table answers any date-range
+    * distinct query without re-reading data (the 100 TB cube pattern;
+    * q140's additive-merge discipline, for a non-additive metric). */
+  def registers(df: DataFrame, keyCol: String, groupCols: Seq[String],
       b: Int = 8): DataFrame = {
     require(b >= 4 && b <= 16, "b must be in [4, 16]")
     val m = 1 << b
     val W = 60 - b
     val h = s"cast(conv(substring(md5(cast($keyCol as string)), 1, 15), 16, 10) as bigint)"
-    val regs = df
-      .selectExpr(groupCols ++ Seq(s"pmod($h, $m) AS __j", s"($h div $m) AS __w"): _*)
-      .selectExpr(groupCols ++ Seq("__j",
+    df
+      .selectExpr(groupCols ++ Seq(s"pmod($h, $m) AS reg_j", s"($h div $m) AS __w"): _*)
+      .selectExpr(groupCols ++ Seq("reg_j",
         s"CASE WHEN __w > 0 THEN ${W + 1} - length(bin(__w)) ELSE ${W + 1} END AS __r"): _*)
-      .groupBy((groupCols :+ "__j").map(col): _*)
-      .agg(max("__r").as("__M"))
+      .groupBy((groupCols :+ "reg_j").map(col): _*)
+      .agg(max("__r").as("reg_m"))
+  }
+
+  /** The estimate half: roll a register table up to `rollupCols`
+    * (register max — associative/commutative/idempotent, so ANY
+    * partitioning of the data into register tables merges exactly)
+    * and apply the raw-HLL estimator. `b` must match the build. */
+  def estimateFromRegisters(regs: DataFrame, rollupCols: Seq[String],
+      b: Int = 8): DataFrame = {
+    val m = 1 << b
+    val W = 60 - b
     regs
-      .groupBy(groupCols.map(col): _*)
+      .groupBy((rollupCols :+ "reg_j").map(col): _*)
+      .agg(max("reg_m").as("__M"))
+      .groupBy(rollupCols.map(col): _*)
       .agg(
         sum(expr(s"shiftleft(cast(1 as bigint), ${W + 1} - __M)")).as("__Sset"),
         count(lit(1)).as("n_registers_set"))
       // absent registers carry M = 0, i.e. 2^(W+1) each
       .withColumn("__S",
         col("__Sset") + (lit(m.toLong) - col("n_registers_set")) * lit(1L << (W + 1)))
-      .withColumn("hll_estimate",
-        round(lit(0.7213 / (1.0 + 1.079 / m) * m * m * (1L << (W + 1)).toDouble)
-          / col("__S"), 2))
-      .drop("__Sset", "__S")
+      .withColumn("__raw",
+        lit(0.7213 / (1.0 + 1.079 / m) * m * m * (1L << (W + 1)).toDouble)
+          / col("__S"))
+      // small-range: V empty registers → linear counting m·ln(m/V)
+      .withColumn("hll_estimate", expr(
+        s"""round(CASE WHEN __raw <= ${2.5 * m} AND $m - n_registers_set > 0
+           |  THEN $m * ln($m / cast($m - n_registers_set as double))
+           |  ELSE __raw END, 2)""".stripMargin))
+      .drop("__Sset", "__S", "__raw")
   }
+
+  /** Per-group raw-HLL distinct estimate of `keyCol` in one pass —
+    * [[registers]] composed with [[estimateFromRegisters]]. Output:
+    * groupCols + (`hll_estimate` double rounded 2, `n_registers_set`
+    * long). b = register-index bits (m = 2^b). */
+  def estimateDistinct(df: DataFrame, keyCol: String, groupCols: Seq[String],
+      b: Int = 8): DataFrame =
+    estimateFromRegisters(registers(df, keyCol, groupCols, b), groupCols, b)
 }

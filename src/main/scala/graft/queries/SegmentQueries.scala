@@ -627,7 +627,40 @@ object SegmentQueries {
       .orderBy("test_doc")
   }
 
+  /** Mergeable-sketch rollup ([[graft.operators.Hll.registers]] /
+    * estimateFromRegisters): a DAILY register table over event users
+    * is built once (the persisted cube state — days × ≤256 rows), and
+    * both the per-month and the all-time distinct-user estimates are
+    * answered from REGISTERS ALONE by max-merge — the non-additive
+    * counterpart of q140's additive aggregate merge, and the reason
+    * HLL (not exact sets) is the 100 TB cardinality-cube state: any
+    * date range collapses to an m-row max, no data re-read. Exact
+    * counts and relative error ride in-row; the register table is
+    * checkpointed so the plan provably answers from sketch state. */
+  def q234HllRollup(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+    val regs = graft.operators.Hll.registers(ev, "user_id", Seq("day"))
+      .localCheckpoint()
+    // 10-day buckets ("2024-01-1" = Jan 10..19): a coarsening the
+    // day table merges into with several periods even at sf0.01
+    val monthly = graft.operators.Hll.estimateFromRegisters(
+      regs.withColumn("period", substring(col("day"), 1, 9)), Seq("period"))
+    val overall = graft.operators.Hll.estimateFromRegisters(
+      regs.withColumn("period", lit("ALL")), Seq("period"))
+    val exM = ev.withColumn("period", substring(col("day"), 1, 9))
+      .groupBy("period").agg(countDistinct("user_id").as("n_exact"))
+    val exAll = ev.agg(countDistinct("user_id").as("n_exact"))
+      .withColumn("period", lit("ALL"))
+    monthly.unionByName(overall)
+      .join(exM.unionByName(exAll), Seq("period"))
+      .withColumn("rel_err",
+        round((col("hll_estimate") - col("n_exact")) / col("n_exact"), 4))
+      .orderBy("period")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_hll_rollup" -> (q234HllRollup _),
     "q231_hll_md5" -> (q231HllMd5 _),
     "q232_market_share" -> (q232MarketShare _),
     "q233_novelty" -> (q233Novelty _),
@@ -1113,6 +1146,40 @@ object SegmentQueries {
         |FROM st JOIN qv USING (o_orderpriority)
         |ORDER BY 1""".stripMargin,
     // the same 6-table join; revenue summed in exact cents
+    // register max-merge is associative, so the oracle computes each
+    // period's registers DIRECTLY — algebraically identical to the
+    // engine's day-table rollup; estimator incl. the linear-counting
+    // branch as in q231
+    "q234_hll_rollup" ->
+      """WITH ev AS (
+        |  SELECT substr(CAST(CAST(ts AS DATE) AS VARCHAR), 1, 9) AS mth, user_id,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |per AS (
+        |  SELECT mth AS period, user_id, h FROM ev
+        |  UNION ALL SELECT 'ALL', user_id, h FROM ev),
+        |r AS (
+        |  SELECT period, user_id, h % 256 AS j,
+        |    CASE WHEN h // 256 > 0 THEN 53 - length(bin(h // 256)) ELSE 53 END AS rnk
+        |  FROM per),
+        |mx AS (SELECT period, j, max(rnk) AS mj FROM r GROUP BY 1, 2),
+        |s AS (
+        |  SELECT period,
+        |    CAST(sum(CAST(1 AS BIGINT) << (53 - mj)) AS BIGINT)
+        |      + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS big_s,
+        |    CAST(count(*) AS BIGINT) AS n_registers_set
+        |  FROM mx GROUP BY 1),
+        |e AS (SELECT period, count(DISTINCT user_id) AS n_exact FROM per GROUP BY 1),
+        |est AS (
+        |  SELECT s.period, n_registers_set, n_exact,
+        |    round(CASE WHEN 4.2399330249068963e+20 / big_s <= 640.0
+        |        AND 256 - n_registers_set > 0
+        |      THEN 256 * ln(256 / CAST(256 - n_registers_set AS DOUBLE))
+        |      ELSE 4.2399330249068963e+20 / big_s END, 2) AS hll_estimate
+        |  FROM s JOIN e ON e.period = s.period)
+        |SELECT period, hll_estimate, n_registers_set, n_exact,
+        |  round((hll_estimate - n_exact) / n_exact, 4) AS rel_err
+        |FROM est ORDER BY period""".stripMargin,
     // the raw-HLL core restated register for register: h from md5
     // hex, j = h mod 256, rank from length(bin(w)) — both engines'
     // bin() prints without leading zeros, so bitlength is exact
@@ -1140,7 +1207,10 @@ object SegmentQueries {
         |e AS (SELECT ship_month, count(DISTINCT l_partkey) AS n_exact FROM li GROUP BY 1),
         |est AS (
         |  SELECT s.ship_month, n_registers_set, n_exact,
-        |    round(4.2399330249068963e+20 / big_s, 2) AS hll_estimate
+        |    round(CASE WHEN 4.2399330249068963e+20 / big_s <= 640.0
+        |        AND 256 - n_registers_set > 0
+        |      THEN 256 * ln(256 / CAST(256 - n_registers_set AS DOUBLE))
+        |      ELSE 4.2399330249068963e+20 / big_s END, 2) AS hll_estimate
         |  FROM s JOIN e ON e.ship_month = s.ship_month)
         |SELECT ship_month, hll_estimate, n_registers_set, n_exact,
         |  round((hll_estimate - n_exact) / n_exact, 4) AS rel_err

@@ -35,7 +35,10 @@ class HllSpec extends AnyFunSuite {
     }
     val sScaled = regs.map(mj => 1L << (W + 1 - mj)).sum
     val k = 0.7213 / (1.0 + 1.079 / m) * m * m * (1L << (W + 1)).toDouble
-    k / sScaled
+    val raw = k / sScaled
+    val v = regs.count(_ == 0)
+    // small-range linear counting, as in Hll.estimateFromRegisters
+    if (raw <= 2.5 * m && v > 0) m * math.log(m.toDouble / v) else raw
   }
 
   test("Hll.estimateDistinct matches the reference register algebra exactly and is ~1/sqrt(m) accurate") {
