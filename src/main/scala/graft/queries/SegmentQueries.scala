@@ -659,7 +659,73 @@ object SegmentQueries {
       .orderBy("period")
   }
 
+  /** Small-quantity revenue by brand (the TPC-H Q17 shape): lines
+    * with quantity under 20% of their PART's average quantity — the
+    * correlated-scalar-subquery pattern, decorrelated Spark-first
+    * into one per-part aggregate joined back (what Catalyst's
+    * RewriteCorrelatedScalarSubquery produces, stated directly). The
+    * threshold comparison is the ×5 integer form (5·qty < avg):
+    * quantities are integer-valued doubles, so the per-part sum is
+    * EXACT regardless of partition order and the filter can never
+    * flip on a float ulp — the determinism trick that lets an
+    * avg-threshold filter be hash-oracled at all. */
+  def q235SmallQty(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val avgQ = li.groupBy(col("l_partkey").as("pk"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    li.join(avgQ, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") * 5 < col("avg_qty"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small_lines"),
+        round(sum("cents") / lit(700.0), 2).as("avg_yearly"))
+      .orderBy("p_brand")
+  }
+
+  /** Audience-overlap estimation by SKETCH SET ALGEBRA: per-event-type
+    * HLL register tables ([[graft.operators.Hll]]) are the ONLY state;
+    * each type pair's union audience comes from a register max-merge
+    * and the intersection from inclusion–exclusion (|A∩B| = |A| + |B|
+    * − |A∪B|) — no user-level pairwise join at query time. This is
+    * the 100 TB audience-dashboard shape: K segment sketches (m rows
+    * each) answer all K² overlap cells, with the exact intersection
+    * joined in-row as truth. Estimate error compounds across three
+    * estimates — the honest price of sketch algebra, visible in
+    * rel_err. */
+  def q236AudienceSketch(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+    val regs = graft.operators.Hll.registers(ev, "user_id", Seq("event_type"))
+      .localCheckpoint()
+    val single = graft.operators.Hll.estimateFromRegisters(regs, Seq("event_type"))
+      .select(col("event_type"), col("hll_estimate"))
+    val pairs = single.toDF("et_a", "est_a")
+      .crossJoin(single.toDF("et_b", "est_b"))
+      .filter(col("et_a") < col("et_b"))
+    val unionRegs = pairs.select("et_a", "et_b")
+      .join(regs.withColumnRenamed("event_type", "__et"),
+        col("__et") === col("et_a") || col("__et") === col("et_b"))
+      .groupBy("et_a", "et_b", "reg_j").agg(max("reg_m").as("reg_m"))
+    val unionEst = graft.operators.Hll
+      .estimateFromRegisters(unionRegs, Seq("et_a", "et_b"))
+      .select(col("et_a"), col("et_b"), col("hll_estimate").as("est_union"))
+    val ue = ev.select("event_type", "user_id").distinct()
+    val exact = ue.toDF("et_a", "uid")
+      .join(ue.toDF("et_b", "uid2"),
+        col("uid") === col("uid2") && col("et_a") < col("et_b"))
+      .groupBy("et_a", "et_b").agg(countDistinct("uid").as("n_exact"))
+    pairs.join(unionEst, Seq("et_a", "et_b"))
+      .withColumn("est_intersection",
+        round(col("est_a") + col("est_b") - col("est_union"), 2))
+      .join(exact, Seq("et_a", "et_b"))
+      .withColumn("rel_err",
+        round((col("est_intersection") - col("n_exact")) / col("n_exact"), 4))
+      .orderBy("et_a", "et_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_small_qty" -> (q235SmallQty _),
+    "q236_audience_sketch" -> (q236AudienceSketch _),
     "q234_hll_rollup" -> (q234HllRollup _),
     "q231_hll_md5" -> (q231HllMd5 _),
     "q232_market_share" -> (q232MarketShare _),
@@ -1146,6 +1212,83 @@ object SegmentQueries {
         |FROM st JOIN qv USING (o_orderpriority)
         |ORDER BY 1""".stripMargin,
     // the same 6-table join; revenue summed in exact cents
+    // decorrelated Q17: the per-part average is exact (integer-valued
+    // quantities sum exactly in doubles), and the x5 integer form of
+    // the threshold keeps the filter ulp-proof
+    "q235_small_qty" ->
+      """WITH a AS (
+        |  SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+        |  FROM lineitem GROUP BY 1),
+        |f AS (
+        |  SELECT l.l_partkey,
+        |    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem l JOIN a ON l.l_partkey = a.pk
+        |  WHERE l.l_quantity * 5 < a.avg_qty)
+        |SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_small_lines,
+        |  round(CAST(sum(cents) AS DOUBLE) / 700.0, 2) AS avg_yearly
+        |FROM f JOIN part p ON f.l_partkey = p.p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sketch set algebra replayed: per-type registers, pair unions by
+    // register max, singles/unions through the same estimator
+    // (incl. linear counting), inclusion-exclusion for intersections
+    "q236_audience_sketch" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, h % 256 AS j,
+        |    CASE WHEN h // 256 > 0 THEN 53 - length(bin(h // 256)) ELSE 53 END AS rnk
+        |  FROM ev),
+        |mx AS (SELECT event_type, j, max(rnk) AS mj FROM r GROUP BY 1, 2),
+        |est1 AS (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(1 AS BIGINT) << (53 - mj)) AS BIGINT)
+        |      + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS big_s,
+        |    CAST(count(*) AS BIGINT) AS nset
+        |  FROM mx GROUP BY 1),
+        |sing AS (
+        |  SELECT event_type,
+        |    round(CASE WHEN 4.2399330249068963e+20 / big_s <= 640.0 AND 256 - nset > 0
+        |      THEN 256 * ln(256 / CAST(256 - nset AS DOUBLE))
+        |      ELSE 4.2399330249068963e+20 / big_s END, 2) AS est
+        |  FROM est1),
+        |pr AS (
+        |  SELECT a.event_type AS et_a, b.event_type AS et_b,
+        |    a.est AS est_a, b.est AS est_b
+        |  FROM sing a JOIN sing b ON a.event_type < b.event_type),
+        |um AS (
+        |  SELECT p.et_a, p.et_b, m.j, max(m.mj) AS mj
+        |  FROM pr p JOIN mx m
+        |    ON m.event_type = p.et_a OR m.event_type = p.et_b
+        |  GROUP BY 1, 2, 3),
+        |ua AS (
+        |  SELECT et_a, et_b,
+        |    CAST(sum(CAST(1 AS BIGINT) << (53 - mj)) AS BIGINT)
+        |      + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS big_s,
+        |    CAST(count(*) AS BIGINT) AS nset
+        |  FROM um GROUP BY 1, 2),
+        |uni AS (
+        |  SELECT et_a, et_b,
+        |    round(CASE WHEN 4.2399330249068963e+20 / big_s <= 640.0 AND 256 - nset > 0
+        |      THEN 256 * ln(256 / CAST(256 - nset AS DOUBLE))
+        |      ELSE 4.2399330249068963e+20 / big_s END, 2) AS est_union
+        |  FROM ua),
+        |du AS (SELECT DISTINCT event_type, user_id FROM ev),
+        |exact AS (
+        |  SELECT a.event_type AS et_a, b.event_type AS et_b,
+        |    count(DISTINCT a.user_id) AS n_exact
+        |  FROM du a JOIN du b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.et_a, p.et_b, p.est_a, p.est_b, u.est_union,
+        |  round(p.est_a + p.est_b - u.est_union, 2) AS est_intersection,
+        |  e.n_exact,
+        |  round((round(p.est_a + p.est_b - u.est_union, 2) - e.n_exact) / e.n_exact, 4) AS rel_err
+        |FROM pr p
+        |JOIN uni u ON u.et_a = p.et_a AND u.et_b = p.et_b
+        |JOIN exact e ON e.et_a = p.et_a AND e.et_b = p.et_b
+        |ORDER BY 1, 2""".stripMargin,
     // register max-merge is associative, so the oracle computes each
     // period's registers DIRECTLY — algebraically identical to the
     // engine's day-table rollup; estimator incl. the linear-counting

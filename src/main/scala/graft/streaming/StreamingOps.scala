@@ -254,6 +254,35 @@ object StreamingOps {
     val width = sys.env.get("SPARK_GRAFT_DRAIN_PARTITIONS")
       .map(_.toInt).getOrElse(drainPartitions)
     spark.conf.set(key, math.min(prev.toInt, width).toString)
+    // SPARK_GRAFT_DRAIN_SINK=parquet: drain APPEND-mode streams to an
+    // executor-side file sink instead of the memory sink. The memory
+    // sink is the right verify-scale tool (deterministic, queryable
+    // mid-drain) but it serializes EVERY result row to the driver —
+    // at derived sf10 the q85 session drain produced >1 GiB of task
+    // results and died on spark.driver.maxResultSize. A file sink
+    // keeps rows on executors (the production shape — see
+    // startParquetSink); the result is read back from the committed
+    // files. Complete-mode drains stay on the memory sink: file sinks
+    // are append-only, and complete-mode results are aggregates whose
+    // size does not grow with the data. Default: memory (unset). The
+    // system-property spelling exists for in-JVM tests (a process
+    // cannot set its own env).
+    val fileSink = outputMode == "append" &&
+      sys.env.get("SPARK_GRAFT_DRAIN_SINK")
+        .orElse(sys.props.get("spark.graft.drainSink")).contains("parquet")
+    val fileSinkDir: Option[java.nio.file.Path] =
+      if (fileSink) Some(java.nio.file.Files.createTempDirectory("graft_drain_out"))
+      else None
+    def sinkDf: DataFrame = fileSinkDir match {
+      case Some(p) =>
+        try spark.read.parquet(p.toString)
+        catch { case _: Exception =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            stream.schema)
+        }
+      case None => spark.table(name)
+    }
+    def sinkCount(): Long = sinkDf.count()
     // append-mode emission of watermark-closed windows/evicted outer
     // rows happens in the trailing NO-DATA micro-batch, which
     // processAllAvailable does not wait for. Primary wait: a listener
@@ -303,12 +332,24 @@ object StreamingOps {
       else None
     }
     try {
-      val w0 = stream.writeStream
-        .outputMode(outputMode)
-        .format("memory")
-        .queryName(name)
-      val q = shmCkpt.fold(w0)(p => w0.option("checkpointLocation", p.toString))
-        .start()
+      val w0 = fileSinkDir match {
+        case Some(p) => stream.writeStream
+          .outputMode(outputMode)
+          .format("parquet")
+          .option("path", p.toString)
+          .queryName(name)
+          // a file sink REQUIRES a checkpoint; fall back to /tmp when
+          // the host has no tmpfs
+          .option("checkpointLocation", shmCkpt.getOrElse(
+            java.nio.file.Files.createTempDirectory("graft_drain_ckpt")).toString)
+        case None =>
+          val w = stream.writeStream
+            .outputMode(outputMode)
+            .format("memory")
+            .queryName(name)
+          shmCkpt.fold(w)(p => w.option("checkpointLocation", p.toString))
+      }
+      val q = w0.start()
       runIdRef.set(q.runId)
       // close the start()→set gap: a terminal zero-input batch that
       // committed BEFORE the gate was armed (e.g. an empty source)
@@ -326,17 +367,17 @@ object StreamingOps {
         // (measured: 30 s of pure latch timeout on q226 before this
         // check existed)
         val alreadyDrained = awaitRows > 0 && target.isEmpty &&
-          spark.table(name).count() >= awaitRows
+          sinkCount() >= awaitRows
         val drained = alreadyDrained ||
           (latch.await(30, java.util.concurrent.TimeUnit.SECONDS) &&
             // the latch proves the terminal eviction batch committed;
             // in awaitRows mode additionally confirm the sink actually
             // holds the promised rows before trusting it
-            (awaitRows <= 0 || spark.table(name).count() >= awaitRows))
+            (awaitRows <= 0 || sinkCount() >= awaitRows))
         if (!drained) {
           // fallback: the original bounded sleep-polls
           val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-          while (awaitRows > 0 && spark.table(name).count() < awaitRows &&
+          while (awaitRows > 0 && sinkCount() < awaitRows &&
             System.nanoTime() < deadline) Thread.sleep(200)
           target.foreach { t =>
             def current: Option[java.time.Instant] =
@@ -350,7 +391,7 @@ object StreamingOps {
             var last = -1L
             var stable = 0
             while (stable < 4 && System.nanoTime() < deadline) {
-              val n = spark.table(name).count()
+              val n = sinkCount()
               if (n == last) stable += 1 else { stable = 0; last = n }
               Thread.sleep(250)
             }
@@ -380,7 +421,7 @@ object StreamingOps {
         } catch { case _: Exception => () }
       }
     }
-    spark.table(name)
+    sinkDf
   }
 
   /** Stage a single events parquet file behind a fresh directory PLUS a
