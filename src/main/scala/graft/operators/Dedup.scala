@@ -1172,15 +1172,32 @@ object Dedup {
     * `capped_rows` (clusters skipped by the cap and the rows inside
     * them — rows whose duplicates, if any, were not searched). Zero
     * means full within-cluster recall; the audit comes from a cheap
-    * per-cell count aggregate, not the heavy embedding-list branch. */
+    * per-cell count aggregate, not the heavy embedding-list branch.
+    *
+    * Because the SemDeDup sizing rule makes k ∝ n, flat Lloyd's
+    * assignment (n·k comparisons per round) is quadratic in the corpus
+    * — measured as 20.1× time for 10× data at derived sf10. Above
+    * `twoLevelFrom` cells the clustering therefore switches to
+    * [[Similarity.kmeansAssignTwoLevel]] (coarse→fine, n·2√k per
+    * round); below it the flat path is both faster (no fine-table
+    * join) and the one the sf0.01 oracle gate exercises. The 256
+    * default is measured: at k=100 (derived sf1) flat wins 3.8 s vs
+    * 5.9 s — the fixed ~0.5 s/round fine-join overhead dominates —
+    * while at k=1000 (derived sf10) two-level wins 10.0 s vs 75.8 s. */
   def semanticDedup(emb: DataFrame, eps: Double = 0.97,
       k: Int = 16, maxIter: Int = 8,
       idCol: String = "vec_id", embCol: String = "embedding",
-      maxCluster: Int = 10000): DataFrame = {
+      maxCluster: Int = 10000, twoLevelFrom: Int = 256): DataFrame = {
     val spark = emb.sparkSession
     graft.plans.GraftFunctions.register(spark)
-    val centroids = Similarity.kmeansFit(spark, emb, k, maxIter, idCol, embCol)
-    val assigned = Similarity.kmeansAssign(spark, emb, centroids, embCol)
+    val assigned0 =
+      if (k > twoLevelFrom)
+        Similarity.kmeansAssignTwoLevel(spark, emb, k, maxIter, idCol, embCol)
+      else {
+        val centroids = Similarity.kmeansFit(spark, emb, k, maxIter, idCol, embCol)
+        Similarity.kmeansAssign(spark, emb, centroids, embCol)
+      }
+    val assigned = assigned0
       .select(col(idCol).as("id"), col(embCol).as("e"), col("cell"))
     // cluster-local pair generation, bucket-capped — identical shape to
     // embeddingNearDups but keyed by the learned cell instead of an LSH

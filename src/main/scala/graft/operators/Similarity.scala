@@ -464,6 +464,105 @@ object Similarity {
     df.withColumn("cell", expr(s"element_at($fn($embCol), 1)"))
   }
 
+  /** Two-level (coarse→fine, IVF-style) spherical k-means ASSIGNMENT,
+    * for cluster counts that scale with the data. Flat Lloyd's costs
+    * O(n·k·d) per round; with k ∝ n (the SemDeDup sizing rule,
+    * k = n/target_cluster_size) that is O(n²), which is exactly the
+    * superlinearity the derived-sf10 scale run measured on q90
+    * (20.1× time for 10× data). Here the k cells are organized as
+    * k1 = ⌈√k⌉ coarse cells × k2 = ⌈k/k1⌉ fine cells nested inside
+    * each, so every point compares against k1 + k2 ≈ 2√k centroids
+    * instead of k — O(n·√k·d) per round, the same trick FAISS uses to
+    * train large-k IVF quantizers.
+    *
+    * Shape at scale: coarse training/assignment is the existing
+    * map-side [[NearestCells]] pass; fine training keeps the full fine
+    * table driver-side (k×d floats — the model artifact, not data) and
+    * each round does ONE broadcast join on the coarse cell followed by
+    * a per-row argmax over that cell's ≤k2 fine centroids
+    * (`transform` + `array_max`, all codegen HOFs over a broadcast
+    * array). Points reassign only within their coarse cell — the IVF
+    * restriction; for dedup cells that is immaterial (the cells only
+    * need to be a bounded, deterministic partition of the sphere).
+    * Fine seeds are per-coarse-cell id percentiles (the same
+    * deterministic seed rule flat [[kmeansFit]] uses globally).
+    *
+    * Returns `idCol, embCol, cell` with `cell` = global fine-cell id
+    * (long), localCheckpoint'ed so downstream consumers don't re-run
+    * the assignment chain per action. */
+  def kmeansAssignTwoLevel(spark: SparkSession, emb0: DataFrame, k: Int,
+      maxIter: Int = 5, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(spark)
+    val k1 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val k2 = math.max(2, math.ceil(k.toDouble / k1).toInt)
+    val emb = emb0.select(col(idCol), col(embCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val coarse = kmeansFit(spark, emb, k1, maxIter, idCol, embCol)
+      val ccellDf = kmeansAssign(spark, emb, coarse, embCol)
+        .withColumnRenamed("cell", "ccell")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // fine seeds: per-coarse-cell id percentiles (deterministic,
+        // one grouped aggregate; ≤ k1×k2 ids total)
+        val qs = (0 until k2).map(i => (i + 0.5) / k2)
+        val seedIdRows = ccellDf.groupBy("ccell")
+          .agg(expr(s"percentile_approx($idCol, array(${qs.mkString(",")}), 10000)").as("sids"))
+          .collect()
+        val seedPairs = seedIdRows.flatMap { r =>
+          val cc = r.getLong(0)
+          r.getSeq[Long](1).distinct.map(cc -> _)
+        }
+        val sess = spark; import sess.implicits._
+        val seedIdDf = seedPairs.toSeq.toDF("__scc", "__sid")
+        // fetch seed vectors (k rows to the driver — the model, not data)
+        var fine: Array[(Long, Long, Array[Float])] = emb
+          .join(broadcast(seedIdDf), col(idCol) === col("__sid"))
+          .select(col("__scc"), col(idCol), col(embCol)).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
+          .sortBy(t => (t._1, t._2))
+          .zipWithIndex
+          .map { case ((cc, _, v), i) => (cc, i.toLong, v) }
+        def assignFine(): DataFrame = {
+          val fineDf = fine.toSeq.map(t => (t._1, t._2, t._3.toSeq))
+            .toDF("ccell", "fid", "fvec")
+            .groupBy("ccell")
+            .agg(sort_array(collect_list(struct(col("fid"), col("fvec")))).as("fines"))
+          // argmax cosine over this coarse cell's fine centroids; sims
+          // materialized once, position looked up in the stored array
+          // (identical stored doubles — exact match). greatest(…,1)
+          // guards the not-found case (unreachable for non-degenerate
+          // vectors) against ANSI element_at(…,0) errors by falling
+          // back to the cell's first centroid.
+          ccellDf.join(broadcast(fineDf), "ccell")
+            .withColumn("__sims",
+              expr(s"transform(fines, f -> cosine_sim($embCol, f.fvec))"))
+            .withColumn("cell", expr(
+              "element_at(fines, greatest(int(array_position(__sims, array_max(__sims))), 1)).fid"))
+            .drop("fines", "__sims")
+        }
+        var iter = 0
+        while (iter < maxIter) {
+          val sums = assignFine().groupBy("cell")
+            .agg(expr(s"vec_sum($embCol)").as("vsum"), count(lit(1)).as("n"))
+            .collect()
+          val byFid = sums.map(r => r.getLong(0) ->
+            (r.getSeq[Double](1), r.getLong(2).toDouble)).toMap
+          fine = fine.map { case (cc, fid, v) =>
+            byFid.get(fid) match {
+              case Some((s, n)) if n > 0 => (cc, fid, s.map(x => (x / n).toFloat).toArray)
+              case _ => (cc, fid, v) // empty cell: keep the old centroid
+            }
+          }
+          iter += 1
+        }
+        assignFine().select(col(idCol), col(embCol), col("cell"))
+          .localCheckpoint()
+      } finally ccellDf.unpersist(false)
+    } finally emb.unpersist(false)
+  }
+
   /** Multi-table multiprobe LSH ANN. `tables` independent hash tables
     * (the classic recall amplifier: P(hit) = 1-(1-p)^L), and within each
     * table the query probes its own sign bucket plus all buckets at

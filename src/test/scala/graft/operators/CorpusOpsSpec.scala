@@ -100,6 +100,40 @@ class CorpusOpsSpec extends AnyFunSuite {
       "a survivor appears as removed")
   }
 
+  test("two-level k-means path: partition is total, copies co-assigned, planted dups removed") {
+    val s = spark; import s.implicits._
+    // 600 deterministic pseudo-random unit-ish vectors (LCG, fixed
+    // seed) — random 16-d directions are near-orthogonal, so eps=0.97
+    // merges only the planted exact copies
+    def vec(seed: Long): Array[Float] = {
+      var x = seed * 6364136223846793005L + 1442695040888963407L
+      Array.fill(16) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 33).toDouble / (1L << 31).toDouble - 0.5).toFloat
+      }
+    }
+    val base = (0L until 600L).map(i => (i, vec(i)))
+    val copies = Seq(7L, 123L, 401L).map(i => (i + 5000L, vec(i)))
+    val emb = (base ++ copies).toDF("vec_id", "embedding")
+    val assigned = Similarity.kmeansAssignTwoLevel(spark, emb, k = 100, maxIter = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(assigned.size === 603, "every vector assigned exactly once")
+    // identical vectors see identical broadcast centroids → same cell
+    Seq(7L, 123L, 401L).foreach(i =>
+      assert(assigned(i) === assigned(i + 5000L), s"copy of $i split across cells"))
+    assert(assigned.values.toSet.size > 10, "fine cells actually partition the space")
+    // end-to-end through semanticDedup with the two-level path forced
+    val removed = Dedup.semanticDedup(emb, eps = 0.97, k = 100, maxIter = 3,
+      twoLevelFrom = 8)
+      .select("vec_id", "survivor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    Seq(7L, 123L, 401L).foreach { i =>
+      assert(removed.contains(i + 5000L), s"planted copy ${i + 5000L} not removed")
+      assert(removed(i + 5000L) === i, s"survivor of ${i + 5000L} is not the original")
+    }
+    assert(!removed.keySet.exists(_ < 5000L),
+      s"near-orthogonal random vectors falsely merged: ${removed.keySet.filter(_ < 5000L)}")
+  }
+
   test("q90's in-row planted_removed guarantee holds on real testdata") {
     val out = graft.queries.CorpusQueries.q90SemanticDedup(spark, "/root/testdata/sf0.001")
     val rows = out.collect()
