@@ -910,15 +910,19 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
     } else {
       val prefixLen = (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")
+      // prefix rows carry the shingle's 1-based POSITION in the doc's
+      // full globally-ordered shingle list — the PPJoin positional /
+      // count filter below needs it
       val pref =
         if (!freqOrder) {
           // hash-ordered prefix: sort the shingle set by (xxhash64, value)
           // and slice — entirely row-local, stays in the scan stage
           sh.select(col("id"), col("n_sh"),
-            explode(slice(expr(
+            posexplode(slice(expr(
               "transform(array_sort(transform(sh, s -> struct(xxhash64(s) AS h, s AS s))), p -> p.s)"),
-              lit(1), prefixLen)).as("shingle"))
-            .select(col("shingle"), col("id"), col("n_sh"))
+              lit(1), prefixLen)))
+            .select(col("col").as("shingle"), col("id"), col("n_sh"),
+              (col("pos") + 1).as("p"))
         } else {
           import org.apache.spark.sql.expressions.Window
           val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
@@ -927,16 +931,39 @@ object Dedup {
           inv.join(dfreq, Seq("shingle"))
             .withColumn("rk", row_number().over(byDoc))
             .filter(col("rk") <= prefixLen)
-            .select(col("shingle"), col("id"), col("n_sh"))
+            .select(col("shingle"), col("id"), col("n_sh"), col("rk").as("p"))
         }
-      val cand = pref.select(col("shingle"), col("id").as("doc_a"), col("n_sh").as("na"))
-        .join(pref.select(col("shingle"), col("id").as("doc_b"), col("n_sh").as("nb")),
+      // PPJoin positional + count filter (Xiao et al., WWW 2008),
+      // aggregated join form. Both prefixes are the LOWEST positions of
+      // the same global total order (hash order / (dfreq, shingle)), so
+      // matched positions are co-monotonic across the pair and for the
+      // LAST match at (max_pa, max_pb) every common shingle ordered
+      // before it is provably matched: an unmatched common element
+      // before the last match would have to sit inside one prefix but
+      // beyond the other's prefix bound, contradicting the shared
+      // order. Hence overlap ≤ c + min(na−max_pa, nb−max_pb) — an EXACT
+      // upper bound, so pruning pairs whose bound misses
+      // α = t·(na+nb)/(1+t) (the J≥t ⟺ O≥α identity) has zero false
+      // negatives. The bound comparison is relaxed by 1e-9 so a float
+      // ulp can only ever ADMIT a borderline candidate (verification is
+      // exact), never drop one. Measured at derived sf10 (t=0.8,
+      // 500 K docs): 8.13 M length-filter candidates → far fewer enter
+      // the array_intersect verification join, which was 92 of q138's
+      // 124 s.
+      val cand = pref.select(col("shingle"), col("id").as("doc_a"),
+          col("n_sh").as("na"), col("p").as("pa"))
+        .join(pref.select(col("shingle"), col("id").as("doc_b"),
+          col("n_sh").as("nb"), col("p").as("pb")),
           Seq("shingle"))
         .filter(col("doc_a") < col("doc_b"))
         // length filter: J ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|)
         .filter(col("na") >= ceil(lit(threshold) * col("nb")) &&
           col("nb") >= ceil(lit(threshold) * col("na")))
-        .select("doc_a", "doc_b", "na", "nb").distinct()
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(count(lit(1)).as("__c"), max("pa").as("__pa"), max("pb").as("__pb"))
+        .filter(col("__c") + least(col("na") - col("__pa"), col("nb") - col("__pb")) >=
+          lit(threshold / (1.0 + threshold)) * (col("na") + col("nb")) - lit(1e-9))
+        .select("doc_a", "doc_b", "na", "nb")
         .cache()
       cand.count() // eager: the two verification joins below would each
                    // re-run the whole candidate pipeline on a cold cache

@@ -35,8 +35,14 @@ object Graph {
     // upstream recompute (measured 6 s → ~1 s on the q57 pair chain at
     // sf0.1). Eager checkpoint blocks are ContextCleaner-managed, the
     // nearDupsFromLshIndex discipline.
-    val und = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // checkpoint the DIRECTED list first: the two union branches would
+    // otherwise each re-run the upstream pair chain (candidate gen +
+    // verification) before the union's own checkpoint — measured 22 s
+    // vs 3 s on the sf10 q138 chain
+    val dir = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint()
+    val und = dir
+      .union(dir.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
     val nodes = und.select(col("src").as("id")).distinct()
     // node count: a 1-row scalar the teleport term needs (driver-scale
