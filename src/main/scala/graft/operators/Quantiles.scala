@@ -244,19 +244,32 @@ object Quantiles {
     * q·W — the statistic behind "the median dollar" vs "the median
     * order" (each row votes with `weightCol`, not once).
     *
-    * Scale shape: unlike [[exactQuantiles]] there is no two-phase
-    * shortcut that preserves exactness under arbitrary weights, so
-    * this pays the honest per-group ordered window (cumulative weight
-    * over (value, tie) order) — ONE key shuffle, per-group sort only,
-    * no global sort; the q-spine cross join multiplies the tiny
-    * selection frame, not the data.
+    * Scale shape (the StatTests value-histogram discipline): the
+    * original formulation ran a per-group ordered window over ROWS,
+    * so a low-cardinality group column (q175: 3 return flags over
+    * lineitem) funneled the whole table through 3 sort partitions —
+    * measured 68 s at derived sf10. Instead: (1) ONE map-side-
+    * combinable aggregate to the per-(group, value) weight histogram;
+    * (2) two-phase cumulative weight over that histogram — per-group
+    * value-range buckets carry cross-bucket offsets through a window
+    * of ≤`WqBuckets` aggregated rows per group, and the within-bucket
+    * cumulative window is PARTITIONED BY (group, bucket). Nothing
+    * row-scale passes through a near-single-partition sort.
+    *
+    * The selected VALUE is provably identical to the row-window
+    * formulation: a row-level prefix inside value v's tie block
+    * reaches q·W iff the whole block does (the block end is itself a
+    * prefix), so the smallest qualifying value is tie-order
+    * independent — `tieCols` is kept for API stability but no longer
+    * affects the result (it only ever disambiguated the internal
+    * row-level cumsum, never the output).
     *
     * Determinism across engines: when weights are integer-valued (the
-    * common case — counts, quantities), cumulative and total sums are
-    * EXACT in double, so the q·W threshold comparison cannot flip on
-    * accumulation order. Fractional weights are supported but the
-    * boundary row is then subject to float accumulation — document or
-    * round weights first. */
+    * common case — counts, quantities), per-value, per-bucket, and
+    * total sums are EXACT in double, so the q·W threshold comparison
+    * cannot flip on accumulation order. Fractional weights are
+    * supported but the boundary is then subject to float accumulation
+    * — document or round weights first. */
   def weightedQuantiles(df: DataFrame, valueCol: String, weightCol: String,
       qs: Seq[Double], groupCols: Seq[String], tieCols: Seq[String] = Nil): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "each q must be in (0, 1]")
@@ -265,18 +278,50 @@ object Quantiles {
     val v = col(valueCol)
     val wt = col(weightCol).cast("double")
     val data = df.filter(v.isNotNull && wt.isNotNull && wt > 0)
-    val ord: Seq[Column] = (valueCol +: tieCols).map(col)
-    val w = Window.partitionBy(g: _*).orderBy(ord: _*)
-    val cum = data
-      .withColumn("__cumw", sum(wt).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__totw", sum(wt).over(Window.partitionBy(g: _*)))
+    // (1) per-(group, value) weight histogram — collapses tie rows;
+    // checkpoint so the row-scale aggregate beneath runs once
+    val hist0 = data
+      .groupBy((g :+ v.cast("double").as("__v")): _*)
+      .agg(sum(wt).as("__w"))
+      .localCheckpoint(false)
+    val stats = hist0.groupBy(g: _*)
+      .agg(min("__v").as("__lo"), max("__v").as("__hi"), sum("__w").as("__totw"))
+    def joinG(l: DataFrame, r: DataFrame): DataFrame =
+      if (groupCols.isEmpty) l.crossJoin(broadcast(r))
+      else l.join(broadcast(r), groupCols)
+    // (2a) monotone value-range bucket within the group's [lo, hi]
+    val bucketed = joinG(hist0, stats)
+      .withColumn("__qb",
+        when(col("__hi") === col("__lo"), lit(0)).otherwise(
+          least(floor((col("__v") - col("__lo")) / (col("__hi") - col("__lo")) * WqBuckets)
+            .cast("int"), lit(WqBuckets - 1))))
+      .drop("__lo", "__hi")
+    // (2b) cross-bucket offsets: ≤ WqBuckets aggregated rows per group
+    // through a PER-GROUP window
+    val offsets = bucketed.groupBy((g :+ col("__qb")): _*)
+      .agg(sum("__w").as("__bw"))
+      .withColumn("__boffset", coalesce(sum("__bw").over(
+        Window.partitionBy(g: _*).orderBy("__qb")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+      .select((g :+ col("__qb") :+ col("__boffset")): _*)
+    val joinCols = groupCols :+ "__qb"
+    // (2c) within-bucket cumulative, partitioned by (group, bucket);
+    // cumw INCLUDES the current value's whole tie block
+    val cum = bucketed.join(broadcast(offsets), joinCols)
+      .withColumn("__cumw", col("__boffset") + sum("__w").over(
+        Window.partitionBy((g :+ col("__qb")): _*).orderBy("__v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     import spark.implicits._
     val qDf = qs.toDF("q")
     cum.crossJoin(broadcast(qDf))
       .filter(col("__cumw") >= col("q") * col("__totw"))
       .groupBy((g :+ col("q")): _*)
-      .agg(min(v).as("value"), first(col("__totw")).as("total_weight"))
+      .agg(min(col("__v")).as("value"), first(col("__totw")).as("total_weight"))
       .orderBy((g :+ col("q")): _*)
   }
+
+  /** Width of the value-range bucketing in [[weightedQuantiles]]'
+    * two-phase cumulative: the per-group offset window runs over at
+    * most this many aggregated rows. */
+  private val WqBuckets = 4096
 }
