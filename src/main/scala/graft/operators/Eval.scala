@@ -203,4 +203,58 @@ object Eval {
             (col("__tp") / col("__tn").cast("double")), 6)).as("lift"))
       .orderBy("bucket")
   }
+
+  /** Isotonic regression of a binary label on an ordered score bucket
+    * (Pool-Adjacent-Violators, via the exact MINIMAX identity — Ayer
+    * et al. 1955; Barlow & Brunk 1972): the monotone calibration map
+    * production rankers use where Platt scaling's sigmoid shape
+    * doesn't fit. fit(b) = max_{i≤b} min_{j≥b} mean(i..j), with
+    * mean(i..j) the pooled positive rate of buckets i..j.
+    *
+    * Scale shape: PAV is a sequential pooling algorithm, but the
+    * minimax identity is order-free — so the ROWS are touched by one
+    * map-side-combinable (bucket → n, n_pos) aggregate, and the
+    * O(B²) minimax runs on the B-row bucket frame: prefix sums (one
+    * window over B aggregated rows), the i≤j pair frame (B²/2 rows),
+    * a per-i suffix-min window, then a per-j max aggregate. All
+    * arithmetic is integer prefix sums until each pair's single
+    * division — exact, hashable, and restatable by any SQL engine
+    * (this is the rare ITERATIVE-looking fit with a closed-form
+    * oracle; contrast the float-iterative k-means family). */
+  def isotonicCalibration(df: DataFrame, bucketCol: String,
+      labelCol: String): DataFrame = {
+    // the bucket frame feeds the prefix sums, both pair sides, and
+    // the final join — checkpoint so the row-scale aggregate runs once
+    val b = df.select(col(bucketCol).cast("long").as("bucket"),
+        col(labelCol).cast("long").as("__y"))
+      .where(col("bucket").isNotNull && col("__y").isNotNull)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("__y").as("n_pos"))
+      .localCheckpoint(false)
+    // B aggregated rows from here on: the unpartitioned window is
+    // constant-bounded (bucket-count), never row-scale
+    val wCum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = b.withColumn("cn", sum("n").over(wCum))
+      .withColumn("cp", sum("n_pos").over(wCum))
+    val lo = pre.select(col("bucket").as("i"), col("n").as("ni"),
+      col("n_pos").as("pi"), col("cn").as("cni"), col("cp").as("cpi"))
+    val hi = pre.select(col("bucket").as("j"), col("cn").as("cnj"),
+      col("cp").as("cpj"))
+    val pairs = lo.crossJoin(hi).where(col("i") <= col("j"))
+      .withColumn("mean_ij",
+        (col("cpj") - col("cpi") + col("pi")).cast("double") /
+          (col("cnj") - col("cni") + col("ni")))
+    // R(i,b) = min_{j≥b} mean(i,j): per-i suffix min, evaluated at j=b
+    val wSuf = Window.partitionBy("i").orderBy(col("j").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fit = pairs.withColumn("__r", min("mean_ij").over(wSuf))
+      .groupBy(col("j").as("bucket"))
+      .agg(max("__r").as("__fit")) // max over i≤b: exactly the rows with j=b
+    b.join(fit, Seq("bucket"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round(col("n_pos") / col("n").cast("double"), 6).as("raw_rate"),
+        round(col("__fit"), 6).as("iso_rate"))
+      .orderBy("bucket")
+  }
 }

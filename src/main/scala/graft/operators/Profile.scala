@@ -125,4 +125,40 @@ object Profile {
       .select("p.*")
       .orderBy("column")
   }
+
+  /** Functional-dependency audit (the data-quality rule check behind
+    * schema discovery / TANE-style profiling, stated for DECLARED
+    * candidate rules): for each rule LHS → RHS, does every LHS group
+    * take a single RHS value? Violations are counted as rows outside
+    * each group's plurality RHS value (the minimum number of cell
+    * edits that would make the FD hold — the g₃ error measure of
+    * Kivinen & Mannila 1995), so `confidence` = 1 means the FD holds
+    * exactly and 0.98 means 2% of rows break it.
+    *
+    * Scale shape per rule: one (LHS, RHS) count aggregate (map-side
+    * combinable), one LHS-level re-aggregate of the counts — two
+    * shuffles on aggregated frames, no windows, no row replay; rules
+    * union at the plan level so Spark schedules them together. Counts
+    * only — deterministic and plurality-tie-free (max of counts, not
+    * an arbitrary representative). */
+  def fdAudit(df: DataFrame,
+      rules: Seq[(String, Seq[String], String)]): DataFrame = {
+    val audits = rules.map { case (name, lhs, rhs) =>
+      val cells = df.groupBy((lhs :+ rhs).map(col): _*)
+        .agg(count(lit(1)).as("__c"))
+      cells.groupBy(lhs.map(col): _*)
+        .agg(sum("__c").as("__gn"), max("__c").as("__gmax"),
+          count(lit(1)).as("__nv"))
+        .agg(
+          lit(name).as("rule"),
+          sum("__gn").as("n_rows"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("__nv") > 1, 1L).otherwise(0L)).as("n_violating_groups"),
+          sum(col("__gn") - col("__gmax")).as("n_violation_rows"),
+          round(lit(1.0) -
+            sum(col("__gn") - col("__gmax")).cast("double") / sum("__gn"), 6)
+            .as("confidence"))
+    }
+    audits.reduce(_ unionByName _).orderBy("rule")
+  }
 }

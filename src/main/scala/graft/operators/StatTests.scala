@@ -254,4 +254,62 @@ object StatTests {
       .select((keepCols.map(col) ++ g) ++ Seq(col("__v").as(valueCol),
         round(col("__avgrank") / col("__n"), 6).as("cdf")): _*)
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic at corpus scale —
+    * the distribution-shift test (train-vs-eval drift, segment A/B)
+    * whose textbook formulation sorts the pooled sample:
+    * D = max over pooled distinct values of |F̂_A(v) − F̂_B(v)|.
+    *
+    * Scale + exactness shape: one (value → per-sample count) cell
+    * aggregate, the two-phase bucketed INCLUSIVE cumulative for both
+    * samples at once, then D's numerator as max |cumA·n_B − cumB·n_A|
+    * — all-INTEGER comparison (no float CDF ties; int64-safe to
+    * ~3·10⁹ rows per sample, the skewReport bound), divided by
+    * n_A·n_B exactly once at the end. The reported location is the
+    * SMALLEST value attaining the max (total tie-break → hashable).
+    * `lambda` is the asymptotic Kolmogorov scaling
+    * (√n_e + 0.12 + 0.11/√n_e)·D (Stephens 1970) — emitted instead
+    * of the p-value because it needs only sqrt/· (IEEE
+    * correctly-rounded, bit-identical cross-engine); exp series are
+    * the one step an oracle cannot restate bit-exactly. */
+  def ksTwoSample(df: DataFrame, valueCol: String, groupCol: String,
+      levelA: String, levelB: String): DataFrame = {
+    val data = df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull && col("g").isin(levelA, levelB))
+    // the cell frame feeds range stats, bucket offsets, and the
+    // within-bucket windows — checkpoint so the row-scale aggregate
+    // runs once
+    val cells = data.groupBy("v").agg(
+        sum(when(col("g") === levelA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === levelB, 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint(false)
+    val stats = cells.agg(min("v").as("__lo"), max("v").as("__hi"),
+      sum("ca").as("__na"), sum("cb").as("__nb"))
+    val bucketed = cells.crossJoin(broadcast(stats))
+      .withColumn("__qb", bucketOf(col("v"), col("__lo"), col("__hi")))
+    val wOff = Window.orderBy("__qb").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("__qb")
+      .agg(sum("ca").as("__ba"), sum("cb").as("__bb"))
+      .withColumn("__offa", coalesce(sum("__ba").over(wOff), lit(0L)))
+      .withColumn("__offb", coalesce(sum("__bb").over(wOff), lit(0L)))
+      .select("__qb", "__offa", "__offb")
+    val wIn = Window.partitionBy("__qb").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ne = (col("__na") * col("__nb")) / (col("__na") + col("__nb")).cast("double")
+    bucketed.join(broadcast(offsets), Seq("__qb"))
+      .withColumn("__cuma", col("__offa") + sum("ca").over(wIn))
+      .withColumn("__cumb", col("__offb") + sum("cb").over(wIn))
+      .withColumn("__dnum",
+        abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")))
+      .orderBy(col("__dnum").desc, col("v"))
+      .limit(1)
+      .select(
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        col("v").as("at_value"),
+        round(col("__dnum").cast("double") / (col("__na") * col("__nb")), 6)
+          .as("ks_d"),
+        round((sqrt(ne) + lit(0.12) + lit(0.11) / sqrt(ne)) *
+          (col("__dnum").cast("double") / (col("__na") * col("__nb"))), 4)
+          .as("lambda"))
+  }
 }

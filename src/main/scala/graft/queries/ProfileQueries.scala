@@ -108,7 +108,26 @@ object ProfileQueries {
       docs.where(length(col("source")) > 4), topK = 20)
   }
 
+  /** Functional-dependency audit over the order-line join
+    * ([[graft.operators.Profile.fdAudit]]): one rule that HOLDS by
+    * construction (l_orderkey → o_custkey — the join key determines
+    * its parent's attribute; confidence exactly 1 proves the audit's
+    * zero-violation path on real data) and two that fail honestly
+    * (l_orderkey → l_shipmode, l_partkey → l_returnflag), with g₃
+    * violation rows and confidence per rule. */
+  def q240FdAudit(s: SparkSession, d: String): DataFrame = {
+    val j = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "o_custkey", "l_linestatus", "l_partkey", "l_returnflag")
+    graft.operators.Profile.fdAudit(j, Seq(
+      ("l_orderkey->o_custkey", Seq("l_orderkey"), "o_custkey"),
+      ("l_orderkey->l_linestatus", Seq("l_orderkey"), "l_linestatus"),
+      ("l_partkey->l_returnflag", Seq("l_partkey"), "l_returnflag")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q240_fd_audit" -> (q240FdAudit _),
     "q168_chi2" -> (q168Chi2 _),
     "q180_auc" -> (q180Auc _),
     "q182_pmi" -> (q182Pmi _),
@@ -135,7 +154,27 @@ object ProfileQueries {
        |  CAST(NULL AS DOUBLE) AS mean, $minS AS min_str, $maxS AS max_str
        |FROM lineitem""".stripMargin
 
+  private def fdRuleSql(name: String, lhs: String, rhs: String): String =
+    s"""SELECT '$name' AS rule, CAST(sum(gn) AS BIGINT) AS n_rows, count(*) AS n_groups,
+       |  CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+       |  CAST(sum(gn - gmax) AS BIGINT) AS n_violation_rows,
+       |  round(1.0 - CAST(sum(gn - gmax) AS DOUBLE) / sum(gn), 6) AS confidence
+       |FROM (
+       |  SELECT $lhs, sum(c) AS gn, max(c) AS gmax, count(*) AS nv FROM (
+       |    SELECT $lhs, $rhs, count(*) AS c FROM j GROUP BY $lhs, $rhs) t
+       |  GROUP BY $lhs) g""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q240_fd_audit" ->
+      s"""WITH j AS (
+         |  SELECT l_orderkey, o_custkey, l_linestatus, l_partkey, l_returnflag
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         |${fdRuleSql("l_orderkey->o_custkey", "l_orderkey", "o_custkey")}
+         |UNION ALL
+         |${fdRuleSql("l_orderkey->l_linestatus", "l_orderkey", "l_linestatus")}
+         |UNION ALL
+         |${fdRuleSql("l_partkey->l_returnflag", "l_partkey", "l_returnflag")}
+         |ORDER BY rule""".stripMargin,
     // full-spine expectation (absent cells contribute, the q161
     // discipline); statistics are sums over the 15-cell frame
     "q168_chi2" ->

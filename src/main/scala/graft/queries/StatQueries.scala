@@ -50,12 +50,37 @@ object StatQueries {
   def q195Cadence(s: SparkSession, d: String): DataFrame =
     Cadence.gapRegularity(Tables.events(s, d), "user_id", "ts")
 
+  /** Two-sample Kolmogorov–Smirnov over returned-vs-shipped line
+    * prices ([[StatTests.ksTwoSample]]): the exact D statistic (max
+    * CDF gap, integer numerator), its location (smallest attaining
+    * value), and the asymptotic λ scaling — the distribution-shift
+    * test every corpus refresh should run between old and new
+    * segments. */
+  def q238KsTest(s: SparkSession, d: String): DataFrame =
+    StatTests.ksTwoSample(Tables.lineitem(s, d),
+      "l_extendedprice", "l_returnflag", "R", "N")
+
+  /** Isotonic calibration of order fulfillment against the price band
+    * ([[graft.operators.Eval.isotonicCalibration]]): $5k integer-cents
+    * price buckets (deterministic `div`, no float binning), label =
+    * order fully shipped ('F') — the PAV monotone fit beside each
+    * band's raw rate, by the exact minimax identity. */
+  def q239Isotonic(s: SparkSession, d: String): DataFrame =
+    graft.operators.Eval.isotonicCalibration(
+      Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("bucket", expr("cents div 500000"))
+        .withColumn("is_f", (col("o_orderstatus") === "F").cast("long")),
+      "bucket", "is_f")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q191_mann_whitney" -> (q191MannWhitney _),
     "q192_kruskal_wallis" -> (q192KruskalWallis _),
     "q193_spearman" -> (q193Spearman _),
     "q194_k_anonymity" -> (q194KAnonymity _),
-    "q195_cadence" -> (q195Cadence _)
+    "q195_cadence" -> (q195Cadence _),
+    "q238_ks_test" -> (q238KsTest _),
+    "q239_isotonic" -> (q239Isotonic _)
   )
 
   /** Shared oracle fragment: histogram average ranks + scalars over a
@@ -77,6 +102,60 @@ object StatQueries {
       |  FROM cells JOIN h3 USING (v) GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the engine's two-phase bucketed cumulative is restated as the
+    // naive single-window CDF (same math, oracle-side scale is fine);
+    // D's numerator stays integer on both sides, λ uses only
+    // IEEE-correctly-rounded ops (·, /, sqrt) in the same association
+    "q238_ks_test" ->
+      """WITH d AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('R', 'N')),
+        |c AS (
+        |  SELECT v, CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM d GROUP BY v),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |             CAST(sum(cb) AS BIGINT) AS nb FROM c),
+        |cum AS (
+        |  SELECT v, sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb FROM c
+        |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |x AS (SELECT cum.v, abs(cuma * nb - cumb * na) AS dnum, na, nb
+        |      FROM cum, t),
+        |top AS (SELECT * FROM x ORDER BY dnum DESC, v LIMIT 1)
+        |SELECT na AS n_a, nb AS n_b, v AS at_value,
+        |  round(CAST(dnum AS DOUBLE) / (na * nb), 6) AS ks_d,
+        |  round((sqrt((na * nb) / CAST(na + nb AS DOUBLE)) + 0.12 +
+        |         0.11 / sqrt((na * nb) / CAST(na + nb AS DOUBLE))) *
+        |        (CAST(dnum AS DOUBLE) / (na * nb)), 4) AS lambda
+        |FROM top""".stripMargin,
+    // minimax identity restated directly: prefix sums over the bucket
+    // frame, i≤j pair means, per-i suffix min, per-j max
+    "q239_isotonic" ->
+      """WITH b AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 500000 AS bucket,
+        |         count(*) AS n,
+        |         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM orders GROUP BY 1),
+        |pre AS (
+        |  SELECT bucket, n, n_pos,
+        |    sum(n) OVER w AS cn, sum(n_pos) OVER w AS cp
+        |  FROM b
+        |  WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |pairs AS (
+        |  SELECT lo.bucket AS i, hi.bucket AS j,
+        |    CAST(hi.cp - lo.cp + lo.n_pos AS DOUBLE) /
+        |      (hi.cn - lo.cn + lo.n) AS mean_ij
+        |  FROM pre lo JOIN pre hi ON lo.bucket <= hi.bucket),
+        |suf AS (
+        |  SELECT i, j, min(mean_ij) OVER (PARTITION BY i ORDER BY j DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+        |  FROM pairs),
+        |fit AS (SELECT j AS bucket, max(r) AS f FROM suf GROUP BY 1)
+        |SELECT b.bucket, b.n, b.n_pos,
+        |  round(CAST(b.n_pos AS DOUBLE) / b.n, 6) AS raw_rate,
+        |  round(fit.f, 6) AS iso_rate
+        |FROM b JOIN fit USING (bucket)
+        |ORDER BY bucket""".stripMargin,
     "q191_mann_whitney" ->
       s"""WITH d AS (
          |  SELECT event_type AS g, value * 1.0 AS v FROM events

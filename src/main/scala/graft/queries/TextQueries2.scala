@@ -456,7 +456,78 @@ object TextQueries2 {
       .orderBy("iter")
   }
 
+  /** BPE vocabulary induction ([[graft.operators.Bpe.learnMerges]],
+    * Sennrich et al. 2016): 16 merges learned over the top-1500-word
+    * histogram of the documents corpus — the tokenizer-training
+    * operator. All-integer state with total tie-breaks makes this the
+    * rare ITERATIVE training loop with a FULL cross-engine oracle:
+    * DuckDB replays all 16 iterations as unrolled CTE blocks, with the
+    * engine's greedy left-to-right merge scan restated as the
+    * run-parity window rule (greedy = every match position, except
+    * only even offsets within runs of CONSECUTIVE match positions —
+    * runs only arise when lsym = rsym; see [[
+    * org.apache.spark.sql.catalyst.expressions.graft.BpeMerge]]). */
+  def q237BpeVocab(s: SparkSession, d: String): DataFrame =
+    graft.operators.Bpe.learnMerges(docs(s, d), "text",
+      nMerges = 16, topWords = 1500).orderBy("step")
+
+  /** The q237 oracle: base histogram + 16 unrolled merge iterations.
+    * Each iteration block: pair-count aggregate → 1-row argmax (count
+    * DESC, symbols ASC — binary collation both sides) → position
+    * explode → match flags → run-parity greedy selection → list
+    * rebuild dropping consumed positions. */
+  private def bpeOracleSql(nMerges: Int): String = {
+    // every w/m CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    // REFERENCE, and each iteration references its predecessor more
+    // than once — unmaterialized, the 16-deep chain re-expands
+    // exponentially (observed as an fd-exhaustion failure)
+    val base =
+      """w0 AS MATERIALIZED (
+        |  SELECT word, freq,
+        |    list_append(list_transform(range(1, length(word) + 1),
+        |      i -> substr(word, i, 1)), '</w>') AS toks
+        |  FROM (
+        |    SELECT word, count(*) AS freq FROM (
+        |      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |      FROM documents) t0
+        |    WHERE word <> '' AND length(word) <= 12
+        |    GROUP BY word ORDER BY freq DESC, word LIMIT 1500) t)""".stripMargin
+    val iters = (1 to nMerges).map { i =>
+      val p = i - 1
+      s"""p$i AS (
+         |  SELECT toks[j] AS l, toks[j + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, toks, unnest(range(1, len(toks))) AS j FROM w$p) t
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |s$i AS (
+         |  SELECT word, freq, pos, toks[pos] AS sym,
+         |    CASE WHEN pos < len(toks) AND toks[pos] = (SELECT l FROM m$i)
+         |          AND toks[pos + 1] = (SELECT r FROM m$i) THEN 1 ELSE 0 END AS mt
+         |  FROM (SELECT word, freq, toks,
+         |          unnest(range(1, len(toks) + 1)) AS pos FROM w$p) t),
+         |k$i AS (
+         |  SELECT *, CASE WHEN mt = 1 AND (pos - MIN(pos) OVER
+         |      (PARTITION BY word, grp)) % 2 = 0 THEN 1 ELSE 0 END AS keep
+         |  FROM (SELECT *, CASE WHEN mt = 1 THEN pos - ROW_NUMBER() OVER
+         |          (PARTITION BY word, mt ORDER BY pos) END AS grp
+         |        FROM s$i) t),
+         |w$i AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    list(CASE WHEN keep = 1 THEN sym || (SELECT r FROM m$i)
+         |         ELSE sym END ORDER BY pos) AS toks
+         |  FROM (SELECT *, COALESCE(LAG(keep) OVER
+         |          (PARTITION BY word ORDER BY pos), 0) AS pk FROM k$i) t
+         |  WHERE pk = 0
+         |  GROUP BY word, freq)""".stripMargin
+    }
+    val unions = (1 to nMerges).map(i =>
+      s"SELECT $i AS step, l AS lsym, r AS rsym, cnt AS pair_count FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"WITH $base,\n${iters.mkString(",\n")}\n$unions\nORDER BY step"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_bpe_vocab" -> (q237BpeVocab _),
     "q107_quality_classifier" -> (q107QualityClassifier _),
     "q62_sketch_audit" -> (q62SketchAudit _),
     "q62b_sketch_exact" -> (q62bSketchExact _),
@@ -478,6 +549,7 @@ object TextQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q237_bpe_vocab" -> bpeOracleSql(16),
     // the KPS no-false-negative contract makes in_sketch/n_missed
     // deterministic for true heavy hitters — the oracle states the
     // contract-mandated values, so the hash check IS the contract check
