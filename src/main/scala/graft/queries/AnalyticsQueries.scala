@@ -81,6 +81,27 @@ object AnalyticsQueries {
       .orderBy("user_id", "purchase_id", "view_id")
   }
 
+  /** Stream-STATIC enrichment — the canonical production streaming
+    * shape the stream-stream family (q72/q87/q88) doesn't cover: the
+    * event stream joins a bounded static dimension (customer segment)
+    * per micro-batch and feeds a complete-mode aggregate. The static
+    * side is broadcast-hinted, so every micro-batch pays a
+    * BroadcastHashJoin against the resident dim — no state store for
+    * the join (only the aggregate holds state), no shuffle of the
+    * stream side; exactly how a 1000-executor enrichment runs. Stream
+    * nulls on user_id drop at the inner join on both engine and
+    * oracle sides. */
+  def q242StreamEnrich(s: SparkSession, d: String): DataFrame = {
+    val ev = StreamingOps.eventStream(s, s"$d/events.parquet")
+    val dim = broadcast(graft.sources.Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val agg = ev.join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+    StreamingOps.runToMemory(s, agg, "graft_stream_enrich", outputMode = "complete")
+      .orderBy("segment", "event_type")
+  }
+
   /** Streaming partition-upsert sink end-to-end: the daily aggregate
     * stream lands via foreachBatch + dynamic partition overwrite into a
     * fresh directory, and the landed table is read back — so the whole
@@ -254,10 +275,18 @@ object AnalyticsQueries {
     "q85_streaming_sessions" -> (q85StreamingSessions _),
     "q87_streaming_left_join" -> (q87StreamingLeftJoin _),
     "q88_streaming_full_join" -> (q88StreamingFullJoin _),
-    "q181_stream_topk" -> (q181StreamTopk _)
+    "q181_stream_topk" -> (q181StreamTopk _),
+    "q242_stream_enrich" -> (q242StreamEnrich _)
   )
 
   val oracles: Map[String, String] = Map(
+    // the stream-static enrichment ≡ the batch join: complete-mode
+    // aggregate over one staged batch is exactly the batch group-by
+    "q242_stream_enrich" ->
+      """SELECT c_mktsegment AS segment, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // batch window formulation of the streaming topk_agg state — the
     // hash match proves streaming ≡ batch for the native aggregate
     "q181_stream_topk" ->

@@ -526,8 +526,43 @@ object TextQueries2 {
     s"WITH $base,\n${iters.mkString(",\n")}\n$unions\nORDER BY step"
   }
 
+  /** The q241 oracle: the same chain, but the result is the FINAL
+    * word state w16 exploded to its subword units. */
+  private def bpeSubwordsOracleSql(nMerges: Int): String = {
+    val chain = bpeOracleSql(nMerges)
+    val body = chain.substring(0, chain.indexOf("\nSELECT 1 AS step"))
+    s"""$body
+       |SELECT subword, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(freq) AS BIGINT) AS occurrences
+       |FROM (SELECT unnest(toks) AS subword, freq FROM w$nMerges) t
+       |GROUP BY subword ORDER BY occurrences DESC, subword LIMIT 25""".stripMargin
+  }
+
+  /** BPE encode-side audit: the trained tokenizer's top-25 subword
+    * units by weighted occurrence ([[graft.operators.Bpe.encode]] —
+    * fold the 16 learned merges over the word histogram, explode the
+    * final symbol sequences). The merge table is collected driver-side
+    * first (16 rows — the MODEL, the same artifact class as k-means
+    * centroids) because the encode fold is parameterized by it; the
+    * corpus-scale work stays distributed. Oracle: the q237 CTE chain's
+    * final state w16, exploded and aggregated identically. */
+  def q241BpeSubwords(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val merges = graft.operators.Bpe
+      .learnMerges(dd, "text", nMerges = 16, topWords = 1500)
+      .orderBy("step").collect()
+      .map(r => (r.getAs[String]("lsym"), r.getAs[String]("rsym"))).toSeq
+    graft.operators.Bpe.encode(dd, "text", merges, topWords = 1500)
+      .select(explode(col("toks")).as("subword"), col("freq"))
+      .groupBy("subword")
+      .agg(count(lit(1)).as("n_words"), sum("freq").as("occurrences"))
+      .orderBy(col("occurrences").desc, col("subword"))
+      .limit(25)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q237_bpe_vocab" -> (q237BpeVocab _),
+    "q241_bpe_subwords" -> (q241BpeSubwords _),
     "q107_quality_classifier" -> (q107QualityClassifier _),
     "q62_sketch_audit" -> (q62SketchAudit _),
     "q62b_sketch_exact" -> (q62bSketchExact _),
@@ -550,6 +585,7 @@ object TextQueries2 {
 
   val oracles: Map[String, String] = Map(
     "q237_bpe_vocab" -> bpeOracleSql(16),
+    "q241_bpe_subwords" -> bpeSubwordsOracleSql(16),
     // the KPS no-false-negative contract makes in_sketch/n_missed
     // deterministic for true heavy hitters — the oracle states the
     // contract-mandated values, so the hash check IS the contract check
