@@ -161,4 +161,50 @@ object Graph {
     }
     dist.orderBy("node")
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) with a TOTAL
+    * tie order, which is what makes a community detector hash-oracle-
+    * able at all: every node starts as its own label, and each round
+    * every node adopts the neighbor label with the highest count,
+    * ties broken by SMALLEST label — argmax over integer counts with
+    * a total order, so the fixed-iteration result is engine-exact
+    * (contrast modularity methods, whose float scores drift). The
+    * asynchronous variant converges faster but is update-order-
+    * dependent — useless for a distributed engine where partition
+    * order is arbitrary; synchronous rounds are idempotent under task
+    * retry, the same argument as [[kHopDistances]]'s full-relax.
+    *
+    * Scale shape: per round, ONE equi-join of the (checkpointed) edge
+    * list against the label vector + one (node, label) count aggregate
+    * (map-side combined) + one per-node argmax window whose frame is
+    * bounded by the node's DISTINCT-neighbor-label count (≤ degree) —
+    * never row-scale. Lineage is truncated each round, the [[pageRank]]
+    * discipline. Fixed iterations keep the plan static and the result
+    * restatable as an unrolled SQL CTE chain. */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
+      iters: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iters >= 1, "iters must be positive")
+    val dir = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint()
+    // undirected: both orientations; every node therefore appears as
+    // src, so the per-round argmax covers the whole node set
+    val und = dir
+      .union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    for (i <- 1 to iters) {
+      val counts = und
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
+        .groupBy("src", "nl").agg(count(lit(1)).as("c"))
+      labels = counts
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy("src").orderBy(col("c").desc, col("nl"))))
+        .where(col("__rk") === 1)
+        .select(col("src").as("id"), col("nl").as("label"))
+      if (i < iters) labels = labels.localCheckpoint()
+    }
+    labels
+  }
 }

@@ -324,4 +324,60 @@ object Quantiles {
     * two-phase cumulative: the per-group offset window runs over at
     * most this many aggregated rows. */
   private val WqBuckets = 4096
+
+  /** MERGEABLE fixed-width histogram sketch over an integer (cents)
+    * column — the quantile analog of [[graft.operators.Hll]]'s
+    * register table: per (groupCols, bin) counts are the ONLY state,
+    * and because counts are additive, any union of groups is answered
+    * by summing bins — build daily/monthly state once, answer
+    * arbitrary ranges from state alone, never re-reading the data.
+    * That additivity is what t-digest/KLL give up determinism for;
+    * a fixed-width histogram keeps integer-exact mergeability at the
+    * price of a fixed value-resolution (bounds ÷ bins), which for
+    * bounded business domains (prices, latencies) is the right trade.
+    *
+    * Bin rule: `(v − lo) · bins DIV (hi − lo + 1)` — all BIGINT, so
+    * the state is engine-exact and hash-oracle-able. Bounds come from
+    * one 1-row scalar aggregate (broadcast); the state build is one
+    * map-side-combined aggregate over ≤ |groups|·bins rows. State
+    * columns: groupCols..., `bin`, `cnt`, plus the constant `lo`/`hi`
+    * carried in-row so downstream estimation is self-contained. */
+  def histogramState(df: DataFrame, centsCol: String,
+      groupCols: Seq[String], bins: Int = 256): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val bounds = df.agg(min(col(centsCol)).cast("long").as("__lo"),
+      max(col(centsCol)).cast("long").as("__hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr(
+        s"CAST((($centsCol - __lo) * $bins) DIV (__hi - __lo + 1) AS BIGINT)"))
+      .groupBy((groupCols.map(col) :+ col("bin")): _*)
+      .agg(count(lit(1)).as("cnt"),
+        first("__lo").as("lo"), first("__hi").as("hi"))
+  }
+
+  /** Quantiles from (possibly merged) [[histogramState]] rows: for
+    * each group and integer percent p, the first bin whose cumulative
+    * count reaches rank ceil(p·n/100), reported with the bin's upper
+    * value edge `lo + (bin+1)·(hi−lo+1) DIV bins − 1`. The cumulative
+    * window runs over ≤ bins rows per group — never row-scale. All
+    * arithmetic BIGINT. */
+  def quantilesFromHistogram(state: DataFrame, groupCols: Seq[String],
+      percents: Seq[Int], bins: Int = 256): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100))
+    val g = groupCols.map(col)
+    val cum = state
+      .withColumn("__cum", sum("cnt").over(
+        Window.partitionBy(g: _*).orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum("cnt").over(Window.partitionBy(g: _*)))
+    val pCols = percents.flatMap { p =>
+      val rank = expr(s"CAST(($p * __n + 99) DIV 100 AS BIGINT)")
+      val b = min(when(col("__cum") >= rank, col("bin"))).as(s"p${p}_bin")
+      val edge = min(when(col("__cum") >= rank, expr(
+        s"lo + ((bin + 1) * (hi - lo + 1)) DIV $bins - 1"))).as(s"p${p}_hi_cents")
+      Seq(b, edge)
+    }
+    cum.groupBy(g: _*)
+      .agg(first("__n").as("n"), pCols: _*)
+  }
 }

@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Graph, Inventory, Quantiles}
+import graft.sources.Tables
+
+/** Round-9 tranche — supply-chain and graph-community operators:
+  * the Lindley clamped running balance (the window-expressible form
+  * of the sequential inventory recursion), synchronous label-
+  * propagation communities over the co-purchase graph, the TPC-H
+  * Q21/Q22 decorrelation shapes adapted to this schema (sole-late
+  * supplier blame; dormant high-balance accounts with an
+  * integer-exact scalar threshold), and the MERGEABLE price-histogram
+  * quantile state (the quantile analog of the q234 HLL rollup). All
+  * FULL hash oracles: q245's oracle is the textbook correlated
+  * EXISTS/NOT-EXISTS statement itself, so the hash match proves the
+  * Spark-side decorrelation, not a shared rewrite. */
+object SupplyQueries {
+
+  /** Per-part clamped stock balance over lineitem movements
+    * ([[Inventory.clampedBalance]]): returns ('R' flag) restock
+    * +quantity, everything else ships −quantity, clamped at zero —
+    * you cannot ship what you don't have; the clamp's overflow is the
+    * unfulfilled `lost_qty`. The per-part summary aggregate reuses
+    * the window's hashpartitioning(part) exchange. `final_balance`
+    * comes from `max_by` over the same total order the windows use;
+    * the oracle computes it as net − min(0, min prefix) — the Lindley
+    * closed form — so the hash match pins the identity itself.
+    * Integer quantities → every column engine-exact. */
+  def q243ClampedBalance(s: SparkSession, d: String): DataFrame = {
+    val m = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("part"),
+        when(col("l_returnflag") === "R", col("l_quantity"))
+          .otherwise(-col("l_quantity")).cast("long").as("delta"),
+        col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val ord = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Inventory.clampedBalance(m, "part", "delta", ord)
+      .groupBy("part")
+      .agg(count(lit(1)).as("n_moves"),
+        sum("delta").as("net_qty"),
+        max_by(col("balance"),
+          struct(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+          .as("final_balance"),
+        max("balance").as("peak_balance"),
+        sum(when(col("balance") === 0 && col("delta") < 0, 1L)
+          .otherwise(0L)).as("n_stockouts"),
+        sum("shortfall").as("lost_qty"))
+      .orderBy("part")
+  }
+
+  /** Co-purchase communities by synchronous label propagation
+    * ([[Graph.labelPropagation]], 4 rounds, min-label tie-break).
+    * Edges are support-≥2 within-basket item pairs built by the q172
+    * discipline — ONE collect_set aggregate, row-local pair
+    * explosion, baskets > 10 items excluded — so the graph build
+    * never leaves Σ|basket|² territory. Output is the full (item →
+    * community) assignment; the oracle unrolls all 4 synchronous
+    * rounds as CTEs over the same edge list. */
+  def q244Communities(s: SparkSession, d: String): DataFrame = {
+    val bitems = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("bk"), col("l_partkey").as("item"))
+      .groupBy("bk")
+      .agg(sort_array(collect_set(col("item"))).as("items"))
+      .where(size(col("items")) <= 10)
+    val edges = bitems.select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items)), y -> struct(x AS a, y AS b))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 2)
+    Graph.labelPropagation(edges, "a", "b", iters = 4)
+      .select(col("id").as("item"), col("label").as("community"))
+      .orderBy("item")
+  }
+
+  /** Sole-late supplier blame — the TPC-H Q21 shape on this schema
+    * (late = shipped more than 90 days after the order date): orders
+    * with at least two suppliers where EXACTLY ONE shipped late,
+    * counted against that supplier. Spark-first decorrelation: the
+    * two correlated EXISTS subqueries collapse into ONE per-order
+    * aggregate (distinct-supplier count, distinct-late-supplier
+    * count, and the blamed key via max over the single late
+    * supplier) — one shuffle on orderkey instead of three correlated
+    * scans. The oracle is the textbook EXISTS / NOT-EXISTS
+    * formulation, so the hash match proves the decorrelation. */
+  def q245SoleLateSupplier(s: SparkSession, d: String): DataFrame = {
+    val j = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late", col("l_shipdate") > date_add(col("o_orderdate"), 90))
+    val perOrder = j.groupBy("l_orderkey")
+      .agg(countDistinct("l_suppkey").as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
+        max(when(col("late"), col("l_suppkey"))).as("blame"))
+      .where(col("n_supp") >= 2 && col("n_late") === 1)
+    // supplier scales with SF (the q227 lesson) — no broadcast hint,
+    // AQE picks the strategy
+    perOrder.join(Tables.supplier(s, d), col("blame") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  /** Dormant high-balance accounts — the TPC-H Q22 shape: customers
+    * in three segments whose balance exceeds the segment-population
+    * mean AND who have never ordered. The scalar subquery becomes a
+    * broadcast 1-row frame; the threshold is computed in INTEGER
+    * CENTS with floor division (`sum div n`), so the boundary
+    * comparison can never flip on a float ulp across engines — the
+    * q235 ×5 trick generalized to a mean threshold. The NOT EXISTS
+    * is a left-anti join against the distinct RECENT-order customer
+    * set (no order since 2001-01-01 = dormant through the data's
+    * final year) — the date filter is pushed to the orders scan
+    * before the distinct, so the anti-join's build side shrinks with
+    * the dormancy window. */
+  def q246DormantAccounts(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d)
+      .filter(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING", "MACHINERY"))
+      .withColumn("cents", round(col("c_acctbal") * 100).cast("long"))
+    val thr = base.filter(col("cents") > 0)
+      .agg(expr("sum(cents) div count(*)").as("thr_cents"))
+    base.crossJoin(broadcast(thr))
+      .where(col("cents") > col("thr_cents"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+          .select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum("cents") / 100.0, 2).as("total_balance"))
+      .orderBy("segment")
+  }
+
+  /** Quarterly price quantiles FROM MERGED MONTHLY HISTOGRAM STATE
+    * ([[Quantiles.histogramState]] / [[Quantiles.quantilesFromHistogram]])
+    * — the quantile analog of the q234 HLL rollup: per-month 256-bin
+    * counts are the only state; a quarter's p50/p90/p99 come from
+    * summing its months' bins, never re-reading the rows. Bin rule,
+    * ranks, and bin edges are all BIGINT arithmetic, so the sketch
+    * state AND the answers are engine-exact. The data is touched by
+    * exactly two scans (bounds + state build); everything after runs
+    * on ≤ months·256 state rows. */
+  def q247PriceQuantileRollup(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+    val monthly = Quantiles.histogramState(li, "cents", Seq("month"), bins = 256)
+    val quarterly = monthly
+      .withColumn("quarter", concat(substring(col("month"), 1, 4), lit("-Q"),
+        expr("CAST((CAST(substring(month, 6, 2) AS INT) + 2) DIV 3 AS STRING)")))
+      .groupBy("quarter", "bin")
+      .agg(sum("cnt").as("cnt"), first("lo").as("lo"), first("hi").as("hi"))
+    Quantiles.quantilesFromHistogram(quarterly, Seq("quarter"),
+        percents = Seq(50, 90, 99), bins = 256)
+      .orderBy("quarter")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_clamped_balance" -> (q243ClampedBalance _),
+    "q244_communities" -> (q244Communities _),
+    "q245_sole_late" -> (q245SoleLateSupplier _),
+    "q246_dormant_accounts" -> (q246DormantAccounts _),
+    "q247_quantile_rollup" -> (q247PriceQuantileRollup _)
+  )
+
+  /** Unrolled synchronous LPA rounds for the q244 oracle. */
+  private def lpaOracleSql(iters: Int): String = {
+    val base =
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
+        |sz AS (SELECT bk, count(*) AS n FROM bi GROUP BY 1),
+        |kept AS (SELECT bi.bk, bi.item FROM bi JOIN sz ON bi.bk = sz.bk WHERE sz.n <= 10),
+        |half AS (
+        |  SELECT x.item AS a, y.item AS b2 FROM kept x
+        |  JOIN kept y ON x.bk = y.bk AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT a AS src, b2 AS dst FROM half
+        |      UNION ALL SELECT b2, a FROM half),
+        |l0 AS (SELECT DISTINCT src AS id, src AS label FROM e)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.src, l.label AS nl, count(*) AS c
+         |  FROM e JOIN l${i - 1} l ON e.dst = l.id GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT src AS id, nl AS label FROM (
+         |    SELECT src, nl, row_number() OVER (
+         |      PARTITION BY src ORDER BY c DESC, nl) AS rk FROM c$i)
+         |  WHERE rk = 1)""".stripMargin
+    }
+    s"""$base,
+       |${rounds.mkString(",\n")}
+       |SELECT id AS item, label AS community FROM l$iters ORDER BY item""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    // the Lindley closed form restated: prefix/running-min windows;
+    // final_balance = net − min(0, min prefix) — the identity the
+    // Spark side reaches via max_by over the same total order
+    "q243_clamped_balance" ->
+      """WITH m AS (
+        |  SELECT l_partkey AS part,
+        |    CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT)
+        |         ELSE -CAST(l_quantity AS BIGINT) END AS delta,
+        |    l_shipdate, l_orderkey, l_linenumber FROM lineitem),
+        |w1 AS (
+        |  SELECT part, delta,
+        |    sum(delta) OVER (PARTITION BY part
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+        |    row_number() OVER (PARTITION BY part
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS ord
+        |  FROM m),
+        |w2 AS (
+        |  SELECT part, delta, prefix,
+        |    least(0, coalesce(min(prefix) OVER (PARTITION BY part
+        |      ORDER BY ord
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS floor_prev
+        |  FROM w1),
+        |b AS (
+        |  SELECT part, delta, prefix,
+        |    greatest(0, prefix - floor_prev) AS balance,
+        |    greatest(0, -(prefix - floor_prev)) AS shortfall
+        |  FROM w2)
+        |SELECT part, CAST(count(*) AS BIGINT) AS n_moves,
+        |  CAST(sum(delta) AS BIGINT) AS net_qty,
+        |  CAST(sum(delta) - least(0, min(prefix)) AS BIGINT) AS final_balance,
+        |  CAST(max(balance) AS BIGINT) AS peak_balance,
+        |  CAST(sum(CASE WHEN balance = 0 AND delta < 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_stockouts,
+        |  CAST(sum(shortfall) AS BIGINT) AS lost_qty
+        |FROM b GROUP BY part ORDER BY part""".stripMargin,
+    "q244_communities" -> lpaOracleSql(4),
+    // the textbook correlated statement — hash match proves the
+    // one-aggregate decorrelation
+    "q245_sole_late" ->
+      """SELECT s_name, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    "q246_dormant_accounts" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer
+        |  WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')),
+        |t AS (SELECT sum(cents) // count(*) AS thr FROM c WHERE cents > 0)
+        |SELECT c_mktsegment AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  round(sum(cents) / 100.0, 2) AS total_balance
+        |FROM c, t
+        |WHERE cents > thr
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the state math restated bin by bin: same BIGINT bin rule, rank
+    // rule, and edge reconstruction
+    "q247_quantile_rollup" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    strftime(l_shipdate, '%Y-%m') AS month FROM lineitem),
+        |bounds AS (SELECT min(cents) AS lo, max(cents) AS hi FROM v),
+        |st AS (
+        |  SELECT month, ((cents - lo) * 256) // (hi - lo + 1) AS bin,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM v, bounds GROUP BY 1, 2),
+        |qs AS (
+        |  SELECT substr(month, 1, 4) || '-Q' ||
+        |    CAST((CAST(substr(month, 6, 2) AS INT) + 2) // 3 AS VARCHAR) AS quarter,
+        |    bin, sum(cnt) AS cnt
+        |  FROM st GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT quarter, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY quarter ORDER BY bin) AS c,
+        |    sum(cnt) OVER (PARTITION BY quarter) AS n
+        |  FROM qs)
+        |SELECT quarter, CAST(min(n) AS BIGINT) AS n,
+        |  min(CASE WHEN c >= (50 * n + 99) // 100 THEN bin END) AS p50_bin,
+        |  min(CASE WHEN c >= (50 * n + 99) // 100
+        |    THEN lo + ((bin + 1) * (hi - lo + 1)) // 256 - 1 END) AS p50_hi_cents,
+        |  min(CASE WHEN c >= (90 * n + 99) // 100 THEN bin END) AS p90_bin,
+        |  min(CASE WHEN c >= (90 * n + 99) // 100
+        |    THEN lo + ((bin + 1) * (hi - lo + 1)) // 256 - 1 END) AS p90_hi_cents,
+        |  min(CASE WHEN c >= (99 * n + 99) // 100 THEN bin END) AS p99_bin,
+        |  min(CASE WHEN c >= (99 * n + 99) // 100
+        |    THEN lo + ((bin + 1) * (hi - lo + 1)) // 256 - 1 END) AS p99_hi_cents
+        |FROM cum, bounds GROUP BY quarter ORDER BY quarter""".stripMargin
+  )
+}
