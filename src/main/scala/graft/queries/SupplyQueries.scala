@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Graph, Inventory, Quantiles}
+import graft.operators.{Graph, Inventory, Quantiles, Reconcile}
 import graft.sources.Tables
 
 /** Round-9 tranche — supply-chain and graph-community operators:
@@ -157,7 +157,40 @@ object SupplyQueries {
       .orderBy("quarter")
   }
 
+  /** Three-source reconciliation census ([[Reconcile.fieldCensus]])
+    * over three deterministically-derived "systems" of the orders
+    * entity — each system drops a different residue class of keys,
+    * one perturbs the amount by a cent on a fifth of rows, one
+    * lowercases the status on a third, one nulls the priority on a
+    * ninth: every census cell (all-present / agree / conflict /
+    * single-source) is exercised by construction. The amount is
+    * compared in INTEGER CENTS — reconciliation on raw double
+    * rendering would diverge between engines, the same reason q246
+    * thresholds in cents. Three full-outer joins on the unique key,
+    * row-local verdicts, one aggregate. */
+  def q248ReconcileCensus(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+    val sysA = o.filter(col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
+        col("o_orderpriority"))
+    val sysB = o.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("cents") + when(col("o_orderkey") % 5 === 0, 1L).otherwise(0L)).as("cents"),
+        when(col("o_orderkey") % 9 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")).as("o_orderpriority"))
+    val sysC = o.filter(col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0, lower(col("o_orderstatus")))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        col("cents"), col("o_orderpriority"))
+    Reconcile.fieldCensus(sysA, sysB, sysC, "o_orderkey",
+        Seq("o_orderstatus", "cents", "o_orderpriority"))
+      .orderBy("field")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q248_reconcile_census" -> (q248ReconcileCensus _),
     "q243_clamped_balance" -> (q243ClampedBalance _),
     "q244_communities" -> (q244Communities _),
     "q245_sole_late" -> (q245SoleLateSupplier _),
@@ -194,6 +227,60 @@ object SupplyQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the three derived systems, the full-outer alignment, and the
+    // pairwise-agreement census restated field by field
+    "q248_reconcile_census" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderpriority FROM orders),
+        |sa AS (
+        |  SELECT o_orderkey AS k, trim(o_orderstatus) AS st,
+        |    trim(CAST(cents AS VARCHAR)) AS ce, trim(o_orderpriority) AS pr
+        |  FROM o WHERE o_orderkey % 11 <> 0),
+        |sb AS (
+        |  SELECT o_orderkey AS k, trim(o_orderstatus) AS st,
+        |    trim(CAST(cents + CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END
+        |      AS VARCHAR)) AS ce,
+        |    CASE WHEN o_orderkey % 9 = 0 THEN NULL
+        |         ELSE trim(o_orderpriority) END AS pr
+        |  FROM o WHERE o_orderkey % 7 <> 0),
+        |sc0 AS (
+        |  SELECT o_orderkey AS k,
+        |    trim(CASE WHEN o_orderkey % 3 = 0 THEN lower(o_orderstatus)
+        |         ELSE o_orderstatus END) AS st,
+        |    trim(CAST(cents AS VARCHAR)) AS ce, trim(o_orderpriority) AS pr
+        |  FROM o WHERE o_orderkey % 13 <> 0),
+        |al AS (
+        |  SELECT sa.st AS st_a, sb.st AS st_b, sc0.st AS st_c,
+        |    sa.ce AS ce_a, sb.ce AS ce_b, sc0.ce AS ce_c,
+        |    sa.pr AS pr_a, sb.pr AS pr_b, sc0.pr AS pr_c
+        |  FROM sa FULL JOIN sb ON sa.k = sb.k
+        |  FULL JOIN sc0 ON coalesce(sa.k, sb.k) = sc0.k),
+        |v AS (
+        |  SELECT 'o_orderstatus' AS field, st_a AS va, st_b AS vb, st_c AS vc FROM al
+        |  UNION ALL SELECT 'cents', ce_a, ce_b, ce_c FROM al
+        |  UNION ALL SELECT 'o_orderpriority', pr_a, pr_b, pr_c FROM al),
+        |scores AS (
+        |  SELECT field,
+        |    (CASE WHEN va IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN vb IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN vc IS NOT NULL THEN 1 ELSE 0 END) AS present,
+        |    (CASE WHEN va IS NOT NULL AND vb IS NOT NULL AND va = vb THEN 1 ELSE 0 END
+        |     + CASE WHEN va IS NOT NULL AND vc IS NOT NULL AND va = vc THEN 1 ELSE 0 END
+        |     + CASE WHEN vb IS NOT NULL AND vc IS NOT NULL AND vb = vc THEN 1 ELSE 0 END)
+        |      AS agree_pairs
+        |  FROM v)
+        |SELECT field, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(CASE WHEN present = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_all_present,
+        |  CAST(sum(CASE WHEN present >= 2
+        |    AND agree_pairs = (present * (present - 1)) // 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_agree,
+        |  CAST(sum(CASE WHEN present >= 2
+        |    AND agree_pairs < (present * (present - 1)) // 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_conflict,
+        |  CAST(sum(CASE WHEN present = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single
+        |FROM scores GROUP BY field ORDER BY field""".stripMargin,
     // the Lindley closed form restated: prefix/running-min windows;
     // final_balance = net − min(0, min prefix) — the identity the
     // Spark side reaches via max_by over the same total order

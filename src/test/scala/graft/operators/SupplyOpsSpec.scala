@@ -55,6 +55,25 @@ class SupplyOpsSpec extends AnyFunSuite {
     assert(out(1L) != out(10L))
   }
 
+  test("reconcile: every census cell lands where the fixture plants it") {
+    val s = spark; import s.implicits._
+    // k=1 all agree; k=2 b conflicts; k=3 only in a; k=4 in a+c agree;
+    // k=5 in a+b, b null field (single via null)
+    val a = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "x"), (5L, "x")).toDF("k", "f")
+    val b = Seq((1L, "x"), (2L, "y"), (5L, null.asInstanceOf[String])).toDF("k", "f")
+    val c = Seq((1L, "x"), (4L, "x")).toDF("k", "f")
+    val r = Reconcile.fieldCensus(a, b, c, "k", Seq("f")).collect().head
+    assert(r.getAs[Long]("n_keys") == 5L)
+    assert(r.getAs[Long]("n_all_present") == 1L) // k=1
+    assert(r.getAs[Long]("n_agree") == 2L)       // k=1, k=4
+    assert(r.getAs[Long]("n_conflict") == 1L)    // k=2
+    assert(r.getAs[Long]("n_single") == 2L)      // k=3, k=5
+    // golden record: a > b > c priority, nulls skipped
+    val g = Reconcile.goldenRecord(b, c, a, "k", Seq("f"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(g(2L) == "y" && g(3L) == "x" && g(5L) == "x")
+  }
+
   test("histogram state: merged-bin quantiles bracket the exact order statistic") {
     val s = spark; import s.implicits._
     // two "months" of integer values 1..100 and 101..200; quarter = both
