@@ -189,7 +189,61 @@ object SupplyQueries {
       .orderBy("field")
   }
 
+  /** Large-order customers — the TPC-H Q18 shape: orders whose total
+    * line quantity exceeds a threshold, joined back to the customer.
+    * The HAVING-subquery becomes one per-order aggregate (map-side
+    * combined) whose survivors — a tiny fraction — drive the joins,
+    * so the customer join sees only qualifying orders. Quantities are
+    * integer-valued doubles summed as BIGINT: the threshold can never
+    * flip on a float ulp. */
+  def q249LargeOrders(s: SparkSession, d: String): DataFrame = {
+    val qty = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .where(col("total_qty") > 250)
+    qty.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Cross-nation trade volume — the TPC-H Q7 shape on this schema:
+    * revenue shipped between two customer/supplier nation pairs by
+    * year, in EXACT CENTS (revenue = extendedprice·(1−discount);
+    * discount is a 2-decimal double, so price_cents·(100−disc_pct)
+    * is integer-exact — divide once at the end). nation is the
+    * bounded dim (25 rows, both roles broadcast); supplier/customer
+    * scale with SF and are left to AQE, the q227/q232 discipline. */
+  def q250TradeVolume(s: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+    val pairs = Seq(("NATION_3", "NATION_7"), ("NATION_7", "NATION_3"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sk"))
+      .join(broadcast(n2), col("c_nationkey") === col("ck"))
+      .where(concat(col("supp_nation"), lit("|"), col("cust_nation"))
+        .isin(pairs.map(p => s"${p._1}|${p._2}"): _*))
+      .withColumn("rev_units",
+        round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum("rev_units") / 10000.0, 2).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_large_orders" -> (q249LargeOrders _),
+    "q250_trade_volume" -> (q250TradeVolume _),
     "q248_reconcile_census" -> (q248ReconcileCensus _),
     "q243_clamped_balance" -> (q243ClampedBalance _),
     "q244_communities" -> (q244Communities _),
@@ -227,6 +281,34 @@ object SupplyQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q249_large_orders" ->
+      """WITH q AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |    AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  round(o_totalprice, 2) AS o_totalprice, total_qty
+        |FROM q JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin,
+    // exact-cents conditional revenue: price_cents · (100 − disc_pct)
+    // is integer; ONE division at the end
+    "q250_trade_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2)
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // the three derived systems, the full-outer alignment, and the
     // pairwise-agreement census restated field by field
     "q248_reconcile_census" ->
