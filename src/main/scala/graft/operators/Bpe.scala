@@ -112,8 +112,13 @@ object Bpe {
     var words = wordHistogram(docs, textCol, topWords, maxLen)
       .withColumn("toks", expr(
         "concat(transform(sequence(1, length(word)), i -> substring(word, i, 1)), array('</w>'))"))
+    // call_function, NOT expr-string interpolation: encode() is a
+    // public API taking arbitrary merge symbols, and a quote inside a
+    // symbol would break (or inject into) interpolated SQL text —
+    // lit() carries the symbol as a value, never as syntax (r9 ADVICE).
     for ((l, r) <- merges)
-      words = words.withColumn("toks", expr(s"bpe_merge(toks, '$l', '$r')"))
+      words = words.withColumn("toks",
+        call_function("bpe_merge", col("toks"), lit(l), lit(r)))
     words.withColumn("n_subwords", size(col("toks")))
   }
 }

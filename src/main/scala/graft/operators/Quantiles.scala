@@ -260,9 +260,23 @@ object Quantiles {
     * formulation: a row-level prefix inside value v's tie block
     * reaches q·W iff the whole block does (the block end is itself a
     * prefix), so the smallest qualifying value is tie-order
-    * independent — `tieCols` is kept for API stability but no longer
-    * affects the result (it only ever disambiguated the internal
-    * row-level cumsum, never the output).
+    * independent.
+    *
+    * @param tieCols DEPRECATED (r10, ignored): it only ever
+    *   disambiguated the internal row-level cumsum of the old
+    *   formulation, never the output; kept so existing call sites
+    *   compile. Will be removed.
+    *
+    * Type preservation (r10): the histogram groups by the NATIVE
+    * value column, and the double cast exists only as a shadow key
+    * for the range-bucket arithmetic — so `value` keeps the input
+    * column's type and bigint/decimal values beyond 2^53 stay exact
+    * (ordering by the native type is the same total order the double
+    * shadow approximates, and ties were already collapsed by the
+    * group-by, so the bucket boundary can only split DISTINCT values
+    * whose double images collide — in which case they land in the
+    * same bucket and the within-bucket native-order window decides
+    * exactly).
     *
     * Determinism across engines: when weights are integer-valued (the
     * common case — counts, quantities), per-value, per-bucket, and
@@ -281,11 +295,12 @@ object Quantiles {
     // (1) per-(group, value) weight histogram — collapses tie rows;
     // checkpoint so the row-scale aggregate beneath runs once
     val hist0 = data
-      .groupBy((g :+ v.cast("double").as("__v")): _*)
+      .groupBy((g :+ v.as("__v")): _*)
       .agg(sum(wt).as("__w"))
+      .withColumn("__vd", col("__v").cast("double"))
       .localCheckpoint(false)
     val stats = hist0.groupBy(g: _*)
-      .agg(min("__v").as("__lo"), max("__v").as("__hi"), sum("__w").as("__totw"))
+      .agg(min("__vd").as("__lo"), max("__vd").as("__hi"), sum("__w").as("__totw"))
     def joinG(l: DataFrame, r: DataFrame): DataFrame =
       if (groupCols.isEmpty) l.crossJoin(broadcast(r))
       else l.join(broadcast(r), groupCols)
@@ -293,9 +308,9 @@ object Quantiles {
     val bucketed = joinG(hist0, stats)
       .withColumn("__qb",
         when(col("__hi") === col("__lo"), lit(0)).otherwise(
-          least(floor((col("__v") - col("__lo")) / (col("__hi") - col("__lo")) * WqBuckets)
+          least(floor((col("__vd") - col("__lo")) / (col("__hi") - col("__lo")) * WqBuckets)
             .cast("int"), lit(WqBuckets - 1))))
-      .drop("__lo", "__hi")
+      .drop("__lo", "__hi", "__vd")
     // (2b) cross-bucket offsets: ≤ WqBuckets aggregated rows per group
     // through a PER-GROUP window
     val offsets = bucketed.groupBy((g :+ col("__qb")): _*)

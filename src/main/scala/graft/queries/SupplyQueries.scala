@@ -214,21 +214,39 @@ object SupplyQueries {
     * revenue shipped between two customer/supplier nation pairs by
     * year, in EXACT CENTS (revenue = extendedprice·(1−discount);
     * discount is a 2-decimal double, so price_cents·(100−disc_pct)
-    * is integer-exact — divide once at the end). nation is the
-    * bounded dim (25 rows, both roles broadcast); supplier/customer
-    * scale with SF and are left to AQE, the q227/q232 discipline. */
+    * is integer-exact — divide once at the end).
+    *
+    * Plan discipline (r9 verdict item 1, the textbook Q7 shape): the
+    * nation-pair selectivity must reach the FACT joins, not survive
+    * only as a residual on the last broadcast join. Each nation role
+    * is pre-filtered to its 2 trade nations and joined to
+    * supplier/customer FIRST, so both dims shrink by ~12.5× (2/25 of
+    * nations) before lineitem/orders ever see them — at 100 TB the
+    * supplier and customer shuffle-join probe sides carry only the
+    * surviving keys. The asymmetric pair constraint
+    * (supp,cust) ∈ {(3,7),(7,3)} stays as the residual on the final
+    * join, exactly as in TPC-H Q7. supplier/customer scale with SF
+    * and are left to AQE, the q227/q232 discipline. */
   def q250TradeVolume(s: SparkSession, d: String): DataFrame = {
+    val pairs = Seq(("NATION_3", "NATION_7"), ("NATION_7", "NATION_3"))
+    val tradeNations = pairs.flatMap(p => Seq(p._1, p._2)).distinct
     val n1 = Tables.nation(s, d)
+      .where(col("n_name").isin(tradeNations: _*))
       .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
     val n2 = Tables.nation(s, d)
+      .where(col("n_name").isin(tradeNations: _*))
       .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
-    val pairs = Seq(("NATION_3", "NATION_7"), ("NATION_7", "NATION_3"))
-    Tables.lineitem(s, d)
-      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+    // Shrink the two SF-scale dims BEFORE they meet the facts.
+    val supp = Tables.supplier(s, d)
       .join(broadcast(n1), col("s_nationkey") === col("sk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = Tables.customer(s, d)
       .join(broadcast(n2), col("c_nationkey") === col("ck"))
+      .select(col("c_custkey"), col("cust_nation"))
+    Tables.lineitem(s, d)
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .where(concat(col("supp_nation"), lit("|"), col("cust_nation"))
         .isin(pairs.map(p => s"${p._1}|${p._2}"): _*))
       .withColumn("rev_units",

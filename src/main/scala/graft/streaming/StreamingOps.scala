@@ -331,17 +331,24 @@ object StreamingOps {
         Some(java.nio.file.Files.createTempDirectory(shm, "graft_drain_ckpt"))
       else None
     }
-    try {
+    // a file sink REQUIRES a checkpoint; when the host has no tmpfs the
+    // fallback lives on /tmp — tracked here so the finally block can
+    // delete it (r9 ADVICE: the two-pass bench drains each streaming
+    // query twice, and the previously-untracked per-drain dirs
+    // accumulated per suite run)
+    val fallbackCkpt: Option[java.nio.file.Path] =
+      if (fileSink && shmCkpt.isEmpty)
+        Some(java.nio.file.Files.createTempDirectory("graft_drain_ckpt"))
+      else None
+    val result = try {
       val w0 = fileSinkDir match {
         case Some(p) => stream.writeStream
           .outputMode(outputMode)
           .format("parquet")
           .option("path", p.toString)
           .queryName(name)
-          // a file sink REQUIRES a checkpoint; fall back to /tmp when
-          // the host has no tmpfs
-          .option("checkpointLocation", shmCkpt.getOrElse(
-            java.nio.file.Files.createTempDirectory("graft_drain_ckpt")).toString)
+          .option("checkpointLocation",
+            shmCkpt.orElse(fallbackCkpt).get.toString)
         case None =>
           val w = stream.writeStream
             .outputMode(outputMode)
@@ -406,6 +413,15 @@ object StreamingOps {
           s"[drain $name] batch=${p.batchId} rows=${p.numInputRows} " +
             s"durationMs=${p.durationMs}"))
       q.stop()
+      // materialize the file-sink result BEFORE the finally block
+      // deletes its backing directory: localCheckpoint(eager) moves
+      // the rows into executor block storage, so the returned frame
+      // no longer references the temp files. The memory-sink result
+      // already lives off-disk.
+      fileSinkDir match {
+        case Some(_) => sinkDf.localCheckpoint(true)
+        case None    => sinkDf
+      }
     } finally {
       if (listener != null)
         try spark.streams.removeListener(listener) catch { case _: Exception => () }
@@ -413,7 +429,9 @@ object StreamingOps {
       try org.apache.spark.sql.graft.StateStoreHooks.stopAll()
       catch { case _: Exception => () }
       // the drain is over — free the tmpfs checkpoint (RAM, not disk)
-      shmCkpt.foreach { p =>
+      // and the per-drain temp dirs (r9 ADVICE: these leaked per drain
+      // under SPARK_GRAFT_DRAIN_SINK=parquet)
+      (shmCkpt.toSeq ++ fallbackCkpt.toSeq ++ fileSinkDir.toSeq).foreach { p =>
         try {
           import java.nio.file._
           Files.walk(p).sorted(java.util.Comparator.reverseOrder())
@@ -421,7 +439,7 @@ object StreamingOps {
         } catch { case _: Exception => () }
       }
     }
-    sinkDf
+    result
   }
 
   /** Stage a single events parquet file behind a fresh directory PLUS a

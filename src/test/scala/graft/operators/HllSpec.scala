@@ -34,7 +34,7 @@ class HllSpec extends AnyFunSuite {
       if (r > regs(j)) regs(j) = r
     }
     val sScaled = regs.map(mj => 1L << (W + 1 - mj)).sum
-    val k = 0.7213 / (1.0 + 1.079 / m) * m * m * (1L << (W + 1)).toDouble
+    val k = Hll.alpha(m) * m * m * (1L << (W + 1)).toDouble
     val raw = k / sScaled
     val v = regs.count(_ == 0)
     // small-range linear counting, as in Hll.estimateFromRegisters
