@@ -314,6 +314,83 @@ object Dedup {
         md5(array_join(col("kept"), " ")).as("text_fp"))
   }
 
+  /** Corpus-frequency exact-substring audit — the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * ExactSubstr rule re-expressed as a frequency audit: a token
+    * position is DUPLICATED when its fixed-width n-token shingle
+    * occurs ≥ 2 times anywhere in the corpus (other docs OR elsewhere
+    * in the same doc — within-doc repetition counts, unlike the
+    * pairwise [[repeatedSpans]]); maximal contiguous duplicated-token
+    * runs of ≥ `minSpanTokens` are the reportable spans. Output is a
+    * TOTAL per-doc report: doc_id, total_tokens, dup_spans,
+    * dup_tokens, dup_fraction — the corpus-health metric the big
+    * training corpora publish ("X % of tokens are part of a ≥50-token
+    * span that appears elsewhere").
+    *
+    * Why this exists next to [[repeatedSpans]]: the pairwise form
+    * answers "which doc pairs share what" (and feeds removal, q105);
+    * this form answers "how much of the corpus is duplicated" with NO
+    * pair join at all — its cost is one fingerprint-key semi-join
+    * regardless of how many documents share a span, so a boilerplate
+    * paragraph pasted into 100 K docs costs 100 K rows here, not
+    * 100 K² pair rows (the reason Lee et al. run ExactSubstr, not
+    * all-pairs, at corpus scale).
+    *
+    * Scale shape: (1) one positional-shingle scan → md5 fingerprints;
+    * (2) the duplicated-fingerprint set from a map-side-combinable
+    * count (freq ≥ 2, any magnitude — no bucket cap needed because no
+    * pairs are formed; a hot fingerprint is just a hot SEMI-JOIN key,
+    * which AQE skew-split handles); (3) positions left-semi-join the
+    * dup set on the fingerprint key — the one row-scale shuffle;
+    * (4) interval union per doc (same relational merge as
+    * [[removeRepeatedSpans]]: running max(end) window partitioned by
+    * doc — each doc's dup positions only, never corpus-wide);
+    * (5) a second corpus scan for per-doc token totals (map-side
+    * trivial) outer-joined so untouched docs report 0. Everything is
+    * md5 + integer arithmetic → FULL cross-engine oracle. */
+  def exactSubstrAudit(docs: DataFrame, n: Int = 8, minSpanTokens: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val pos = docs
+      .withColumn("toks", tokens(textCol))
+      .filter(size(col("toks")) >= n)
+      .select(col(idCol).as("id"),
+        posexplode(expr(s"shingle_seq(toks, $n)")).as(Seq("pos", "sh")))
+      .select(col("id"), col("pos"), md5(col("sh")).as("h"))
+    val dupH = pos.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val dupPos = pos.join(dupH, Seq("h"), "left_semi")
+    // interval union: shingle at pos covers tokens [pos, pos+n-1];
+    // merge overlapping-or-adjacent intervals into maximal runs
+    val w = Window.partitionBy("id").orderBy("pos")
+    val spans = dupPos
+      .withColumn("e", col("pos") + lit(n - 1))
+      .withColumn("max_e_before",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_grp",
+        when(col("max_e_before").isNull ||
+          col("pos") > col("max_e_before") + 1, 1).otherwise(0))
+      .withColumn("grp", sum(col("new_grp")).over(w))
+      .groupBy(col("id"), col("grp"))
+      .agg(min("pos").as("s"), max("e").as("e"))
+      .withColumn("len", (col("e") - col("s") + 1).cast("long"))
+      .filter(col("len") >= minSpanTokens)
+    val perDoc = spans.groupBy("id")
+      .agg(count(lit(1)).as("dup_spans"), sum("len").as("dup_tokens"))
+    val totals = docs
+      .withColumn("toks", tokens(textCol))
+      .select(col(idCol).as("id"), size(col("toks")).cast("long").as("total_tokens"))
+    totals.join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        col("total_tokens"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("total_tokens") > 0,
+          round(coalesce(col("dup_tokens"), lit(0L)) / col("total_tokens"), 4))
+          .otherwise(lit(0.0)).as("dup_fraction"))
+  }
+
   /** Per-doc 64-bit SimHash fingerprint. Row-local. */
   def simhashFingerprints(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", md5Mode: Boolean = false): DataFrame = {

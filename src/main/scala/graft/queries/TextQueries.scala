@@ -130,6 +130,40 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus-frequency exact-substring audit ([[Dedup.exactSubstrAudit]],
+    * Lee et al. 2022's ExactSubstr rule): per-doc duplicated-token
+    * report — a token is duplicated when its 8-token shingle occurs
+    * ≥ 2 times ANYWHERE in the corpus (within-doc repetition counts),
+    * maximal contiguous duplicated runs of ≥ 20 tokens are the spans.
+    * Complements the PAIRWISE q104/q105: no pair join at all, one
+    * fingerprint semi-join regardless of span popularity.
+    *
+    * Planted controls: docs (-6,-5) share an exact 24-token span at
+    * different offsets → each reports dup_spans = 1, dup_tokens = 24;
+    * doc (-4) is one 25-token phrase repeated twice — the WITHIN-DOC
+    * case q104 cannot see → its adjacent islands merge to one 50-token
+    * run, dup_fraction = 1.0; docs (-3,-2) share only 12 tokens (above
+    * shingle width, below span threshold) → dup_spans = 0 (the
+    * negative control); doc (-1) is unique filler → all zeros. */
+  def q251ExactSubstr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      (-6L, s"xseh1 xseh2 xseh3 $SharedSpan24 xset1 xset2"),
+      (-5L, s"xsfh1 $SharedSpan24 xsft1 xsft2 xsft3 xsft4"),
+      (-4L, s"$SelfRep25 $SelfRep25"),
+      (-3L, s"xsgf1 xsgf2 $SharedSub12 xsgf3"),
+      (-2L, s"xshf1 $SharedSub12 xshf2 xshf3"),
+      (-1L, "xsif1 xsif2 xsif3 xsif4 xsif5 xsif6 xsif7 xsif8 xsif9 xsif10"))
+      .toDF("doc_id", "text")
+    val all = docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
+    Dedup.exactSubstrAudit(all, n = 8, minSpanTokens = 20)
+      .orderBy("doc_id")
+  }
+
+  private lazy val SharedSpan24 = (1 to 24).map(i => s"xspan$i").mkString(" ")
+  private lazy val SelfRep25 = (1 to 25).map(i => s"xsrep$i").mkString(" ")
+  private lazy val SharedSub12 = (1 to 12).map(i => s"xssub$i").mkString(" ")
+
   /** Persisted LSH near-dup index: build over the corpus, probe with an
     * ingest batch, APPEND the batch, probe again — the daily-ingest
     * lifecycle against pre-built bucketed tables ([[Dedup
@@ -394,6 +428,7 @@ object TextQueries {
     "q103_banding_sweep" -> (q103BandingSweep _),
     "q104_repeated_spans" -> (q104RepeatedSpans _),
     "q105_span_removal" -> (q105SpanRemoval _),
+    "q251_exact_substr" -> (q251ExactSubstr _),
     "q108_lsh_index" -> (q108LshIndex _),
     "q32_dedup_simhash" -> (q32DedupSimhash _),
     "q33_ngram_jaccard" -> (q33NgramJaccard _),
@@ -760,6 +795,58 @@ object TextQueries {
         |    (a, b) -> xor(a, b)) AS fp_checksum,
         |  CAST(sh2.planted_shared AS INT) AS planted_shared
         |FROM fps f CROSS JOIN sh2 ORDER BY 1""".stripMargin,
+    // the exactSubstrAudit chain restated: positional 8-gram md5
+    // fingerprints → corpus-frequency dup set (≥2 anywhere, incl.
+    // within-doc) → per-doc interval union (running-max window) →
+    // ≥20-token runs → total per-doc report
+    "q251_exact_substr" ->
+      ("""WITH allr AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(-6 AS BIGINT), 'xseh1 xseh2 xseh3 SPAN24 xset1 xset2'),
+        |    (CAST(-5 AS BIGINT), 'xsfh1 SPAN24 xsft1 xsft2 xsft3 xsft4'),
+        |    (CAST(-4 AS BIGINT), 'REP25 REP25'),
+        |    (CAST(-3 AS BIGINT), 'xsgf1 xsgf2 SUB12 xsgf3'),
+        |    (CAST(-2 AS BIGINT), 'xshf1 SUB12 xshf2 xshf3'),
+        |    (CAST(-1 AS BIGINT), 'xsif1 xsif2 xsif3 xsif4 xsif5 xsif6 xsif7 xsif8 xsif9 xsif10')
+        |  ) AS t(doc_id, text)),
+        |tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM allr),
+        |f AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= 8),
+        |s0 AS (SELECT doc_id, toks,
+        |    unnest(list_transform(range(0, len(toks) - 7), i -> {'p': i})) AS u
+        |  FROM f),
+        |s AS (SELECT doc_id, CAST(u.p AS INT) AS pos,
+        |    md5(array_to_string(list_slice(toks, u.p + 1, u.p + 8), ' ')) AS h
+        |  FROM s0),
+        |q AS (SELECT h FROM s GROUP BY h HAVING count(*) >= 2),
+        |dp AS (SELECT s.doc_id, s.pos, s.pos + 7 AS e FROM s JOIN q ON s.h = q.h),
+        |m AS (SELECT doc_id, pos, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS meb
+        |  FROM dp),
+        |g1 AS (SELECT doc_id, pos, e,
+        |    sum(CASE WHEN meb IS NULL OR pos > meb + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM m),
+        |isl AS (SELECT doc_id, grp, min(pos) AS st, max(e) AS en
+        |  FROM g1 GROUP BY doc_id, grp),
+        |keep AS (SELECT doc_id, CAST(en - st + 1 AS BIGINT) AS len
+        |  FROM isl WHERE en - st + 1 >= 20),
+        |per AS (SELECT doc_id, count(*) AS dup_spans, sum(len) AS dup_tokens
+        |  FROM keep GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS total_tokens FROM tk)
+        |SELECT t.doc_id, t.total_tokens,
+        |  CAST(coalesce(p.dup_spans, 0) AS BIGINT) AS dup_spans,
+        |  CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  CASE WHEN t.total_tokens > 0
+        |    THEN round(coalesce(p.dup_tokens, 0) / t.total_tokens, 4)
+        |    ELSE 0.0 END AS dup_fraction
+        |FROM tot t LEFT JOIN per p USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin
+        .replace("SPAN24", (1 to 24).map(i => s"xspan$i").mkString(" "))
+        .replace("REP25", (1 to 25).map(i => s"xsrep$i").mkString(" "))
+        .replace("SUB12", (1 to 12).map(i => s"xssub$i").mkString(" "))),
     "q104_repeated_spans" ->
       (SpanIslandsCte +
         """

@@ -104,6 +104,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.size == 3, "total report: every doc appears")
   }
 
+  test("exactSubstrAudit: cross-doc span, within-doc repetition, sub-threshold control") {
+    val run = (1 to 24).map(i => s"r$i").mkString(" ")
+    val rep = (1 to 25).map(i => s"p$i").mkString(" ")
+    val sub = (1 to 12).map(i => s"s$i").mkString(" ")
+    val df = docsDf(Seq(
+      (1L, s"x1 x2 x3 $run y1 y2"),        // shares run with doc 2
+      (2L, s"z1 $run w1 w2 w3 w4"),
+      (3L, s"$rep $rep"),                   // WITHIN-doc repetition (q104-blind)
+      (4L, s"a1 a2 $sub a3"),               // 12 shared tokens < 20 threshold
+      (5L, s"b1 $sub b2 b3"),
+      (6L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")))
+    val out = Dedup.exactSubstrAudit(df, n = 8, minSpanTokens = 20).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out.size == 6, "total report: every doc appears")
+    // docs 1/2: the 24-token run is ONE maximal duplicated interval
+    assert(out(1L) == ((29L, 1L, 24L, 0.8276)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((29L, 1L, 24L, 0.8276)), s"doc2: ${out(2L)}")
+    // doc 3: two adjacent 25-token islands merge — the whole doc
+    assert(out(3L) == ((50L, 1L, 50L, 1.0)), s"doc3: ${out(3L)}")
+    // sub-threshold pair and unique filler: zero spans
+    assert(out(4L)._2 == 0L && out(5L)._2 == 0L && out(6L)._2 == 0L)
+    assert(out(4L)._4 == 0.0 && out(6L)._1 == 10L)
+  }
+
   test("simhash: identical docs distance 0; near-dup within banding recall") {
     val base = "one two three four five six seven eight nine ten eleven twelve"
     val df = docsDf(Seq((1L, base), (2L, base), (3L, "alpha beta gamma delta epsilon zeta")))
