@@ -391,6 +391,50 @@ object Dedup {
           .otherwise(lit(0.0)).as("dup_fraction"))
   }
 
+  /** Per-source boilerplate-line removal (the CCNet/C4 pre-dedup
+    * rewrite, Wenzek et al. 2020): a line is boilerplate within its
+    * SOURCE (domain) when it appears in ≥ `threshold` of that
+    * source's documents and the source has ≥ `minDocs` documents —
+    * navigation chrome, cookie banners, footers. Unlike corpus-wide
+    * paragraph dedup ([[paragraphDedup]], which keeps the FIRST
+    * occurrence), boilerplate removal strips EVERY occurrence: a line
+    * that frequent inside one domain is template, not content.
+    *
+    * Scale shape: one line explode; the per-(source, line) doc
+    * frequency is a map-side-combinable distinct-doc count whose key
+    * space is bounded by the corpus's distinct lines; the boilerplate
+    * set (a per-source frame, tiny relative to data) comes back as
+    * one equi-join on (source, line hash could be used — the line
+    * itself is the key here for oracle transparency); the rebuild is
+    * a per-doc ordered string_agg. Output is a TOTAL report:
+    * (doc_id, n_lines, n_removed, text_fp), q105's discipline —
+    * untouched docs carry their original fingerprint. */
+  def boilerplateRemoval(docs: DataFrame, minDocs: Int = 5,
+      threshold: Double = 0.5, idCol: String = "doc_id",
+      textCol: String = "text", sourceCol: String = "source"): DataFrame = {
+    val lines = docs
+      .select(col(idCol), col(sourceCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val perSource = docs.groupBy(sourceCol)
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    val bp = lines.select(col(sourceCol), col("line"), col(idCol)).distinct()
+      .groupBy(sourceCol, "line").agg(count(lit(1)).as("df"))
+      .join(broadcast(perSource), Seq(sourceCol))
+      .filter(col("n_docs") >= minDocs &&
+        col("df") / col("n_docs") >= threshold)
+      .select(col(sourceCol), col("line"), lit(true).as("is_bp"))
+    lines
+      .join(bp, Seq(sourceCol, "line"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("is_bp"), 1L).otherwise(0L)).as("n_removed"),
+        // collect_list drops NULLs, so removed lines never enter the
+        // rebuilt text; array_sort on the struct restores line order
+        md5(array_join(
+          expr("transform(array_sort(collect_list(CASE WHEN is_bp THEN NULL ELSE struct(pos, line) END)), s -> s.line)"),
+          "\n")).as("text_fp"))
+  }
+
   /** Per-doc 64-bit SimHash fingerprint. Row-local. */
   def simhashFingerprints(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", md5Mode: Boolean = false): DataFrame = {

@@ -207,4 +207,62 @@ object Graph {
     }
     labels
   }
+
+  /** Majority-direction election over a directed pair-event stream:
+    * for each unordered node pair, keep the direction observed more
+    * often (ties → low→high id, deterministic), with the pair's TOTAL
+    * event count attached; pairs below `minSupport` total events are
+    * pruned (the q172 support discipline — it is also what bounds the
+    * downstream wedge join). One map-side-combinable count + one
+    * row-local election: no self-join, no window. */
+  def electMajorityEdges(events: DataFrame, srcCol: String, dstCol: String,
+      minSupport: Long = 2L): DataFrame = {
+    val cnt = events
+      .filter(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"),
+        (col(srcCol) < col(dstCol)).as("fwd"))
+      .groupBy("lo", "hi")
+      .agg(sum(when(col("fwd"), 1L).otherwise(0L)).as("n_f"),
+        sum(when(col("fwd"), 0L).otherwise(1L)).as("n_r"))
+      .filter(col("n_f") + col("n_r") >= minSupport)
+    cnt.select(
+      when(col("n_f") >= col("n_r"), col("lo")).otherwise(col("hi")).as("src"),
+      when(col("n_f") >= col("n_r"), col("hi")).otherwise(col("lo")).as("dst"),
+      (col("n_f") + col("n_r")).as("support"))
+  }
+
+  /** Directed 3-cycle vs transitive-triangle census — the
+    * intransitivity audit a preference/ordering graph needs before
+    * anyone fits a ranking model on it (a→b→c→a means the pairwise
+    * observations cannot come from any consistent total order; RLHF
+    * preference sets are audited exactly this way). Input must be a
+    * TOURNAMENT-like edge set (≤1 direction per pair — e.g.
+    * [[electMajorityEdges]] output).
+    *
+    * Enumeration: two equi-joins (two-paths a→b→c, then close with
+    * c→a for cycles / a→c for transitive). Each cyclic triangle is
+    * produced once per rotation, so cycles are CANONICALIZED to the
+    * rotation starting at the smallest node and deduped — output is
+    * one row per distinct cycle (a, b, c). The wedge volume is
+    * Σ out·in over nodes, bounded upstream by the support prune and
+    * basket caps (same argument as q151/q152); no cartesian anywhere.
+    * All counts are integers → fully hash-oracle-able. */
+  def directedCycleCensus(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): (DataFrame, DataFrame) = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val two = e.select(col("src").as("a"), col("dst").as("b"))
+      .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
+      .filter(col("a") =!= col("c"))
+    val cycles = two
+      .join(e.select(col("src").as("c"), col("dst").as("a")), Seq("a", "c"))
+      // canonical rotation: smallest node first (each cycle arrives 3×)
+      .filter(col("a") < col("b") && col("a") < col("c"))
+      .select(col("a"), col("b"), col("c"))
+    val transitive = two
+      .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    (cycles, transitive)
+  }
 }

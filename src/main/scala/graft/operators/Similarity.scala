@@ -56,6 +56,70 @@ object Similarity {
     ranked(scored, k).select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the method
+    * behind CCMatrix/LASER parallel-corpus mining): candidate pair
+    * (x ∈ A, y ∈ B) scores margin(x,y) = cos(x,y) / ((avgK_fwd(x) +
+    * avgK_bwd(y)) / 2), where avgK is the mean cosine of the row's k
+    * nearest neighbors on the OTHER side — the normalization that
+    * kills hubness (a y close to everything gains no margin). Mined
+    * pairs: each x's argmax-margin y with margin ≥ `minMargin`, plus
+    * a `mutual` flag (y's best x is this x — the high-precision
+    * setting the papers report).
+    *
+    * Scale shape: `sideA` is the MINING BATCH (the daily-ingest shape
+    * the persisted-LSH probe q108 established — you mine a batch of
+    * new sentences against the other language's corpus), `sideB` the
+    * corpus; cost is |batch|·|B| map-side cosines (B's projection
+    * broadcasts per the q34 baseline discipline) feeding two window
+    * top-ks, and only the k·|batch| forward-candidate frame is ever
+    * materialized — the full cross is never checkpointed. At corpus×
+    * corpus scale the SAME margin arithmetic runs over IVF/LSH
+    * candidate lists (q43/q35) instead of the cross — the normalizers
+    * only need each row's top-k, which is what the ANN index returns.
+    * The backward normalizer avgK_bwd(y) is computed over the batch
+    * (the mining pool), the standard batch-mode approximation.
+    * Cosines are rounded to 6 BEFORE ranking and averaging (the
+    * ranked() tie discipline), so ties and the margin ratio are
+    * engine-stable. */
+  def bitextMarginMine(spark: SparkSession, sideA: DataFrame, sideB: DataFrame,
+      k: Int = 4, minMargin: Double = 1.0): DataFrame = {
+    GraftFunctions.register(spark)
+    val scored = sideA.select(col("vec_id").as("src_id"), col("embedding").as("a_emb"))
+      .crossJoin(broadcast(
+        sideB.select(col("vec_id").as("dst_id"), col("embedding").as("b_emb"))))
+      .withColumn("sim", round(expr("cosine_sim(a_emb, b_emb)"), 6))
+      .select("src_id", "dst_id", "sim")
+    val wF = Window.partitionBy("src_id").orderBy(col("sim").desc, col("dst_id"))
+    val wB = Window.partitionBy("dst_id").orderBy(col("sim").desc, col("src_id"))
+    // the one materialized frame: k rows per batch row. scored itself
+    // stays lazy — it is a shuffle-free map-side cross, cheaper to
+    // recompute for the backward window than to checkpoint at
+    // |batch|·|B| rows
+    val fwdTop = scored.withColumn("rk", row_number().over(wF)).filter(col("rk") <= k)
+      .localCheckpoint()
+    val fwd = fwdTop.groupBy("src_id").agg((sum("sim") / k).as("avg_f"))
+    val bwd = scored.withColumn("rk", row_number().over(wB)).filter(col("rk") <= k)
+      .groupBy("dst_id").agg((sum("sim") / k).as("avg_b"))
+    val margins = fwdTop
+      .join(broadcast(fwd), Seq("src_id"))
+      .join(broadcast(bwd), Seq("dst_id"))
+      .withColumn("margin",
+        round(col("sim") / ((col("avg_f") + col("avg_b")) / 2.0), 6))
+      .localCheckpoint()
+    val bestF = margins.withColumn("mk", row_number().over(
+        Window.partitionBy("src_id").orderBy(col("margin").desc, col("dst_id"))))
+      .filter(col("mk") === 1)
+    val bestB = margins.withColumn("mk", row_number().over(
+        Window.partitionBy("dst_id").orderBy(col("margin").desc, col("src_id"))))
+      .filter(col("mk") === 1)
+      .select(col("dst_id"), col("src_id").as("best_src"))
+    bestF
+      .join(broadcast(bestB), Seq("dst_id"), "left")
+      .filter(col("margin") >= minMargin)
+      .select(col("src_id"), col("dst_id"), col("sim"),
+        col("margin"), (col("best_src") === col("src_id")).as("mutual"))
+  }
+
   /** Scalar int8 quantization of an embedding column: per-vector scale
     * = max|x|/127, codes = round(x/scale) ∈ [−127, 127]. The memory
     * lever for ANN at 100 TB — a 4× (float32→int8) shrink of the
