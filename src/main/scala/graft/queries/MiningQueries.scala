@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.{Dedup, Graph, Similarity}
+import graft.operators.{Dedup, Graph, Hll, Similarity}
+import graft.streaming.StreamingOps
 
 /** Round-10 tranche: preference-graph intransitivity (q252), per-source
   * boilerplate removal (q253), margin-based bitext mining (q254), and
@@ -218,6 +219,117 @@ object MiningQueries {
       .orderBy("quarter", "s_suppkey")
   }
 
+  /** Leakage-safe grouped train/val/test split — the GROUP-aware split
+    * every dedup paper insists on (split by SOURCE, never by document,
+    * or near-dups of a training doc leak into eval): split =
+    * md5(source) mod 10 → {0..7 train, 8 val, 9 test}. Output: per
+    * split, source/doc/token counts plus `n_leaky_sources` — the
+    * number of sources observed in more than one split, COMPUTED
+    * relationally (0 by construction; the audit column proves it
+    * rather than asserting it). Deterministic, rerun-stable,
+    * assignment is one row-local hash — no shuffle before the
+    * aggregate. */
+  def q259GroupedSplit(s: SparkSession, d: String): DataFrame = {
+    val withSplit = Tables.documents(s, d)
+      .withColumn("__b", expr(
+        "pmod(cast(conv(substring(md5(source), 1, 15), 16, 10) as bigint), 10)"))
+      .withColumn("split",
+        when(col("__b") < 8, "train").when(col("__b") === 8, "val").otherwise("test"))
+      .withColumn("__ntok", size(split(lower(trim(col("text"))), "\\s+")))
+    val perSplit = withSplit.groupBy("split")
+      .agg(countDistinct("source").as("n_sources"),
+        count(lit(1)).as("n_docs"),
+        sum(col("__ntok").cast("long")).as("n_tokens"))
+    val leaky = withSplit.select("source", "split").distinct()
+      .groupBy("source").agg(count(lit(1)).as("__k"))
+      .agg(sum(when(col("__k") > 1, 1L).otherwise(0L)).as("n_leaky_sources"))
+    perSplit.crossJoin(broadcast(leaky)).orderBy("split")
+  }
+
+  /** Degenerate-loop detector — the repeated-n-gram pathology of
+    * sampled/boilerplate text (distinct from q49's distinct-shingle
+    * ratio, which cannot tell WHAT repeats): per doc, the fraction of
+    * positions where token[i] == token[i+p] for period p ∈ {1,2,3};
+    * a doc stuck in a p-cycle scores frac_p = 1. Flags docs with
+    * max_frac ≥ 0.2, reporting the dominant period (ties → smallest).
+    * Row-local array arithmetic — zero shuffles before the
+    * presentation sort. Planted: a 1-cycle, a 2-cycle, a 3-cycle
+    * (each must report its own period at frac 1.0) and a unique-token
+    * control that must NOT appear. */
+  def q260LoopDetector(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      (-3L, Seq.fill(30)("loopa").mkString(" ")),
+      (-2L, Seq.fill(15)("pa pb").mkString(" ")),
+      (-1L, Seq.fill(10)("qa qb qc").mkString(" ")),
+      (-4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"))
+      .toDF("doc_id", "text")
+    val all = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    def frac(p: Int) = round(
+      expr(s"""size(filter(transform(sequence(1, size(toks) - $p),
+              |  i -> element_at(toks, i) = element_at(toks, i + $p)), x -> x))"""
+        .stripMargin).cast("double") / (size(col("toks")) - p), 4)
+    all
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .filter(size(col("toks")) >= 4)
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        frac(1).as("frac_p1"), frac(2).as("frac_p2"), frac(3).as("frac_p3"))
+      .withColumn("max_frac", greatest(col("frac_p1"), col("frac_p2"), col("frac_p3")))
+      .withColumn("loop_period",
+        when(col("frac_p1") === col("max_frac"), 1)
+          .when(col("frac_p2") === col("max_frac"), 2).otherwise(3))
+      .filter(col("max_frac") >= 0.2)
+      .orderBy("doc_id")
+  }
+
+  /** Time-decayed engagement score — the classic recency-weighted
+    * activity feature: score(u) = Σ value·2^(−Δdays/30) with Δdays
+    * measured back from the corpus's max event date (deterministic
+    * reference, broadcast 1-row frame). Integer cents per event, one
+    * pow per row (row-local), one map-side-combinable aggregate;
+    * rounding at 4 absorbs cross-engine pow/sum-order ulps. */
+  def q261DecayScore(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .withColumn("day", to_date(col("ts")))
+    val ref = ev.agg(max("day").as("ref_day"))
+    ev.crossJoin(broadcast(ref))
+      .withColumn("__decayed",
+        round(col("value") * 100).cast("long") *
+          pow(lit(0.5), datediff(col("ref_day"), col("day")).cast("double") / 30.0))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max("day").as("last_day"),
+        round(sum("__decayed") / 100.0, 4).as("decay_score"))
+      .orderBy("user_id")
+  }
+
+  /** STREAMING HyperLogLog — the q231 sketch as a live aggregate: the
+    * register table (day, reg_j, max rank) IS the streaming state
+    * (register max is associative/idempotent, so a complete-mode
+    * streaming max-aggregate holds exactly m=256 rows per day — state
+    * bounded by the sketch, not the stream), drained and fed to the
+    * SAME batch estimator, with exact counts and rel_err in-row. The
+    * streaming ≡ batch discipline of q242: one staged file, one
+    * micro-batch, so DuckDB's batch register restatement hash-checks
+    * the streaming path end to end. */
+  def q262StreamHll(s: SparkSession, d: String): DataFrame = {
+    val ev = StreamingOps.eventStream(s, s"$d/events.parquet")
+      .filter(col("user_id").isNotNull)
+      .withColumn("day", to_date(col("ts")))
+    val regs = Hll.registers(ev, "user_id", Seq("day"))
+    val drained = StreamingOps.runToMemory(s, regs, "graft_stream_hll",
+      outputMode = "complete")
+    val exact = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("day").agg(countDistinct("user_id").as("n_exact"))
+    Hll.estimateFromRegisters(drained, Seq("day"))
+      .join(exact, Seq("day"))
+      .withColumn("rel_err",
+        round((col("hll_estimate") - col("n_exact")) / col("n_exact"), 4))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q252_preference_cycles" -> (q252PreferenceCycles _),
     "q253_boilerplate" -> (q253Boilerplate _),
@@ -225,7 +337,11 @@ object MiningQueries {
     "q255_order_count_dist" -> (q255OrderCountDistribution _),
     "q256_profit_by_nation" -> (q256ProfitByNation _),
     "q257_dominant_share" -> (q257DominantShare _),
-    "q258_top_supplier_quarter" -> (q258TopSupplierPerQuarter _)
+    "q258_top_supplier_quarter" -> (q258TopSupplierPerQuarter _),
+    "q259_grouped_split" -> (q259GroupedSplit _),
+    "q260_loop_detector" -> (q260LoopDetector _),
+    "q261_decay_score" -> (q261DecayScore _),
+    "q262_stream_hll" -> (q262StreamHll _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -388,6 +504,94 @@ object MiningQueries {
         |  round(max(d.s_qty / CAST(d.tot_qty AS DOUBLE)), 4) AS max_share
         |FROM dom d JOIN supplier s ON d.l_suppkey = s.s_suppkey
         |GROUP BY 1, 2 ORDER BY s_suppkey""".stripMargin,
+    "q259_grouped_split" ->
+      """WITH ws AS (
+        |  SELECT source,
+        |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS ntok
+        |  FROM (SELECT source, text,
+        |          ('0x' || substr(md5(source), 1, 15))::BIGINT % 10 AS b
+        |        FROM documents)),
+        |ps AS (
+        |  SELECT split, count(DISTINCT source) AS n_sources,
+        |    count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |  FROM ws GROUP BY 1),
+        |lk AS (
+        |  SELECT CAST(coalesce(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS n_leaky_sources
+        |  FROM (SELECT source, count(DISTINCT split) AS k FROM ws GROUP BY 1))
+        |SELECT ps.split, ps.n_sources, ps.n_docs, ps.n_tokens, lk.n_leaky_sources
+        |FROM ps CROSS JOIN lk ORDER BY split""".stripMargin,
+    "q260_loop_detector" ->
+      ("""WITH planted(doc_id, text) AS (VALUES
+        |  (-3, 'LOOP1'), (-2, 'LOOP2'), (-1, 'LOOP3'),
+        |  (-4, 'u1 u2 u3 u4 u5 u6 u7 u8 u9 u10')),
+        |allr AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT CAST(doc_id AS BIGINT), text FROM planted),
+        |tk AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM allr),
+        |f AS (
+        |  SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+        |    round(len(list_filter(list_transform(range(1, len(toks) - 1 + 1),
+        |      i -> toks[i] = toks[i + 1]), x -> x)) / CAST(len(toks) - 1 AS DOUBLE), 4) AS frac_p1,
+        |    round(len(list_filter(list_transform(range(1, len(toks) - 2 + 1),
+        |      i -> toks[i] = toks[i + 2]), x -> x)) / CAST(len(toks) - 2 AS DOUBLE), 4) AS frac_p2,
+        |    round(len(list_filter(list_transform(range(1, len(toks) - 3 + 1),
+        |      i -> toks[i] = toks[i + 3]), x -> x)) / CAST(len(toks) - 3 AS DOUBLE), 4) AS frac_p3
+        |  FROM tk WHERE len(toks) >= 4)
+        |SELECT doc_id, n_tokens, frac_p1, frac_p2, frac_p3,
+        |  greatest(frac_p1, frac_p2, frac_p3) AS max_frac,
+        |  CAST(CASE WHEN frac_p1 = greatest(frac_p1, frac_p2, frac_p3) THEN 1
+        |       WHEN frac_p2 = greatest(frac_p1, frac_p2, frac_p3) THEN 2
+        |       ELSE 3 END AS INT) AS loop_period
+        |FROM f WHERE greatest(frac_p1, frac_p2, frac_p3) >= 0.2
+        |ORDER BY doc_id""".stripMargin
+        .replace("LOOP1", Seq.fill(30)("loopa").mkString(" "))
+        .replace("LOOP2", Seq.fill(15)("pa pb").mkString(" "))
+        .replace("LOOP3", Seq.fill(10)("qa qb qc").mkString(" "))),
+    "q261_decay_score" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id IS NOT NULL),
+        |ref AS (SELECT max(day) AS ref_day FROM ev)
+        |SELECT user_id, count(*) AS n_events, max(day) AS last_day,
+        |  round(sum(cents * pow(0.5, date_diff('day', day, ref_day) / 30.0))
+        |    / 100.0, 4) AS decay_score
+        |FROM ev CROSS JOIN ref
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the q231 register restatement over the events stream's day grain:
+    // the streaming complete-mode max-aggregate state IS this register
+    // table, so the batch SQL hash-checks the streaming drain
+    "q262_stream_hll" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (
+        |  SELECT day, h % 256 AS j,
+        |    CASE WHEN h // 256 > 0 THEN 53 - length(bin(h // 256)) ELSE 53 END AS rnk
+        |  FROM ev),
+        |mx AS (SELECT day, j, max(rnk) AS mj FROM r GROUP BY 1, 2),
+        |s AS (
+        |  SELECT day,
+        |    CAST(sum(CAST(1 AS BIGINT) << (53 - mj)) AS BIGINT)
+        |      + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS big_s,
+        |    CAST(count(*) AS BIGINT) AS n_registers_set
+        |  FROM mx GROUP BY 1),
+        |e AS (SELECT day, count(DISTINCT user_id) AS n_exact FROM ev GROUP BY 1),
+        |est AS (
+        |  SELECT s.day, n_registers_set, n_exact,
+        |    round(CASE WHEN 4.2399330249068963e+20 / big_s <= 640.0
+        |        AND 256 - n_registers_set > 0
+        |      THEN 256 * ln(256 / CAST(256 - n_registers_set AS DOUBLE))
+        |      ELSE 4.2399330249068963e+20 / big_s END, 2) AS hll_estimate
+        |  FROM s JOIN e ON e.day = s.day)
+        |SELECT day, hll_estimate, n_registers_set, n_exact,
+        |  round((hll_estimate - n_exact) / n_exact, 4) AS rel_err
+        |FROM est ORDER BY day""".stripMargin,
     "q258_top_supplier_quarter" ->
       """WITH rev AS (
         |  SELECT CAST(date_trunc('quarter', l_shipdate) AS DATE) AS quarter,
