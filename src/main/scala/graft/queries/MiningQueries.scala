@@ -330,6 +330,96 @@ object MiningQueries {
       .orderBy("day")
   }
 
+  /** Late-fulfillment census by order priority — the TPC-H Q4 shape:
+    * orders placed in 1996 that had AT LEAST ONE line shipped more
+    * than 45 days after the order date (the EXISTS subquery), counted
+    * by priority. The EXISTS is a left-SEMI join against the
+    * pre-filtered late-line projection — order rows are never
+    * duplicated by their line fan-out, and both date bounds sit in
+    * the scans' PushedFilters. */
+  def q263LatePriorityCensus(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+    val late = Tables.lineitem(s, d)
+      .join(o.select("o_orderkey", "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > date_add(col("o_orderdate"), 45))
+      .select(col("l_orderkey"))
+    o.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Supplier variety per part group — the TPC-H Q16 shape: distinct
+    * suppliers per (brand, type, size) for mid-size parts, EXCLUDING
+    * negative-balance suppliers (Q16's NOT IN complaint subquery →
+    * one left-ANTI join against the 6-row blacklist before the
+    * distinct-count aggregate). */
+  def q264SupplierVariety(s: SparkSession, d: String): DataFrame = {
+    val blacklist = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("bad_suppkey"))
+    val p = Tables.part(s, d).filter(col("p_size").between(10, 20))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(blacklist), col("l_suppkey") === col("bad_suppkey"), "left_anti")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** Disjunctive multi-predicate revenue — the TPC-H Q19 shape, whose
+    * point is the OR-of-ANDs: three (brand, quantity-band, size-band)
+    * clauses OR-ed together. The part-side conjuncts are pushed into
+    * the part scan as a single disjunctive filter; revenue in exact
+    * cents, one summary row per clause plus the union total via
+    * grouping by the matched clause id. */
+  def q265DisjunctiveRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+    val c1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+      col("l_quantity").between(1, 15)
+    val c2 = col("p_brand") === "Brand#2" && col("p_size").between(11, 25) &&
+      col("l_quantity").between(10, 25)
+    val c3 = col("p_brand") === "Brand#3" && col("p_size").between(26, 50) &&
+      col("l_quantity").between(20, 35)
+    li.filter(c1 || c2 || c3)
+      .withColumn("clause",
+        when(c1, 1).otherwise(when(c2, 2).otherwise(3)))
+      .withColumn("rev_units",
+        round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+      .groupBy("clause")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum("rev_units") / 10000.0, 2).as("revenue"))
+      .orderBy("clause")
+  }
+
+  /** Unshipped-order revenue top-10 — the TPC-H Q3 shape: BUILDING
+    * customers, orders placed before the cutoff with lines shipped
+    * after it, ranked by open revenue. The output is a
+    * TakeOrderedAndProject (never a global sort); revenue in exact
+    * cents with one terminal division. */
+  def q266UnshippedTopk(s: SparkSession, d: String): DataFrame = {
+    val cut = "1998-01-01"
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"), "left_semi")
+      .withColumn("rev_units",
+        round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum("rev_units") / 10000.0, 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q252_preference_cycles" -> (q252PreferenceCycles _),
     "q253_boilerplate" -> (q253Boilerplate _),
@@ -341,7 +431,11 @@ object MiningQueries {
     "q259_grouped_split" -> (q259GroupedSplit _),
     "q260_loop_detector" -> (q260LoopDetector _),
     "q261_decay_score" -> (q261DecayScore _),
-    "q262_stream_hll" -> (q262StreamHll _)
+    "q262_stream_hll" -> (q262StreamHll _),
+    "q263_late_priority" -> (q263LatePriorityCensus _),
+    "q264_supplier_variety" -> (q264SupplierVariety _),
+    "q265_disjunctive_revenue" -> (q265DisjunctiveRevenue _),
+    "q266_unshipped_topk" -> (q266UnshippedTopk _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -504,6 +598,59 @@ object MiningQueries {
         |  round(max(d.s_qty / CAST(d.tot_qty AS DOUBLE)), 4) AS max_share
         |FROM dom d JOIN supplier s ON d.l_suppkey = s.s_suppkey
         |GROUP BY 1, 2 ORDER BY s_suppkey""".stripMargin,
+    "q263_late_priority" ->
+      """SELECT o.o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= DATE '1996-01-01'
+        |  AND o.o_orderdate < DATE '1997-01-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q264_supplier_variety" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |  count(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size BETWEEN 10 AND 20
+        |  AND l.l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q265_disjunctive_revenue" ->
+      """WITH f AS (
+        |  SELECT CASE
+        |      WHEN p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+        |        AND l.l_quantity BETWEEN 1 AND 15 THEN 1
+        |      WHEN p.p_brand = 'Brand#2' AND p.p_size BETWEEN 11 AND 25
+        |        AND l.l_quantity BETWEEN 10 AND 25 THEN 2
+        |      ELSE 3 END AS clause,
+        |    CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_units
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+        |      AND l.l_quantity BETWEEN 1 AND 15)
+        |    OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 11 AND 25
+        |      AND l.l_quantity BETWEEN 10 AND 25)
+        |    OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 26 AND 50
+        |      AND l.l_quantity BETWEEN 20 AND 35))
+        |SELECT CAST(clause AS INT) AS clause, count(*) AS n_lines,
+        |  round(sum(rev_units) / 10000.0, 2) AS revenue
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q266_unshipped_topk" ->
+      """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+        |  round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |    (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderdate < DATE '1998-01-01'
+        |  AND l.l_shipdate > DATE '1998-01-01'
+        |  AND o.o_custkey IN (
+        |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
     "q259_grouped_split" ->
       """WITH ws AS (
         |  SELECT source,
