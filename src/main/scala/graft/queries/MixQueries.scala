@@ -1,0 +1,323 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Round-10 tranche E: data-mixture and evaluation operators a training
+  * pipeline runs between curation and training — temperature-scaled
+  * mixture allocation (q274), split-conformal calibration (q275), a
+  * join-skew diagnosis (q276), and a vocabulary-coverage/OOV audit
+  * (q277). Every query carries a FULL DuckDB hash oracle.
+  *
+  * Cross-engine float discipline used throughout:
+  * - temperatures are powers of two so n^(1/T) is a chain of IEEE
+  *   sqrt calls (correctly rounded, bit-identical in any engine) —
+  *   never libm pow, whose last ulp is implementation-defined;
+  * - every selection boundary (largest-remainder rank, conformal rank
+  *   k, p99 rank) is INTEGER arithmetic — ceil(a/b) as
+  *   (a + b − 1) div b — so no threshold can flip on a float ulp;
+  * - double sums never feed a comparison: fractional weights are
+  *   floored to integer units per row (identical inputs → identical
+  *   floor) and only the integer units are summed. */
+object MixQueries {
+
+  private val tokens = split(lower(trim(col("text"))), "\\s+")
+
+  /** Temperature-scaled mixture allocation (the multilingual-LM
+    * sampling rule of Lample & Conneau 2019 / XLM-R: p_i ∝ n_i^(1/T);
+    * T=1 is proportional, larger T flattens toward uniform so
+    * low-resource sources are up-sampled). Allocates a 1 M-token
+    * budget across sources for T ∈ {1, 2, 4} by largest remainder
+    * (Hamilton): base_i = floor(B·w_i/Σw), then the shortfall goes to
+    * the largest integer remainders (ties → source asc).
+    *
+    * Exactness: w = n, sqrt(n), sqrt(sqrt(n)) (never pow); weights are
+    * normalized by the per-T max (max of doubles is order-free) and
+    * floored to 1e9 integer units, so Σw, base, and remainder are all
+    * BIGINT — the allocation is bit-reproducible in any engine. ONE
+    * full-data aggregate; everything after runs on the
+    * |sources|×|temps| frame (broadcast, aggregate-scale windows). */
+  def q274TempMixture(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val budget = 1000000L
+    val perSrc = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(sum(size(tokens).cast("long")).as("n_tokens"))
+      .localCheckpoint()
+    val w = perSrc.crossJoin(broadcast(Seq(1, 2, 4).toDF("temp")))
+      .withColumn("w",
+        when(col("temp") === 1, col("n_tokens").cast("double"))
+          .when(col("temp") === 2, sqrt(col("n_tokens").cast("double")))
+          .otherwise(sqrt(sqrt(col("n_tokens").cast("double")))))
+    val wmax = w.groupBy("temp").agg(max("w").as("wmax"))
+    val wu = w.join(broadcast(wmax), "temp")
+      .withColumn("w_units",
+        floor(col("w") / col("wmax") * lit(1e9)).cast("long"))
+    val tot = wu.groupBy("temp").agg(sum("w_units").as("tot_units"))
+    val al = wu.join(broadcast(tot), "temp")
+      .withColumn("base", expr(s"($budget * w_units) div tot_units"))
+      .withColumn("rem_num", expr(s"($budget * w_units) % tot_units"))
+    val short = al.groupBy("temp")
+      .agg((lit(budget) - sum("base")).as("shortfall"))
+    al.join(broadcast(short), "temp")
+      .withColumn("rr", row_number().over(
+        Window.partitionBy("temp").orderBy(col("rem_num").desc, col("source"))))
+      .withColumn("alloc_tokens",
+        col("base") + when(col("rr") <= col("shortfall"), 1L).otherwise(0L))
+      .select(col("temp"), col("source"), col("n_tokens"),
+        round(lit(100.0) * col("w_units") / col("tot_units"), 6).as("target_pct"),
+        col("alloc_tokens"),
+        round(lit(100.0) * col("alloc_tokens") / budget, 4).as("alloc_pct"))
+      .orderBy("temp", "source")
+  }
+
+  /** Split-conformal calibration (Vovk; Angelopoulos & Bates 2021):
+    * hold out a calibration split (md5(event_id) mod 5 = 0), take the
+    * k-th smallest calibration score with k = ceil((n_cal+1)(1−α)) as
+    * the threshold, and audit empirical coverage on the rest — the
+    * distribution-free guarantee is coverage ≥ 1−α.
+    *
+    * The order statistic is selected by the Quantiles two-phase
+    * discipline, never a global sort: one (lo, hi, n) aggregate, a
+    * 4096-bin histogram (aggregate-scale cumulative window), then a
+    * ranking window over ONLY the rows of each α's target bucket
+    * (≈ n/4096 rows per α). k is pure integer arithmetic:
+    * ((n+1)(100−α%) + 99) div 100. Coverage is one pass over the test
+    * split against the broadcast 3-row threshold frame. */
+  def q275Conformal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nB = 4096
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("value"),
+        expr("pmod(cast(conv(substring(md5(cast(event_id as string)), 1, 15), " +
+          "16, 10) as bigint), 5) = 0").as("is_cal"))
+      .localCheckpoint()
+    val cal = ev.filter(col("is_cal")).select("event_id", "value")
+    val stats = cal.agg(min("value").as("lo"), max("value").as("hi"),
+      count(lit(1)).as("n_cal"))
+    val ak = Seq(5, 10, 20).toDF("alpha_pct").crossJoin(broadcast(stats))
+      .withColumn("k", expr("((n_cal + 1) * (100 - alpha_pct) + 99) div 100"))
+    val bucketed = cal.crossJoin(broadcast(stats))
+      .withColumn("__bucket", when(col("hi") === col("lo"), lit(0)).otherwise(
+        least(floor((col("value") - col("lo")) / (col("hi") - col("lo")) * nB)
+          .cast("int"), lit(nB - 1))))
+      .select("event_id", "value", "__bucket")
+    val cum = bucketed.groupBy("__bucket").agg(count(lit(1)).as("bcount"))
+      .withColumn("cum", sum("bcount").over(Window.orderBy("__bucket")))
+      .withColumn("cum_before", col("cum") - col("bcount"))
+    // exactly one bucket satisfies cum_before < k <= cum per alpha
+    val tgt = ak.join(broadcast(cum),
+      col("cum") >= col("k") && col("cum_before") < col("k"))
+      .select(col("alpha_pct"), col("n_cal"), col("k"), col("__bucket"),
+        col("cum_before"))
+    val thr = bucketed.join(broadcast(tgt), Seq("__bucket"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("alpha_pct").orderBy(col("value"), col("event_id"))))
+      .filter(col("r") === col("k") - col("cum_before"))
+      .select(col("alpha_pct"), col("n_cal"), col("k"),
+        col("value").as("threshold"))
+    ev.filter(!col("is_cal")).crossJoin(broadcast(thr))
+      .groupBy("alpha_pct", "n_cal", "k", "threshold")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("value") <= col("threshold"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(round(col("alpha_pct") / 100.0, 2).as("alpha"),
+        col("n_cal"), col("k"), round(col("threshold"), 6).as("threshold"),
+        col("n_test"), col("n_covered"),
+        round(lit(100.0) * col("n_covered") / col("n_test"), 4)
+          .as("coverage_pct"))
+      .orderBy("alpha")
+  }
+
+  /** Join-skew diagnosis — the pre-flight a 100 TB join runs before
+    * picking a salt factor: per-key row counts on the probe side's
+    * join key, the global shape (n_keys, max, exact p99 of the
+    * per-key-count distribution), and for the top-10 heaviest keys
+    * the share, ratio-to-mean, and the salt factor ceil(cnt/mean)
+    * (capped at 32) that would level them. The p99 is selected from
+    * the (cnt → n_keys) histogram — a frame bounded by DISTINCT count
+    * values, never by keys — with the integer rank rule
+    * (99·n_keys + 99) div 100. */
+  def q276SkewDiagnosis(s: SparkSession, d: String): DataFrame = {
+    val perKey = Tables.lineitem(s, d)
+      .groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val g = perKey.agg(count(lit(1)).as("n_keys"), sum("cnt").as("total_rows"),
+      max("cnt").as("max_cnt"))
+    val cum = perKey.groupBy("cnt").agg(count(lit(1)).as("k"))
+      .withColumn("cum", sum("k").over(Window.orderBy("cnt")))
+    val p99 = cum.crossJoin(broadcast(g))
+      .filter(col("cum") >= expr("(99 * n_keys + 99) div 100") &&
+        col("cum") - col("k") < expr("(99 * n_keys + 99) div 100"))
+      .select(col("cnt").as("p99_cnt"))
+    perKey.crossJoin(broadcast(g)).crossJoin(broadcast(p99))
+      .withColumn("share_pct",
+        round(lit(100.0) * col("cnt") / col("total_rows"), 6))
+      .withColumn("ratio_to_mean",
+        round(col("cnt") * col("n_keys") / col("total_rows").cast("double"), 4))
+      .withColumn("salt_parts", least(
+        expr("(cnt * n_keys + total_rows - 1) div total_rows"), lit(32L))
+        .cast("int"))
+      .orderBy(col("cnt").desc, col("l_suppkey"))
+      .limit(10)
+      .select(col("l_suppkey").as("key"), col("cnt"), col("share_pct"),
+        col("ratio_to_mean"), col("salt_parts"), col("n_keys"),
+        col("max_cnt"), col("p99_cnt"))
+  }
+
+  /** Vocabulary coverage / OOV audit: fix the vocabulary to the
+    * corpus's top-K tokens (ties → token asc, a total order), then
+    * per source report token coverage, OOV mass, and distinct OOV
+    * types — the audit run before committing to a tokenizer vocab
+    * size (complements q237's learned-BPE view with the simpler
+    * frequency-vocab view). K = 16 here because the synthetic corpus
+    * holds 31 token types (a real run would use 50 K — the operator
+    * is the same broadcast join either way). The token explosion is
+    * scanned twice (frequency pass, coverage pass) rather than
+    * checkpointed — it is row×tokens scale, and both consumers reduce
+    * it map-side; the vocab itself is a broadcast K-row frame. */
+  def q277VocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(tokens).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("tok")).limit(16)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNotNull, 1L).otherwise(0L))
+          .as("in_vocab_tokens"),
+        countDistinct(when(col("in_vocab").isNull, col("tok")))
+          .as("oov_types"))
+      .select(col("source"), col("n_tokens"),
+        round(lit(100.0) * col("in_vocab_tokens") / col("n_tokens"), 4)
+          .as("coverage_pct"),
+        (col("n_tokens") - col("in_vocab_tokens")).as("oov_tokens"),
+        col("oov_types"))
+      .orderBy("source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q274_temp_mixture" -> (q274TempMixture _),
+    "q275_conformal" -> (q275Conformal _),
+    "q276_skew_diagnosis" -> (q276SkewDiagnosis _),
+    "q277_vocab_coverage" -> (q277VocabCoverage _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q274_temp_mixture" ->
+      """WITH per_src AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |temps(temp) AS (VALUES (1), (2), (4)),
+        |w AS (
+        |  SELECT temp, source, n_tokens,
+        |    CASE temp WHEN 1 THEN CAST(n_tokens AS DOUBLE)
+        |      WHEN 2 THEN sqrt(CAST(n_tokens AS DOUBLE))
+        |      ELSE sqrt(sqrt(CAST(n_tokens AS DOUBLE))) END AS w
+        |  FROM per_src CROSS JOIN temps),
+        |wu AS (
+        |  SELECT temp, source, n_tokens,
+        |    CAST(floor(w / max(w) OVER (PARTITION BY temp) * 1e9) AS BIGINT)
+        |      AS w_units
+        |  FROM w),
+        |al AS (
+        |  SELECT temp, source, n_tokens, w_units,
+        |    CAST(sum(w_units) OVER (PARTITION BY temp) AS BIGINT) AS tot_units,
+        |    (1000000 * w_units) // CAST(sum(w_units) OVER (PARTITION BY temp)
+        |      AS BIGINT) AS base,
+        |    (1000000 * w_units) % CAST(sum(w_units) OVER (PARTITION BY temp)
+        |      AS BIGINT) AS rem_num
+        |  FROM wu),
+        |r AS (
+        |  SELECT *,
+        |    1000000 - CAST(sum(base) OVER (PARTITION BY temp) AS BIGINT)
+        |      AS shortfall,
+        |    row_number() OVER (PARTITION BY temp ORDER BY rem_num DESC, source)
+        |      AS rr
+        |  FROM al)
+        |SELECT temp, source, n_tokens,
+        |  round(100.0 * w_units / tot_units, 6) AS target_pct,
+        |  CAST(base + CASE WHEN rr <= shortfall THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc_tokens,
+        |  round(100.0 * (base + CASE WHEN rr <= shortfall THEN 1 ELSE 0 END)
+        |    / 1000000, 4) AS alloc_pct
+        |FROM r ORDER BY temp, source""".stripMargin,
+    "q275_conformal" ->
+      """WITH ev AS (
+        |  SELECT event_id, value,
+        |    ('0x' || substr(md5(event_id || ''), 1, 15))::BIGINT % 5 = 0 AS is_cal
+        |  FROM events),
+        |cal AS (SELECT value FROM ev WHERE is_cal),
+        |n AS (SELECT count(*) AS n_cal FROM cal),
+        |a(alpha_pct) AS (VALUES (5), (10), (20)),
+        |ak AS (
+        |  SELECT alpha_pct, n_cal,
+        |    ((n_cal + 1) * (100 - alpha_pct) + 99) // 100 AS k
+        |  FROM a CROSS JOIN n),
+        |ranked AS (
+        |  SELECT value, row_number() OVER (ORDER BY value) AS r FROM cal),
+        |thr AS (
+        |  SELECT ak.alpha_pct, ak.n_cal, ak.k, ranked.value AS threshold
+        |  FROM ak JOIN ranked ON ranked.r = ak.k),
+        |test AS (SELECT value FROM ev WHERE NOT is_cal)
+        |SELECT round(alpha_pct / 100.0, 2) AS alpha,
+        |  CAST(n_cal AS BIGINT) AS n_cal, CAST(k AS BIGINT) AS k,
+        |  round(threshold, 6) AS threshold,
+        |  count(*) AS n_test,
+        |  CAST(sum(CASE WHEN test.value <= thr.threshold THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_covered,
+        |  round(100.0 * sum(CASE WHEN test.value <= thr.threshold THEN 1
+        |    ELSE 0 END) / count(*), 4) AS coverage_pct
+        |FROM test CROSS JOIN thr
+        |GROUP BY 1, 2, 3, 4 ORDER BY alpha""".stripMargin,
+    "q276_skew_diagnosis" ->
+      """WITH per_key AS (
+        |  SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |g AS (
+        |  SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total_rows,
+        |    max(cnt) AS max_cnt
+        |  FROM per_key),
+        |ch AS (
+        |  SELECT cnt, count(*) AS k,
+        |    CAST(sum(count(*)) OVER (ORDER BY cnt) AS BIGINT) AS cum
+        |  FROM per_key GROUP BY 1),
+        |p99 AS (
+        |  SELECT cnt AS p99_cnt FROM ch CROSS JOIN g
+        |  WHERE cum >= (99 * n_keys + 99) // 100
+        |    AND cum - k < (99 * n_keys + 99) // 100)
+        |SELECT l_suppkey AS key, cnt,
+        |  round(100.0 * cnt / total_rows, 6) AS share_pct,
+        |  round(cnt * n_keys / CAST(total_rows AS DOUBLE), 4) AS ratio_to_mean,
+        |  CAST(least((cnt * n_keys + total_rows - 1) // total_rows, 32)
+        |    AS INT) AS salt_parts,
+        |  n_keys, max_cnt, p99_cnt
+        |FROM per_key CROSS JOIN g CROSS JOIN p99
+        |ORDER BY cnt DESC, l_suppkey
+        |LIMIT 10""".stripMargin,
+    "q277_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |    AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS tf,
+        |      row_number() OVER (ORDER BY count(*) DESC, tok) AS r
+        |    FROM toks GROUP BY 1) WHERE r <= 16)
+        |SELECT source,
+        |  count(*) AS n_tokens,
+        |  round(100.0 * sum(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+        |    / count(*), 4) AS coverage_pct,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS oov_tokens,
+        |  CAST(count(DISTINCT CASE WHEN v.tok IS NULL THEN t.tok END)
+        |    AS BIGINT) AS oov_types
+        |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        |GROUP BY 1 ORDER BY source""".stripMargin
+  )
+}

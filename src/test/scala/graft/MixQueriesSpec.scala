@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.MixQueries
+
+/** Property tests for the tranche-E mixture/eval queries over the
+  * sf0.001 testdata (the DuckDB hash oracle pins exact values; these
+  * pin the INVARIANTS the oracle can't express as a hash — budget
+  * conservation, temperature flattening, the conformal rank rule
+  * against a naive in-memory recomputation, coverage accounting). */
+class MixQueriesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q274: every temperature allocates exactly the 1M-token budget") {
+    val rows = MixQueries.q274TempMixture(spark, sf).collect()
+    val byTemp = rows.groupBy(_.getAs[Int]("temp"))
+    assert(byTemp.keySet == Set(1, 2, 4))
+    byTemp.foreach { case (t, rs) =>
+      assert(rs.map(_.getAs[Long]("alloc_tokens")).sum == 1000000L,
+        s"temp=$t must allocate the full budget")
+    }
+  }
+
+  test("q274: higher temperature flattens the mixture toward uniform") {
+    val rows = MixQueries.q274TempMixture(spark, sf).collect()
+    def spread(t: Int): Long = {
+      val a = rows.filter(_.getAs[Int]("temp") == t)
+        .map(_.getAs[Long]("alloc_tokens"))
+      a.max - a.min
+    }
+    // monotone: T=1 (proportional) has the widest spread, T=4 the narrowest
+    assert(spread(1) >= spread(2) && spread(2) >= spread(4))
+    // and T=4 genuinely moved allocation relative to proportional
+    assert(spread(1) > spread(4))
+  }
+
+  test("q275: threshold equals the naive k-th smallest calibration score") {
+    val out = MixQueries.q275Conformal(spark, sf).collect()
+    // recompute the calibration set naively from the same table
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("value"),
+        expr("pmod(cast(conv(substring(md5(cast(event_id as string)), 1, 15), " +
+          "16, 10) as bigint), 5) = 0").as("is_cal"))
+      .collect()
+    val cal = ev.filter(_.getAs[Boolean]("is_cal"))
+      .map(_.getAs[Double]("value")).sorted
+    val test_ = ev.filterNot(_.getAs[Boolean]("is_cal"))
+      .map(_.getAs[Double]("value"))
+    assert(out.length == 3)
+    out.foreach { r =>
+      val alphaPct = math.round(r.getAs[Double]("alpha") * 100).toInt
+      val n = r.getAs[Long]("n_cal")
+      assert(n == cal.length)
+      val k = ((n + 1) * (100 - alphaPct) + 99) / 100
+      assert(r.getAs[Long]("k") == k, s"rank rule at alpha=$alphaPct")
+      val naive = BigDecimal.valueOf(cal(k.toInt - 1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("threshold") == naive,
+        s"k-th order statistic at alpha=$alphaPct")
+      // coverage accounting: n_covered counts test scores <= threshold
+      val thr = cal(k.toInt - 1)
+      assert(r.getAs[Long]("n_covered") == test_.count(_ <= thr))
+      assert(r.getAs[Long]("n_test") == test_.length)
+    }
+  }
+
+  test("q275: empirical coverage meets the 1-alpha guarantee (with finite-sample slack)") {
+    val out = MixQueries.q275Conformal(spark, sf).collect()
+    out.foreach { r =>
+      val alpha = r.getAs[Double]("alpha")
+      val cov = r.getAs[Double]("coverage_pct") / 100.0
+      val n = r.getAs[Long]("n_cal").toDouble
+      // split conformal: coverage >= 1 - alpha in expectation; allow
+      // ~2 binomial standard errors of slack on the finite test split
+      val slack = 2.0 * math.sqrt(alpha * (1 - alpha) / n)
+      assert(cov >= 1 - alpha - slack, s"coverage $cov at alpha=$alpha")
+    }
+  }
+
+  test("q276: diagnosis is internally consistent (share, ratio, salt)") {
+    val rows = MixQueries.q276SkewDiagnosis(spark, sf).collect()
+    assert(rows.length == 10) // sf0.001 has exactly 10 suppkeys — all report
+    val nKeys = rows.head.getAs[Long]("n_keys")
+    val maxCnt = rows.head.getAs[Long]("max_cnt")
+    // descending by cnt, ties by key asc
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    assert(cnts.head == maxCnt)
+    rows.foreach { r =>
+      val cnt = r.getAs[Long]("cnt")
+      val salt = r.getAs[Int]("salt_parts")
+      // salt = ceil(cnt / mean) capped at 32, and always >= 1
+      assert(salt >= 1 && salt <= 32)
+      assert(r.getAs[Long]("p99_cnt") <= maxCnt)
+      assert(r.getAs[Long]("n_keys") == nKeys)
+      assert(cnt <= maxCnt)
+    }
+  }
+
+  test("q277: coverage + OOV accounting closes per source") {
+    val rows = MixQueries.q277VocabCoverage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val oov = r.getAs[Long]("oov_tokens")
+      val cov = r.getAs[Double]("coverage_pct")
+      assert(oov >= 0 && oov <= n)
+      val expected = BigDecimal.valueOf(100.0 * (n - oov) / n)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(cov == expected, s"coverage must equal 100*(n-oov)/n for $r")
+      // a 16-type vocab over a 31-type corpus must leave real OOV mass
+      assert(r.getAs[Long]("oov_types") >= 1)
+    }
+  }
+}
