@@ -92,10 +92,24 @@ object Dedup {
     * so there is no self-join shuffle of the full signature table. */
   def minhashCandidates(sigs: DataFrame, idCol: String = "doc_id",
       maxBucket: Int = 100): DataFrame = {
+    require(maxBucket <= 65535, "maxBucket must fit the topk_agg buffer cap")
+    graft.plans.GraftFunctions.register(sigs.sparkSession)
     val exploded = sigs.select(col(idCol).as("id"), posexplode(col("bandhash")).as(Seq("band", "bh")))
+    // ids are collected through the BOUNDED topk_agg buffer (constant
+    // score → pure id-ascending order, capacity maxBucket + 1), not
+    // collect_list: an unbounded collect ships EVERY id of a
+    // boilerplate mega-bucket into one reducer's aggregation buffer
+    // just to have the size filter drop it — the r10 sf10 audit caught
+    // exactly that on the low-entropy corpus (q103). The bounded
+    // aggregate is map-side partial: each partition reduces its slice
+    // of a hot bucket to ≤ maxBucket+1 ids (rows past the cap are
+    // rejected with one comparison), the overflow sentinel size
+    // maxBucket+1 still trips the same [2, maxBucket] filter, and kept
+    // buckets carry exactly the ids sort_array(collect_list) would.
     exploded
       .groupBy("band", "bh")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .agg(expr(s"topk_agg(0.0D, id, ${maxBucket + 1})").as("top"))
+      .withColumn("ids", expr("transform(top, x -> x.id)"))
       .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->

