@@ -199,11 +199,119 @@ object MixQueries {
       .orderBy("source")
   }
 
+  /** Kaplan–Meier survival estimate (Kaplan & Meier 1958) for the
+    * signup→first-error lifetime: subjects are users with a signup
+    * event; the event is their first error ON OR AFTER signup day;
+    * users without one are right-censored at the corpus max day. One
+    * row per distinct duration with the at-risk count, events,
+    * censorings, and S(t) = Π_{u≤t}(1 − d_u/n_u).
+    *
+    * Scale/exactness shape: subjects reduce to one row per user (two
+    * min-aggregates + one join), the KM table itself is an
+    * aggregate-scale frame (≤ distinct durations), and the cumulative
+    * product is an ORDERED left fold over the sorted ratio list
+    * (collect_list over an ordered rows-frame window → aggregate()) —
+    * the q100-oracle discipline: DuckDB folds the same list in the
+    * same order, so the float product is bit-identical, with no
+    * exp/log detour. Ratios themselves are exact-integer divisions. */
+  def q278KaplanMeier(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("day").as("s_day"))
+    val er = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("day").as("e_day"))
+    val firstErr = su.join(er, Seq("user_id"))
+      .filter(col("e_day") >= col("s_day"))
+      .groupBy("user_id").agg(min("e_day").as("e_day"))
+    val maxDay = ev.agg(max("day").as("max_day"))
+    val subjects = su.join(firstErr, Seq("user_id"), "left")
+      .crossJoin(broadcast(maxDay))
+      .select(col("user_id"),
+        when(col("e_day").isNotNull, datediff(col("e_day"), col("s_day")))
+          .otherwise(datediff(col("max_day"), col("s_day"))).as("t_days"),
+        col("e_day").isNotNull.as("observed"))
+    val total = subjects.agg(count(lit(1)).as("n_total"))
+    val km = subjects.groupBy("t_days")
+      .agg(sum(when(col("observed"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("observed"), 0L).otherwise(1L)).as("n_censored"))
+      .crossJoin(broadcast(total))
+      .withColumn("n_risk", col("n_total") - coalesce(
+        sum(col("n_events") + col("n_censored")).over(
+          Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("ratio",
+        (col("n_risk") - col("n_events")).cast("double") /
+          col("n_risk").cast("double"))
+    km.withColumn("rs", collect_list("ratio").over(
+        Window.orderBy("t_days")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("t_days"), col("n_risk"), col("n_events"), col("n_censored"),
+        round(expr("aggregate(rs, 1.0D, (a, x) -> a * x)"), 6).as("survival"))
+      .orderBy("t_days")
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013 — the pre-experiment
+    * covariate adjustment every large A/B platform applies):
+    * θ = cov(x, y)/var(x) over pre-period (x) and post-period (y)
+    * per-user revenue, adjusted metric y′ = y − θ·(x − x̄), variance
+    * reduction reported per variant (user_id mod 2).
+    *
+    * Exactness: x and y are integer cents, and θ/x̄ derive from ONE
+    * aggregate of exact BIGINT power sums (n, Σx, Σy, Σxy, Σx²) — the
+    * float arithmetic on top of those five scalars is the same IEEE
+    * expression in both engines, so θ is bit-identical (no dependence
+    * on either engine's covariance accumulation order). Per-variant
+    * sums of the adjusted doubles are rounded at output per the
+    * aggregated-double contract. */
+  def q279Cuped(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val bounds = ev.agg(min("day").as("d0"))
+    val perUser = ev.crossJoin(broadcast(bounds))
+      .withColumn("pre", datediff(col("day"), col("d0")) < 15)
+      .groupBy("user_id")
+      .agg(sum(when(col("pre"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("pre"), 0L).otherwise(col("cents"))).as("y"))
+      .withColumn("variant", pmod(col("user_id"), lit(2)).cast("int"))
+      .localCheckpoint()
+    val g = perUser.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    // the n·Σxy / Σx·Σy cross terms overflow BIGINT past ~sf10 (Spark
+    // would wrap silently); each exact integer sum casts to double
+    // FIRST, and the identical IEEE expression runs in both engines
+    val withTheta = perUser.crossJoin(broadcast(g))
+      .withColumn("theta",
+        (col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")))
+      .withColumn("xbar", col("sx").cast("double") / col("n").cast("double"))
+      .withColumn("y_adj",
+        col("y").cast("double") - col("theta") *
+          (col("x").cast("double") - col("xbar")))
+    withTheta.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        round(avg(col("y").cast("double")) / 100.0, 4).as("mean_post"),
+        round(avg(col("y_adj")) / 100.0, 4).as("mean_adj"),
+        round(var_pop(col("y").cast("double")) / 10000.0, 2).as("var_post"),
+        round(var_pop(col("y_adj")) / 10000.0, 2).as("var_adj"),
+        round(lit(100.0) * (lit(1.0) -
+          var_pop(col("y_adj")) / var_pop(col("y").cast("double"))), 4)
+          .as("var_reduction_pct"),
+        round(max("theta"), 6).as("theta"))
+      .orderBy("variant")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q274_temp_mixture" -> (q274TempMixture _),
     "q275_conformal" -> (q275Conformal _),
     "q276_skew_diagnosis" -> (q276SkewDiagnosis _),
-    "q277_vocab_coverage" -> (q277VocabCoverage _)
+    "q277_vocab_coverage" -> (q277VocabCoverage _),
+    "q278_kaplan_meier" -> (q278KaplanMeier _),
+    "q279_cuped" -> (q279Cuped _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -318,6 +426,90 @@ object MixQueries {
         |  CAST(count(DISTINCT CASE WHEN v.tok IS NULL THEN t.tok END)
         |    AS BIGINT) AS oov_types
         |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
-        |GROUP BY 1 ORDER BY source""".stripMargin
+        |GROUP BY 1 ORDER BY source""".stripMargin,
+    "q278_kaplan_meier" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS day FROM events),
+        |su AS (
+        |  SELECT user_id, min(day) AS s_day FROM ev
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |fe AS (
+        |  SELECT e.user_id, min(e.day) AS e_day
+        |  FROM ev e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'error' AND e.day >= su.s_day GROUP BY 1),
+        |mx AS (SELECT max(day) AS max_day FROM ev),
+        |subj AS (
+        |  SELECT su.user_id,
+        |    CAST(CASE WHEN fe.e_day IS NOT NULL
+        |      THEN date_diff('day', su.s_day, fe.e_day)
+        |      ELSE date_diff('day', su.s_day, mx.max_day) END AS INT) AS t_days,
+        |    fe.e_day IS NOT NULL AS observed
+        |  FROM su LEFT JOIN fe ON su.user_id = fe.user_id CROSS JOIN mx),
+        |tot AS (SELECT count(*) AS n_total FROM subj),
+        |km AS (
+        |  SELECT t_days,
+        |    CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+        |  FROM subj GROUP BY 1),
+        |r AS (
+        |  SELECT t_days, n_events, n_censored,
+        |    CAST(n_total - coalesce(sum(n_events + n_censored) OVER
+        |      (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS n_risk
+        |  FROM km CROSS JOIN tot),
+        |rr AS (
+        |  SELECT *, CAST(n_risk - n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
+        |    AS ratio
+        |  FROM r),
+        |fold AS (
+        |  SELECT t_days, n_risk, n_events, n_censored,
+        |    list(ratio) OVER (ORDER BY t_days
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs
+        |  FROM rr)
+        |SELECT t_days, n_risk, n_events, n_censored,
+        |  round(list_reduce(list_prepend(CAST(1.0 AS DOUBLE), rs),
+        |    (a, x) -> a * x), 6) AS survival
+        |FROM fold ORDER BY t_days""".stripMargin,
+    "q279_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (SELECT min(day) AS d0 FROM ev),
+        |pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN date_diff('day', d0, day) < 15 THEN cents
+        |      ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN date_diff('day', d0, day) < 15 THEN 0
+        |      ELSE cents END) AS BIGINT) AS y,
+        |    CAST(user_id % 2 AS INT) AS variant
+        |  FROM ev CROSS JOIN b GROUP BY user_id),
+        |g AS (
+        |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM pu),
+        |w AS (
+        |  SELECT pu.*,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+        |  FROM pu CROSS JOIN g),
+        |a AS (
+        |  SELECT variant, y,
+        |    CAST(y AS DOUBLE) - theta * (CAST(x AS DOUBLE) - xbar) AS y_adj,
+        |    theta
+        |  FROM w)
+        |SELECT variant, count(*) AS n_users,
+        |  round(avg(CAST(y AS DOUBLE)) / 100.0, 4) AS mean_post,
+        |  round(avg(y_adj) / 100.0, 4) AS mean_adj,
+        |  round(var_pop(CAST(y AS DOUBLE)) / 10000.0, 2) AS var_post,
+        |  round(var_pop(y_adj) / 10000.0, 2) AS var_adj,
+        |  round(100.0 * (1.0 - var_pop(y_adj) / var_pop(CAST(y AS DOUBLE))), 4)
+        |    AS var_reduction_pct,
+        |  round(max(theta), 6) AS theta
+        |FROM a GROUP BY 1 ORDER BY variant""".stripMargin
   )
 }

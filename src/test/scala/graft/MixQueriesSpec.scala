@@ -107,6 +107,43 @@ class MixQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q278: KM curve is monotone non-increasing from <= 1 and risk sets telescope") {
+    val rows = MixQueries.q278KaplanMeier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val surv = rows.map(_.getAs[Double]("survival"))
+    assert(surv.head <= 1.0 + 1e-9)
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a + 1e-9 })
+    // n_risk(t+1) = n_risk(t) - events(t) - censored(t)
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(b.getAs[Long]("n_risk") ==
+        a.getAs[Long]("n_risk") - a.getAs[Long]("n_events") -
+          a.getAs[Long]("n_censored"))
+    }
+    // survival at t equals the telescoped product of (1 - d/n) up to t
+    var prod = 1.0
+    rows.foreach { r =>
+      prod *= (r.getAs[Long]("n_risk") - r.getAs[Long]("n_events")).toDouble /
+        r.getAs[Long]("n_risk")
+      assert(math.abs(r.getAs[Double]("survival") - prod) < 5e-7)
+    }
+  }
+
+  test("q279: CUPED preserves the pooled mean exactly (the sum(y_adj) = sum(y) identity)") {
+    val rows = MixQueries.q279Cuped(spark, sf).collect()
+    assert(rows.length == 2)
+    def pooled(c: String) = rows.map(r =>
+      r.getAs[Double](c) * r.getAs[Long]("n_users")).sum
+    assert(math.abs(pooled("mean_adj") - pooled("mean_post")) < 1e-2)
+    // theta is a global scalar: identical across variants
+    assert(rows.map(_.getAs[Double]("theta")).distinct.length == 1)
+    // adjusted variance never exceeds raw variance materially (CUPED
+    // guarantees var(y') = var(y)(1 - rho^2) at the pooled level)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("var_adj") <=
+        r.getAs[Double]("var_post") * 1.05)
+    }
+  }
+
   test("q277: coverage + OOV accounting closes per source") {
     val rows = MixQueries.q277VocabCoverage(spark, sf).collect()
     assert(rows.nonEmpty)
