@@ -303,7 +303,76 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** LSH-bucketed hard-negative mining — the SCALE PATH the brute-force
+    * q272 documents: probes meet the corpus only inside shared SRP
+    * band buckets (32-bit sign code → 4 bands × 8 bits), so candidate
+    * volume is Σ bucket-pair sizes instead of |batch|·|corpus|; exact
+    * cosines run on candidates only, and each probe's rows carry the
+    * different-label candidate count plus recall against the exact
+    * brute-force top-5 (the q35/q43/q119 in-row audit — testing-mode:
+    * a production run drops the audit join and with it the one
+    * brute-force pass). The ambient recall on the synthetic corpus is
+    * intrinsically low — near-uniform random vectors are the hard case
+    * for any sublinear ANN (no clusters for the bands to exploit), so
+    * the MECHANISM guarantee is planted: two exact-duplicate clones of
+    * probes 0 and 20 (different label, ids −1/−2) share their probe's
+    * code, collide in EVERY band, and must surface at rank 1 with
+    * sim 1.0. FULL hash oracle: codes are the q111/q112 md5-parity
+    * arithmetic on ROUNDED projections, band packing is an integer
+    * fold, ranking ties break on vec_id, and the plants are the same
+    * rows in both engines. */
+  def q280HardNegativesLsh(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val pinned = col("vec_id") % 20 === 0 && col("vec_id") < 20480
+    val raw = Tables.embeddings(s, d)
+    val plants = raw.filter(col("vec_id") === 0 || col("vec_id") === 20)
+      .select((-(col("vec_id") / lit(20L)).cast("long") - 1).as("vec_id"),
+        col("embedding"), (col("label") + 1).as("label"))
+    val emb = raw.select("vec_id", "embedding", "label").unionByName(plants)
+    val banded = emb
+      .withColumn("code", expr(
+        "transform(srp_project(embedding, 32), z -> CASE WHEN round(z, 6) >= 0 THEN 1 ELSE 0 END)"))
+      .select(col("vec_id"), posexplode(expr(
+        "transform(sequence(0, 3), b -> aggregate(slice(code, b * 8 + 1, 8), 0, (acc, x) -> acc * 2 + x))"))
+        .as(Seq("band", "bkey")))
+    val probeBands = banded.filter(pinned)
+      .select(col("vec_id").as("q_id"), col("band"), col("bkey"))
+    val candIds = banded.join(probeBands, Seq("band", "bkey"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val probes = broadcast(emb.filter(pinned)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb")))
+    val scored = candIds
+      .join(emb.select(col("vec_id"), col("label"), col("embedding")), Seq("vec_id"))
+      .join(probes, Seq("q_id"))
+      .filter(col("label") =!= col("q_label"))
+      .withColumn("sim", round(expr("cosine_sim(embedding, q_emb)"), 6))
+      .select("q_id", "vec_id", "label", "sim")
+      .localCheckpoint() // feeds both the count and the ranking
+    val nCand = scored.groupBy("q_id").agg(count(lit(1)).as("n_candidates"))
+    val top = scored.withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+    val exact = emb.crossJoin(probes)
+      .filter(col("label") =!= col("q_label"))
+      .withColumn("sim", round(expr("cosine_sim(embedding, q_emb)"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    top.join(broadcast(exact), Seq("q_id", "vec_id"), "left")
+      .join(broadcast(nCand), Seq("q_id"))
+      .withColumn("recall_vs_exact", round(
+        sum(coalesce(col("hit"), lit(0))).over(Window.partitionBy("q_id")) / 5.0, 2))
+      .select(col("q_id"), col("rank"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"), col("sim"), col("n_candidates"),
+        col("recall_vs_exact"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q280_hard_negatives_lsh" -> (q280HardNegativesLsh _),
     "q119_pq_adc" -> (q119PqAdc _),
     "q100_kmeans_trace" -> (q100KmeansTrace _),
     "q101_ivf_index" -> (q101IvfIndex _),
@@ -514,6 +583,69 @@ object VectorQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // codes via the q111/q112 md5-parity idiom on ROUNDED projections;
+    // band packing is the same integer left fold both engines run
+    "q280_hard_negatives_lsh" ->
+      """WITH base0 AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |base AS (
+        |  SELECT * FROM base0
+        |  UNION ALL
+        |  SELECT -(vec_id // 20) - 1, label + 1, e FROM base0
+        |  WHERE vec_id IN (0, 20)),
+        |coded AS (
+        |  SELECT vec_id,
+        |    list_transform(range(1, 33), j ->
+        |      CASE WHEN round(list_sum(list_transform(range(1, 65), i ->
+        |        e[i] * CASE WHEN ('0x' || substr(md5('srp:' || i || ':' || j),
+        |            1, 6))::BIGINT % 2 = 0
+        |          THEN 1.0 ELSE -1.0 END)), 6) >= 0 THEN 1 ELSE 0 END) AS code
+        |  FROM base),
+        |banded AS (
+        |  SELECT vec_id, b.band,
+        |    list_reduce(list_prepend(0,
+        |      code[(b.band * 8 + 1):(b.band * 8 + 8)]),
+        |      (a, x) -> a * 2 + x) AS bkey
+        |  FROM coded CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+        |pb AS (
+        |  SELECT vec_id AS q_id, band, bkey FROM banded
+        |  WHERE vec_id % 20 = 0 AND vec_id < 20480),
+        |cand AS (
+        |  SELECT DISTINCT pb.q_id, banded.vec_id
+        |  FROM banded JOIN pb ON banded.band = pb.band AND banded.bkey = pb.bkey
+        |  WHERE banded.vec_id <> pb.q_id),
+        |probes AS (
+        |  SELECT vec_id AS q_id, label AS q_label, e AS q_emb FROM base
+        |  WHERE vec_id % 20 = 0 AND vec_id < 20480),
+        |scored AS (
+        |  SELECT c.q_id, c.vec_id, b2.label,
+        |    round(list_cosine_similarity(b2.e, p.q_emb), 6) AS sim
+        |  FROM cand c
+        |  JOIN base b2 ON b2.vec_id = c.vec_id
+        |  JOIN probes p ON p.q_id = c.q_id
+        |  WHERE b2.label <> p.q_label),
+        |nc AS (SELECT q_id, count(*) AS n_candidates FROM scored GROUP BY 1),
+        |top AS (
+        |  SELECT q_id, vec_id, label, sim,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+        |      AS INT) AS rank
+        |  FROM scored QUALIFY rank <= 5),
+        |ex AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT p.q_id, b2.vec_id,
+        |      row_number() OVER (PARTITION BY p.q_id ORDER BY
+        |        round(list_cosine_similarity(b2.e, p.q_emb), 6) DESC,
+        |        b2.vec_id) AS r
+        |    FROM base b2 CROSS JOIN probes p
+        |    WHERE b2.label <> p.q_label) WHERE r <= 5)
+        |SELECT t.q_id, t.rank, t.vec_id AS neg_id, t.label AS neg_label, t.sim,
+        |  nc.n_candidates,
+        |  round(CAST(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY t.q_id) AS DOUBLE) / 5.0, 2) AS recall_vs_exact
+        |FROM top t
+        |JOIN nc ON nc.q_id = t.q_id
+        |LEFT JOIN ex ON ex.q_id = t.q_id AND ex.vec_id = t.vec_id
+        |ORDER BY t.q_id, t.rank""".stripMargin,
     "q100_kmeans_trace" -> kmeansTraceOracleSql,
     "q70_label_centroids" ->
       """SELECT label, r.i AS dim,
