@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.plans.Pin
 
 /** Equi-depth feature binning + Weight-of-Evidence / Information Value
   * — the credit-scoring-style feature audit that tells a trainer how
@@ -47,7 +48,7 @@ object Binning {
       .agg(count(lit(1)).as("n"), sum("y").as("n_good"),
         (count(lit(1)) - sum("y")).as("n_bad"),
         round(min("v"), 4).as("v_min"), round(max("v"), 4).as("v_max"))
-      .localCheckpoint()
+      .transform(Pin.eager)
 
     val totals = cells.agg(sum("n_good").as("g_all"), sum("n_bad").as("b_all"))
     cells.crossJoin(broadcast(totals))

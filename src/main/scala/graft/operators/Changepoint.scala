@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.Pin
 
 /** Exact single-changepoint detection per series — the offline "when
   * did the level shift" statistic (binary-segmentation step 1; Scott &
@@ -67,7 +68,7 @@ object Changepoint {
         (col("__ts2") - col("__ts") * col("__ts") / col("__n")) -
           ((col("__ls2") - col("__ls") * col("__ls") / col("__ln")) +
             (col("__rs2") - col("__rs") * col("__rs") / col("__rn"))))
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val best = cand.groupBy(keyCol).agg(max("__red").as("__bred"))
     val winner = cand.join(best, Seq(keyCol))
       .filter(col("__red") === col("__bred"))

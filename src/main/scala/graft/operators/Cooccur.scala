@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.Pin
 
 /** Item-item collaborative filtering over co-occurrence baskets — the
   * retrieval artifact behind "users who bought X also bought Y":
@@ -47,7 +48,7 @@ object Cooccur {
       .agg(sort_array(collect_set(col("item"))).as("items"))
       .where(size(col("items")) <= maxBasket) // singletons stay: they
       // contribute to the n_i denominators (and emit no pairs below)
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val itemCounts = bitems.select(explode(col("items")).as("item"))
       .groupBy("item").agg(count(lit(1)).as("n_i"))
     // a < b once per basket (the sorted list makes every pair emit in
@@ -99,7 +100,7 @@ object Cooccur {
     val es = df.select(col(entityCol).as("ent"), col(segCol).as("seg"))
       .where(col("ent").isNotNull && col("seg").isNotNull)
       .distinct()
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val segCounts = es.groupBy(col("seg")).agg(countDistinct("ent").as("n"))
     val total = es.agg(countDistinct("ent").as("n_total"))
     val pairs = es.as("x").join(es.as("y"), col("x.ent") === col("y.ent"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.plans.Pin
 
 /** Dataset-curation operators for training-data assembly: deterministic
   * splits, stratified sampling, ratio-controlled mixing, compaction. */
@@ -668,7 +669,7 @@ object Curation {
             / col("__n")), 4))
       .select(col(idCol), col("split"), col("__n"), col("__q"),
         md5(col(textCol)).as("__fp"))
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val s2 = narrow.filter(col("split") === "train")
     val s3 = s2.filter(col("__q") >= minQuality)
     val keepIds = s3.groupBy("__fp").agg(min(col(idCol)).as(idCol))
@@ -684,7 +685,7 @@ object Curation {
     val contaminated = shinglesOf(s4.select(idCol))
       .join(testSh, Seq("shingle")).select(idCol).distinct()
     val s5 = s4.join(contaminated, Seq(idCol), "left_anti")
-      .localCheckpoint(false) // budget stage consumes it twice
+      .transform(Pin.lazily) // budget stage consumes it twice
     val budget = s5.agg(floor(sum("__n") * budgetFrac).cast("long").as("__b"))
     val s6 = tokenBudgetCut(s5.crossJoin(broadcast(budget)),
       col("__q"), col(idCol), col("__n"), col("__b"))
@@ -741,7 +742,7 @@ object Curation {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__nextA", lead("a", 1).over(w))
       .withColumn("__nextW", lead("wt", 1).over(w))
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val zero = totals.select(lit(0L).as("__i"), lit(0L).as("__s"),
       col("__tw").as("__wsuf"), col("__bp"))
     val candI = ranked.select(col("__i"), col("__s"), col("__wsuf"), col("__bp"),
@@ -797,7 +798,7 @@ object Curation {
         (dimCols.map(col) :+ length(col(textCol)).cast("double").as("__len"))
           :+ md5(col(textCol)).as("__fp"): _*)
       .filter(col("__len").isNotNull)
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     def row(section: Column, key: Column, value: Column): Column =
       struct(section.as("section"), key.cast("string").as("key"),
         round(value.cast("double"), 4).as("value"))

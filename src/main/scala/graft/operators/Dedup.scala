@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.plans.Pin
 
 /** Deduplication operators for the training-data pipeline: exact,
   * MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection.
@@ -228,7 +229,7 @@ object Dedup {
         // EAGER localCheckpoint: the result is one row per config — pin
         // it before the finally drops the signature cache, else the
         // caller's lazy execution would re-sketch the corpus per config
-        .localCheckpoint()
+        .transform(Pin.eager)
     } finally sigs.unpersist(false)
   }
 
@@ -887,7 +888,7 @@ object Dedup {
       // continuous stream), while checkpoint RDD blocks are
       // ContextCleaner-managed once unreferenced
       val candidates = lshIndexCandidates(spark, sigs, name, pruneLimit)
-        .localCheckpoint()
+        .transform(Pin.eager)
       val newSh = sigs.select(col("doc_a"), col("sh_a"))
       val oldSh = spark.table(s"${name}_shingles")
         .select(col("doc_id").as("doc_b"), col("sh_h").as("sh_b"))
@@ -1250,7 +1251,7 @@ object Dedup {
     // the full-outer fingerprint diff underneath runs once
     val delta = Curation.snapshotDiff(oldDocs, newDocs, idCol, contentCols)
       .filter(col("status").isin("changed", "added"))
-      .select(col(idCol)).localCheckpoint(false)
+      .select(col(idCol)).transform(Pin.lazily)
     val deltaDocs = newDocs.join(delta, Seq(idCol), "left_semi")
     val untouched = newDocs.join(delta, Seq(idCol), "left_anti")
     val pairs = incrementalNearDupsExact(deltaDocs, untouched, threshold,
@@ -1260,7 +1261,7 @@ object Dedup {
     // (election reads it three times)
     val members = connectedComponents(pairs).withColumnRenamed("doc_id", idCol)
     val scored = members.join(newDocs.select(col(idCol), quality.as("__q")), Seq(idCol))
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val best = scored.groupBy("cluster_id").agg(max("__q").as("__bq"))
     val kept = scored.join(best, Seq("cluster_id"))
       .filter(col("__q") === col("__bq"))

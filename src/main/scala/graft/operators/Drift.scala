@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.plans.Pin
 
 /** Distribution-drift monitoring between two corpus snapshots — the
   * check a production training pipeline runs beside every refresh
@@ -96,7 +97,7 @@ object Drift {
       .select(col("token"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val vocab = joined.agg(count(lit(1)).as("__v"),
       sum("n_a").as("__ta"), sum("n_b").as("__tb"))
     val scored = joined.crossJoin(broadcast(vocab))
@@ -149,7 +150,7 @@ object Drift {
       .select(col("token"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val totals = joined.agg(sum("n_a").as("__ta"), sum("n_b").as("__tb"))
     val cells = joined.crossJoin(broadcast(totals))
       .withColumn("__aa", col("n_a").cast("double"))

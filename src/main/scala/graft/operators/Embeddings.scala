@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.plans.GraftFunctions
+import graft.plans.Pin
 
 /** Corpus-level embedding-column statistics and normalization.
   *
@@ -87,7 +88,7 @@ object Embeddings {
     val ranked = emb.where(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol))
       .withColumn("__r", row_number().over(w))
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val pairs = offsets.map { o =>
       ranked.select(col("__r"), col(vecCol).as("__va"))
         .join(ranked.select((col("__r") - o).as("__r"), col(vecCol).as("__vb")),

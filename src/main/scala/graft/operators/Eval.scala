@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.Pin
 
 /** Model-evaluation metrics computed exactly at corpus scale — the
   * readouts that decide whether a quality classifier (q107) or scoring
@@ -149,7 +150,7 @@ object Eval {
         least(floor(p * nBins).cast("int"), lit(nBins - 1)).as("bin"))
     val cells = binned.groupBy("bin")
       .agg(count(lit(1)).as("n"), avg("__p").as("__mp"), avg("__y").as("__fy"))
-      .localCheckpoint(false) // scalars + output both read the cells
+      .transform(Pin.lazily) // scalars + output both read the cells
     val brier = binned.agg(
       avg((col("__p") - col("__y")) * (col("__p") - col("__y"))).as("__brier"))
     val tot = cells.agg(sum("n").as("__N"),
@@ -180,7 +181,7 @@ object Eval {
     // lesson — a scored frame is often an expensive upstream plan)
     val data = df.filter(s.isNotNull && y.isNotNull)
       .select(s.as("__s"), y.as("__y"))
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val cuts = Quantiles.bandCuts(data, "__s", nBands = nBuckets, prefix = "b")
     // ascending band 1..n, flipped so bucket 1 = best scores
     val banded = data.crossJoin(broadcast(cuts))
@@ -230,7 +231,7 @@ object Eval {
       .where(col("bucket").isNotNull && col("__y").isNotNull)
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), sum("__y").as("n_pos"))
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     // B aggregated rows from here on: the unpartitioned window is
     // constant-bounded (bucket-count), never row-scale
     val wCum = Window.orderBy("bucket")

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.Pin
 
 /** Grid-bucketed nearest-neighbor spatial join — "nearest station
   * within radius", the geo primitive of the weather domain (the
@@ -110,7 +111,7 @@ object Geo {
     // winners feed BOTH the union and the escalation anti-join; without
     // the checkpoint the fine grid join would replay for each consumer
     val confirmed = gridArgmin(left, right, leftId, rightId, fine, fine)
-      .localCheckpoint()
+      .transform(Pin.eager)
     val escalated = left.join(confirmed.select(leftId), Seq(leftId), "left_anti")
     confirmed.unionByName(
         gridArgmin(escalated, right, leftId, rightId, radiusDeg, radiusDeg))

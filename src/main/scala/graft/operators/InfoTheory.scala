@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.Pin
 
 /** Information-theoretic dependence measures between categorical
   * columns — the feature-screening toolkit that sits beside WOE/IV
@@ -43,7 +44,7 @@ object InfoTheory {
         coalesce(col(aCol).cast("string"), lit("(null)")).as("a"),
         coalesce(col(bCol).cast("string"), lit("(null)")).as("b"))
       .agg(count(lit(1)).as("observed"))
-      .localCheckpoint(true)
+      .transform(Pin.eager)
     val spine = obs.select("a").distinct().crossJoin(obs.select("b").distinct())
     val full = spine.join(obs, Seq("a", "b"), "left")
       .withColumn("observed", coalesce(col("observed"), lit(0L)))
@@ -96,7 +97,7 @@ object InfoTheory {
     // entropy branch and the per-feature aggregate would otherwise
     // each replay the melted corpus scan
     val cells = melted.groupBy("feature", "x", "y").agg(count(lit(1)).as("n_xy"))
-      .localCheckpoint(true)
+      .transform(Pin.eager)
     val wf = Window.partitionBy(col("feature"))
     val enriched = cells
       .withColumn("n_x", sum("n_xy").over(wf.partitionBy(col("feature"), col("x"))))

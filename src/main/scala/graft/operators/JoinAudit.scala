@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.plans.Pin
 
 /** Join fan-out audit — the pre-flight check a 100 TB warehouse runs
   * BEFORE an unfamiliar join: per-key multiplicities on both sides,
@@ -33,12 +34,12 @@ object JoinAudit {
     // both the constants aggregate and the top-k, so it is
     // checkpointed too (review finding — the q178 replay lesson)
     val lh = left.groupBy(col(leftKey).as("key")).agg(count(lit(1)).as("n_l"))
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val rh = right.groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("n_r"))
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val matched = lh.join(rh, Seq("key"))
       .withColumn("out_rows", col("n_l").cast("double") * col("n_r"))
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val consts = matched.agg(
         sum("out_rows").as("est_join_rows"),
         count(lit(1)).as("n_keys_matched"),

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.Pin
 
 /** Multinomial Naive Bayes text classifier, trained and evaluated in
   * one declarative plan — the generative counterpart of the
@@ -56,7 +57,7 @@ object NaiveBayes {
     val toks = docs.select(col(idCol).as("doc"), col(labelCol).as("label"),
         Curation.hashBucket(col(idCol)).as("bucket"),
         explode(graft.functions.TextFunctions.tokens(textCol)).as("term"))
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val train = toks.where(col("bucket") < trainPct)
     val test = toks.where(col("bucket") >= trainPct)
 
@@ -93,7 +94,7 @@ object NaiveBayes {
       .withColumn("rn", row_number().over(wPick))
       .where(col("rn") === 1)
       .select(col("doc"), col("actual"), col("cand").as("predicted"))
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
 
     val acc = pred.agg(
       round(sum(when(col("actual") === col("predicted"), 1).otherwise(0))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.plans.Pin
 
 /** Privacy-risk auditing for release/training datasets — the
   * compliance sibling of the PII scrubber (Pii.scala / q117): the
@@ -30,7 +31,7 @@ object Privacy {
     val classes = df
       .groupBy(qidCols.map(c => col(c)): _*)
       .agg(count(lit(1)).as("csize"))
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val banded = classes
       .withColumn("band",
         when(col("csize") === 1, lit("1_unique"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.Pin
 
 /** Exact distributed quantiles WITHOUT a global sort.
   *
@@ -79,7 +80,7 @@ object Quantiles {
     // opt out with checkpointInput = false.
     val pruned = df.select((groupCols :+ valueCol).distinct.map(col): _*)
       .filter(v.isNotNull)
-    val data = if (checkpointInput) pruned.localCheckpoint(false) else pruned
+    val data = if (checkpointInput) pruned.transform(Pin.lazily) else pruned
 
     val stats = data.groupBy(g: _*).agg(
       min(v).as("__lo"), max(v).as("__hi"), count(lit(1)).as("__n"))
@@ -164,7 +165,7 @@ object Quantiles {
     // the clipped aggregate below is a 4th consumer of the same frame,
     // so the checkpoint must sit above BOTH uses.
     val data = df.select((groupCols :+ valueCol).distinct.map(col): _*)
-      .filter(v.isNotNull).localCheckpoint(false)
+      .filter(v.isNotNull).transform(Pin.lazily)
     val qs = exactQuantiles(data, valueCol, Seq(loQ, hiQ), groupCols, nBuckets,
       checkpointInput = false)
     val bounds = qs.groupBy(groupCols.map(col): _*)
@@ -298,7 +299,7 @@ object Quantiles {
       .groupBy((g :+ v.as("__v")): _*)
       .agg(sum(wt).as("__w"))
       .withColumn("__vd", col("__v").cast("double"))
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val stats = hist0.groupBy(g: _*)
       .agg(min("__vd").as("__lo"), max("__vd").as("__hi"), sum("__w").as("__totw"))
     def joinG(l: DataFrame, r: DataFrame): DataFrame =

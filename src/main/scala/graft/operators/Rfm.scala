@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.plans.Pin
 
 /** RFM (recency / frequency / monetary) customer segmentation — the
   * classic marketing-analytics operator: score every customer 1–5 on
@@ -51,7 +52,7 @@ object Rfm {
       .agg(max(to_date(col(dateCol))).as("__last"),
         count(lit(1)).as("n_orders"),
         sum(cents).as("monetary_cents"))
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val anchor = perCust0.agg(max(col("__last")).as("__anchor"))
     val perCust = perCust0.crossJoin(broadcast(anchor))
       .withColumn("recency_days",

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.Pin
 
 /** Robust / forensic statistics over grouped data: Benford first-digit
   * auditing, Gini concentration, and Theil–Sen trend. All three follow
@@ -187,7 +188,7 @@ object RobustStats {
     val dev = df.join(broadcast(med), groupCols)
       .select((idCols.map(col) ++ g ++ Seq(col(valueCol), col("median"))): _*)
       .withColumn("__absdev", abs(v - col("median")))
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val mad = Quantiles.exactQuantiles(dev, "__absdev", Seq(0.5), groupCols)
       .select((g :+ col("value").cast("double").as("mad")): _*)
     val outliers = dev.join(broadcast(mad), groupCols)

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.Pin
 
 /** Seasonal decomposition + anomaly flagging for grouped daily series —
   * the monitoring layer over any metric the engine already rolls up
@@ -123,7 +124,7 @@ object Seasonal {
     // cell frame so the upstream scan+shuffle runs once, not once per
     // side (measured 2.6 s → 1.4 s on q154 at the derived sf1)
     val cells0 = daily.select(col(keyCol).as("__k"), col(dayCol).as("__d"),
-      col(valCol).cast("double").as("__v")).localCheckpoint(false)
+      col(valCol).cast("double").as("__v")).transform(Pin.lazily)
     val a = cells0.select(col("__k").as("key_a"), col("__d").as("day"),
       col("__v").as("va"))
     val b = cells0.select(col("__k").as("key_b"), col("__d").as("day_b"),

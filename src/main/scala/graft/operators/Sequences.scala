@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.Pin
 
 /** Sequence mining over per-key ordered event streams.
   *
@@ -144,7 +145,7 @@ object Sequences {
         when(Curation.hashBucket(col(keyCol)) < trainPct, "train")
           .otherwise("test"))
       .select(col(stateCol).as("state"), col("__next"), col("__split"))
-      .localCheckpoint(false) // fit + score both consume the window pass
+      .transform(Pin.lazily) // fit + score both consume the window pass
     val fit = pairs.filter(col("__split") === "train")
       .groupBy("state", "__next").agg(count(lit(1)).as("__n"))
     val best = fit.groupBy("state").agg(max("__n").as("__bn"),

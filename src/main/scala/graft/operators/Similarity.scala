@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.plans.GraftFunctions
+import graft.plans.Pin
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
@@ -69,43 +70,60 @@ object Similarity {
     * Scale shape: `sideA` is the MINING BATCH (the daily-ingest shape
     * the persisted-LSH probe q108 established — you mine a batch of
     * new sentences against the other language's corpus), `sideB` the
-    * corpus; cost is |batch|·|B| map-side cosines (B's projection
-    * broadcasts per the q34 baseline discipline) feeding two window
-    * top-ks, and only the k·|batch| forward-candidate frame is ever
-    * materialized — the full cross is never checkpointed. At corpus×
-    * corpus scale the SAME margin arithmetic runs over IVF/LSH
-    * candidate lists (q43/q35) instead of the cross — the normalizers
-    * only need each row's top-k, which is what the ANN index returns.
-    * The backward normalizer avgK_bwd(y) is computed over the batch
-    * (the mining pool), the standard batch-mode approximation.
-    * Cosines are rounded to 6 BEFORE ranking and averaging (the
-    * ranked() tie discipline), so ties and the margin ratio are
-    * engine-stable. */
+    * corpus. The BATCH broadcasts and the CORPUS streams — the q272/
+    * q280 idiom, and the r10 verdict's fix: the previous shape had the
+    * sides inverted, broadcasting the corpus projection (a guaranteed
+    * build-side OOM once the corpus outgrows executor memory). Cost is
+    * |B|·|batch| map-side cosines in ONE corpus scan; the forward
+    * per-src top-k window is WindowGroupLimit-bounded (each scan
+    * partition contributes ≤ k rows per src BEFORE the exchange, so
+    * the shuffle carries ≤ nPartitions·k·|batch| rows, never |B|).
+    * The corpus-side embedding rides through that top-k, so the
+    * backward normalizer avgK_bwd(y) — computed over the batch (the
+    * mining pool), the standard batch-mode approximation — re-scores
+    * only the ≤ k·|batch| surviving candidates against the broadcast
+    * batch: no second corpus scan, and every broadcast/materialized
+    * frame is batch-bounded. At corpus×corpus scale the SAME margin
+    * arithmetic runs over IVF/LSH candidate lists (q43/q35) instead
+    * of the cross — the normalizers only need each row's top-k, which
+    * is what the ANN index returns. Cosines are rounded to 6 BEFORE
+    * ranking and averaging (the ranked() tie discipline), so ties and
+    * the margin ratio are engine-stable. */
   def bitextMarginMine(spark: SparkSession, sideA: DataFrame, sideB: DataFrame,
       k: Int = 4, minMargin: Double = 1.0): DataFrame = {
     GraftFunctions.register(spark)
-    val scored = sideA.select(col("vec_id").as("src_id"), col("embedding").as("a_emb"))
-      .crossJoin(broadcast(
-        sideB.select(col("vec_id").as("dst_id"), col("embedding").as("b_emb"))))
+    val batch = broadcast(
+      sideA.select(col("vec_id").as("src_id"), col("embedding").as("a_emb")))
+    val scored = sideB.select(col("vec_id").as("dst_id"), col("embedding").as("b_emb"))
+      .crossJoin(batch)
       .withColumn("sim", round(expr("cosine_sim(a_emb, b_emb)"), 6))
-      .select("src_id", "dst_id", "sim")
+      .select("src_id", "dst_id", "sim", "b_emb")
     val wF = Window.partitionBy("src_id").orderBy(col("sim").desc, col("dst_id"))
-    val wB = Window.partitionBy("dst_id").orderBy(col("sim").desc, col("src_id"))
-    // the one materialized frame: k rows per batch row. scored itself
-    // stays lazy — it is a shuffle-free map-side cross, cheaper to
-    // recompute for the backward window than to checkpoint at
-    // |batch|·|B| rows
+    // the one corpus-derived materialization: k rows per batch row
+    // (with the candidate's embedding, so the backward pass below
+    // never re-touches the corpus)
     val fwdTop = scored.withColumn("rk", row_number().over(wF)).filter(col("rk") <= k)
-      .localCheckpoint()
+      .transform(Pin.eager)
     val fwd = fwdTop.groupBy("src_id").agg((sum("sim") / k).as("avg_f"))
-    val bwd = scored.withColumn("rk", row_number().over(wB)).filter(col("rk") <= k)
+    // avgK_bwd(y) is needed only for candidates that survived the
+    // forward cut (the margin join below is inner on dst_id), and a
+    // dst's top-k over the batch is unchanged by dropping other dsts —
+    // so re-score the ≤ k·|batch| candidate embeddings against the
+    // broadcast batch instead of running a corpus-wide backward window
+    // whose values are then 99.9 % discarded
+    val bwd = fwdTop.groupBy("dst_id").agg(first("b_emb").as("b_emb"))
+      .crossJoin(batch)
+      .withColumn("sim", round(expr("cosine_sim(a_emb, b_emb)"), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("dst_id").orderBy(col("sim").desc, col("src_id"))))
+      .filter(col("rk") <= k)
       .groupBy("dst_id").agg((sum("sim") / k).as("avg_b"))
-    val margins = fwdTop
+    val margins = fwdTop.drop("b_emb")
       .join(broadcast(fwd), Seq("src_id"))
       .join(broadcast(bwd), Seq("dst_id"))
       .withColumn("margin",
         round(col("sim") / ((col("avg_f") + col("avg_b")) / 2.0), 6))
-      .localCheckpoint()
+      .transform(Pin.eager)
     val bestF = margins.withColumn("mk", row_number().over(
         Window.partitionBy("src_id").orderBy(col("margin").desc, col("dst_id"))))
       .filter(col("mk") === 1)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.plans.Pin
 
 /** Skew-safe equi-join via key salting — the standard remedy when one
   * join key carries a disproportionate share of the fact side and a
@@ -50,7 +51,7 @@ object SkewJoin {
         .groupBy(k: _*).agg(count(lit(1)).as(out))
     val joined = counts(left, "left_n").join(counts(right, "right_n"), keys)
       .withColumn("out_n", col("left_n") * col("right_n"))
-      .localCheckpoint(false) // totals + top-N both read it
+      .transform(Pin.lazily) // totals + top-N both read it
     val tot = joined.agg(
       coalesce(sum("out_n"), lit(0L)).as("__tot"),
       coalesce(max("out_n"), lit(0L)).as("__max"),

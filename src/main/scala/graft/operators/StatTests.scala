@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.Pin
 
 /** Exact rank-based hypothesis tests at corpus scale — the
   * nonparametric siblings of the OLS/t machinery (q14/q15) for
@@ -67,7 +68,7 @@ object StatTests {
     val hist0 = df.select(col(valueCol).cast("double").as("v"))
       .where(col("v").isNotNull)
       .groupBy("v").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val stats = hist0.agg(min("v").as("__lo"), max("v").as("__hi"))
     val bucketed = hist0.crossJoin(broadcast(stats))
       .withColumn("__qb", bucketOf(col("v"), col("__lo"), col("__hi")))
@@ -85,7 +86,7 @@ object StatTests {
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("avgrank", col("__cumBefore") + (col("cnt") + 1) / 2.0)
       .drop("__qb")
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val scalars = hist.agg(
       sum("cnt").cast("double").as("__n"),
       sum(col("cnt").cast("double") * col("cnt") * col("cnt") - col("cnt"))
@@ -150,7 +151,7 @@ object StatTests {
       .agg(sum("gcnt").cast("double").as("__ni"),
         sum(col("gcnt") * col("avgrank")).as("__ri"))
       .crossJoin(broadcast(scalars))
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val n = col("__n")
     val dev = col("__ri") / col("__ni") - (n + 1) / 2
     val hTot = per
@@ -185,7 +186,7 @@ object StatTests {
     // them from the fold would replay the earlier joins per column)
     val data = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
       .na.drop(cols)
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val ranked = cols.foldLeft(data) { (d, c) =>
       val (hist, _) = valueHist(data.select(col(c).as("v")), "v")
       d.join(hist.select(col("v").as(c), col("avgrank").as(s"__r_$c")), Seq(c))
@@ -226,7 +227,7 @@ object StatTests {
     // row-scale aggregate runs once
     val cells = data.groupBy((g :+ col("__v")): _*)
       .agg(count(lit(1)).as("__cnt"))
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val stats = cells.groupBy(g: _*)
       .agg(min("__v").as("__lo"), max("__v").as("__hi"))
     val withStats =
@@ -282,7 +283,7 @@ object StatTests {
     val cells = data.groupBy("v").agg(
         sum(when(col("g") === levelA, 1L).otherwise(0L)).as("ca"),
         sum(when(col("g") === levelB, 1L).otherwise(0L)).as("cb"))
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val stats = cells.agg(min("v").as("__lo"), max("v").as("__hi"),
       sum("ca").as("__na"), sum("cb").as("__nb"))
     val bucketed = cells.crossJoin(broadcast(stats))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.Pin
 
 /** Kaplan–Meier survival estimation — time-to-churn (or
   * time-to-failure) with right-censoring, the estimator retention and
@@ -87,7 +88,7 @@ object Survival {
     val cells = u.groupBy("g", "t")
       .agg(sum(col("e")).cast("long").as("d"),
         count(lit(1)).cast("long").as("x")) // x = all exits at t
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val times = cells.select("t").distinct()
     val groups = cells.groupBy("g").agg(sum("x").as("n_g"))
     val grid = times.crossJoin(broadcast(groups))

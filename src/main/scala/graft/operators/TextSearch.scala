@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions
+import graft.plans.Pin
 
 /** Full-text relevance search over the document corpus: BM25 ranking
   * (Robertson & Zaragoza 2009, the Lucene-default scoring function).
@@ -372,7 +373,7 @@ object TextSearch {
     // so each corpus explode runs once (the q178 replay lesson)
     val uni = toks.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val uniTotal = uni.agg(sum("c").as("t_uni"))
     val pairs = toks.filter(size(col("toks")) >= 2)
       .select(explode(expr(
@@ -380,7 +381,7 @@ object TextSearch {
         .as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val pairTotal = pairs.agg(sum("c12").as("t_pair"))
     val scored = pairs
       .where(col("c12") >= minCount)
@@ -435,7 +436,7 @@ object TextSearch {
     // quantile selection runs once
     val cuts = Quantiles.exactQuantiles(docs, idCol, qs)
       .select(col("q"), col("value").cast("long").as("__cut"))
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     // the exploded (doc, token) stream feeds two aggregates with
     // DIFFERENT keys (token-min and doc-count), so exchange reuse
     // cannot share it; the checkpoint trades executor storage of the
@@ -445,7 +446,7 @@ object TextSearch {
     val tok = docs
       .select(col(idCol), explode(TextFunctions.tokens(textCol)).as("tok"))
       .filter(col("tok") =!= "")
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val firstDoc = tok.groupBy("tok").agg(min(col(idCol)).as("__fd"))
     val docLen = tok.groupBy(idCol).agg(count(lit(1)).as("__len"))
     val pts = cuts
@@ -454,7 +455,7 @@ object TextSearch {
           count(lit(1)).as("n_docs")), Seq("q"))
       .join(firstDoc.crossJoin(broadcast(cuts)).filter(col("__fd") <= col("__cut"))
         .groupBy("q").agg(count(lit(1)).as("vocab")), Seq("q"))
-      .localCheckpoint(false)
+      .transform(Pin.lazily)
     val m = pts.select(log(col("n_tokens").cast("double")).as("x"),
         log(col("vocab").cast("double")).as("y"))
       .agg(count(lit(1)).cast("double").as("n"),

@@ -1,0 +1,38 @@
+package graft.plans
+
+import org.apache.spark.sql.Dataset
+
+/** Central `localCheckpoint` wrapper with a plan-audit kill switch.
+  *
+  * `localCheckpoint` truncates the visible plan: everything above the
+  * checkpoint explains as `Scan ExistingRDD`, so a committed plan dump
+  * (scripts/plans.sh → PLANS.md) cannot show the stages the checkpoint
+  * hides. That blind spot shipped a real defect in r10 — q254's cross
+  * join broadcast the CORPUS side, and the committed plan started below
+  * the checkpoint, exactly above the inverted exchange. With
+  * `SPARK_GRAFT_NO_CHECKPOINT=1` both pins become the identity, so
+  * DebugExplain dumps the FULL pre-checkpoint plan for audit runs. The
+  * flag is plan-audit-only: Verify/Bench never set it, and an audited
+  * query is only explained, never executed, so the lost materialization
+  * doesn't matter.
+  *
+  * Loop-carried checkpoints (Graph rounds, BPE merges, the Dedup
+  * connected-components frontier, the k-means assignment in Similarity)
+  * deliberately do NOT route through here: they bound LINEAGE GROWTH
+  * across driver-side iterations, and disabling them would unroll every
+  * round into the dumped plan (and re-run training per consumer). Those
+  * sites pin a model/frontier, not a hidden data-plane stage; what their
+  * checkpoints hide is documented per query in plans.sh instead.
+  */
+object Pin {
+  private def disabled: Boolean =
+    sys.env.get("SPARK_GRAFT_NO_CHECKPOINT").contains("1")
+
+  /** Eager pin — `localCheckpoint(true)`, the `localCheckpoint()` default. */
+  def eager[T](ds: Dataset[T]): Dataset[T] =
+    if (disabled) ds else ds.localCheckpoint(true)
+
+  /** Lazy pin — `localCheckpoint(false)`: materializes on first action. */
+  def lazily[T](ds: Dataset[T]): Dataset[T] =
+    if (disabled) ds else ds.localCheckpoint(false)
+}

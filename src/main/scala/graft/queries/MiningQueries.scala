@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.operators.{Dedup, Graph, Hll, Similarity}
 import graft.streaming.StreamingOps
+import graft.plans.Pin
 
 /** Round-10 tranche: preference-graph intransitivity (q252), per-source
   * boilerplate removal (q253), margin-based bitext mining (q254), and
@@ -59,7 +60,7 @@ object MiningQueries {
       .select(col("l_partkey").as("p_src"), col("nxt").as("p_dst"))
     val edges = Graph.electMajorityEdges(events, "p_src", "p_dst", minSupport = 2L)
     val (cycles, transitive) = Graph.directedCycleCensus(edges)
-    val cyc = cycles.localCheckpoint()
+    val cyc = cycles.transform(Pin.eager)
     val summary = cyc.agg(
       count(lit(1)).as("n_cycles"),
       sum(when(col("a") < 0 && col("b") < 0 && col("c") < 0, 1L).otherwise(0L))
@@ -188,7 +189,7 @@ object MiningQueries {
         .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_suppkey"),
         col("l_quantity").cast("long").as("qty"))
-      .localCheckpoint()
+      .transform(Pin.eager)
     val perPart = li.groupBy("l_partkey").agg(sum("qty").as("tot_qty"))
     val perSupp = li.groupBy("l_suppkey", "l_partkey").agg(sum("qty").as("s_qty"))
     val dominant = perSupp.join(perPart, Seq("l_partkey"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
+import graft.plans.Pin
 
 /** Round-10 tranche E: data-mixture and evaluation operators a training
   * pipeline runs between curation and training — temperature-scaled
@@ -45,7 +46,7 @@ object MixQueries {
     val perSrc = Tables.documents(s, d)
       .groupBy("source")
       .agg(sum(size(tokens).cast("long")).as("n_tokens"))
-      .localCheckpoint()
+      .transform(Pin.eager)
     val w = perSrc.crossJoin(broadcast(Seq(1, 2, 4).toDF("temp")))
       .withColumn("w",
         when(col("temp") === 1, col("n_tokens").cast("double"))
@@ -93,7 +94,7 @@ object MixQueries {
       .select(col("event_id"), col("value"),
         expr("pmod(cast(conv(substring(md5(cast(event_id as string)), 1, 15), " +
           "16, 10) as bigint), 5) = 0").as("is_cal"))
-      .localCheckpoint()
+      .transform(Pin.eager)
     val cal = ev.filter(col("is_cal")).select("event_id", "value")
     val stats = cal.agg(min("value").as("lo"), max("value").as("hi"),
       count(lit(1)).as("n_cal"))
@@ -143,7 +144,7 @@ object MixQueries {
   def q276SkewDiagnosis(s: SparkSession, d: String): DataFrame = {
     val perKey = Tables.lineitem(s, d)
       .groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .transform(Pin.eager)
     val g = perKey.agg(count(lit(1)).as("n_keys"), sum("cnt").as("total_rows"),
       max("cnt").as("max_cnt"))
     val cum = perKey.groupBy("cnt").agg(count(lit(1)).as("k"))
@@ -275,7 +276,7 @@ object MixQueries {
       .agg(sum(when(col("pre"), col("cents")).otherwise(0L)).as("x"),
         sum(when(col("pre"), 0L).otherwise(col("cents"))).as("y"))
       .withColumn("variant", pmod(col("user_id"), lit(2)).cast("int"))
-      .localCheckpoint()
+      .transform(Pin.eager)
     val g = perUser.agg(count(lit(1)).as("n"),
       sum("x").as("sx"), sum("y").as("sy"),
       sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))

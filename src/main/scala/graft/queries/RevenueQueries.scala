@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
+import graft.plans.Pin
 
 /** Round-10 tranche D: the remaining classic TPC-H plan shapes this
   * schema supports — returned-item top customers (Q10 → q267), promo
@@ -158,7 +159,7 @@ object RevenueQueries {
         .cast("double").as("r_rev"),
         sum(when(col("l_returnflag") === "N", col("rev_units")).otherwise(0L))
           .cast("double").as("n_rev"))
-      .localCheckpoint()
+      .transform(Pin.eager)
     val lags = (0 to 7).toDF("lag")
     val shifted = daily.crossJoin(broadcast(lags))
       .select(col("lag"), expr("date_add(day, lag)").as("day"),

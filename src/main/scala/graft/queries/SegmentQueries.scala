@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Changepoint, Curation, Dedup, EntityRes, Eval, Experiment, Intervals, Profile, Quantiles, Rfm, Skyline, StatTests}
 import graft.sources.Tables
+import graft.plans.Pin
 
 /** Round-7 sixth/seventh tranches — segmentation, shortlist, and
   * normalization operators: RFM quintile scoring (the scale-safe
@@ -362,7 +363,7 @@ object SegmentQueries {
       .groupBy("l_partkey")
       .agg(sum(round(col("l_extendedprice") * 100)).cast("long")
         .as("rev_cents"))
-      .localCheckpoint(false) // feeds the minmax, the cut, and the stats
+      .transform(Pin.lazily) // feeds the minmax, the cut, and the stats
     val mm = rev.agg(max("rev_cents").as("__mx"),
       sum("rev_cents").as("__tot"),
       floor(sum("rev_cents") * 0.8).cast("long").as("__b"),
@@ -406,7 +407,7 @@ object SegmentQueries {
       .where(col("__next").isNotNull)
       .select(col("event_type").as("state"), col("__next").as("next_state"),
         col("__gap"))
-      .localCheckpoint(false) // stats + median both read the window pass
+      .transform(Pin.lazily) // stats + median both read the window pass
     val stats = pairs.groupBy("state", "next_state")
       .agg(count(lit(1)).as("n"),
         (sum("__gap") / count(lit(1)) / 1e6).as("mean_gap_sec"))
@@ -536,7 +537,7 @@ object SegmentQueries {
         datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
           .as("__days"))
       .filter(col("__days").isNotNull)
-      .localCheckpoint(false) // stats + quantiles both consume the join
+      .transform(Pin.lazily) // stats + quantiles both consume the join
     val stats = gaps.groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
         (sum("__days") / count(lit(1))).as("mean_days"))
@@ -641,7 +642,7 @@ object SegmentQueries {
     val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
       .withColumn("day", to_date(col("ts")).cast("string"))
     val regs = graft.operators.Hll.registers(ev, "user_id", Seq("day"))
-      .localCheckpoint()
+      .transform(Pin.eager)
     // 10-day buckets ("2024-01-1" = Jan 10..19): a coarsening the
     // day table merges into with several periods even at sf0.01
     val monthly = graft.operators.Hll.estimateFromRegisters(
@@ -696,7 +697,7 @@ object SegmentQueries {
   def q236AudienceSketch(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
     val regs = graft.operators.Hll.registers(ev, "user_id", Seq("event_type"))
-      .localCheckpoint()
+      .transform(Pin.eager)
     val single = graft.operators.Hll.estimateFromRegisters(regs, Seq("event_type"))
       .select(col("event_type"), col("hll_estimate"))
     val pairs = single.toDF("et_a", "est_a")

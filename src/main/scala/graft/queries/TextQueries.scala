@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.operators.{Dedup, Multimodal}
 import graft.functions.TextFunctions
+import graft.plans.Pin
 
 /** Training-data-pipeline queries over the `documents` table: dedup
   * (exact / MinHash / SimHash / n-gram Jaccard), text analysis
@@ -52,7 +53,7 @@ object TextQueries {
     // guarantee aggregate and the main output would otherwise each
     // re-run the verification join
     val pairs = Dedup.minhashNearDups(all, threshold = 0.5, md5Mode = true)
-      .localCheckpoint()
+      .transform(Pin.eager)
     val guarantee = pairs.agg(
       sum(when(col("doc_a") < 0 && col("doc_b") < 0, 1).otherwise(0))
         .as("planted_recovered"))
@@ -197,11 +198,11 @@ object TextQueries {
     val batch1 = Seq((-100L, rep(cycleA, 4)), (-101L, rep(cycleB, 3)))
       .toDF("doc_id", "text")
     val p1 = Dedup.nearDupsFromLshIndex(s, batch1, "graft_lsh_q108")
-      .withColumn("phase", lit(1)).localCheckpoint()
+      .withColumn("phase", lit(1)).transform(Pin.eager)
     Dedup.appendToLshIndex(s, batch1, "graft_lsh_q108")
     val batch2 = Seq((-200L, rep(cycleB, 4))).toDF("doc_id", "text")
     val p2 = Dedup.nearDupsFromLshIndex(s, batch2, "graft_lsh_q108")
-      .withColumn("phase", lit(2)).localCheckpoint()
+      .withColumn("phase", lit(2)).transform(Pin.eager)
     val all = p1.unionByName(p2)
     val guarantee = all.agg(
       sum(when(col("phase") === 1 && col("doc_a") === -100L && col("doc_b") === -11L, 1)
@@ -235,7 +236,7 @@ object TextQueries {
       .toDF("doc_id", "text")
     val all = docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
     val pairs = Dedup.simhashNearDups(all, maxHamming = 3, md5Mode = true)
-      .localCheckpoint()
+      .transform(Pin.eager)
     val guarantee = pairs.agg(
       sum(when(col("doc_a") < 0 && col("doc_b") < 0, 1).otherwise(0))
         .as("planted_recovered"))

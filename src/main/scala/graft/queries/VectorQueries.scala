@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.operators.Similarity
+import graft.plans.Pin
 
 /** Similarity-search queries over the `embeddings` table
   * (`vec_id, embedding: array<float>, label`).
@@ -207,11 +208,11 @@ object VectorQueries {
     val q = emb.filter(col("vec_id") < NQueries)
     Similarity.writeIvfIndex(s, emb, "graft_ivf_q110", nCentroids = 16, buckets = 8)
     val pre = Similarity.ivfTopKFromIndex(s, "graft_ivf_q110", q, k = 10, nProbe = 4)
-      .withColumn("phase", lit(1)).localCheckpoint()
+      .withColumn("phase", lit(1)).transform(Pin.eager)
     val batch = q.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
     Similarity.appendToIvfIndex(s, batch, "graft_ivf_q110")
     val post = Similarity.ivfTopKFromIndex(s, "graft_ivf_q110", q, k = 10, nProbe = 4)
-      .withColumn("phase", lit(2)).localCheckpoint()
+      .withColumn("phase", lit(2)).transform(Pin.eager)
     val all = pre.unionByName(post)
     val guarantee = all.agg(
       sum(when(col("phase") === 1 && col("vec_id") >= 1000000L, 1).otherwise(0))
@@ -349,7 +350,7 @@ object VectorQueries {
       .filter(col("label") =!= col("q_label"))
       .withColumn("sim", round(expr("cosine_sim(embedding, q_emb)"), 6))
       .select("q_id", "vec_id", "label", "sim")
-      .localCheckpoint() // feeds both the count and the ranking
+      .transform(Pin.eager) // feeds both the count and the ranking
     val nCand = scored.groupBy("q_id").agg(count(lit(1)).as("n_candidates"))
     val top = scored.withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))))
