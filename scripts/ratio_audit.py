@@ -5,7 +5,7 @@ Usage: python3 scripts/ratio_audit.py BENCH_sf1.json BENCH_sf10.json [flag_ratio
 A ratio <= the data growth factor is at-worst-linear; the default flag
 threshold (8.0 for a 10x step) leaves headroom for constant factors
 while catching quadratic terms (which would show ~100x)."""
-import json, sys
+import json, statistics, sys
 
 lo = json.load(open(sys.argv[1]))["queries"]
 hi = json.load(open(sys.argv[2]))["queries"]
@@ -25,8 +25,13 @@ for ratio, q, a, b in rows[:25]:
     print(f"{q:32s} {a:8.2f} -> {b:8.2f}  x{ratio:6.2f}{mark}")
 vals = sorted(r[0] for r in rows if r[0] == r[0])
 if vals:
-    med = vals[len(vals) // 2]
-    print(f"\nmedian ratio {med:.2f}, max {vals[-1]:.2f}, "
+    # true median (mean of the middle two for even n), and say how many
+    # rows were excluded as sub-50ms noise so the summary denominator
+    # is explicit (r10 ADVICE: upper-middle element + implicit skips)
+    med = statistics.median(vals)
+    skipped = len(rows) - len(vals)
+    print(f"\nmedian ratio {med:.2f} over {len(vals)} rated rows "
+          f"({skipped} skipped as sub-50ms noise), max {vals[-1]:.2f}, "
           f"flagged {sum(1 for r in rows if r[0] == r[0] and r[0] > flag and r[3] > 2.0)}")
 print("only_lo:", sorted(set(lo) - set(hi))[:10])
 print("only_hi:", sorted(set(hi) - set(lo))[:10])

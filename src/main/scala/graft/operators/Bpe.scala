@@ -87,11 +87,13 @@ object Bpe {
       else {
         val l = top(0).getString(0); val r = top(0).getString(1)
         merges += ((step, l, r, top(0).getLong(2)))
-        // symbols are lowercase a-z / '</w>' concatenations by
-        // construction of the histogram regex, so the SQL-literal
-        // interpolation below cannot contain quotes
+        // call_function + lit, same as encode(): symbols are lowercase
+        // a-z / '</w>' by construction here, but carrying them as
+        // VALUES rather than SQL text keeps the whole file free of the
+        // injection-shaped pattern (r9 ADVICE)
         words = words
-          .withColumn("toks", expr(s"bpe_merge(toks, '$l', '$r')"))
+          .withColumn("toks",
+            call_function("bpe_merge", col("toks"), lit(l), lit(r)))
           .localCheckpoint() // keep the loop's plan flat (tiny frame)
         step += 1
       }

@@ -39,8 +39,16 @@ case class PeriodMatches(child: Expression, maxP: Int)
       var i = 0
       val lim = n - p
       while (i < lim) {
-        // UTF8String.equals is a primitive byte compare — no boxing
-        if (toks.getUTF8String(i) == toks.getUTF8String(i + p)) c += 1
+        // SQL equality semantics: a comparison with a null element is
+        // NULL → not a match. Scala == on two null refs is true, which
+        // would silently diverge from the HOF formulation this replaced
+        // (unreachable from q260's split(), but the function is
+        // registered for general array<string> input — r10 ADVICE).
+        // UTF8String.equals is a primitive byte compare — no boxing;
+        // isNullAt guards both array encodings (Unsafe leaves the
+        // value slot undefined for null elements)
+        if (!toks.isNullAt(i) && !toks.isNullAt(i + p) &&
+            toks.getUTF8String(i) == toks.getUTF8String(i + p)) c += 1
         i += 1
       }
       counts(p - 1) = c

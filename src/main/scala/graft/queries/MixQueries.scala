@@ -85,8 +85,14 @@ object MixQueries {
     * 4096-bin histogram (aggregate-scale cumulative window), then a
     * ranking window over ONLY the rows of each α's target bucket
     * (≈ n/4096 rows per α). k is pure integer arithmetic:
-    * ((n+1)(100−α%) + 99) div 100. Coverage is one pass over the test
-    * split against the broadcast 3-row threshold frame. */
+    * ((n+1)(100−α%) + 99) div 100, CLAMPED to n_cal: for tiny
+    * calibration splits (n_cal < (100−α%)/α%, e.g. < 19 at α = 5 %)
+    * the raw k exceeds n_cal and the exact 1−α guarantee is
+    * unattainable — the clamp takes the max calibration score (the
+    * finite surrogate for the +∞-threshold convention) instead of
+    * silently dropping the α's row, which is what the unclamped form
+    * did (r10 ADVICE). Coverage is one pass over the test split
+    * against the broadcast 3-row threshold frame. */
   def q275Conformal(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val nB = 4096
@@ -99,7 +105,8 @@ object MixQueries {
     val stats = cal.agg(min("value").as("lo"), max("value").as("hi"),
       count(lit(1)).as("n_cal"))
     val ak = Seq(5, 10, 20).toDF("alpha_pct").crossJoin(broadcast(stats))
-      .withColumn("k", expr("((n_cal + 1) * (100 - alpha_pct) + 99) div 100"))
+      .withColumn("k",
+        least(expr("((n_cal + 1) * (100 - alpha_pct) + 99) div 100"), col("n_cal")))
     val bucketed = cal.crossJoin(broadcast(stats))
       .withColumn("__bucket", when(col("hi") === col("lo"), lit(0)).otherwise(
         least(floor((col("value") - col("lo")) / (col("hi") - col("lo")) * nB)
@@ -366,7 +373,7 @@ object MixQueries {
         |a(alpha_pct) AS (VALUES (5), (10), (20)),
         |ak AS (
         |  SELECT alpha_pct, n_cal,
-        |    ((n_cal + 1) * (100 - alpha_pct) + 99) // 100 AS k
+        |    least(((n_cal + 1) * (100 - alpha_pct) + 99) // 100, n_cal) AS k
         |  FROM a CROSS JOIN n),
         |ranked AS (
         |  SELECT value, row_number() OVER (ORDER BY value) AS r FROM cal),

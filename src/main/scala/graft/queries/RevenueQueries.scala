@@ -81,9 +81,15 @@ object RevenueQueries {
     * exceeds 3× the average part value (Q11's HAVING > global-scalar
     * subquery; the multiple-of-average form is SF-free where Q11's
     * fixed fraction goes empty as the part count grows). The global
-    * scalar rides a broadcast 1-row frame and the boundary is
-    * INTEGER-exact: units·n_parts > 3·global can never flip on a float
-    * ulp. Top-100 output is a TakeOrderedAndProject. */
+    * scalar rides a broadcast 1-row frame and the boundary is exact
+    * in DECIMAL(38,0): units·n_parts > 3·global never flips on a
+    * float ulp, and — unlike the plain BIGINT product this replaces
+    * (r10 ADVICE) — never wraps. Both cross terms grow with scale
+    * (units ~ SF·1e10, n_parts ~ SF·1e5), so the BIGINT form would
+    * silently wrap past 2^63 around sf300 in Spark's non-ANSI
+    * arithmetic while DuckDB raised an overflow error; the decimal
+    * product is exact to 1e38 — ~sf1e9, unreachable. Top-100 output
+    * is a TakeOrderedAndProject. */
   def q269ImportantParts(s: SparkSession, d: String): DataFrame = {
     val natSupp = Tables.supplier(s, d)
       .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_5")
@@ -97,7 +103,8 @@ object RevenueQueries {
     val global = perPart.agg(sum("units").as("global_units"),
       count(lit(1)).as("n_parts"))
     perPart.crossJoin(broadcast(global))
-      .filter(col("units") * col("n_parts") > lit(3L) * col("global_units"))
+      .filter(col("units").cast("decimal(38,0)") * col("n_parts") >
+        lit(3L) * col("global_units").cast("decimal(38,0)"))
       .select(col("l_partkey").as("p_partkey"),
         round(col("units") / 10000.0, 2).as("value"),
         col("n_lines"),
@@ -283,7 +290,8 @@ object RevenueQueries {
         |  round(units / 10000.0, 2) AS value, n_lines,
         |  round(CAST(units AS DOUBLE) / CAST(g.global_units AS DOUBLE), 6) AS share
         |FROM pp CROSS JOIN g
-        |WHERE units * g.n_parts > 3 * g.global_units
+        |WHERE CAST(units AS DECIMAL(38,0)) * g.n_parts
+        |  > 3 * CAST(g.global_units AS DECIMAL(38,0))
         |ORDER BY value DESC, p_partkey
         |LIMIT 100""".stripMargin,
     "q270_min_cost_supplier" ->

@@ -74,6 +74,45 @@ class MixQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q275: tiny calibration split clamps k to n_cal instead of dropping the row") {
+    // r10 ADVICE: with n_cal < (100-a)/a the raw k = ceil((n+1)(1-a))
+    // exceeds n_cal, no histogram bucket satisfies cum >= k, and the
+    // alpha's row silently vanished. Plant a split small enough that
+    // alpha=5% clamps (k -> n_cal, threshold = max calibration score)
+    // while alpha=20% stays on the raw rank rule.
+    val ev = graft.sources.Tables.events(spark, sf)
+      .withColumn("is_cal",
+        expr("pmod(cast(conv(substring(md5(cast(event_id as string)), 1, 15), " +
+          "16, 10) as bigint), 5) = 0"))
+    val calIds = ev.filter(col("is_cal")).select("event_id")
+      .orderBy("event_id").limit(10).collect().map(_.getLong(0))
+    val testIds = ev.filter(!col("is_cal")).select("event_id")
+      .orderBy("event_id").limit(30).collect().map(_.getLong(0))
+    val keep = (calIds ++ testIds).toSet
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q275_tiny").toString
+    graft.sources.Tables.events(spark, sf)
+      .filter(col("event_id").isInCollection(keep))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = MixQueries.q275Conformal(spark, tmp).collect()
+    assert(out.length == 3, "every alpha row survives a tiny split")
+    val calMax = ev.filter(col("is_cal") && col("event_id").isInCollection(calIds))
+      .agg(max("value")).head.getDouble(0)
+    out.foreach { r =>
+      val alphaPct = math.round(r.getAs[Double]("alpha") * 100).toInt
+      val n = r.getAs[Long]("n_cal")
+      assert(n == 10L)
+      val raw = ((n + 1) * (100 - alphaPct) + 99) / 100
+      val k = math.min(raw, n)
+      assert(r.getAs[Long]("k") == k, s"clamped rank at alpha=$alphaPct")
+      if (raw > n) // the clamped row reports the max calibration score
+        assert(r.getAs[Double]("threshold") ==
+          BigDecimal.valueOf(calMax).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(out.exists(r =>
+      ((r.getAs[Long]("n_cal") + 1) * (100 - math.round(r.getAs[Double]("alpha") * 100)) + 99) / 100
+        > r.getAs[Long]("n_cal")), "the planted split must actually exercise the clamp")
+  }
+
   test("q275: empirical coverage meets the 1-alpha guarantee (with finite-sample slack)") {
     val out = MixQueries.q275Conformal(spark, sf).collect()
     out.foreach { r =>

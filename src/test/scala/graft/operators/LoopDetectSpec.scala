@@ -42,6 +42,15 @@ class LoopDetectSpec extends AnyFunSuite {
     assert(counts(Seq.empty[String], 3) == Seq(0, 0, 0))
   }
 
+  test("null elements follow SQL equality: never a match, even null-null") {
+    // the HOF formulation (SQL =) yields NULL for a null operand and
+    // filter() drops it; Scala == on null refs would count it (r10
+    // ADVICE) — pin the SQL semantics
+    assert(counts(Seq("a", null, "a", null, "a"), 3) == Seq(0, 2, 0))
+    assert(counts(Seq(null, null, null), 2) == Seq(0, 0))
+    assert(counts(Seq("a", null, null, "a"), 3) == Seq(0, 0, 1))
+  }
+
   test("agrees with the HOF formulation on random-ish token arrays") {
     graft.plans.GraftFunctions.register(spark)
     val s = spark; import s.implicits._
