@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries, BehaviorQueries, CoreQueries, CorpusQueries, ExtendedQueries, MiningQueries, MixQueries, ProfileQueries, RevenueQueries, ScaleQueries, SegmentQueries, SignalQueries, StatQueries, SupplyQueries, TextQueries, TextQueries2, VectorQueries}
+import graft.queries.{AnalyticsQueries, BehaviorQueries, CoreQueries, CorpusQueries, ExtendedQueries, MiningQueries, MixQueries, ProfileQueries, RevenueQueries, ScaleQueries, SegmentQueries, SignalQueries, StatQueries, SupplyQueries, TextQueries, TextQueries2, VectorQueries, WebQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,7 +26,7 @@ object SparkEntry {
       CorpusQueries.queries ++ ScaleQueries.queries ++ BehaviorQueries.queries ++
       ProfileQueries.queries ++ SignalQueries.queries ++ StatQueries.queries ++
       SegmentQueries.queries ++ SupplyQueries.queries ++ MiningQueries.queries ++
-      RevenueQueries.queries ++ MixQueries.queries
+      RevenueQueries.queries ++ MixQueries.queries ++ WebQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -37,5 +37,5 @@ object SparkEntry {
       CorpusQueries.oracles ++ ScaleQueries.oracles ++ BehaviorQueries.oracles ++
       ProfileQueries.oracles ++ SignalQueries.oracles ++ StatQueries.oracles ++
       SegmentQueries.oracles ++ SupplyQueries.oracles ++ MiningQueries.oracles ++
-      RevenueQueries.oracles ++ MixQueries.oracles
+      RevenueQueries.oracles ++ MixQueries.oracles ++ WebQueries.oracles
 }
