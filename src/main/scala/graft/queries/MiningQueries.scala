@@ -129,6 +129,101 @@ object MiningQueries {
       .orderBy(col("margin").desc, col("src_id"), col("dst_id"))
   }
 
+  /** LSH-banded bitext mining — q254's SCALE PATH, completing the
+    * brute→LSH pairing the repo established for hard negatives
+    * (q272→q280): the same margin arithmetic (Artetxe & Schwenk 2019)
+    * runs over CANDIDATE LISTS mined inside shared SRP band buckets
+    * (32-bit sign code → 4 bands × 8 bits, the q111/q112/q280 coding)
+    * instead of the batch×corpus cross. At 100 TB the band key is the
+    * corpus partitioning key, so a batch row touches only its buckets'
+    * partitions — the scan drops from |corpus| to the collision set,
+    * at a recall price the in-row audit column measures.
+    *
+    * Differences from the brute mine, both deliberate: (1) the k-NN
+    * normalizers average over the row's ACTUAL top-min(k, n) candidate
+    * sims (a candidate list can run short of k; dividing by a fixed k
+    * would deflate sparse rows' normalizers and inflate their margins);
+    * (2) each mined row carries `n_candidates` and `matches_exact` —
+    * the brute mine re-run as the testing-mode audit (dropped in
+    * production, exactly like q280's recall pass). Planted: src −1 and
+    * dst −2 carry the SAME embedding (corpus vec 7) → identical SRP
+    * code → collide in EVERY band → mined at sim 1.0, mutual, and
+    * matching the exact mine by construction.
+    *
+    * Scale shape: banding is row-local projection; the candidate join
+    * is an equi-join on (band, bkey) with the ≤4·|batch|-row batch
+    * side broadcast; scoring joins candidates back to the corpus by
+    * dst_id (equi, AQE-sized); the forward/backward windows and every
+    * frame from fwdTop down are candidate/batch-bounded, and the
+    * backward normalizer is computed only for forward survivors (the
+    * q254 discipline). No corpus-sized broadcast or cross anywhere. */
+  def q283BitextMarginLsh(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val k = 4
+    val emb = Tables.embeddings(s, d)
+    val clone = emb.filter(col("vec_id") === 7)
+    val a = emb.filter(col("label") % 2 === 0 && col("vec_id") % 10 === 0 &&
+        col("vec_id") < 10240)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(clone.select(lit(-1L).as("vec_id"), col("embedding")))
+    val b = emb.filter(col("label") % 2 === 1).select(col("vec_id"), col("embedding"))
+      .unionByName(clone.select(lit(-2L).as("vec_id"), col("embedding")))
+    def banded(df: DataFrame, idAs: String): DataFrame = df
+      .withColumn("code", expr(
+        "transform(srp_project(embedding, 32), z -> CASE WHEN round(z, 6) >= 0 THEN 1 ELSE 0 END)"))
+      .select(col("vec_id").as(idAs), posexplode(expr(
+        "transform(sequence(0, 3), bb -> aggregate(slice(code, bb * 8 + 1, 8), 0, (acc, x) -> acc * 2 + x))"))
+        .as(Seq("band", "bkey")))
+    val candIds = banded(b, "dst_id")
+      .join(broadcast(banded(a, "src_id")), Seq("band", "bkey"))
+      .select("src_id", "dst_id").distinct()
+    val batch = broadcast(a.select(col("vec_id").as("src_id"), col("embedding").as("a_emb")))
+    val scored = candIds
+      .join(b.select(col("vec_id").as("dst_id"), col("embedding").as("b_emb")), Seq("dst_id"))
+      .join(batch, Seq("src_id"))
+      .withColumn("sim", round(expr("cosine_sim(a_emb, b_emb)"), 6))
+      .select("src_id", "dst_id", "sim")
+      .transform(Pin.eager) // candidate-scale; feeds fwd, bwd, and the census
+    val fwdTop = scored.withColumn("rk", row_number().over(
+        Window.partitionBy("src_id").orderBy(col("sim").desc, col("dst_id"))))
+      .filter(col("rk") <= k)
+    val nCand = scored.groupBy("src_id").agg(count(lit(1)).as("n_candidates"))
+    val fwd = fwdTop.groupBy("src_id")
+      .agg((sum("sim") / count(lit(1))).as("avg_f"))
+    val bwd = scored
+      .join(broadcast(fwdTop.select("dst_id").distinct()), Seq("dst_id"), "left_semi")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("dst_id").orderBy(col("sim").desc, col("src_id"))))
+      .filter(col("rk") <= k)
+      .groupBy("dst_id").agg((sum("sim") / count(lit(1))).as("avg_b"))
+    val margins = fwdTop.drop("rk")
+      .join(broadcast(fwd), Seq("src_id"))
+      .join(broadcast(bwd), Seq("dst_id"))
+      .withColumn("margin",
+        round(col("sim") / ((col("avg_f") + col("avg_b")) / 2.0), 6))
+      .transform(Pin.eager)
+    val bestF = margins.withColumn("mk", row_number().over(
+        Window.partitionBy("src_id").orderBy(col("margin").desc, col("dst_id"))))
+      .filter(col("mk") === 1)
+    val bestB = margins.withColumn("mk", row_number().over(
+        Window.partitionBy("dst_id").orderBy(col("margin").desc, col("src_id"))))
+      .filter(col("mk") === 1)
+      .select(col("dst_id"), col("src_id").as("best_src"))
+    // testing-mode audit: the exact brute mine's best pair per src
+    val exact = Similarity.bitextMarginMine(s, a, b, k = k, minMargin = 1.0)
+      .select(col("src_id"), col("dst_id").as("exact_dst"))
+    bestF
+      .join(broadcast(bestB), Seq("dst_id"), "left")
+      .filter(col("margin") >= 1.0)
+      .join(broadcast(nCand), Seq("src_id"))
+      .join(broadcast(exact), Seq("src_id"), "left")
+      .select(col("src_id"), col("dst_id"), col("sim"), col("margin"),
+        (col("best_src") === col("src_id")).as("mutual"),
+        col("n_candidates"),
+        coalesce(col("dst_id") === col("exact_dst"), lit(false)).as("matches_exact"))
+      .orderBy(col("margin").desc, col("src_id"), col("dst_id"))
+  }
+
   /** Customer order-count distribution — the TPC-H Q13 shape: LEFT
     * join so zero-order customers land in the c_count = 0 bucket,
     * urgent orders excluded (the Q13 "special comment" analog), then
@@ -435,6 +530,7 @@ object MiningQueries {
     "q252_preference_cycles" -> (q252PreferenceCycles _),
     "q253_boilerplate" -> (q253Boilerplate _),
     "q254_bitext_margin" -> (q254BitextMargin _),
+    "q283_bitext_margin_lsh" -> (q283BitextMarginLsh _),
     "q255_order_count_dist" -> (q255OrderCountDistribution _),
     "q256_profit_by_nation" -> (q256ProfitByNation _),
     "q257_dominant_share" -> (q257DominantShare _),
@@ -567,6 +663,118 @@ object MiningQueries {
         |SELECT f.src_id, f.dst_id, f.sim, f.margin,
         |  (b.best_src = f.src_id) AS mutual
         |FROM bestf f LEFT JOIN bestb b ON f.dst_id = b.dst_id
+        |WHERE f.margin >= 1.0
+        |ORDER BY f.margin DESC, f.src_id, f.dst_id""".stripMargin,
+    // the SRP ±1 hyperplane is the engine's md5 idiom (q280's oracle):
+    // parity of the first 6 md5 hex chars of 'srp:i:j', folded in the
+    // same ascending-i order as SrpProject; the exact-mine CTEs (x*)
+    // restate q254 verbatim for the matches_exact audit column
+    "q283_bitext_margin_lsh" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+        |cl AS (SELECT e FROM base WHERE vec_id = 7),
+        |sa AS (
+        |  SELECT vec_id, e FROM base
+        |  WHERE label % 2 = 0 AND vec_id % 10 = 0 AND vec_id < 10240
+        |  UNION ALL SELECT -1, e FROM cl),
+        |sb AS (
+        |  SELECT vec_id, e FROM base WHERE label % 2 = 1
+        |  UNION ALL SELECT -2, e FROM cl),
+        |acode AS (
+        |  SELECT vec_id,
+        |    list_transform(range(1, 33), j ->
+        |      CASE WHEN round(list_sum(list_transform(range(1, 65), i ->
+        |        e[i] * CASE WHEN ('0x' || substr(md5('srp:' || i || ':' || j),
+        |            1, 6))::BIGINT % 2 = 0
+        |          THEN 1.0 ELSE -1.0 END)), 6) >= 0 THEN 1 ELSE 0 END) AS code
+        |  FROM sa),
+        |bcode AS (
+        |  SELECT vec_id,
+        |    list_transform(range(1, 33), j ->
+        |      CASE WHEN round(list_sum(list_transform(range(1, 65), i ->
+        |        e[i] * CASE WHEN ('0x' || substr(md5('srp:' || i || ':' || j),
+        |            1, 6))::BIGINT % 2 = 0
+        |          THEN 1.0 ELSE -1.0 END)), 6) >= 0 THEN 1 ELSE 0 END) AS code
+        |  FROM sb),
+        |aband AS (
+        |  SELECT vec_id AS src_id, bd.band,
+        |    list_reduce(list_prepend(0,
+        |      code[(bd.band * 8 + 1):(bd.band * 8 + 8)]),
+        |      (a, x) -> a * 2 + x) AS bkey
+        |  FROM acode CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bd),
+        |bband AS (
+        |  SELECT vec_id AS dst_id, bd.band,
+        |    list_reduce(list_prepend(0,
+        |      code[(bd.band * 8 + 1):(bd.band * 8 + 8)]),
+        |      (a, x) -> a * 2 + x) AS bkey
+        |  FROM bcode CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bd),
+        |cand AS (
+        |  SELECT DISTINCT aband.src_id, bband.dst_id
+        |  FROM bband JOIN aband
+        |    ON bband.band = aband.band AND bband.bkey = aband.bkey),
+        |scored AS (
+        |  SELECT c.src_id, c.dst_id,
+        |    round(list_cosine_similarity(sa.e, sb.e), 6) AS sim
+        |  FROM cand c JOIN sa ON sa.vec_id = c.src_id
+        |  JOIN sb ON sb.vec_id = c.dst_id),
+        |fwdk AS (
+        |  SELECT src_id, dst_id, sim,
+        |    row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, dst_id) AS rk
+        |  FROM scored QUALIFY rk <= 4),
+        |nc AS (SELECT src_id, count(*) AS n_candidates FROM scored GROUP BY 1),
+        |avf AS (SELECT src_id, sum(sim) / count(*) AS avg_f FROM fwdk GROUP BY 1),
+        |bwdk AS (
+        |  SELECT src_id, dst_id, sim,
+        |    row_number() OVER (PARTITION BY dst_id ORDER BY sim DESC, src_id) AS rk
+        |  FROM scored QUALIFY rk <= 4),
+        |avb AS (SELECT dst_id, sum(sim) / count(*) AS avg_b FROM bwdk GROUP BY 1),
+        |mg AS (
+        |  SELECT f.src_id, f.dst_id, f.sim,
+        |    round(f.sim / ((avf.avg_f + avb.avg_b) / 2), 6) AS margin
+        |  FROM fwdk f JOIN avf ON f.src_id = avf.src_id
+        |  JOIN avb ON f.dst_id = avb.dst_id),
+        |bestf AS (
+        |  SELECT src_id, dst_id, sim, margin,
+        |    row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, dst_id) AS mk
+        |  FROM mg QUALIFY mk = 1),
+        |bestb AS (
+        |  SELECT dst_id, src_id AS best_src,
+        |    row_number() OVER (PARTITION BY dst_id ORDER BY margin DESC, src_id) AS mk
+        |  FROM mg QUALIFY mk = 1),
+        |xscored AS (
+        |  SELECT sa.vec_id AS src_id, sb.vec_id AS dst_id,
+        |    round(list_cosine_similarity(sa.e, sb.e), 6) AS sim
+        |  FROM sa CROSS JOIN sb),
+        |xfwdk AS (
+        |  SELECT src_id, dst_id, sim,
+        |    row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, dst_id) AS rk
+        |  FROM xscored QUALIFY rk <= 4),
+        |xbwdk AS (
+        |  SELECT src_id, dst_id, sim,
+        |    row_number() OVER (PARTITION BY dst_id ORDER BY sim DESC, src_id) AS rk
+        |  FROM xscored QUALIFY rk <= 4),
+        |xavf AS (SELECT src_id, sum(sim) / 4 AS avg_f FROM xfwdk GROUP BY 1),
+        |xavb AS (SELECT dst_id, sum(sim) / 4 AS avg_b FROM xbwdk GROUP BY 1),
+        |xmg AS (
+        |  SELECT f.src_id, f.dst_id,
+        |    round(f.sim / ((xavf.avg_f + xavb.avg_b) / 2), 6) AS margin
+        |  FROM xfwdk f JOIN xavf ON f.src_id = xavf.src_id
+        |  JOIN xavb ON f.dst_id = xavb.dst_id),
+        |ex AS (
+        |  SELECT src_id, dst_id AS exact_dst FROM (
+        |    SELECT src_id, dst_id, margin,
+        |      row_number() OVER (PARTITION BY src_id
+        |        ORDER BY margin DESC, dst_id) AS mk
+        |    FROM xmg QUALIFY mk = 1)
+        |  WHERE margin >= 1.0)
+        |SELECT f.src_id, f.dst_id, f.sim, f.margin,
+        |  (b.best_src = f.src_id) AS mutual,
+        |  nc.n_candidates,
+        |  coalesce(f.dst_id = ex.exact_dst, false) AS matches_exact
+        |FROM bestf f
+        |LEFT JOIN bestb b ON f.dst_id = b.dst_id
+        |JOIN nc ON nc.src_id = f.src_id
+        |LEFT JOIN ex ON ex.src_id = f.src_id
         |WHERE f.margin >= 1.0
         |ORDER BY f.margin DESC, f.src_id, f.dst_id""".stripMargin,
     "q255_order_count_dist" ->

@@ -86,4 +86,29 @@ class MiningOpsSpec extends AnyFunSuite {
     assert(out(2L)._1 == 12L, s"x2 -> ${out(2L)}")
     assert(out(1L)._2 && out(2L)._2, "both pairs are mutual best")
   }
+
+  test("q283: banded mine recovers the planted clone pair and prunes candidates") {
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.MiningQueries.q283BitextMarginLsh(s, sf).collect()
+    // the clone plant (identical embedding on both sides) collides in
+    // every band, so the mine MUST surface it: sim exactly 1.0, mutual,
+    // and agreeing with the exact brute mine
+    val plant = out.find(_.getAs[Long]("src_id") == -1L)
+    assert(plant.isDefined, "planted clone pair must be mined")
+    assert(plant.get.getAs[Long]("dst_id") == -2L)
+    assert(plant.get.getAs[Double]("sim") == 1.0)
+    assert(plant.get.getAs[Boolean]("mutual"))
+    assert(plant.get.getAs[Boolean]("matches_exact"))
+    // the pruning bound that makes this the scale path: every row's
+    // candidate list is a strict subset of the corpus side
+    val corpusN = graft.sources.Tables.embeddings(s, sf)
+      .filter(col("label") % 2 === 1).count() + 1 // + clone -2
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_candidates") < corpusN,
+        s"src ${r.getAs[Long]("src_id")} candidates must be band-pruned")
+    }
+    // margins are finite and the filter bound holds
+    out.foreach(r => assert(r.getAs[Double]("margin") >= 1.0))
+  }
 }
