@@ -164,34 +164,58 @@ object TextQueries2 {
   }
 
   /** Sketch-accuracy audit — the 100 TB cardinality toolkit, checked
-    * against itself: per event_type, HLL++ distinct counts
-    * (`approx_count_distinct`) and quantile sketches
-    * (`approx_percentile`) next to their EXACT counterparts, with
-    * error columns in the output. Rows-only for the driver (DuckDB's
-    * HLL/quantile sketches are a different implementation), but
-    * self-evidencing: the dumped frame carries its own ground truth,
-    * and the spec bounds the errors. The exact half IS
-    * DuckDB-replicable, so it is split out as [[q62bSketchExact]] and
-    * hash-checked there; only the sketch columns stay rows-only here.
-    * At 100 TB the approx side is one mergeable pass (no distinct
-    * shuffle explosion, no full sort) — that is the point of shipping
-    * both. */
-  def q62SketchAudit(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy("event_type")
-      .agg(
-        countDistinct("user_id").as("exact_users"),
-        approx_count_distinct("user_id", 0.02).as("approx_users"),
-        expr("percentile(value, 0.5)").as("exact_p50"),
-        expr("approx_percentile(value, 0.5, 1000)").as("approx_p50"))
+    * against itself: per event_type, the engine's OWN cross-engine
+    * sketches next to their EXACT counterparts, with error columns in
+    * the output. r11 (verdict item 7): the sketch side moved from
+    * Spark-internal HLL++/`approx_percentile` (whose register bits no
+    * other engine can replay — the audit was rows-only) to the repo's
+    * md5-HLL ([[graft.operators.Hll]], the q231 discipline) and a
+    * 256-bin histogram median (the Quantiles bucket discipline, bucket
+    * midpoint at the (n+1) div 2 rank) — both deterministic arithmetic
+    * DuckDB replays bit for bit, so the audit itself is now
+    * hash-checked. These are also the sketches the engine would
+    * actually ship at 100 TB: the md5-HLL register table is the
+    * engine-portable mergeable state (q231/q234/q236/q262), where
+    * HLL++ bits are locked to one implementation. The exact half
+    * remains split out as [[q62bSketchExact]]. At 100 TB the approx
+    * side stays one mergeable pass per sketch (no distinct shuffle
+    * explosion, no full sort) — that is the point of shipping both. */
+  def q62SketchAudit(s: SparkSession, d: String): DataFrame = {
+    val nB = 256
+    val ev = Tables.events(s, d).select(col("event_type"), col("user_id"), col("value"))
+    val stats = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_users"),
+        expr("percentile(value, 0.5)").as("exact_p50_raw"),
+        min("value").as("lo"), max("value").as("hi"), count(lit(1)).as("n"))
+      .transform(graft.plans.Pin.eager) // |event_type| rows, read 3×
+    val rank = expr("(n + 1) div 2")
+    val bucketed = ev
+      .join(broadcast(stats.select("event_type", "lo", "hi")), Seq("event_type"))
+      .withColumn("b", when(col("hi") === col("lo"), lit(0)).otherwise(
+        least(floor((col("value") - col("lo")) / (col("hi") - col("lo")) * nB)
+          .cast("int"), lit(nB - 1))))
+      .groupBy("event_type", "b").agg(count(lit(1)).as("bc"))
+    val approx = bucketed
+      .withColumn("cum", sum("bc").over(
+        Window.partitionBy("event_type").orderBy("b")))
+      .join(broadcast(stats.select("event_type", "n", "lo", "hi")), Seq("event_type"))
+      .filter(col("cum") >= rank && col("cum") - col("bc") < rank)
+      .select(col("event_type"),
+        (col("lo") + (col("b") + 0.5) * (col("hi") - col("lo")) / nB)
+          .as("approx_p50_raw"))
+    val hll = graft.operators.Hll.estimateDistinct(ev, "user_id", Seq("event_type"))
+      .select(col("event_type"), col("hll_estimate").as("approx_users"))
+    stats.join(hll, Seq("event_type"))
+      .join(approx, Seq("event_type"))
       .select(
         col("event_type"), col("exact_users"), col("approx_users"),
         round(abs(col("approx_users") - col("exact_users")) /
           col("exact_users"), 4).as("users_rel_err"),
-        round(col("exact_p50"), 4).as("exact_p50"),
-        round(col("approx_p50"), 4).as("approx_p50"),
-        round(abs(col("approx_p50") - col("exact_p50")), 4).as("p50_abs_err"))
+        round(col("exact_p50_raw"), 4).as("exact_p50"),
+        round(col("approx_p50_raw"), 4).as("approx_p50"),
+        round(abs(col("approx_p50_raw") - col("exact_p50_raw")), 4).as("p50_abs_err"))
       .orderBy("event_type")
+  }
 
   /** The exact half of the q62 audit, split out for the hash oracle:
     * per event_type, exact distinct users and the exact interpolated
@@ -636,6 +660,60 @@ object TextQueries2 {
         |  count(DISTINCT user_id) AS exact_users,
         |  round(quantile_cont(value, 0.5), 4) AS exact_p50
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the md5-HLL register chain is q231's oracle idiom (b=8, W+1=53,
+    // alpha_256*m^2*2^53 = 4.2399330249068963e20, small-range cut
+    // 2.5m = 640); the histogram median is the Quantiles bucket rule
+    // at rank (n+1) div 2 with the bucket midpoint as the estimate
+    "q62_sketch_audit" ->
+      """WITH ev AS (SELECT event_type, user_id, value FROM events),
+        |st AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |    quantile_cont(value, 0.5) AS exact_p50_raw,
+        |    min(value) AS lo, max(value) AS hi, count(*) AS n
+        |  FROM ev GROUP BY 1),
+        |bk AS (
+        |  SELECT ev.event_type,
+        |    CASE WHEN hi = lo THEN 0
+        |      ELSE least(CAST(floor((value - lo) / (hi - lo) * 256) AS INT), 255)
+        |      END AS b
+        |  FROM ev JOIN st USING (event_type)),
+        |bc AS (SELECT event_type, b, count(*) AS bc FROM bk GROUP BY 1, 2),
+        |ap AS (
+        |  SELECT c.event_type, lo + (b + 0.5) * (hi - lo) / 256 AS approx_p50_raw
+        |  FROM (SELECT event_type, b, bc,
+        |      sum(bc) OVER (PARTITION BY event_type ORDER BY b) AS cum FROM bc) c
+        |  JOIN st USING (event_type)
+        |  WHERE cum >= (n + 1) // 2 AND cum - bc < (n + 1) // 2),
+        |h AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hsh
+        |  FROM ev),
+        |r AS (
+        |  SELECT event_type, hsh % 256 AS j,
+        |    CASE WHEN hsh // 256 > 0 THEN 53 - length(bin(hsh // 256))
+        |      ELSE 53 END AS rnk
+        |  FROM h),
+        |mx AS (SELECT event_type, j, max(rnk) AS mj FROM r GROUP BY 1, 2),
+        |sreg AS (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(1 AS BIGINT) << (53 - mj)) AS BIGINT)
+        |      + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS big_s,
+        |    CAST(count(*) AS BIGINT) AS n_registers_set
+        |  FROM mx GROUP BY 1),
+        |est AS (
+        |  SELECT event_type,
+        |    round(CASE WHEN 4.2399330249068963e+20 / big_s <= 640.0
+        |        AND 256 - n_registers_set > 0
+        |      THEN 256 * ln(256 / CAST(256 - n_registers_set AS DOUBLE))
+        |      ELSE 4.2399330249068963e+20 / big_s END, 2) AS approx_users
+        |  FROM sreg)
+        |SELECT st.event_type, exact_users, approx_users,
+        |  round(abs(approx_users - exact_users) / exact_users, 4) AS users_rel_err,
+        |  round(exact_p50_raw, 4) AS exact_p50,
+        |  round(approx_p50_raw, 4) AS approx_p50,
+        |  round(abs(approx_p50_raw - exact_p50_raw), 4) AS p50_abs_err
+        |FROM st JOIN est USING (event_type) JOIN ap USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "q69_corpus_build" ->
       """WITH base AS (
         |  SELECT doc_id, text,
