@@ -77,6 +77,17 @@ object Seasonal {
     * in-control period); k = slack·σ is the standard allowance (half
     * the shift magnitude worth detecting); the alarm fires where
     * S_t > h·σ. Same daily-rollup input contract as [[anomalies]].
+    *
+    * Engine-stable arithmetic (r11): values are quantized to exact
+    * 1e-4 units (the daily-rollup contract is 2-dp values, so this is
+    * lossless), μ/σ derive from exact BIGINT/DECIMAL power sums with
+    * ONE double conversion each, and the cumulative deviation is
+    * C_t = Σu/1e4 − rn·(μ + slack·σ) — the running sum is exact
+    * integer arithmetic, so the statistic cannot drift on float
+    * accumulation order. The previous avg/stddev_samp baseline summed
+    * doubles in engine-chosen partial-aggregation order, which put
+    * `s` a half-ulp across its 4-dp rounding boundary vs DuckDB at
+    * sf0.001 (0.1335 vs 0.1336 on one row).
     */
   def cusum(daily: DataFrame, keyCol: String, dayCol: String, valCol: String,
       baselineDays: Int = 14, slack: Double = 0.5, h: Double = 4.0): DataFrame = {
@@ -84,18 +95,30 @@ object Seasonal {
     val byKey = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
     val ranked = daily
       .withColumn("__rn", row_number().over(byKey))
+      .withColumn("__u", round(col(valCol) * 10000).cast("long"))
+    val dec = "decimal(38,0)"
     // keys without a FULL baseline are excluded, not scored against a
     // 2-point "in-control period" whose noisy sigma alarms spuriously
     val base = ranked.where(col("__rn") <= baselineDays)
       .groupBy(col(keyCol))
-      .agg(avg(col(valCol)).as("mu"), stddev_samp(col(valCol)).as("sigma"),
+      .agg(sum(col("__u")).as("__sv"),
+        sum(col("__u").cast(dec) * col("__u").cast(dec)).as("__svv"),
         count(lit(1)).as("n_base"))
+      .withColumn("mu", col("__sv").cast("double") / 10000.0 / col("n_base"))
+      // sample stddev from the exact power sums: the n·Σu² − (Σu)²
+      // numerator is DECIMAL(38,0)-exact (u ~ 1e10 at large SF, u²
+      // ~ 1e20 — past BIGINT, far under 1e38), converted to double once
+      .withColumn("sigma",
+        sqrt((col("n_base").cast(dec) * col("__svv") -
+            col("__sv").cast(dec) * col("__sv").cast(dec)).cast("double") /
+          (col("n_base") * (col("n_base") - 1))) / 10000.0)
       .where(col("sigma").isNotNull && col("sigma") > 0.0 &&
         col("n_base") === baselineDays)
+      .select(col(keyCol), col("mu"), col("sigma"))
 
     ranked.join(base, Seq(keyCol))
-      .withColumn("dev", col(valCol) - col("mu") - lit(slack) * col("sigma"))
-      .withColumn("c", sum("dev").over(byKey))
+      .withColumn("c", sum("__u").over(byKey).cast("double") / 10000.0 -
+        col("__rn") * (col("mu") + lit(slack) * col("sigma")))
       .withColumn("cmin", min(least(col("c"), lit(0.0))).over(byKey))
       .withColumn("s", round((col("c") - col("cmin")) / col("sigma"), 4))
       .select(col(keyCol), col(dayCol), col(valCol),

@@ -464,10 +464,13 @@ object TextSearch {
     val den = col("n") * col("sxx") - col("sx") * col("sx")
     val denY = col("n") * col("syy") - col("sy") * col("sy")
     val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    // + 0.0 normalizes IEEE negative zero: on a degenerate fit (constant
+    // vocab across checkpoints) cov rounds to -0.0 in one engine and 0.0
+    // in the other — identical values, different strings under the hash
     val fit = m.select(
-      round(cov / den, 6).as("beta"),
-      round((col("sy") - cov / den * col("sx")) / col("n"), 6).as("ln_k"),
-      round(cov * cov / (den * denY), 6).as("r2"))
+      (round(cov / den, 6) + lit(0.0)).as("beta"),
+      (round((col("sy") - cov / den * col("sx")) / col("n"), 6) + lit(0.0)).as("ln_k"),
+      (round(cov * cov / (den * denY), 6) + lit(0.0)).as("r2"))
     pts.crossJoin(broadcast(fit))
       .select(col("q"), col("__cut").as("doc_id_cut"), col("n_docs"),
         col("n_tokens"), col("vocab"), col("beta"), col("ln_k"), col("r2"))

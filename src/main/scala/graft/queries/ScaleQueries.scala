@@ -593,14 +593,23 @@ object ScaleQueries {
     * level shift in purchase volume from Jan 22 — too small for any
     * single day to z-flag — must raise the sequential alarm within a
     * few days. The recursion runs as the drawup identity (running sum
-    * − running min), two window functions per key, no fold. */
+    * − running min), two window functions per key, no fold. The daily
+    * rollup sums exact per-row cents, not doubles (r11: a raw double
+    * sum lands on the 2-dp rounding boundary at sf0.001 — 251.485 —
+    * where engine-chosen accumulation order decides the rounded
+    * value), so cusum's input is 2-dp exact and the whole chain rides
+    * the operator's fixed-point arithmetic. */
   def q158Cusum(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(round(sum("value"), 2).as("value"))
-      .withColumn("value", round(col("value") *
+      .agg(sum(round(col("value") * 100).cast("long")).as("__cents"))
+      // the +30% shift stays in integer cents (round to an INTEGER,
+      // never round(x, 2): at a near-tie like 251.485 the two engines'
+      // 2-dp round implementations disagree on the same double)
+      .withColumn("value", round(col("__cents") *
         when(col("event_type") === "purchase" && col("day") >= lit("2024-01-22").cast("date"),
-          1.3).otherwise(1.0), 2))
+          1.3).otherwise(1.0)).cast("long") / 100.0)
+      .drop("__cents")
     Seasonal.cusum(daily, "event_type", "day", "value")
   }
 
@@ -1835,28 +1844,38 @@ object ScaleQueries {
     "q158_cusum" ->
       """WITH daily0 AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-        |    round(sum(value), 2) AS value
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |  FROM events GROUP BY 1, 2),
         |daily AS (
         |  SELECT event_type, day,
-        |    round(value * CASE WHEN event_type = 'purchase'
-        |      AND day >= DATE '2024-01-22' THEN 1.3 ELSE 1.0 END, 2) AS value
+        |    CAST(round(cents * CASE WHEN event_type = 'purchase'
+        |      AND day >= DATE '2024-01-22' THEN 1.3 ELSE 1.0 END) AS BIGINT)
+        |      / 100.0 AS value
         |  FROM daily0),
         |r AS (
-        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+        |    CAST(round(value * 10000) AS BIGINT) AS uu
         |  FROM daily),
-        |b AS (
-        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
-        |  FROM r WHERE rn <= 14 GROUP BY 1
-        |  HAVING stddev_samp(value) IS NOT NULL AND stddev_samp(value) > 0
-        |    AND count(*) = 14),
-        |dv AS (
-        |  SELECT r.event_type, r.day, r.value, b.mu, b.sigma,
-        |    r.value - b.mu - 0.5 * b.sigma AS dev
-        |  FROM r JOIN b ON b.event_type = r.event_type),
+        |b0 AS (
+        |  SELECT event_type, CAST(sum(uu) AS BIGINT) AS sv,
+        |    sum(CAST(uu AS DECIMAL(38,0)) * CAST(uu AS DECIMAL(38,0))) AS svv,
+        |    count(*) AS n_base
+        |  FROM r WHERE rn <= 14 GROUP BY 1 HAVING count(*) = 14),
+        |b1 AS (
+        |  SELECT event_type,
+        |    CAST(sv AS DOUBLE) / 10000.0 / n_base AS mu,
+        |    sqrt(CAST(CAST(n_base AS DECIMAL(38,0)) * svv
+        |        - CAST(sv AS DECIMAL(38,0)) * CAST(sv AS DECIMAL(38,0))
+        |        AS DOUBLE)
+        |      / (n_base * (n_base - 1))) / 10000.0 AS sigma
+        |  FROM b0),
+        |b AS (SELECT * FROM b1 WHERE sigma IS NOT NULL AND sigma > 0),
         |c0 AS (
-        |  SELECT *, sum(dev) OVER (PARTITION BY event_type ORDER BY day) AS cs
-        |  FROM dv),
+        |  SELECT r.event_type, r.day, r.value, b.mu, b.sigma,
+        |    CAST(sum(uu) OVER (PARTITION BY r.event_type ORDER BY day)
+        |      AS DOUBLE) / 10000.0
+        |      - rn * (b.mu + 0.5 * b.sigma) AS cs
+        |  FROM r JOIN b ON b.event_type = r.event_type),
         |c AS (
         |  SELECT *, min(least(cs, 0.0))
         |    OVER (PARTITION BY event_type ORDER BY day) AS cmin

@@ -1161,12 +1161,12 @@ object SegmentQueries {
         |SELECT pts.q, pts.cut AS doc_id_cut, pts.n_docs, pts.n_tokens,
         |  pts.vocab,
         |  round((m.n * m.sxy - m.sx * m.sy)
-        |    / (m.n * m.sxx - m.sx * m.sx), 6) AS beta,
+        |    / (m.n * m.sxx - m.sx * m.sx), 6) + 0.0 AS beta,
         |  round((m.sy - (m.n * m.sxy - m.sx * m.sy)
-        |    / (m.n * m.sxx - m.sx * m.sx) * m.sx) / m.n, 6) AS ln_k,
+        |    / (m.n * m.sxx - m.sx * m.sx) * m.sx) / m.n, 6) + 0.0 AS ln_k,
         |  round((m.n * m.sxy - m.sx * m.sy) * (m.n * m.sxy - m.sx * m.sy)
         |    / ((m.n * m.sxx - m.sx * m.sx) * (m.n * m.syy - m.sy * m.sy)), 6)
-        |    AS r2
+        |    + 0.0 AS r2
         |FROM pts CROSS JOIN m ORDER BY q""".stripMargin,
     // the identical RANGE frame in micros; sums in exact cents so
     // windowed-aggregation order cannot show through
