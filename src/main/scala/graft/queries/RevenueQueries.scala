@@ -226,7 +226,32 @@ object RevenueQueries {
       .orderBy("l_linestatus")
   }
 
+  /** Promotion-revenue delta — the TPC-H Q6 shape, the last of the 22
+    * classic plan shapes to land (every other Qn already has an engine
+    * counterpart — Q1→q01 … Q22→q246): ONE lineitem scan with the
+    * date window and quantity bound in PushedFilters, a narrow
+    * discount-band residual, and a single map-side-combinable global
+    * aggregate — the canonical scan-dominated query whose 100 TB cost
+    * IS the scan. The discount band compares exact integer
+    * basis-points (round(l_discount·100) ∈ [5, 7]), never raw doubles
+    * against 0.05/0.07 float literals (the classic Q6 trap: 2-dp
+    * doubles are not exactly representable, so BETWEEN on the raw
+    * column is a half-ulp lottery); revenue = Σ cents·disc_bp in
+    * exact integer 1e-4-dollar units with one final division. */
+  def q284RevenueDelta(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
+        col("l_quantity") < 24)
+      .withColumn("disc_c", round(col("l_discount") * 100).cast("long"))
+      .filter(col("disc_c") >= 5 && col("disc_c") <= 7)
+      .agg(
+        sum(round(col("l_extendedprice") * 100).cast("long") * col("disc_c"))
+          .as("units"),
+        count(lit(1)).as("n_lines"))
+      .select(round(col("units") / 10000.0, 2).as("revenue"), col("n_lines"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q284_revenue_delta" -> (q284RevenueDelta _),
     "q267_returned_topk" -> (q267ReturnedTopk _),
     "q268_promo_share" -> (q268PromoShare _),
     "q269_important_parts" -> (q269ImportantParts _),
@@ -237,6 +262,16 @@ object RevenueQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q284_revenue_delta" ->
+      """WITH f AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS disc_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |    AND l_quantity < 24)
+        |SELECT round(sum(cents * disc_c) / 10000.0, 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM f WHERE disc_c BETWEEN 5 AND 7""".stripMargin,
     "q267_returned_topk" ->
       """WITH r AS (
         |  SELECT l_orderkey,
