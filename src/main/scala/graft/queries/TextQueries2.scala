@@ -550,6 +550,32 @@ object TextQueries2 {
     s"WITH $base,\n${iters.mkString(",\n")}\n$unions\nORDER BY step"
   }
 
+  /** The q287 oracle: the same chain, with the final word state w16
+    * joined to an independent (lang, word) running-word histogram. */
+  private def fertilityOracleSql(nMerges: Int): String = {
+    val chain = bpeOracleSql(nMerges)
+    val body = chain.substring(0, chain.indexOf("\nSELECT 1 AS step"))
+    s"""$body,
+       |wl AS (
+       |  SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+       |    FROM documents) t
+       |  WHERE word <> '' GROUP BY 1, 2),
+       |ws AS (SELECT word, CAST(len(toks) AS BIGINT) AS n_subwords FROM w$nMerges)
+       |SELECT lang,
+       |  CAST(sum(cnt) AS BIGINT) AS total_words,
+       |  CAST(sum(CASE WHEN n_subwords IS NOT NULL THEN cnt ELSE 0 END) AS BIGINT)
+       |    AS covered_words,
+       |  round(100.0 * sum(CASE WHEN n_subwords IS NOT NULL THEN cnt ELSE 0 END)
+       |    / sum(cnt), 4) AS coverage_pct,
+       |  round(CAST(sum(CASE WHEN n_subwords IS NOT NULL THEN cnt * n_subwords
+       |    ELSE 0 END) AS DOUBLE)
+       |    / sum(CASE WHEN n_subwords IS NOT NULL THEN cnt ELSE 0 END), 4)
+       |    AS fertility
+       |FROM wl LEFT JOIN ws USING (word)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** The q241 oracle: the same chain, but the result is the FINAL
     * word state w16 exploded to its subword units. */
   private def bpeSubwordsOracleSql(nMerges: Int): String = {
@@ -584,7 +610,51 @@ object TextQueries2 {
       .limit(25)
   }
 
+  /** Tokenizer fertility by language — the tokenizer-equity audit the
+    * multilingual-LM literature reports (BLOOM, Scao et al. 2022: a
+    * tokenizer trained on skewed data costs under-represented
+    * languages more subwords per word, i.e. fewer effective context
+    * tokens): with the q237-trained 16-merge BPE, per language the
+    * share of running words the learned vocabulary covers and the
+    * FERTILITY (subword units per covered word). Words are the
+    * histogram tokenization (lower, [^a-z]+ split); the vocabulary is
+    * the top-1500 word table, so coverage is itself a reported column
+    * rather than a silent cap. Scale shape: ONE corpus word
+    * aggregate keyed by (lang, word) (map-side combinable), then a
+    * broadcast join against the 1500-row encode table — the corpus
+    * never meets the merge loop. Oracle: the q237 CTE chain's final
+    * state w16 joined to the same (lang, word) histogram. */
+  def q287TokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val merges = graft.operators.Bpe
+      .learnMerges(dd, "text", nMerges = 16, topWords = 1500)
+      .orderBy("step").collect()
+      .map(r => (r.getAs[String]("lsym"), r.getAs[String]("rsym"))).toSeq
+    val enc = graft.operators.Bpe.encode(dd, "text", merges, topWords = 1500)
+      .select(col("word"), size(col("toks")).cast("long").as("n_subwords"))
+    val byLangWord = dd
+      .select(col("lang"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+    byLangWord.join(broadcast(enc), Seq("word"), "left")
+      .groupBy("lang")
+      .agg(
+        sum("cnt").as("total_words"),
+        sum(when(col("n_subwords").isNotNull, col("cnt")).otherwise(0L))
+          .as("covered_words"),
+        sum(when(col("n_subwords").isNotNull, col("cnt") * col("n_subwords"))
+          .otherwise(0L)).as("subword_units"))
+      .select(col("lang"), col("total_words"), col("covered_words"),
+        round(lit(100.0) * col("covered_words") / col("total_words"), 4)
+          .as("coverage_pct"),
+        round(col("subword_units").cast("double") / col("covered_words"), 4)
+          .as("fertility"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q287_tokenizer_fertility" -> (q287TokenizerFertility _),
     "q237_bpe_vocab" -> (q237BpeVocab _),
     "q241_bpe_subwords" -> (q241BpeSubwords _),
     "q107_quality_classifier" -> (q107QualityClassifier _),
@@ -610,6 +680,7 @@ object TextQueries2 {
   val oracles: Map[String, String] = Map(
     "q237_bpe_vocab" -> bpeOracleSql(16),
     "q241_bpe_subwords" -> bpeSubwordsOracleSql(16),
+    "q287_tokenizer_fertility" -> fertilityOracleSql(16),
     // the KPS no-false-negative contract makes in_sketch/n_missed
     // deterministic for true heavy hitters — the oracle states the
     // contract-mandated values, so the hash check IS the contract check

@@ -78,9 +78,90 @@ object WebQueries {
       .orderBy("host")
   }
 
+  /** Incremental canonical-URL census merge — the q140 additive-merge
+    * discipline applied to the crawl front door: the persisted census
+    * (everything but the "new crawl day", doc_id % 7 = 3) absorbs the
+    * day's batch with untouched canonical keys passing through a
+    * left-anti untouched; only touched keys re-merge partials
+    * (sum fetch counts, min survivor — both mergeable). The ORACLE is
+    * the full-corpus REBUILD, so the hash match IS the incremental ≡
+    * batch proof (the q129/q140 shape). At 100 TB history is never
+    * re-aggregated: the merge costs one batch-key broadcast anti/semi
+    * against the census plus a batch-sized re-aggregate. */
+  def q285UrlCensusMerge(s: SparkSession, d: String): DataFrame = {
+    val crawl = Tables.documents(s, d)
+      .select(col("doc_id"), expr(synthUrl).as("url"))
+    val isBatch = col("doc_id") % 7 === 3
+    val base = Urls.canonicalDedup(crawl.filter(!isBatch), "url", "doc_id")
+      .transform(graft.plans.Pin.eager) // the persisted-census stand-in
+    val batch = Urls.canonicalDedup(crawl.filter(isBatch), "url", "doc_id")
+    val touched = batch.select("canonical_url")
+    val untouched = base.join(broadcast(touched), Seq("canonical_url"), "left_anti")
+    val merged = base.join(broadcast(touched), Seq("canonical_url"), "left_semi")
+      .unionByName(batch)
+      .groupBy("canonical_url")
+      .agg(sum("n_fetches").as("n_fetches"), min("survivor_id").as("survivor_id"))
+    untouched.unionByName(merged).orderBy("canonical_url")
+  }
+
+  /** Crawl-frontier scoring — what a 100 TB crawler computes before
+    * fetching: the day's candidate URLs (doc_id % 7 = 3), NOVEL only
+    * (anti-join against the seen census; the Bloom-gated variant is
+    * q84's discipline when the census outgrows a shuffle), ranked
+    * within each host by path depth (shallow pages first — the
+    * classic frontier heuristic) and gated by the host prior
+    * (organic share / dup ratio from q282's signals). Top-3 per host
+    * via a rank window (WindowGroupLimit-bounded). The anti join is
+    * the only row-scale shuffle; priors are host-scale and the
+    * candidate frame is batch-scale. */
+  def q286CrawlFrontier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // planted candidates: the synthetic batch's canonicals all exist in
+    // the census (the generator cycles a bounded key space), so novelty
+    // is planted — three genuinely-new pages across two hosts exercising
+    // the depth ranking, plus −4, a raw VARIANT of a seen page (case/
+    // slash/tracking noise over docs/0) that the anti join MUST drop
+    val planted = Seq(
+      (-1L, "https://src0.example.com/fresh/a"),
+      (-2L, "https://src0.example.com/fresh/a/b/c?utm_source=x"),
+      (-3L, "https://WWW.src1.example.com/fresh"),
+      (-4L, "https://src0.example.com/docs/0/?utm_campaign=z&v=2&id=0#x"))
+      .toDF("doc_id", "url")
+    val crawl = Tables.documents(s, d)
+      .select(col("doc_id"), expr(synthUrl).as("url"))
+      .unionByName(planted)
+    val isBatch = col("doc_id") % 7 === 3 || col("doc_id") < 0
+    val seen = Urls.canonicalDedup(crawl.filter(!isBatch), "url", "doc_id")
+      .select("canonical_url")
+    val priors = Urls.hostPriors(crawl.filter(!isBatch), "url")
+      .withColumn("host_score",
+        round((lit(100.0) - col("tracking_pct")) / col("dup_ratio"), 4))
+      .select("host", "host_score")
+    val candidates = crawl.filter(isBatch)
+      .select(Urls.canonicalHost(col("url")).as("host"),
+        Urls.canonicalize(col("url")).as("canonical_url"))
+      .distinct()
+      .join(seen, Seq("canonical_url"), "left_anti")
+    val path = regexp_extract(col("canonical_url"),
+      "^[a-z0-9+.-]+://[^/?]*([^?]*)", 1)
+    candidates
+      .join(priors, Seq("host")) // host-scale: no broadcast hint, AQE sizes it
+      .withColumn("path_depth",
+        size(filter(split(path, "/"), x => x =!= "")).cast("int"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("host")
+          .orderBy(col("path_depth"), col("canonical_url"))))
+      .filter(col("rank") <= 3)
+      .select(col("host"), col("rank"), col("canonical_url"),
+        col("path_depth"), col("host_score"))
+      .orderBy("host", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q281_url_canonical" -> (q281UrlCanonical _),
-    "q282_host_priors" -> (q282HostPriors _)
+    "q282_host_priors" -> (q282HostPriors _),
+    "q285_url_census_merge" -> (q285UrlCensusMerge _),
+    "q286_crawl_frontier" -> (q286CrawlFrontier _)
   )
 
   /** The DuckDB canonicalizer: the same regex parts and list ops as
@@ -162,6 +243,52 @@ object WebQueries {
          |  round(100.0 * sum(CASE WHEN has_tracking THEN 1 ELSE 0 END)
          |    / count(*), 4) AS tracking_pct,
          |  round(avg(n_chars), 4) AS avg_chars
-         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the oracle is the FULL-corpus rebuild — the engine computes the
+    // incremental merge, so the hash match proves incremental = batch
+    "q285_url_census_merge" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, 0 AS n_chars, $duckSynthUrl AS url FROM documents),
+         |$duckCanonParts
+         |SELECT canonical_url, count(*) AS n_fetches,
+         |  min(doc_id) AS survivor_id
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q286_crawl_frontier" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, 0 AS n_chars, $duckSynthUrl AS url FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (-1, 0, 'https://src0.example.com/fresh/a'),
+         |    (-2, 0, 'https://src0.example.com/fresh/a/b/c?utm_source=x'),
+         |    (-3, 0, 'https://WWW.src1.example.com/fresh'),
+         |    (-4, 0, 'https://src0.example.com/docs/0/?utm_campaign=z&v=2&id=0#x'))
+         |    v(doc_id, n_chars, url)),
+         |$duckCanonParts,
+         |base AS (SELECT * FROM c WHERE NOT (doc_id % 7 = 3) AND doc_id >= 0),
+         |batch AS (SELECT * FROM c WHERE doc_id % 7 = 3 OR doc_id < 0),
+         |seen AS (SELECT DISTINCT canonical_url FROM base),
+         |pri AS (
+         |  SELECT host,
+         |    round((100.0 - round(100.0 * sum(CASE WHEN has_tracking THEN 1
+         |        ELSE 0 END) / count(*), 4))
+         |      / round(count(*) / CAST(count(DISTINCT canonical_url) AS DOUBLE),
+         |        4), 4) AS host_score
+         |  FROM base GROUP BY 1),
+         |cand AS (
+         |  SELECT DISTINCT b.host, b.canonical_url FROM batch b
+         |  WHERE b.canonical_url NOT IN (SELECT canonical_url FROM seen)),
+         |scored AS (
+         |  SELECT cand.host, cand.canonical_url, pri.host_score,
+         |    CAST(len(list_filter(string_split(
+         |      regexp_extract(cand.canonical_url,
+         |        '^[a-z0-9+.-]+://[^/?]*([^?]*)', 1), '/'),
+         |      x -> x <> '')) AS INT) AS path_depth
+         |  FROM cand JOIN pri USING (host))
+         |SELECT host,
+         |  CAST(row_number() OVER (PARTITION BY host
+         |    ORDER BY path_depth, canonical_url) AS INT) AS rank,
+         |  canonical_url, path_depth, host_score
+         |FROM scored QUALIFY rank <= 3
+         |ORDER BY host, rank""".stripMargin
   )
 }

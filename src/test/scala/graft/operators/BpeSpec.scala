@@ -79,4 +79,21 @@ class BpeSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(out == Map("aa" -> 1, "ab" -> 1))
   }
+
+  test("q287 fertility: bounds hold and accounting is internally consistent") {
+    val rows = graft.queries.TextQueries2
+      .q287TokenizerFertility(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val total = r.getAs[Long]("total_words")
+      val covered = r.getAs[Long]("covered_words")
+      assert(covered <= total && covered > 0)
+      assert(r.getAs[Double]("coverage_pct") <= 100.0)
+      // a word costs at least its </w> unit: fertility >= 1; and a
+      // 16-merge baby tokenizer can't beat character-level by much:
+      // well under the 13-unit ceiling (12-char word + </w>)
+      val f = r.getAs[Double]("fertility")
+      assert(f >= 1.0 && f <= 13.0, s"fertility out of range: $r")
+    }
+  }
 }

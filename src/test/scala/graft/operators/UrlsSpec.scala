@@ -92,6 +92,37 @@ class UrlsSpec extends AnyFunSuite {
     }
   }
 
+  test("q285: incremental census merge equals the batch rebuild") {
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    val merged = graft.queries.WebQueries.q285UrlCensusMerge(s, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    // q281 IS the full rebuild over the same synthetic crawl, plus its
+    // own example.org plants — drop those and the two must be identical
+    val rebuilt = graft.queries.WebQueries.q281UrlCanonical(s, sf)
+      .filter(!col("canonical_url").contains("example.org"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(merged.nonEmpty)
+    assert(merged.toSeq == rebuilt.toSeq,
+      "incremental merge must equal the batch rebuild row for row")
+  }
+
+  test("q286: planted novel pages rank by depth; the seen variant is dropped") {
+    val rows = graft.queries.WebQueries.q286CrawlFrontier(spark, "/root/testdata/sf0.001")
+      .collect()
+    val urls = rows.map(_.getAs[String]("canonical_url")).toSet
+    assert(urls.contains("https://src0.example.com/fresh/a"))
+    assert(urls.contains("https://src0.example.com/fresh/a/b/c"))
+    assert(urls.contains("https://src1.example.com/fresh"))
+    // -4 is a raw variant of seen docs/0 and must NOT surface
+    assert(!urls.exists(_.contains("/docs/0")))
+    // within src0, the shallower page wins rank 1
+    val src0 = rows.filter(_.getAs[String]("host") == "src0.example.com")
+      .sortBy(_.getAs[Int]("rank"))
+    assert(src0.head.getAs[String]("canonical_url").endsWith("/fresh/a"))
+    assert(src0.head.getAs[Int]("path_depth") < src0.last.getAs[Int]("path_depth"))
+  }
+
   test("host priors: dup ratio and tracking share over a planted host") {
     val s = spark; import s.implicits._
     val crawl = Seq(
