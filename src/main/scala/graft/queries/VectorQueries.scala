@@ -32,6 +32,44 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Matryoshka-truncation audit (Kusupati et al. 2022, MRL): retrieve
+    * with the FIRST 16 of 64 dims, audit against the full-dim exact
+    * top-10 — the "how much recall does a 4× cheaper index lose"
+    * readout behind every tiered retrieval stack (coarse search on a
+    * dim prefix, rerank survivors at full width). Each hit carries its
+    * prefix-dim score, the full-dim score RECOMPUTED for that pair
+    * (the rerank signal — a tiny candidates×1 join, never a second
+    * corpus pass), the in_exact flag, and per-query recall. At 100 TB
+    * the prefix corpus is the index working set: the same memory-lever
+    * argument as int8 quantization (q66), composable with it. Full
+    * hash oracle — slicing and cosine are exact arithmetic on both
+    * engines. */
+  def q288Matryoshka(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val tr = emb.select(col("vec_id"), expr("slice(embedding, 1, 16)").as("embedding"))
+    val approx = Similarity.bruteForceTopK(
+        s, tr, tr.filter(col("vec_id") < NQueries), k = 10)
+      .withColumnRenamed("sim", "sim16")
+    val exact = Similarity.bruteForceTopK(
+        s, emb, emb.filter(col("vec_id") < NQueries), k = 10)
+    // rerank signal: the full-dim score for each surviving pair — a
+    // 10·NQueries-row frame joined to the corpus by id (broadcast the
+    // tiny pair side), plus the broadcast query vectors
+    val full = approx.select("query_id", "vec_id")
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(expr("cosine_sim(embedding, q_emb)"), 6).as("sim64"))
+    Similarity.recallVsExact(approx, exact.select("query_id", "vec_id"), 10)
+      .join(broadcast(full), Seq("query_id", "vec_id"))
+      .select(col("query_id"), col("rank"), col("vec_id"), col("sim16"),
+        col("sim64"), col("in_exact"), col("recall_vs_exact"))
+      .orderBy("query_id", "rank")
+  }
+
   /** LSH-bucketed approximate top-10 for the same query set, annotated
     * with per-query recall against the exact result — FULL hash oracle
     * in the md5 SRP-sign bucket mode (q41/q112 idiom): DuckDB
@@ -373,6 +411,7 @@ object VectorQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q288_matryoshka" -> (q288Matryoshka _),
     "q280_hard_negatives_lsh" -> (q280HardNegativesLsh _),
     "q119_pq_adc" -> (q119PqAdc _),
     "q100_kmeans_trace" -> (q100KmeansTrace _),
@@ -584,6 +623,44 @@ object VectorQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q288_matryoshka" ->
+      s"""WITH e0 AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e64 FROM embeddings),
+         |e AS (SELECT vec_id, e64, e64[1:16] AS e16 FROM e0),
+         |q AS (
+         |  SELECT vec_id AS query_id, e16 AS q16, e64 AS q64 FROM e
+         |  WHERE vec_id < $NQueries),
+         |ap AS (
+         |  SELECT q.query_id, e.vec_id,
+         |    round(list_cosine_similarity(e.e16, q.q16), 6) AS sim16,
+         |    CAST(row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY round(list_cosine_similarity(e.e16, q.q16), 6) DESC,
+         |        e.vec_id) AS INT) AS rank
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+         |  QUALIFY rank <= 10),
+         |ex AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY round(list_cosine_similarity(e.e64, q.q64), 6) DESC,
+         |          e.vec_id) AS r
+         |    FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id) t WHERE r <= 10),
+         |nex AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1),
+         |f AS (
+         |  SELECT ap.query_id, ap.vec_id,
+         |    round(list_cosine_similarity(e.e64, q.q64), 6) AS sim64
+         |  FROM ap JOIN e ON e.vec_id = ap.vec_id
+         |  JOIN q ON q.query_id = ap.query_id)
+         |SELECT ap.query_id, ap.rank, ap.vec_id, ap.sim16, f.sim64,
+         |  CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END AS in_exact,
+         |  round(CAST(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY ap.query_id) AS DOUBLE) / nex.n_exact, 2)
+         |    AS recall_vs_exact
+         |FROM ap
+         |LEFT JOIN ex ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+         |JOIN nex ON nex.query_id = ap.query_id
+         |JOIN f ON f.query_id = ap.query_id AND f.vec_id = ap.vec_id
+         |ORDER BY ap.query_id, ap.rank""".stripMargin,
     // codes via the q111/q112 md5-parity idiom on ROUNDED projections;
     // band packing is the same integer left fold both engines run
     "q280_hard_negatives_lsh" ->

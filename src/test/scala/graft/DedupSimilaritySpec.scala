@@ -450,6 +450,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q288 matryoshka: a prefix-aligned planted neighbor wins both spaces") {
+    val s = spark; import s.implicits._
+    // planted: query q (energy in the first 2 dims), its clone c
+    // (identical — must be rank 1 in both prefix and full space with
+    // sim 1.0), a prefix-only impostor p (matches q on dims 1-2,
+    // orthogonal tail — near-top in prefix space, demoted at full
+    // width: the rerank case the audit exists to expose), and noise
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val emb = Seq(
+      (0L, v(1, 1, 0, 0, 0, 0, 0, 0)),  // the query
+      (10L, v(1, 1, 0, 0, 0, 0, 0, 0)), // exact clone
+      (11L, v(1, 1, 9, 9, 9, 9, 9, 9)), // prefix impostor
+      (12L, v(0, 0, 1, 1, 1, 1, 1, 1))) // orthogonal-prefix control
+      .toDF("vec_id", "embedding")
+    graft.plans.GraftFunctions.register(s)
+    val tr = emb.selectExpr("vec_id", "slice(embedding, 1, 2) AS embedding")
+    val approx = Similarity.bruteForceTopK(s, tr, tr.filter(col("vec_id") === 0), k = 3)
+    val exact = Similarity.bruteForceTopK(s, emb, emb.filter(col("vec_id") === 0), k = 3)
+    val ap = approx.collect().map(r => r.getAs[Int]("rank") -> r.getAs[Long]("vec_id")).toMap
+    val ex = exact.collect().map(r => r.getAs[Int]("rank") -> r.getAs[Long]("vec_id")).toMap
+    // prefix space: clone and impostor TIE at sim 1.0 (ids break the
+    // tie); full space: the impostor falls behind the clone
+    assert(ap(1) == 10L && ap(2) == 11L, s"prefix ranks: $ap")
+    assert(ex(1) == 10L, s"full ranks: $ex")
+    val exSims = exact.collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim")).toMap
+    assert(exSims(10L) == 1.0)
+    assert(exSims(11L) < 0.2, s"impostor must be demoted at full width: $exSims")
+  }
+
   test("multimodal stub pipeline: binary plumbing produces length-derived features") {
     val s = spark; import s.implicits._
     val df = Seq((7L, "abcdefgh", "en", "srcX", 8L)).toDF("doc_id", "text", "lang", "source", "n_chars")
