@@ -42,8 +42,15 @@ object Urls {
     * that vary per fetch without changing the page. */
   val TrackingParamRegex = "^(utm_[^=]*|gclid|fbclid|ref|sessionid|msclkid)(=|$)"
 
+  /** Authority with any RFC-3986 `userinfo@` prefix stripped (userinfo
+    * may not contain `/` or `@`, so the prefix regex is exact). The
+    * canonicalizer's PRECONDITION is an absolute, scheme-qualified URL
+    * — a schemeless input yields empty scheme/host and the row should
+    * be filtered by the caller, not silently canonicalized. */
   private def authority(url: Column): Column =
-    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    regexp_replace(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+      "^[^/@]*@", "")
 
   /** Canonical (lowercased, `www.`-stripped) host of a raw URL. */
   def canonicalHost(url: Column): Column =

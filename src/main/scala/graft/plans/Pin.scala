@@ -35,4 +35,14 @@ object Pin {
   /** Lazy pin — `localCheckpoint(false)`: materializes on first action. */
   def lazily[T](ds: Dataset[T]): Dataset[T] =
     if (disabled) ds else ds.localCheckpoint(false)
+
+  /** Snapshot pin — eager and IMMUNE to the kill switch. For
+    * snapshot-before-mutation sites (a probe result pinned immediately
+    * before `appendToLshIndex`/`appendToIvfIndex` mutates the persisted
+    * index it read): there eagerness is ORDERING-CRITICAL, not
+    * plan-cosmetic — with the flag set, a lazy frame would re-read the
+    * post-append index on first action and silently return wrong rows.
+    * Like the loop-carried checkpoints, what these hide is documented
+    * per query in plans.sh rather than un-hidden by the flag. */
+  def snapshot[T](ds: Dataset[T]): Dataset[T] = ds.localCheckpoint(true)
 }

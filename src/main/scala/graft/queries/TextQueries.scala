@@ -198,7 +198,7 @@ object TextQueries {
     val batch1 = Seq((-100L, rep(cycleA, 4)), (-101L, rep(cycleB, 3)))
       .toDF("doc_id", "text")
     val p1 = Dedup.nearDupsFromLshIndex(s, batch1, "graft_lsh_q108")
-      .withColumn("phase", lit(1)).transform(Pin.eager)
+      .withColumn("phase", lit(1)).transform(Pin.snapshot) // snapshot BEFORE the index append mutates what it read
     Dedup.appendToLshIndex(s, batch1, "graft_lsh_q108")
     val batch2 = Seq((-200L, rep(cycleB, 4))).toDF("doc_id", "text")
     val p2 = Dedup.nearDupsFromLshIndex(s, batch2, "graft_lsh_q108")

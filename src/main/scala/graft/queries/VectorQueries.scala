@@ -246,7 +246,7 @@ object VectorQueries {
     val q = emb.filter(col("vec_id") < NQueries)
     Similarity.writeIvfIndex(s, emb, "graft_ivf_q110", nCentroids = 16, buckets = 8)
     val pre = Similarity.ivfTopKFromIndex(s, "graft_ivf_q110", q, k = 10, nProbe = 4)
-      .withColumn("phase", lit(1)).transform(Pin.eager)
+      .withColumn("phase", lit(1)).transform(Pin.snapshot) // snapshot BEFORE the index append mutates what it read
     val batch = q.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
     Similarity.appendToIvfIndex(s, batch, "graft_ivf_q110")
     val post = Similarity.ivfTopKFromIndex(s, "graft_ivf_q110", q, k = 10, nProbe = 4)

@@ -40,10 +40,11 @@ object WebQueries {
   /** Canonical-URL dedup census: every fetch variant of a page —
     * tracking params, host case, default port, trailing slash, param
     * order, fragment — collapses to one canonical row with its fetch
-    * count and min-id survivor. Planted: ids −1/−2/−4 are three raw
+    * count and min-id survivor. Planted: ids −1/−2/−4/−5 are four raw
     * variants of ONE canonical URL (www+case+port+slash+utm noise,
-    * param order scrambled, a gclid) and must collapse to n_fetches=3
-    * survivor −4; −3 is the same page over plain http and must stay
+    * param order scrambled, a gclid, a `user:pw@` userinfo prefix) and
+    * must collapse to n_fetches=4 survivor −5; −3 is the same page
+    * over plain http and must stay
     * its own row (scheme is identity-bearing). Scale: canonicalization
     * is row-local; the census is ONE map-side-combinable groupBy on
     * the canonical string, output bounded by distinct canonical URLs. */
@@ -53,7 +54,8 @@ object WebQueries {
       (-1L, "https://www.Example.ORG:443/a/b/?utm_source=x&z=1&a=2#top"),
       (-2L, "HTTPS://example.org/a/b?a=2&z=1"),
       (-3L, "http://example.org:80/a/b?a=2&z=1"),
-      (-4L, "https://example.org/a/b?a=2&z=1&gclid=abc"))
+      (-4L, "https://example.org/a/b?a=2&z=1&gclid=abc"),
+      (-5L, "https://user:pw@example.org:443/a/b?z=1&a=2"))
       .toDF("doc_id", "url")
     val crawl = Tables.documents(s, d)
       .select(col("doc_id"), expr(synthUrl).as("url"))
@@ -86,8 +88,14 @@ object WebQueries {
     * (sum fetch counts, min survivor — both mergeable). The ORACLE is
     * the full-corpus REBUILD, so the hash match IS the incremental ≡
     * batch proof (the q129/q140 shape). At 100 TB history is never
-    * re-aggregated: the merge costs one batch-key broadcast anti/semi
-    * against the census plus a batch-sized re-aggregate. */
+    * re-aggregated: the merge costs one anti/semi join of the census
+    * against the batch's canonical keys plus a batch-sized
+    * re-aggregate. The touched-key side carries NO broadcast hint —
+    * a real crawl day is ~10⁸ canonical keys (census-scale), past any
+    * safe broadcast; AQE sizes the join at runtime (small batch →
+    * runtime broadcast, census-scale batch → shuffle), the q286
+    * idiom, with q84's Bloom gate as the next tier if even the
+    * shuffled anti-join dominates. */
   def q285UrlCensusMerge(s: SparkSession, d: String): DataFrame = {
     val crawl = Tables.documents(s, d)
       .select(col("doc_id"), expr(synthUrl).as("url"))
@@ -96,8 +104,8 @@ object WebQueries {
       .transform(graft.plans.Pin.eager) // the persisted-census stand-in
     val batch = Urls.canonicalDedup(crawl.filter(isBatch), "url", "doc_id")
     val touched = batch.select("canonical_url")
-    val untouched = base.join(broadcast(touched), Seq("canonical_url"), "left_anti")
-    val merged = base.join(broadcast(touched), Seq("canonical_url"), "left_semi")
+    val untouched = base.join(touched, Seq("canonical_url"), "left_anti")
+    val merged = base.join(touched, Seq("canonical_url"), "left_semi")
       .unionByName(batch)
       .groupBy("canonical_url")
       .agg(sum("n_fetches").as("n_fetches"), min("survivor_id").as("survivor_id"))
@@ -125,7 +133,11 @@ object WebQueries {
       (-1L, "https://src0.example.com/fresh/a"),
       (-2L, "https://src0.example.com/fresh/a/b/c?utm_source=x"),
       (-3L, "https://WWW.src1.example.com/fresh"),
-      (-4L, "https://src0.example.com/docs/0/?utm_campaign=z&v=2&id=0#x"))
+      (-4L, "https://src0.example.com/docs/0/?utm_campaign=z&v=2&id=0#x"),
+      // −5: a host the census has NEVER seen — exercises the
+      // unseen-host neutral prior (a frontier that can only rank hosts
+      // it already crawled can never discover a new one)
+      (-5L, "https://brand-new.example.net/landing"))
       .toDF("doc_id", "url")
     val crawl = Tables.documents(s, d)
       .select(col("doc_id"), expr(synthUrl).as("url"))
@@ -145,7 +157,12 @@ object WebQueries {
     val path = regexp_extract(col("canonical_url"),
       "^[a-z0-9+.-]+://[^/?]*([^?]*)", 1)
     candidates
-      .join(priors, Seq("host")) // host-scale: no broadcast hint, AQE sizes it
+      // LEFT join: a novel URL on a host absent from the census must
+      // survive with a neutral prior (100.0 = zero tracking at
+      // dup_ratio 1 — "no evidence against"), or the frontier could
+      // never discover a new host. Host-scale: no hint, AQE sizes it.
+      .join(priors, Seq("host"), "left")
+      .withColumn("host_score", coalesce(col("host_score"), lit(100.0)))
       .withColumn("path_depth",
         size(filter(split(path, "/"), x => x =!= "")).cast("int"))
       .withColumn("rank", row_number().over(
@@ -187,7 +204,9 @@ object WebQueries {
     """parts AS (
       |  SELECT doc_id, n_chars, url,
       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+      |    regexp_replace(
+      |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+      |      '^[^/@]*@', '') AS auth,
       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
       |    regexp_extract(url, '\?([^#]*)', 1) AS query
       |  FROM u),
@@ -226,7 +245,8 @@ object WebQueries {
          |    (-1, 0, 'https://www.Example.ORG:443/a/b/?utm_source=x&z=1&a=2#top'),
          |    (-2, 0, 'HTTPS://example.org/a/b?a=2&z=1'),
          |    (-3, 0, 'http://example.org:80/a/b?a=2&z=1'),
-         |    (-4, 0, 'https://example.org/a/b?a=2&z=1&gclid=abc'))
+         |    (-4, 0, 'https://example.org/a/b?a=2&z=1&gclid=abc'),
+         |    (-5, 0, 'https://user:pw@example.org:443/a/b?z=1&a=2'))
          |    v(doc_id, n_chars, url)),
          |$duckCanonParts
          |SELECT canonical_url, count(*) AS n_fetches,
@@ -261,7 +281,8 @@ object WebQueries {
          |    (-1, 0, 'https://src0.example.com/fresh/a'),
          |    (-2, 0, 'https://src0.example.com/fresh/a/b/c?utm_source=x'),
          |    (-3, 0, 'https://WWW.src1.example.com/fresh'),
-         |    (-4, 0, 'https://src0.example.com/docs/0/?utm_campaign=z&v=2&id=0#x'))
+         |    (-4, 0, 'https://src0.example.com/docs/0/?utm_campaign=z&v=2&id=0#x'),
+         |    (-5, 0, 'https://brand-new.example.net/landing'))
          |    v(doc_id, n_chars, url)),
          |$duckCanonParts,
          |base AS (SELECT * FROM c WHERE NOT (doc_id % 7 = 3) AND doc_id >= 0),
@@ -278,12 +299,13 @@ object WebQueries {
          |  SELECT DISTINCT b.host, b.canonical_url FROM batch b
          |  WHERE b.canonical_url NOT IN (SELECT canonical_url FROM seen)),
          |scored AS (
-         |  SELECT cand.host, cand.canonical_url, pri.host_score,
+         |  SELECT cand.host, cand.canonical_url,
+         |    coalesce(pri.host_score, 100.0) AS host_score,
          |    CAST(len(list_filter(string_split(
          |      regexp_extract(cand.canonical_url,
          |        '^[a-z0-9+.-]+://[^/?]*([^?]*)', 1), '/'),
          |      x -> x <> '')) AS INT) AS path_depth
-         |  FROM cand JOIN pri USING (host))
+         |  FROM cand LEFT JOIN pri USING (host))
          |SELECT host,
          |  CAST(row_number() OVER (PARTITION BY host
          |    ORDER BY path_depth, canonical_url) AS INT) AS rank,

@@ -55,6 +55,14 @@ class UrlsSpec extends AnyFunSuite {
     assert(canon("https://e.com/p#sec") == "https://e.com/p")
   }
 
+  test("userinfo strips from the authority; host and port still parse") {
+    assert(canon("https://user@example.com/x") == "https://example.com/x")
+    assert(canon("https://user:pw@WWW.Example.COM:443/x") == "https://example.com/x")
+    assert(canon("https://user:pw@example.com:8443/x") == "https://example.com:8443/x")
+    // an @ AFTER the authority (in path or query) is not userinfo
+    assert(canon("https://e.com/p?mail=a@b.com") == "https://e.com/p?mail=a@b.com")
+  }
+
   test("canonicalization is idempotent") {
     val urls = Seq(
       "HTTPS://WWW.E.com:443/a/b/?utm_source=x&z=1&a=2#top",
@@ -121,6 +129,11 @@ class UrlsSpec extends AnyFunSuite {
       .sortBy(_.getAs[Int]("rank"))
     assert(src0.head.getAs[String]("canonical_url").endsWith("/fresh/a"))
     assert(src0.head.getAs[Int]("path_depth") < src0.last.getAs[Int]("path_depth"))
+    // -5's host has never been crawled: it must SURVIVE with the
+    // neutral prior, not vanish into an inner join
+    val newHost = rows.filter(_.getAs[String]("host") == "brand-new.example.net")
+    assert(newHost.length == 1)
+    assert(newHost.head.getAs[Double]("host_score") == 100.0)
   }
 
   test("host priors: dup ratio and tracking share over a planted host") {
