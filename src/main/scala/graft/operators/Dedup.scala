@@ -505,14 +505,13 @@ object Dedup {
     // candidates, and verified pairs are all engine-replicable
     val bucketed = if (md5Mode) {
       val m = nBits * tables
+      // one native project+pack pass per row (srp_band_keys_lsb, bit
+      // b → 1<<b within each nBits-wide table slice — bit-identical to
+      // the interpreted transform/aggregate fold it replaced);
+      // posexplode's position is the table id
       emb.select(col(idCol).as("id"), col(embCol).as("e"),
-          expr(s"srp_project($embCol, $m)").as("__proj"))
-        .select(col("id"), col("e"), explode(expr(
-          s"""transform(sequence(0, ${tables - 1}), t -> struct(t AS tbl,
-             |  aggregate(sequence(0, ${nBits - 1}), 0, (a, b) ->
-             |    a + IF(round(element_at(__proj, t * $nBits + b + 1), 6) >= 0D,
-             |      shiftleft(1, b), 0)) AS bucket))""".stripMargin)).as("tb"))
-        .select(col("id"), col("e"), col("tb.tbl"), col("tb.bucket"))
+          posexplode(expr(s"srp_band_keys_lsb($embCol, $m, $nBits)"))
+            .as(Seq("tbl", "bucket")))
     } else {
       val tableBuckets = (0 until tables)
         .map(t => s"struct($t AS tbl, lsh_bucket($embCol, $nBits, $t) AS bucket)")

@@ -665,20 +665,17 @@ object Similarity {
     // the 6-dp-rounded projections — the q112/q41 convention) instead
     // of xxhash64 hyperplanes, making candidates externally
     // replicable; the multiprobe bit flips are plain integer XOR
-    // either way. The projection is computed ONCE per row and every
-    // table reads its slice.
+    // either way. All L table buckets come out of ONE native
+    // project+pack pass per row (srp_band_keys_lsb; replaces the
+    // nested interpreted transform/aggregate HOFs — the q260 lesson);
+    // posexplode's position IS the table id.
     val m = nBits * tables
-    def md5Bucket(projCol: String) =
-      s"""aggregate(sequence(0, ${nBits - 1}), 0, (a, b) ->
-         |  a + IF(round(element_at($projCol, t * $nBits + b + 1), 6) >= 0D,
-         |    shiftleft(1, b), 0))""".stripMargin
     val bucketed = (if (md5Mode)
       corpus.select(col("vec_id"), col("embedding"),
-          expr(s"srp_project(embedding, $m)").as("__p"))
-        .select(col("vec_id"), col("embedding"), explode(expr(
-          s"""transform(sequence(0, ${tables - 1}), t ->
-             |  struct(t AS tbl, ${md5Bucket("__p")} AS bucket))""".stripMargin))
-          .as("tb"))
+          posexplode(expr(s"srp_band_keys_lsb(embedding, $m, $nBits)"))
+            .as(Seq("ptbl", "pbucket")))
+        .select(col("vec_id"), col("embedding"),
+          struct(col("ptbl").as("tbl"), col("pbucket").as("bucket")).as("tb"))
     else {
       val tableBuckets = (0 until tables)
         .map(t => s"struct($t AS tbl, ${bucketExpr("embedding", nBits, t)} AS bucket)")
@@ -690,14 +687,17 @@ object Similarity {
       col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val q0 = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val qExploded = if (md5Mode) {
-      val bk = md5Bucket("__qp")
+      // the base bucket per table is one element_at on the packed key
+      // array (computed once per query row); the 1+nBits multiprobe
+      // variants are plain integer XOR bit flips over that scalar
       q0.select(col("query_id"), col("q_emb"),
-          expr(s"srp_project(q_emb, $m)").as("__qp"))
+          expr(s"srp_band_keys_lsb(q_emb, $m, $nBits)").as("__qb"))
         .select(col("query_id"), col("q_emb"), explode(expr(
           s"""flatten(transform(sequence(0, ${tables - 1}), t ->
              |  transform(
-             |    array_union(array($bk),
-             |      transform(sequence(0, ${nBits - 1}), b2 -> ($bk) ^ shiftleft(1, b2))),
+             |    array_union(array(element_at(__qb, t + 1)),
+             |      transform(sequence(0, ${nBits - 1}),
+             |        b2 -> element_at(__qb, t + 1) ^ shiftleft(1, b2))),
              |    x -> struct(t AS tbl, x AS bucket))))""".stripMargin)).as("tb"))
     } else {
       val probeSets = (0 until tables).map { t =>

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.catalyst.expressions.graft.{BpeMerge, CdcBoundaries, CosineSimilarity, HashFeatures, JaroWinkler, LshBucket, MinHashBands, MinHashSig, MinHashSigMd5, MmrSelect, Morton2, PeriodMatches, ShingleSeq, Shingles, SimHash64, SrpProject, TopKAgg, VectorSum, WinnowFingerprints}
+import org.apache.spark.sql.catalyst.expressions.graft.{BpeMerge, CdcBoundaries, CosineSimilarity, HashFeatures, JaroWinkler, LshBucket, MinHashBands, MinHashSig, MinHashSigMd5, MmrSelect, Morton2, PeriodMatches, ShingleSeq, Shingles, SimHash64, SrpBandKeys, SrpProject, TopKAgg, VectorSum, WinnowFingerprints}
 
 /** Session-scoped registration of graft's native Catalyst expressions,
   * so they are callable from `expr("cosine_sim(a, b)")` / SQL text.
@@ -40,6 +40,12 @@ object GraftFunctions {
       "hash_features", exprs => HashFeatures(exprs(0), intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "srp_project", exprs => SrpProject(exprs(0), intLit(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "srp_band_keys", exprs => SrpBandKeys(exprs(0), intLit(exprs(1)),
+        intLit(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "srp_band_keys_lsb", exprs => SrpBandKeys(exprs(0), intLit(exprs(1)),
+        intLit(exprs(2)), msbFirst = false), "built-in")
     reg.createOrReplaceTempFunction(
       "winnow_fingerprints",
       exprs => WinnowFingerprints(exprs(0), intLit(exprs(1))), "built-in")

@@ -493,9 +493,31 @@ case class SrpProject(child: Expression, m: Int)
   override def prettyName: String = "srp_project"
   override def stringArgs: Iterator[Any] = Iterator(child, s"m=$m")
 
-  private val MaxDim = 512
+  @transient private lazy val signs: Array[Array[Double]] = SrpSigns.matrix(m)
 
-  @transient private lazy val signs: Array[Array[Double]] = {
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val d = arr.numElements()
+    val out = new Array[Double](m)
+    var j = 0
+    while (j < m) {
+      out(j) = SrpSigns.dot(arr, d, signs(j))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** The shared md5-parity ±1 hyperplane family behind [[SrpProject]] and
+  * [[SrpBandKeys]] — one matrix instance per width, process-wide, so a
+  * query that both projects and bands pays the derivation once. */
+private[graft] object SrpSigns {
+  val MaxDim = 512
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+
+  def matrix(m: Int): Array[Array[Double]] = cache.computeIfAbsent(m, { m =>
     val mdg = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(m, MaxDim) { (j, i) =>
       val hex = mdg.digest(s"srp:${i + 1}:${j + 1}"
@@ -503,27 +525,79 @@ case class SrpProject(child: Expression, m: Int)
         .take(3).map(b => f"${b & 0xff}%02x").mkString
       if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
     }
+  })
+
+  /** One projection component — ascending-index fold, the order the
+    * DuckDB oracles replicate. Refuses inputs wider than the sign
+    * matrix: projecting a PREFIX would silently change the sketch. */
+  @inline def dot(arr: ArrayData, d: Int, row: Array[Double]): Double = {
+    require(d <= MaxDim,
+      s"srp projection supports embeddings up to $MaxDim dims, got $d")
+    var acc = 0.0
+    var i = 0
+    while (i < d) {
+      acc += arr.getFloat(i).toDouble * row(i)
+      i += 1
+    }
+    acc
   }
+
+  /** The sign convention every SRP consumer shares: the bit is taken on
+    * the 6-dp-HALF_UP-ROUNDED projection (exactly Spark's `round(z, 6)
+    * >= 0`, which DuckDB replicates), so a borderline-zero component
+    * cannot flip a bit on one engine only. */
+  @inline def bit(z: Double): Int = {
+    val r = if (z.isNaN || z.isInfinite) z
+      else java.math.BigDecimal.valueOf(z)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    if (r >= 0) 1 else 0
+  }
+}
+
+/** SRP band keys in ONE native pass: project the embedding onto the
+  * first `m` md5-parity hyperplanes ([[SrpSigns]]), take the 6-dp
+  * rounded sign bit of each component, and pack consecutive runs of
+  * `bandBits` bits into one integer key per band — `m / bandBits` keys
+  * out. `msbFirst = true` is the banding fold `acc * 2 + bit`
+  * (q283/q280's LSH bands); `false` is the bucket packing
+  * `bit << position-in-band` (the md5Mode LSH tables in
+  * Dedup/Similarity). Bit-identical to the interpreted formulation it
+  * replaces — `transform(sequence(...), b -> aggregate(slice(...)))`
+  * over the [[SrpProject]] output — which ran nested Catalyst HOF
+  * lambdas per row (~1 µs/element interpreted, the q260 lesson); this
+  * is one primitive m×d loop with no intermediate array allocation. */
+case class SrpBandKeys(child: Expression, m: Int, bandBits: Int,
+    msbFirst: Boolean = true)
+    extends UnaryExpression with CodegenFallback {
+
+  require(m > 0, s"srp_band_keys m must be positive, got $m")
+  require(bandBits > 0 && bandBits <= 31 && m % bandBits == 0,
+    s"srp_band_keys needs 0 < bandBits <= 31 dividing m, got m=$m bandBits=$bandBits")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String =
+    if (msbFirst) "srp_band_keys" else "srp_band_keys_lsb"
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"m=$m", s"bandBits=$bandBits", s"msbFirst=$msbFirst")
+
+  @transient private lazy val signs: Array[Array[Double]] = SrpSigns.matrix(m)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    // projecting a PREFIX of a wider embedding would silently change
-    // the sketch semantics — refuse rather than truncate
-    require(arr.numElements() <= MaxDim,
-      s"srp_project supports embeddings up to $MaxDim dims, got ${arr.numElements()}")
     val d = arr.numElements()
-    val out = new Array[Double](m)
-    var j = 0
-    while (j < m) {
-      val row = signs(j)
-      var acc = 0.0
-      var i = 0
-      while (i < d) {
-        acc += arr.getFloat(i).toDouble * row(i)
-        i += 1
+    val nBands = m / bandBits
+    val out = new Array[Int](nBands)
+    var band = 0
+    while (band < nBands) {
+      var key = 0
+      var b = 0
+      while (b < bandBits) {
+        val bit = SrpSigns.bit(SrpSigns.dot(arr, d, signs(band * bandBits + b)))
+        key = if (msbFirst) key * 2 + bit else key | (bit << b)
+        b += 1
       }
-      out(j) = acc
-      j += 1
+      out(band) = key
+      band += 1
     }
     new GenericArrayData(out)
   }

@@ -294,17 +294,18 @@ object VectorQueries {
     * on one engine only. */
   def q112SrpHammingTopK(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
+    // the 16 sign bits packed into ONE int by the native band-pack
+    // expression; Hamming distance is then codegen'd bit_count(xor) —
+    // no interpreted HOFs anywhere in the corpus × queries hot loop
     val coded = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
-        expr("transform(srp_project(embedding, 16), z -> CASE WHEN round(z, 6) >= 0 THEN 1 ELSE 0 END)")
-          .as("code"))
+        expr("srp_band_keys(embedding, 16, 16)[0]").as("code"))
     val qs = broadcast(coded.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("code").as("q_code")))
     val scored = coded.crossJoin(qs)
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("hamming",
-        expr("aggregate(zip_with(code, q_code, (a, b) -> CASE WHEN a <> b THEN 1 ELSE 0 END), 0, (acc, x) -> acc + x)"))
+      .withColumn("hamming", expr("bit_count(code ^ q_code)"))
       .withColumn("sim", round(expr("cosine_sim(embedding, q_emb)"), 6))
     val w = Window.partitionBy("query_id").orderBy(col("hamming"), col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -368,11 +369,10 @@ object VectorQueries {
       .select((-(col("vec_id") / lit(20L)).cast("long") - 1).as("vec_id"),
         col("embedding"), (col("label") + 1).as("label"))
     val emb = raw.select("vec_id", "embedding", "label").unionByName(plants)
+    // native one-pass band packing — bit-identical to the interpreted
+    // transform/aggregate HOF chain it replaced (the q260 lesson)
     val banded = emb
-      .withColumn("code", expr(
-        "transform(srp_project(embedding, 32), z -> CASE WHEN round(z, 6) >= 0 THEN 1 ELSE 0 END)"))
-      .select(col("vec_id"), posexplode(expr(
-        "transform(sequence(0, 3), b -> aggregate(slice(code, b * 8 + 1, 8), 0, (acc, x) -> acc * 2 + x))"))
+      .select(col("vec_id"), posexplode(expr("srp_band_keys(embedding, 32, 8)"))
         .as(Seq("band", "bkey")))
     val probeBands = banded.filter(pinned)
       .select(col("vec_id").as("q_id"), col("band"), col("bkey"))

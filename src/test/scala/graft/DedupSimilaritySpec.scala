@@ -424,6 +424,56 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"orthogonal pair expected ~${m / 2} of $m bits, got ${df(3L)}")
   }
 
+  test("srp_band_keys: native pack is bit-identical to the interpreted HOF formulation") {
+    GraftFunctions.register(spark)
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(40) { i =>
+      // mostly random, with some near-zero components to exercise the
+      // 6-dp rounded sign boundary
+      (i.toLong, Array.fill(64)(
+        if (rnd.nextInt(8) == 0) (rnd.nextGaussian() * 1e-7).toFloat
+        else rnd.nextGaussian().toFloat))
+    }.toDF("id", "embedding")
+    // MSB fold (the q283/q280 banding) vs the old transform/aggregate
+    val msb = rows.selectExpr("id",
+      "srp_band_keys(embedding, 32, 8) AS native",
+      """transform(sequence(0, 3), bb -> aggregate(
+        |  slice(transform(srp_project(embedding, 32),
+        |    z -> CASE WHEN round(z, 6) >= 0 THEN 1 ELSE 0 END), bb * 8 + 1, 8),
+        |  0, (acc, x) -> acc * 2 + x)) AS hof""".stripMargin)
+      .collect()
+    msb.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"msb mismatch id=${r.getLong(0)}")
+    }
+    // LSB pack (the md5Mode LSH table buckets) vs the old per-table fold
+    val lsb = rows.selectExpr("id",
+      "srp_band_keys_lsb(embedding, 64, 8) AS native",
+      """transform(sequence(0, 7), t -> aggregate(sequence(0, 7), 0, (a, b) ->
+        |  a + IF(round(element_at(srp_project(embedding, 64), t * 8 + b + 1), 6) >= 0D,
+        |    shiftleft(1, b), 0))) AS hof""".stripMargin)
+      .collect()
+    lsb.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"lsb mismatch id=${r.getLong(0)}")
+    }
+    // the packed 16-bit code + bit_count(xor) hamming (q112's rewrite)
+    // equals the bitwise zip_with count
+    val ham = rows.limit(10).selectExpr("id",
+      "srp_band_keys(embedding, 16, 16)[0] AS c1")
+      .crossJoin(rows.limit(10).selectExpr("id AS id2",
+        "srp_band_keys(embedding, 16, 16)[0] AS c2",
+        """transform(srp_project(embedding, 16),
+          |  z -> CASE WHEN round(z, 6) >= 0 THEN 1 ELSE 0 END) AS bits2""".stripMargin))
+      .join(rows.limit(10).selectExpr("id",
+        """transform(srp_project(embedding, 16),
+          |  z -> CASE WHEN round(z, 6) >= 0 THEN 1 ELSE 0 END) AS bits1""".stripMargin), Seq("id"))
+      .selectExpr("bit_count(c1 ^ c2) AS fast",
+        """aggregate(zip_with(bits1, bits2,
+          |  (a, b) -> CASE WHEN a <> b THEN 1 ELSE 0 END), 0, (acc, x) -> acc + x) AS slow""".stripMargin)
+      .collect()
+    ham.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
   test("srp_project: JL property - projected inner product estimates the exact one") {
     GraftFunctions.register(spark)
     val s = spark; import s.implicits._
