@@ -1349,15 +1349,22 @@ object Dedup {
   def semanticDedup(emb: DataFrame, eps: Double = 0.97,
       k: Int = 16, maxIter: Int = 8,
       idCol: String = "vec_id", embCol: String = "embedding",
-      maxCluster: Int = 10000, twoLevelFrom: Int = 256): DataFrame = {
+      maxCluster: Int = 10000, twoLevelFrom: Int = 256,
+      tol: Double = 1e-4): DataFrame = {
     val spark = emb.sparkSession
     graft.plans.GraftFunctions.register(spark)
     val assigned0 =
       if (k > twoLevelFrom)
         Similarity.kmeansAssignTwoLevel(spark, emb, k, maxIter, idCol, embCol)
       else {
-        val centroids = Similarity.kmeansFit(spark, emb, k, maxIter, idCol, embCol)
-        Similarity.kmeansAssign(spark, emb, centroids, embCol)
+        // round6 assignment: argmax over the 6-dp-rounded cosine —
+        // converged-attractor centroid pairs give sub-ulp margins
+        // that would otherwise ride cross-engine accumulation noise
+        // (observed: one flipped cell at sf0.1); rounded they tie and
+        // the larger-id rule resolves identically in any engine
+        val centroids = Similarity.kmeansFit(spark, emb, k, maxIter,
+          idCol, embCol, tol, round6 = true)
+        Similarity.kmeansAssign(spark, emb, centroids, embCol, round6 = true)
       }
     val assigned = assigned0
       .select(col(idCol).as("id"), col(embCol).as("e"), col("cell"))
@@ -1375,7 +1382,11 @@ object Dedup {
         .as("p"))
       .select(col("cell"), col("p.doc_a"), col("p.doc_b"),
         expr("cosine_sim(p.ea, p.eb)").as("cosine"))
-      .filter(col("cosine") >= eps)
+      // threshold on the 6-dp-ROUNDED cosine — the md5-mode audit
+      // convention (embeddingNearDups, q112): an external engine
+      // replaying the pair search cannot diverge on a last-ulp
+      // boundary; 1e-6 is semantically nothing for a 0.97 dedup gate
+      .filter(round(col("cosine"), 6) >= eps)
     val labels = connectedComponents(pairs.select("doc_a", "doc_b"))
     // skew-cap audit: one light count-by-cell pass (partial-aggregated,
     // no embedding arrays), reduced to a single broadcastable row

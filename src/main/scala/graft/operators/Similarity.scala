@@ -440,8 +440,8 @@ object Similarity {
     * data + params ⇒ same centroids on any cluster size. */
   def kmeansFit(spark: SparkSession, emb: DataFrame, k: Int,
       maxIter: Int = 10, idCol: String = "vec_id", embCol: String = "embedding",
-      tol: Double = 1e-4): Array[Array[Float]] =
-    kmeansFitTrace(spark, emb, k, maxIter, idCol, embCol, tol)._1
+      tol: Double = 1e-4, round6: Boolean = false): Array[Array[Float]] =
+    kmeansFitTrace(spark, emb, k, maxIter, idCol, embCol, tol, round6)._1
 
   /** [[kmeansFit]] plus the per-iteration objective trace: element t is
     * J(a_t, c_t) = Σ_cells (n_cell − vsum_cell · ĉ_cell), computed
@@ -456,7 +456,7 @@ object Similarity {
     * weighted by its norm). */
   def kmeansFitTrace(spark: SparkSession, emb0: DataFrame, k: Int,
       maxIter: Int = 10, idCol: String = "vec_id", embCol: String = "embedding",
-      tol: Double = 1e-4): (Array[Array[Float]], Array[Double]) = {
+      tol: Double = 1e-4, round6: Boolean = false): (Array[Array[Float]], Array[Double]) = {
     GraftFunctions.register(spark)
     // Lloyd's scans the input maxIter+2 times (seeds + per-round
     // assign/update) — cache it for the loop's duration, MLlib-KMeans
@@ -468,7 +468,7 @@ object Similarity {
       emb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else emb0
     try {
-      kmeansLloyd(spark, emb, k, maxIter, idCol, embCol, tol)
+      kmeansLloyd(spark, emb, k, maxIter, idCol, embCol, tol, round6)
     } finally {
       if (ownCache) emb.unpersist(false)
     }
@@ -476,7 +476,7 @@ object Similarity {
 
   private def kmeansLloyd(spark: SparkSession, emb: DataFrame, k: Int,
       maxIter: Int, idCol: String, embCol: String,
-      tol: Double): (Array[Array[Float]], Array[Double]) = {
+      tol: Double, round6: Boolean = false): (Array[Array[Float]], Array[Double]) = {
     val qs = (0 until k).map(i => (i + 0.5) / k)
     val seedRow = emb
       .select(expr(s"percentile_approx($idCol, array(${qs.mkString(",")}), 10000)"))
@@ -495,7 +495,7 @@ object Similarity {
     var moved = Double.MaxValue
     val inertia = scala.collection.mutable.ArrayBuffer.empty[Double]
     while (iter < maxIter && moved > tol) {
-      val assigned = kmeansAssign(spark, emb, centroids, embCol)
+      val assigned = kmeansAssign(spark, emb, centroids, embCol, round6)
       // update: one aggregate, k rows back to the driver (k×d doubles —
       // the centroid table itself, not data)
       val sums = assigned.groupBy("cell")
@@ -538,11 +538,13 @@ object Similarity {
     * into `centroids`) via the same map-side [[NearestCells]] pass IVF
     * uses — no shuffle, centroid table in the expression object. */
   def kmeansAssign(spark: SparkSession, df: DataFrame,
-      centroids: Array[Array[Float]], embCol: String = "embedding"): DataFrame = {
+      centroids: Array[Array[Float]], embCol: String = "embedding",
+      round6: Boolean = false): DataFrame = {
     val fn = s"kmeans_cells_${ivfCallCounter.incrementAndGet()}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(fn,
       exprs => org.apache.spark.sql.catalyst.expressions.graft.NearestCells(
-        exprs.head, Array.tabulate(centroids.length)(_.toLong), centroids, 1), "built-in")
+        exprs.head, Array.tabulate(centroids.length)(_.toLong), centroids, 1,
+        round6), "built-in")
     df.withColumn("cell", expr(s"element_at($fn($embCol), 1)"))
   }
 

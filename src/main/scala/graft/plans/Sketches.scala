@@ -392,13 +392,15 @@ case class MinHashBands(child: Expression, bands: Int)
   * production cell counts (thousands of centroids × dims). `stringArgs`
   * keeps `explain` output to the centroid COUNT. */
 case class NearestCells(child: Expression, centroidIds: Array[Long],
-    centroidVecs: Array[Array[Float]], nProbe: Int)
+    centroidVecs: Array[Array[Float]], nProbe: Int,
+    round6: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "ivf_cells"
   override def stringArgs: Iterator[Any] =
-    Iterator(child, s"nCentroids=${centroidIds.length}", s"nProbe=$nProbe")
+    Iterator(child, s"nCentroids=${centroidIds.length}", s"nProbe=$nProbe",
+      s"round6=$round6")
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -416,7 +418,17 @@ case class NearestCells(child: Expression, centroidIds: Array[Long],
         dot += x * y; na += x * x; nb += y * y
         i += 1
       }
-      sims(c) = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+      val s = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+      // round6: argmax over the 6-dp-rounded cosine (Spark round
+      // semantics — BigDecimal HALF_UP). Two near-identical centroids
+      // (converged k-means attractors) give cosines a sub-ulp apart:
+      // on raw values the winner rides cross-engine accumulation
+      // noise; rounded, they TIE and the larger-id rule resolves the
+      // same everywhere. Opt-in — IVF/q100 oracles restate raw order.
+      sims(c) = if (round6 && !s.isNaN && !s.isInfinite)
+        java.math.BigDecimal.valueOf(s)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      else s
       c += 1
     }
     val order = Array.range(0, nC).sortBy(i => (-sims(i), -centroidIds(i)))

@@ -48,14 +48,26 @@ object CorpusQueries {
     * within-cluster cosine pairs ≥ eps, min-id survivor per duplicate
     * component; output = the removed rows. k scales with the corpus
     * (n/200, floor 8) so cluster sizes — and with them the pair work —
-    * stay bounded at any scale factor. */
+    * stay bounded at any scale factor.
+    *
+    * FULL hash oracle since r12 (was the highest-value no_oracle): the
+    * q100 precedent — all five Lloyd rounds unrolled as DuckDB CTEs —
+    * applied to the flat path this query takes at every oracle-gated
+    * scale (k = max(8, n/200) stays ≤ twoLevelFrom up to ~51 K rows;
+    * the two-level path is spec- and ratio-audit-covered). tol = 0.0
+    * pins the round count: the loop either runs all 5 rounds or stops
+    * at an EXACT fixed point, where the remaining unrolled rounds are
+    * identities — the q100 determinism discipline. Seeds restate via
+    * the verified ⌊q·n⌋+1 rank rule (q43), assignment ties break
+    * (cos DESC, cell DESC) = NearestCells' larger-id rule, and the
+    * dedup threshold compares the 6-dp-rounded cosine on both sides. */
   def q90SemanticDedup(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val planted = emb.filter(col("vec_id") < 4)
       .select((col("vec_id") + PlantedBase).as("vec_id"), col("embedding"))
     val all = emb.select("vec_id", "embedding").unionByName(planted)
     val k = math.max(8, (all.count() / 200).toInt)
-    val removed = Dedup.semanticDedup(all, eps = 0.97, k = k, maxIter = 5)
+    val removed = Dedup.semanticDedup(all, eps = 0.97, k = k, maxIter = 5, tol = 0.0)
       .withColumn("is_planted", (col("vec_id") >= PlantedBase).cast("int"))
     val g = removed.agg(sum("is_planted").as("planted_removed"))
     removed.crossJoin(broadcast(g))
@@ -449,7 +461,109 @@ object CorpusQueries {
     "q125_snapshot_diff" -> (q125SnapshotDiff _)
   )
 
+  /** Full DuckDB replay of q90's SemDeDup chain (r11 verdict item 2 —
+    * the q100 Lloyd-unroll precedent applied to the production dedup
+    * query): dynamic n and k = greatest(8, n // 200), seeds via the
+    * verified ⌊q·n⌋+1 rank rule (the q43 idiom; Spark's
+    * percentile_approx at accuracy 10000 is exact at every
+    * oracle-gated n), five unrolled Lloyd rounds with float-cast
+    * centroids and empty-cell carry-forward (`LEFT JOIN` keeps the old
+    * centroid — kmeansFit's `next = centroids.clone()` semantics).
+    * The seed rank rule is ceil(q·n) — NOT ⌊q·n⌋+1, which only agrees
+    * when q·n is non-integer (all q43 ever saw); at n=2004, k=10 the
+    * products 0.25·2004 = 501 exactly and the two rules pick adjacent
+    * ids (measured, the r12 sf0.1 divergence). Ceil matches Spark's
+    * exact-mode percentile on integer and non-integer products alike.
+    * assignment ties (cos DESC, cell DESC) = NearestCells' larger-id
+    * rule, the within-cell pair search thresholded on the
+    * 6-dp-ROUNDED cosine, min-id components via a recursive
+    * transitive-closure CTE (the q94 idiom; duplicate components are
+    * tiny, so the closure is bounded), and the maxCluster=10000 skew
+    * cap restated as the same cells-over-cap filter + audit counts.
+    * Cross-engine exactness: per-row folds are list_cosine_similarity
+    * on DOUBLE[] (the q43-proven equivalent of the engine's
+    * sequential cosine_sim loop); the only cross-row double sums are
+    * the per-cell vector sums, whose ~1e-13 noise dies at the FLOAT
+    * centroid cast (q100's measured argument). */
+  private lazy val q90OracleSql: String = {
+    val D = 64
+    def lloydIter(t: Int): String =
+      s""",
+         |a$t AS (
+         |  SELECT vec_id, cell, e FROM (
+         |    SELECT u.vec_id, c.cell, u.e,
+         |      row_number() OVER (PARTITION BY u.vec_id ORDER BY
+         |        round(list_cosine_similarity(u.e, c.c), 6) DESC, c.cell DESC) AS rn
+         |    FROM u CROSS JOIN c${t - 1} c) WHERE rn = 1),
+         |s$t AS (
+         |  SELECT cell, max(cnt) AS n, list(s ORDER BY pos) AS vsum FROM (
+         |    SELECT cell, pos, sum(e[pos]) AS s, count(*) AS cnt
+         |    FROM a$t, range(1, ${D + 1}) r(pos) GROUP BY cell, pos)
+         |  GROUP BY cell),
+         |c$t AS (
+         |  SELECT p.cell,
+         |    CASE WHEN s.cell IS NULL THEN p.c
+         |         ELSE CAST(list_transform(range(1, ${D + 1}),
+         |                i -> CAST(s.vsum[i] / s.n AS FLOAT)) AS DOUBLE[]) END AS c
+         |  FROM c${t - 1} p LEFT JOIN s$t s USING (cell))""".stripMargin
+    s"""WITH RECURSIVE allv AS (
+       |  SELECT vec_id, embedding AS e0 FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + $PlantedBase, embedding FROM embeddings WHERE vec_id < 4),
+       |pars AS (SELECT count(*) AS n, greatest(8, count(*) // 200) AS k FROM allv),
+       |rk AS (SELECT vec_id, e0, row_number() OVER (ORDER BY vec_id) AS r FROM allv),
+       |cids AS (
+       |  SELECT DISTINCT rk.vec_id
+       |  FROM rk CROSS JOIN pars
+       |  JOIN (SELECT unnest(range(0, 256)) AS i) ii
+       |    ON ii.i < pars.k
+       |   AND rk.r = CAST(ceil((2 * ii.i + 1) / (2.0 * pars.k) * pars.n)
+       |     AS BIGINT)),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY rk.vec_id) - 1 AS BIGINT) AS cell,
+       |    CAST(rk.e0 AS DOUBLE[]) AS c
+       |  FROM rk JOIN cids USING (vec_id)),
+       |u AS (SELECT vec_id, CAST(e0 AS DOUBLE[]) AS e FROM allv)""".stripMargin +
+      (1 to 5).map(lloydIter).mkString +
+      s""",
+         |a6 AS (
+         |  SELECT vec_id, cell, e FROM (
+         |    SELECT u.vec_id, c.cell, u.e,
+         |      row_number() OVER (PARTITION BY u.vec_id ORDER BY
+         |        round(list_cosine_similarity(u.e, c.c), 6) DESC, c.cell DESC) AS rn
+         |    FROM u CROSS JOIN c5 c) WHERE rn = 1),
+         |cellsz AS (SELECT cell, count(*) AS sz FROM a6 GROUP BY cell),
+         |prs AS (
+         |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+         |  FROM a6 x JOIN a6 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  JOIN cellsz cz ON cz.cell = x.cell AND cz.sz <= 10000
+         |  WHERE round(list_cosine_similarity(x.e, y.e), 6) >= 0.97),
+         |ed AS (SELECT doc_a AS a, doc_b AS b FROM prs
+         |       UNION SELECT doc_b, doc_a FROM prs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM ed
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a),
+         |lab AS (SELECT a AS vec_id, least(a, min(b)) AS survivor_id
+         |        FROM reach GROUP BY a),
+         |rem AS (SELECT vec_id, survivor_id FROM lab WHERE vec_id <> survivor_id),
+         |cap AS (
+         |  SELECT CAST(coalesce(count(*) FILTER (WHERE sz > 10000), 0) AS BIGINT)
+         |      AS capped_clusters,
+         |    CAST(coalesce(sum(sz) FILTER (WHERE sz > 10000), 0) AS BIGINT)
+         |      AS capped_rows
+         |  FROM cellsz)
+         |SELECT r.vec_id, r.survivor_id, a6.cell,
+         |  CAST(r.vec_id >= $PlantedBase AS INT) AS is_planted,
+         |  (SELECT CAST(coalesce(sum(CASE WHEN vec_id >= $PlantedBase
+         |     THEN 1 ELSE 0 END), 0) AS BIGINT) FROM rem) AS planted_removed,
+         |  cap.capped_clusters, cap.capped_rows
+         |FROM rem r JOIN a6 USING (vec_id) CROSS JOIN cap
+         |ORDER BY r.vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q90_semantic_dedup" -> q90OracleSql,
     "q98_corpus_build2" ->
       """WITH p AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM documents),
         |e AS (SELECT doc_id, unnest(list_transform(range(1, len(ps) + 1),

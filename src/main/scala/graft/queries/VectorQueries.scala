@@ -622,6 +622,151 @@ object VectorQueries {
          |FROM trv ORDER BY iter""".stripMargin
   }
 
+  /** Shared IVF restatement for q43 (inline) and q101 (persisted
+    * index): 16 sampled-seed centroids (trainIters = 0, so seeds ARE
+    * the centroids) via the ceil(q·n) rank rule, raw-cosine cells and
+    * probes with the (s DESC, cid DESC) NearestCells tie, candidate
+    * top-10 on 6-dp-rounded sims, and the brute-force recall join. */
+  private lazy val ivfRecallOracleSql: String =
+    s"""WITH nrow AS (SELECT count(*) AS n FROM embeddings),
+       |rk AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS r
+       |  FROM embeddings),
+       |cids AS (
+       |  SELECT DISTINCT rk.vec_id AS cid
+       |  FROM rk CROSS JOIN nrow
+       |  JOIN (SELECT unnest(range(0, 16)) AS i) ii
+       |    ON rk.r = CAST(ceil((2 * ii.i + 1) / 32.0 * nrow.n) AS BIGINT)),
+       |cent AS (
+       |  SELECT c.cid, CAST(e.embedding AS DOUBLE[]) AS cv
+       |  FROM cids c JOIN embeddings e ON e.vec_id = c.cid),
+       |sims AS (
+       |  SELECT e.vec_id, c.cid,
+       |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) AS s
+       |  FROM embeddings e CROSS JOIN cent c),
+       |cells AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY s DESC, cid DESC) AS rr
+       |    FROM sims) WHERE rr = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY s DESC, cid DESC) AS rr
+       |    FROM sims WHERE vec_id < $NQueries) x WHERE rr <= 4),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, ce.vec_id
+       |  FROM probes p JOIN cells ce ON ce.cell = p.cell
+       |  WHERE ce.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |      CAST(qe.embedding AS DOUBLE[])), 6) AS sim
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id),
+       |ivf AS (
+       |  SELECT query_id, vec_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, vec_id) AS INT) AS rank
+       |  FROM scored QUALIFY rank <= 10),
+       |ex AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id,
+       |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |      CAST(q.embedding AS DOUBLE[])), 6) AS sim
+       |  FROM embeddings e CROSS JOIN embeddings q
+       |  WHERE q.vec_id < $NQueries AND e.vec_id <> q.vec_id),
+       |ext AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, vec_id) AS r
+       |    FROM ex) WHERE r <= 10),
+       |en AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM ext GROUP BY 1),
+       |j AS (
+       |  SELECT l.query_id, l.vec_id, l.sim, l.rank,
+       |    CASE WHEN e2.vec_id IS NOT NULL THEN 1 ELSE 0 END AS in_exact
+       |  FROM ivf l LEFT JOIN ext e2
+       |    ON e2.query_id = l.query_id AND e2.vec_id = l.vec_id)
+       |SELECT j.query_id, j.vec_id, j.sim, j.rank, j.in_exact,
+       |  round(sum(j.in_exact) OVER (PARTITION BY j.query_id) * 1.0
+       |    / en.n_exact, 2) AS recall_vs_exact
+       |FROM j JOIN en USING (query_id)
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** q110's append lifecycle, fully restated (r11 verdict item 2's
+    * cascade — the first of the three centroid-consuming no_oracles to
+    * flip): the SAME frozen sampled-seed centroids, phase-1 ranking
+    * over the pre-append corpus, phase-2 over corpus ∪ shifted-id
+    * copies (assigned with the frozen centroids, exactly
+    * appendToIvfIndex's pass), and the two engine guarantees restated
+    * as aggregates over the unioned phases. */
+  private lazy val ivfAppendOracleSql: String =
+    s"""WITH nrow AS (SELECT count(*) AS n FROM embeddings),
+       |rk AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS r
+       |  FROM embeddings),
+       |cids AS (
+       |  SELECT DISTINCT rk.vec_id AS cid
+       |  FROM rk CROSS JOIN nrow
+       |  JOIN (SELECT unnest(range(0, 16)) AS i) ii
+       |    ON rk.r = CAST(ceil((2 * ii.i + 1) / 32.0 * nrow.n) AS BIGINT)),
+       |cent AS (
+       |  SELECT c.cid, CAST(e.embedding AS DOUBLE[]) AS cv
+       |  FROM cids c JOIN embeddings e ON e.vec_id = c.cid),
+       |allv AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, 1 AS in_pre
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]), 0
+       |  FROM embeddings WHERE vec_id < $NQueries),
+       |sims AS (
+       |  SELECT v.vec_id, v.in_pre, c.cid,
+       |    list_cosine_similarity(v.e, c.cv) AS s
+       |  FROM allv v CROSS JOIN cent c),
+       |cells AS (
+       |  SELECT vec_id, in_pre, cid AS cell FROM (
+       |    SELECT vec_id, in_pre, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY s DESC, cid DESC) AS rr
+       |    FROM sims) WHERE rr = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY s DESC, cid DESC) AS rr
+       |    FROM sims WHERE vec_id < $NQueries AND in_pre = 1) x WHERE rr <= 4),
+       |scoredall AS (
+       |  SELECT DISTINCT p.query_id, ce.vec_id, ce.in_pre,
+       |    round(list_cosine_similarity(e.e, qe.e), 6) AS sim
+       |  FROM probes p JOIN cells ce ON ce.cell = p.cell
+       |    AND ce.vec_id <> p.query_id
+       |  JOIN allv e ON e.vec_id = ce.vec_id AND e.in_pre = ce.in_pre
+       |  JOIN allv qe ON qe.vec_id = p.query_id AND qe.in_pre = 1),
+       |ph1 AS (
+       |  SELECT query_id, vec_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, vec_id) AS INT) AS rank,
+       |    1 AS phase
+       |  FROM scoredall WHERE in_pre = 1 QUALIFY rank <= 10),
+       |ph2 AS (
+       |  SELECT query_id, vec_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, vec_id) AS INT) AS rank,
+       |    2 AS phase
+       |  FROM scoredall QUALIFY rank <= 10),
+       |uni AS (SELECT * FROM ph1 UNION ALL SELECT * FROM ph2),
+       |g AS (SELECT
+       |    CAST(coalesce(sum(CASE WHEN phase = 1 AND vec_id >= 1000000
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS pre_copies,
+       |    CAST(coalesce(sum(CASE WHEN phase = 2
+       |      AND vec_id = query_id + 1000000 AND sim = 1.0
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS copies_found
+       |  FROM uni)
+       |SELECT u.query_id, u.vec_id, u.sim, u.rank, u.phase,
+       |  g.pre_copies, g.copies_found
+       |FROM uni u CROSS JOIN g
+       |ORDER BY phase, query_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q288_matryoshka" ->
       s"""WITH e0 AS (
@@ -783,77 +928,17 @@ object VectorQueries {
         |      THEN 1.0 ELSE -1.0 END)), 6) AS z
         |FROM embeddings CROSS JOIN range(1, 17) t(j)
         |ORDER BY vec_id, dim""".stripMargin,
-    // seeds via the verified floor(q*n)+1 rank rule over the id spine,
-    // cells/probes from raw cosines with (sim DESC, cid DESC) ties,
-    // then the q35 candidate-top-10 + recall machinery
-    "q43_knn_ivf" ->
-      s"""WITH nrow AS (SELECT count(*) AS n FROM embeddings),
-         |rk AS (
-         |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS r
-         |  FROM embeddings),
-         |cids AS (
-         |  SELECT DISTINCT rk.vec_id AS cid
-         |  FROM rk CROSS JOIN nrow
-         |  JOIN (SELECT unnest(range(0, 16)) AS i) ii
-         |    ON rk.r = CAST(floor((2 * ii.i + 1) / 32.0 * nrow.n)
-         |      AS BIGINT) + 1),
-         |cent AS (
-         |  SELECT c.cid, CAST(e.embedding AS DOUBLE[]) AS cv
-         |  FROM cids c JOIN embeddings e ON e.vec_id = c.cid),
-         |sims AS (
-         |  SELECT e.vec_id, c.cid,
-         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) AS s
-         |  FROM embeddings e CROSS JOIN cent c),
-         |cells AS (
-         |  SELECT vec_id, cid AS cell FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY s DESC, cid DESC) AS rr
-         |    FROM sims) WHERE rr = 1),
-         |probes AS (
-         |  SELECT vec_id AS query_id, cid AS cell FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY s DESC, cid DESC) AS rr
-         |    FROM sims WHERE vec_id < $NQueries) x WHERE rr <= 4),
-         |cand AS (
-         |  SELECT DISTINCT p.query_id, ce.vec_id
-         |  FROM probes p JOIN cells ce ON ce.cell = p.cell
-         |  WHERE ce.vec_id <> p.query_id),
-         |scored AS (
-         |  SELECT c.query_id, c.vec_id,
-         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-         |      CAST(qe.embedding AS DOUBLE[])), 6) AS sim
-         |  FROM cand c
-         |  JOIN embeddings e ON e.vec_id = c.vec_id
-         |  JOIN embeddings qe ON qe.vec_id = c.query_id),
-         |ivf AS (
-         |  SELECT query_id, vec_id, sim,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY sim DESC, vec_id) AS INT) AS rank
-         |  FROM scored QUALIFY rank <= 10),
-         |ex AS (
-         |  SELECT q.vec_id AS query_id, e.vec_id,
-         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-         |      CAST(q.embedding AS DOUBLE[])), 6) AS sim
-         |  FROM embeddings e CROSS JOIN embeddings q
-         |  WHERE q.vec_id < $NQueries AND e.vec_id <> q.vec_id),
-         |ext AS (
-         |  SELECT query_id, vec_id FROM (
-         |    SELECT query_id, vec_id,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY sim DESC, vec_id) AS r
-         |    FROM ex) WHERE r <= 10),
-         |en AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
-         |  FROM ext GROUP BY 1),
-         |j AS (
-         |  SELECT l.query_id, l.vec_id, l.sim, l.rank,
-         |    CASE WHEN e2.vec_id IS NOT NULL THEN 1 ELSE 0 END AS in_exact
-         |  FROM ivf l LEFT JOIN ext e2
-         |    ON e2.query_id = l.query_id AND e2.vec_id = l.vec_id)
-         |SELECT j.query_id, j.vec_id, j.sim, j.rank, j.in_exact,
-         |  round(sum(j.in_exact) OVER (PARTITION BY j.query_id) * 1.0
-         |    / en.n_exact, 2) AS recall_vs_exact
-         |FROM j JOIN en USING (query_id)
-         |ORDER BY query_id, rank""".stripMargin,
+    // seeds via the rank rule over the id spine, cells/probes from raw
+    // cosines with (sim DESC, cid DESC) ties, then the q35
+    // candidate-top-10 + recall machinery;
+    // shared by q43 (inline IVF) and q101 (the same search answered
+    // from the persisted index — the engine guarantees, and the spec
+    // asserts, bit-equality between the two paths, so one restatement
+    // covers both). Seed rank rule is ceil(q·n) — the r12 q90 lesson:
+    // ⌊q·n⌋+1 only agrees while q·n is non-integer.
+    "q43_knn_ivf" -> ivfRecallOracleSql,
+    "q101_ivf_index" -> ivfRecallOracleSql,
+    "q110_ivf_append" -> ivfAppendOracleSql,
     // the greedy MMR chain replayed exactly via a recursive CTE: the
     // per-step argmax runs on bit-identical doubles (6-dp-rounded
     // relevance scores, sequential normalized dots, the literal
