@@ -330,7 +330,10 @@ object VectorQueries {
     val planted = q.filter(col("vec_id") < 3)
       .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
     val corpus = emb.select("vec_id", "embedding").unionByName(planted)
-    val books = Similarity.pqFit(s, corpus, m = 8, ks = 16, maxIter = 5)
+    // tol = 0.0 pins the Lloyd round count for the oracle unroll (the
+    // q90/q100 determinism discipline): the loop runs all 5 rounds or
+    // stops at an exact fixed point where further rounds are identities
+    val books = Similarity.pqFit(s, corpus, m = 8, ks = 16, maxIter = 5, tol = 0.0)
     val approx = Similarity.pqTopKRerank(s, corpus, q, books, k = 10, shortlist = 50)
     val exact = Similarity.bruteForceTopK(s, corpus, q, k = 10)
     val top1 = approx.filter(col("rank") === 1 && col("query_id") < 3)
@@ -767,7 +770,130 @@ object VectorQueries {
        |FROM uni u CROSS JOIN g
        |ORDER BY phase, query_id, rank""".stripMargin
 
+  /** q119's full PQ-ADC replay (the last of the r11 cascade): seeds
+    * via ceil(q·n) over the corpus-with-plants id spine, codebook init
+    * by subspace slicing, five unrolled per-subspace Lloyd rounds
+    * (squared-L2 argmin with the strict-< lowest-code tie = ORDER BY
+    * d ASC, code ASC; float-cast means; empty codes carry forward),
+    * final encode, query dot tables, ADC as a SEQUENTIAL sub-order
+    * fold (PqAdcLookup's loop), shortlist-50 on the 6-dp-rounded ADC,
+    * exact-cosine re-rank, and the recall + planted-top1 audits. All
+    * per-row folds are sequential list_reduce over the 8-dim
+    * subspaces — bit-identical to the engine's primitive loops. */
+  private lazy val pqAdcOracleSql: String = {
+    def dist(v: String, b: String): String =
+      s"""list_reduce(list_transform(range(1, 9),
+         |          j -> ($v.e[$b.sub * 8 + j] - $b.cv[j])
+         |             * ($v.e[$b.sub * 8 + j] - $b.cv[j])),
+         |          (a, b2) -> a + b2)""".stripMargin
+    def lloydIter(t: Int): String =
+      s""",
+         |g$t AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT v.vec_id, b.sub, b.code,
+         |      row_number() OVER (PARTITION BY v.vec_id, b.sub ORDER BY
+         |        ${dist("v", "b")} ASC, b.code ASC) AS rn
+         |    FROM corpus v CROSS JOIN b${t - 1} b) WHERE rn = 1),
+         |s$t AS (
+         |  SELECT sub, code, max(cnt) AS n, list(sm ORDER BY pos) AS vsum FROM (
+         |    SELECT g.sub, g.code, r2.pos,
+         |      sum(v.e[g.sub * 8 + r2.pos]) AS sm, count(*) AS cnt
+         |    FROM g$t g JOIN corpus v USING (vec_id), range(1, 9) r2(pos)
+         |    GROUP BY g.sub, g.code, r2.pos)
+         |  GROUP BY sub, code),
+         |b$t AS (
+         |  SELECT p.sub, p.code,
+         |    CASE WHEN s.code IS NULL THEN p.cv
+         |         ELSE CAST(list_transform(range(1, 9),
+         |                j -> CAST(s.vsum[j] / s.n AS FLOAT)) AS DOUBLE[]) END AS cv
+         |  FROM b${t - 1} p LEFT JOIN s$t s
+         |    ON s.sub = p.sub AND s.code = p.code)""".stripMargin
+    s"""WITH corpus AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000000, CAST(embedding AS DOUBLE[])
+       |  FROM embeddings WHERE vec_id < 3),
+       |nrow AS (SELECT count(*) AS n FROM corpus),
+       |rk AS (SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS r
+       |  FROM corpus),
+       |sv AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, e
+       |  FROM (
+       |    SELECT DISTINCT rk.vec_id, rk.e
+       |    FROM rk CROSS JOIN nrow
+       |    JOIN (SELECT unnest(range(0, 16)) AS i) ii
+       |      ON rk.r = CAST(ceil((2 * ii.i + 1) / 32.0 * nrow.n) AS BIGINT))),
+       |b0 AS (
+       |  SELECT ss.s AS sub, sv.code,
+       |    list_transform(range(1, 9), j -> sv.e[ss.s * 8 + j]) AS cv
+       |  FROM sv CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss)""".stripMargin +
+      (1 to 5).map(lloydIter).mkString +
+      s""",
+         |codes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT v.vec_id, b.sub, b.code,
+         |      row_number() OVER (PARTITION BY v.vec_id, b.sub ORDER BY
+         |        ${dist("v", "b")} ASC, b.code ASC) AS rn
+         |    FROM corpus v CROSS JOIN b5 b) WHERE rn = 1),
+         |qtab AS (
+         |  SELECT q.vec_id AS query_id, b.sub, b.code,
+         |    list_reduce(list_transform(range(1, 9),
+         |      j -> q.e[b.sub * 8 + j] * b.cv[j]), (a, b2) -> a + b2) AS dot
+         |  FROM corpus q CROSS JOIN b5 b WHERE q.vec_id < $NQueries),
+         |adc AS (
+         |  SELECT query_id, vec_id,
+         |    round(list_reduce(list(dot ORDER BY sub), (a, b2) -> a + b2), 6)
+         |      AS adc
+         |  FROM (
+         |    SELECT t.query_id, c.vec_id, t.sub, t.dot
+         |    FROM codes c JOIN qtab t ON t.sub = c.sub AND t.code = c.code
+         |    WHERE c.vec_id <> t.query_id)
+         |  GROUP BY query_id, vec_id),
+         |short AS (
+         |  SELECT query_id, vec_id, adc FROM (
+         |    SELECT query_id, vec_id, adc, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
+         |    FROM adc) WHERE rn <= 50),
+         |rr AS (
+         |  SELECT s2.query_id, s2.vec_id,
+         |    round(list_cosine_similarity(v.e, q.e), 6) AS sim, s2.adc
+         |  FROM short s2 JOIN corpus v ON v.vec_id = s2.vec_id
+         |  JOIN corpus q ON q.vec_id = s2.query_id),
+         |approx AS (
+         |  SELECT query_id, vec_id, sim, adc,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, vec_id) AS INT) AS rank
+         |  FROM rr QUALIFY rank <= 10),
+         |ex AS (
+         |  SELECT q.vec_id AS query_id, v.vec_id,
+         |    round(list_cosine_similarity(v.e, q.e), 6) AS sim
+         |  FROM corpus v CROSS JOIN corpus q
+         |  WHERE q.vec_id < $NQueries AND v.vec_id <> q.vec_id),
+         |ext AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS r
+         |    FROM ex) WHERE r <= 10),
+         |en AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM ext GROUP BY 1),
+         |j AS (
+         |  SELECT a.query_id, a.vec_id, a.sim, a.adc, a.rank,
+         |    CASE WHEN e2.vec_id IS NOT NULL THEN 1 ELSE 0 END AS in_exact
+         |  FROM approx a LEFT JOIN ext e2
+         |    ON e2.query_id = a.query_id AND e2.vec_id = a.vec_id),
+         |gg AS (SELECT CAST(sum(CASE WHEN rank = 1 AND query_id < 3
+         |      AND vec_id = query_id + 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_planted_top1
+         |  FROM j)
+         |SELECT j.query_id, j.vec_id, j.sim, j.adc, j.rank, j.in_exact,
+         |  round(sum(j.in_exact) OVER (PARTITION BY j.query_id) * 1.0
+         |    / en.n_exact, 2) AS recall_vs_exact,
+         |  gg.n_planted_top1
+         |FROM j JOIN en USING (query_id) CROSS JOIN gg
+         |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q119_pq_adc" -> pqAdcOracleSql,
     "q288_matryoshka" ->
       s"""WITH e0 AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e64 FROM embeddings),
