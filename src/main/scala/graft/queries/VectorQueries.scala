@@ -70,6 +70,73 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Tiered retrieval stack end-to-end (r11 verdict item 6 — the
+    * production readout q288 and q66 separately imply): stage 1
+    * searches int8-QUANTIZED 16-dim MATRYOSHKA PREFIXES — a 16× index
+    * shrink (4× from the dim prefix, 4× from int8) — for a 50-deep
+    * shortlist; stage 2 reranks ONLY the survivors at full fp width.
+    * The output carries recall-vs-exact plus the planted-impostor
+    * audit: id −77 shares query 0's prefix EXACTLY (same prefix ⇒ same
+    * scale ⇒ same codes ⇒ coarse sim 1.0, so it must top the
+    * shortlist) but its tail is negated (full-width cosine < 0), so
+    * ONLY the final rerank can demote it — `impostor_shortlisted` = 1,
+    * `impostor_in_top10` = 0. Exact arithmetic end to end
+    * (deterministic integer quantization, sequential double cosines)
+    * → full hash oracle.
+    *
+    * Scale shape: the coarse stage is the only corpus scan and reads
+    * 16 int8 codes + one scale per row (the index working set at
+    * 100 TB); the shortlist is candidates-sized and pinned once; the
+    * rerank joins candidates×1 back to the full-width corpus by id;
+    * the query side broadcasts at every stage. */
+  def q289TieredRetrieval(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val impostor = emb.filter(col("vec_id") === 0)
+      .select(lit(-77L).as("vec_id"),
+        expr("concat(slice(embedding, 1, 16), transform(slice(embedding, 17, 48), x -> -x))")
+          .as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(impostor)
+    val pre = corpus.select(col("vec_id"), expr("slice(embedding, 1, 16)").as("embedding"))
+    val qz = Similarity.quantizeInt8(pre)
+      .withColumn("deq", expr("transform(q_vec, v -> v * q_scale)"))
+    val queries = broadcast(qz.filter(col("vec_id") >= 0 && col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("deq").as("q_deq")))
+    val coarse = qz.select(col("vec_id"), col("deq"))
+      .crossJoin(queries)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim16", round(expr("cosine_sim(deq, q_deq)"), 6))
+    val shortl = coarse
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim16").desc, col("vec_id"))))
+      .filter(col("crank") <= 50)
+      .select("query_id", "vec_id", "sim16")
+      .transform(graft.plans.Pin.eager) // candidate-scale; feeds rerank + audit
+    val qFull = broadcast(emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val top = shortl
+      .join(corpus, Seq("vec_id"))
+      .join(qFull, Seq("query_id"))
+      .withColumn("sim64", round(expr("cosine_sim(embedding, q_emb)"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim64").desc, col("vec_id"))))
+      .filter(col("rank") <= 10)
+      .select("query_id", "vec_id", "sim16", "sim64", "rank")
+    val exact = Similarity.bruteForceTopK(s, corpus,
+      emb.filter(col("vec_id") < NQueries), k = 10)
+    val ga = shortl.agg(
+      sum(when(col("query_id") === 0 && col("vec_id") === -77L, 1).otherwise(0))
+        .as("impostor_shortlisted"))
+    val gb = top.agg(
+      sum(when(col("vec_id") === -77L, 1).otherwise(0)).as("impostor_in_top10"))
+    Similarity.recallVsExact(top, exact.select("query_id", "vec_id"), 10)
+      .crossJoin(broadcast(ga)).crossJoin(broadcast(gb))
+      .select(col("query_id"), col("rank"), col("vec_id"), col("sim16"),
+        col("sim64"), col("in_exact"), col("recall_vs_exact"),
+        col("impostor_shortlisted"), col("impostor_in_top10"))
+      .orderBy("query_id", "rank")
+  }
+
   /** LSH-bucketed approximate top-10 for the same query set, annotated
     * with per-query recall against the exact result — FULL hash oracle
     * in the md5 SRP-sign bucket mode (q41/q112 idiom): DuckDB
@@ -88,14 +155,12 @@ object VectorQueries {
   /** IVF-bucketed approximate top-10, annotated with per-query recall
     * against the exact result — FULL hash oracle since r8: the seed
     * centroids are percentile-picked vec_ids whose rank rule
-    * (1-based rank ⌊q·n⌋+1, verified empirically at two corpus sizes;
-    * exact because the sketch retains all samples below its accuracy)
-    * DuckDB restates over the ordered id spine; cell assignment and
-    * query probes re-derive from raw cosines with the (sim DESC,
-    * cid DESC) tie rule, and the candidate top-10 + recall join follow
-    * the q35 restatement. Caveat (documented, not hit at the oracle
-    * SF): at corpus sizes divisible by 32 the quantile targets land on
-    * exact integers where the sketch's rank rule is unverified. */
+    * (1-based rank ceil(q·n) — corrected in r12 from ⌊q·n⌋+1, which
+    * only agrees while q·n is non-integer; exact because the sketch
+    * retains all samples below its accuracy) DuckDB restates over the
+    * ordered id spine; cell assignment and query probes re-derive from
+    * raw cosines with the (sim DESC, cid DESC) tie rule, and the
+    * candidate top-10 + recall join follow the q35 restatement. */
   def q43KnnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val q = emb.filter(col("vec_id") < NQueries)
@@ -427,7 +492,8 @@ object VectorQueries {
     "q43_knn_ivf" -> (q43KnnIvf _),
     "q66_quantized_knn" -> (q66QuantizedKnn _),
     "q70_label_centroids" -> (q70LabelCentroids _),
-    "q94_mmr" -> (q94Mmr _)
+    "q94_mmr" -> (q94Mmr _),
+    "q289_tiered_retrieval" -> (q289TieredRetrieval _)
   )
 
   /** Int8-quantized brute-force top-10: corpus vectors scalar-quantized
@@ -894,6 +960,79 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "q119_pq_adc" -> pqAdcOracleSql,
+    // the full tiered stack restated: prefix slice → per-vector int8
+    // quantize/dequantize (the q66 idiom) → coarse rounded-cosine
+    // shortlist-50 → full-width rerank → recall + impostor audits
+    "q289_tiered_retrieval" ->
+      s"""WITH emb0 AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |corpus AS (
+         |  SELECT vec_id, e FROM emb0
+         |  UNION ALL
+         |  SELECT -77, list_concat(e[1:16], list_transform(e[17:64], x -> -x))
+         |  FROM emb0 WHERE vec_id = 0),
+         |qz AS (
+         |  SELECT vec_id, e[1:16] AS p,
+         |    list_max(list_transform(e[1:16], x -> abs(x))) / 127.0 AS q_scale
+         |  FROM corpus),
+         |dq AS (
+         |  SELECT vec_id,
+         |    CASE WHEN q_scale = 0 THEN list_transform(p, x -> 0.0)
+         |    ELSE list_transform(p, x -> round(x / q_scale) * q_scale) END AS deq
+         |  FROM qz),
+         |q AS (
+         |  SELECT vec_id AS query_id, deq AS q_deq
+         |  FROM dq WHERE vec_id >= 0 AND vec_id < $NQueries),
+         |coarse AS (
+         |  SELECT q.query_id, e.vec_id,
+         |    round(CASE WHEN list_sum(list_transform(e.deq, x -> x * x)) = 0
+         |      OR list_sum(list_transform(q.q_deq, x -> x * x)) = 0 THEN 0.0
+         |    ELSE list_cosine_similarity(e.deq, q.q_deq) END, 6) AS sim16
+         |  FROM dq e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |short AS (
+         |  SELECT query_id, vec_id, sim16 FROM (
+         |    SELECT query_id, vec_id, sim16, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY sim16 DESC, vec_id) AS crank
+         |    FROM coarse) WHERE crank <= 50),
+         |qf AS (
+         |  SELECT vec_id AS query_id, e AS q_emb FROM emb0
+         |  WHERE vec_id < $NQueries),
+         |topr AS (
+         |  SELECT query_id, vec_id, sim16, sim64,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim64 DESC, vec_id) AS INT) AS rank
+         |  FROM (
+         |    SELECT s.query_id, s.vec_id, s.sim16,
+         |      round(list_cosine_similarity(v.e, qf.q_emb), 6) AS sim64
+         |    FROM short s
+         |    JOIN corpus v ON v.vec_id = s.vec_id
+         |    JOIN qf ON qf.query_id = s.query_id)
+         |  QUALIFY rank <= 10),
+         |ex AS (
+         |  SELECT qf.query_id, v.vec_id,
+         |    round(list_cosine_similarity(v.e, qf.q_emb), 6) AS sim
+         |  FROM corpus v CROSS JOIN qf WHERE v.vec_id <> qf.query_id),
+         |ext AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS r
+         |    FROM ex) WHERE r <= 10),
+         |en AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM ext GROUP BY 1),
+         |j AS (
+         |  SELECT t.query_id, t.rank, t.vec_id, t.sim16, t.sim64,
+         |    CASE WHEN e2.vec_id IS NOT NULL THEN 1 ELSE 0 END AS in_exact
+         |  FROM topr t LEFT JOIN ext e2
+         |    ON e2.query_id = t.query_id AND e2.vec_id = t.vec_id),
+         |ga AS (SELECT CAST(sum(CASE WHEN query_id = 0 AND vec_id = -77
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS impostor_shortlisted FROM short),
+         |gb AS (SELECT CAST(sum(CASE WHEN vec_id = -77 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS impostor_in_top10 FROM topr)
+         |SELECT j.query_id, j.rank, j.vec_id, j.sim16, j.sim64, j.in_exact,
+         |  round(sum(j.in_exact) OVER (PARTITION BY j.query_id) * 1.0
+         |    / en.n_exact, 2) AS recall_vs_exact,
+         |  ga.impostor_shortlisted, gb.impostor_in_top10
+         |FROM j JOIN en USING (query_id) CROSS JOIN ga CROSS JOIN gb
+         |ORDER BY query_id, rank""".stripMargin,
     "q288_matryoshka" ->
       s"""WITH e0 AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e64 FROM embeddings),
