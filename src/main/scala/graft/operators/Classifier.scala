@@ -32,12 +32,17 @@ import graft.plans.GraftFunctions
 object Classifier {
 
   /** Per-row hashed-BOW features: `featCol` = array<double> of length
-    * dim+1 (counts + intercept). Requires [[GraftFunctions.register]]. */
+    * dim+1 (counts + intercept). Requires [[GraftFunctions.register]].
+    * `md5Mode` swaps xxhash64 bucketing for the cross-engine md5-h1
+    * family (see [[org.apache.spark.sql.catalyst.expressions.graft
+    * .HashFeatures]]) — the oracle-replayable variant. */
   def featurize(docs: DataFrame, dim: Int = 256, textCol: String = "text",
-      featCol: String = "features"): DataFrame =
+      featCol: String = "features", md5Mode: Boolean = false): DataFrame = {
+    val fn = if (md5Mode) "hash_features_md5" else "hash_features"
     docs.withColumn("__toks", tokens(textCol))
-      .withColumn(featCol, expr(s"hash_features(__toks, $dim)"))
+      .withColumn(featCol, expr(s"$fn(__toks, $dim)"))
       .drop("__toks")
+  }
 
   /** Batch gradient descent on log-loss. Returns the trained weights
     * (length dim+1, intercept last) and the per-iteration
@@ -45,12 +50,23 @@ object Classifier {
     * iteration STARTED from, so the trace is the standard monotone GD
     * certificate when lr is within the smoothness bound.
     *
-    * `labelCol` must be 0.0/1.0 doubles. */
+    * `labelCol` must be 0.0/1.0 doubles.
+    *
+    * `floatCast` rounds the updated weight vector through FLOAT after
+    * every iteration — the q90 centroid discipline: partial-aggregation
+    * order (Spark's own run-to-run nondeterminism AND the cross-engine
+    * DuckDB replay) perturbs the gradient sum only in the last double
+    * ulps, and the float cast (an exactly-defined IEEE operation in
+    * every engine) absorbs it, making the whole 15-round trajectory
+    * machine-stable. The cast costs ~6e-8 relative weight precision per
+    * round — noise against GD's own step sizes. Production training
+    * keeps full doubles (default off). */
   def trainLogisticTrace(spark: SparkSession, docs: DataFrame,
       labelCol: String, dim: Int = 256, maxIter: Int = 20, lr: Double = 0.5,
-      textCol: String = "text"): (Array[Double], Array[(Double, Double)]) = {
+      textCol: String = "text", md5Mode: Boolean = false,
+      floatCast: Boolean = false): (Array[Double], Array[(Double, Double)]) = {
     GraftFunctions.register(spark)
-    val feats0 = featurize(docs, dim, textCol)
+    val feats0 = featurize(docs, dim, textCol, md5Mode = md5Mode)
       .select(col("features"), col(labelCol).cast("double").as("label"))
     val ownCache = feats0.storageLevel == StorageLevel.NONE
     val feats = if (ownCache) feats0.persist(StorageLevel.MEMORY_AND_DISK) else feats0
@@ -72,7 +88,10 @@ object Classifier {
         val n = row.getLong(1).toDouble
         if (n == 0) return (w, trace.toArray)
         trace += ((g(dim + 1) / n, g(dim + 2) / n)) // (mean loss, accuracy)
-        w = Array.tabulate(dim + 1)(i => w(i) - lr * g(i) / n)
+        w = Array.tabulate(dim + 1) { i =>
+          val wi = w(i) - lr * g(i) / n
+          if (floatCast) wi.toFloat.toDouble else wi
+        }
         iter += 1
       }
       (w, trace.toArray)
@@ -85,13 +104,13 @@ object Classifier {
     * `pred` = score ≥ 0.5. One map-side pass — featurize + native
     * margin, no shuffle, no driver involvement. */
   def scoreLogistic(spark: SparkSession, docs: DataFrame, weights: Array[Double],
-      dim: Int = 256, textCol: String = "text"): DataFrame = {
+      dim: Int = 256, textCol: String = "text", md5Mode: Boolean = false): DataFrame = {
     GraftFunctions.register(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "logit_margin",
       exprs => org.apache.spark.sql.catalyst.expressions.graft
         .LogitMargin(exprs(0), weights), "built-in")
-    featurize(docs, dim, textCol)
+    featurize(docs, dim, textCol, md5Mode = md5Mode)
       .withColumn("score", expr("1.0d / (1.0d + exp(-logit_margin(features)))"))
       .withColumn("pred", col("score") >= 0.5)
       .drop("features")

@@ -39,6 +39,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "hash_features", exprs => HashFeatures(exprs(0), intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
+      "hash_features_md5", exprs => HashFeatures(exprs(0), intLit(exprs(1)),
+        md5Mode = true), "built-in")
+    reg.createOrReplaceTempFunction(
       "srp_project", exprs => SrpProject(exprs(0), intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "srp_band_keys", exprs => SrpBandKeys(exprs(0), intLit(exprs(1)),

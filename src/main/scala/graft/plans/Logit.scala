@@ -22,14 +22,22 @@ import org.apache.spark.sql.types._
   * This is the feature layer of the reference-class quality-classifier
   * pipeline (CCNet trains exactly this shape: linear model over hashed
   * n-gram counts — Wenzek et al. 2020 §4.3). At 100 TB the vector stays
-  * a per-row map-side product; nothing about it shuffles. */
-case class HashFeatures(child: Expression, dim: Int)
+  * a per-row map-side product; nothing about it shuffles.
+  *
+  * `md5Mode` buckets by [[Md5Hash.h1]] (the first 60 md5 hex bits)
+  * instead of xxhash64 — the same cross-engine hash family the MinHash
+  * (`minhash_sig_md5`) and count-min oracles use: any engine that can
+  * md5 a string recomputes the buckets exactly
+  * (`('0x' || substr(md5(t), 1, 15))::BIGINT % dim` in DuckDB), which
+  * is what lets the q107 training loop carry a full hash oracle.
+  * xxhash64 (default) is ~5× faster and right for production runs. */
+case class HashFeatures(child: Expression, dim: Int, md5Mode: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   require(dim > 0, s"hash_features dim must be positive, got $dim")
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override def prettyName: String = "hash_features"
+  override def prettyName: String = if (md5Mode) "hash_features_md5" else "hash_features"
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -37,7 +45,9 @@ case class HashFeatures(child: Expression, dim: Int)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val h = SketchHash.hash(arr.getUTF8String(i), 7L)
+      val h =
+        if (md5Mode) Md5Hash.h1(arr.getUTF8String(i)) // ≥ 0 by construction
+        else SketchHash.hash(arr.getUTF8String(i), 7L)
       val b = ((h % dim) + dim) % dim
       out(b.toInt) += 1.0
       i += 1

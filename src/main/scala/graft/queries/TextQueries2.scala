@@ -446,7 +446,19 @@ object TextQueries2 {
     * with in-bound lr is monotone), `probe_correct` = 2 (two UNSEEN
     * token mixes classified right), and the real-corpus scoring pass
     * (`n_scored_real`, `mean_real_score`) exercising the frozen-weights
-    * map-side path on the documents table. */
+    * map-side path on the documents table.
+    *
+    * Since r12 the query runs in the CROSS-ENGINE mode and carries a
+    * FULL hash oracle (the q90/q100/q237 unroll discipline applied to
+    * the last float-iterative holdout): md5-h1 feature bucketing
+    * (replayable by any engine that can md5 a string) and the
+    * float-cast weight update (`Classifier.trainLogisticTrace`
+    * floatCast — the q90 centroid trick: the cast absorbs
+    * partial-aggregation-order and libm-exp last-ulp noise, making the
+    * 15-round trajectory machine-stable). DuckDB replays all 15 GD
+    * iterations as unrolled CTE blocks over a 257-row (bucket, weight)
+    * table. xxhash64 + full-double training stays the production
+    * default in [[graft.operators.Classifier]]. */
   def q107QualityClassifier(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val train = s.range(240).select(
@@ -456,12 +468,14 @@ object TextQueries2 {
           "CASE WHEN id % 2 = 0 THEN 'good' ELSE 'junk' END, pmod(id * 7 + i, 16))))"),
         lit(" the data of and")).as("text"))
     val (w, trace) = Classifier.trainLogisticTrace(s, train, "label",
-      dim = 256, maxIter = 15, lr = 1.0)
+      dim = 256, maxIter = 15, lr = 1.0, md5Mode = true, floatCast = true)
     val probes = Seq((1.0, "good1 good5 good9 good14 the data"),
       (0.0, "junk2 junk6 junk11 junk15 of and")).toDF("want", "text")
-    val probeCorrect = Classifier.scoreLogistic(s, probes, w, dim = 256)
+    val probeCorrect = Classifier.scoreLogistic(s, probes, w, dim = 256,
+        md5Mode = true)
       .filter(col("pred") === (col("want") === 1.0)).count()
-    val scored = Classifier.scoreLogistic(s, docs(s, d), w, dim = 256)
+    val scored = Classifier.scoreLogistic(s, docs(s, d), w, dim = 256,
+        md5Mode = true)
       .agg(count(lit(1)).as("n"), avg("score").as("m")).head()
     val rows = trace.zipWithIndex.map { case ((loss, acc), t) =>
       val ok = t == 0 || loss <= trace(t - 1)._1 + 1e-12
@@ -478,6 +492,106 @@ object TextQueries2 {
       .withColumn("mean_real_score",
         lit(BigDecimal(scored.getDouble(1)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
       .orderBy("iter")
+  }
+
+  /** The q107 oracle: all 15 batch-GD iterations unrolled as DuckDB CTE
+    * blocks over a 257-row (bucket, weight) table — the q100/q237
+    * iterative-unroll discipline applied to logistic regression. Each
+    * iteration block: per-doc margin/σ at the INCOMING weights (loss +
+    * accuracy read here, matching the engine's trace-before-update), a
+    * per-bucket gradient aggregate, and the float-cast weight update
+    * (`CAST(... AS REAL)` — the exactly-defined IEEE narrowing both
+    * engines share, which absorbs summation-order and libm-exp
+    * last-ulp noise; see `Classifier.trainLogisticTrace` floatCast).
+    * Buckets are md5-h1 % dim, the repo's standard cross-engine hash.
+    * The planted 240-row corpus is regenerated relationally, the two
+    * probes are scored against w15, and the real-corpus pass replays
+    * the frozen-weight σ over `documents`. */
+  private def q107OracleSql(nIter: Int): String = {
+    val bucket = "('0x' || substr(md5(tok), 1, 15))::BIGINT % 256"
+    val clamp = "greatest(1e-15, least(1.0 - 1e-15, p))"
+    val base =
+      s"""WITH train AS MATERIALIZED (
+         |  SELECT id,
+         |    CASE WHEN id % 2 = 0 THEN 1.0 ELSE 0.0 END AS y,
+         |    list_transform(range(0, 8), i ->
+         |      (CASE WHEN id % 2 = 0 THEN 'good' ELSE 'junk' END)
+         |        || ((id * 7 + i) % 16))
+         |      || ['the', 'data', 'of', 'and'] AS toks
+         |  FROM range(240) t(id)),
+         |feats AS MATERIALIZED (
+         |  SELECT id, y, b, CAST(count(*) AS DOUBLE) AS cnt FROM (
+         |    SELECT id, y, $bucket AS b
+         |    FROM (SELECT id, y, unnest(toks) AS tok FROM train))
+         |  GROUP BY 1, 2, 3
+         |  UNION ALL SELECT id, y, 256 AS b, 1.0 FROM train),
+         |w0 AS MATERIALIZED (
+         |  SELECT unnest(range(0, 257)) AS b, CAST(0.0 AS DOUBLE) AS w)""".stripMargin
+    val iters = (1 to nIter).map { t =>
+      val p = t - 1
+      s"""m$t AS MATERIALIZED (
+         |  SELECT f.id, f.y, 1.0 / (1.0 + exp(-sum(w.w * f.cnt))) AS p
+         |  FROM feats f JOIN w$p w USING (b) GROUP BY 1, 2),
+         |l$t AS MATERIALIZED (
+         |  SELECT $t AS iter,
+         |    avg(-y * ln($clamp) - (1.0 - y) * ln(1.0 - $clamp)) AS loss_raw,
+         |    avg(CASE WHEN (p >= 0.5) = (y >= 0.5) THEN 1.0 ELSE 0.0 END) AS acc_raw
+         |  FROM m$t),
+         |w$t AS MATERIALIZED (
+         |  SELECT w.b,
+         |    CAST(CAST(w.w - COALESCE(g.g, 0.0) / 240.0 AS REAL) AS DOUBLE) AS w
+         |  FROM w$p w LEFT JOIN (
+         |    SELECT f.b, sum((m.p - m.y) * f.cnt) AS g
+         |    FROM feats f JOIN m$t m USING (id) GROUP BY 1) g USING (b))""".stripMargin
+    }
+    val traceUnion = (1 to nIter).map(t => s"SELECT * FROM l$t").mkString(" UNION ALL ")
+    val tail =
+      s"""trace AS MATERIALIZED (
+         |  SELECT iter, loss_raw, acc_raw,
+         |    (iter = 1 OR loss_raw <= lag(loss_raw) OVER (ORDER BY iter) + 1e-12)
+         |      AS monotone_ok
+         |  FROM ($traceUnion)),
+         |probes AS (SELECT * FROM (VALUES
+         |    (1.0, ['good1', 'good5', 'good9', 'good14', 'the', 'data']),
+         |    (0.0, ['junk2', 'junk6', 'junk11', 'junk15', 'of', 'and']))
+         |  p(want, toks)),
+         |pfe AS (
+         |  SELECT want, b, CAST(count(*) AS DOUBLE) AS cnt FROM (
+         |    SELECT want, $bucket AS b
+         |    FROM (SELECT want, unnest(toks) AS tok FROM probes))
+         |  GROUP BY 1, 2
+         |  UNION ALL SELECT want, 256 AS b, 1.0 FROM probes),
+         |psc AS (
+         |  SELECT f.want, 1.0 / (1.0 + exp(-sum(w.w * f.cnt))) AS score
+         |  FROM pfe f JOIN w$nIter w USING (b) GROUP BY 1),
+         |pok AS (
+         |  SELECT CAST(sum(CASE WHEN (score >= 0.5) = (want = 1.0)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS pc FROM psc),
+         |rfe AS MATERIALIZED (
+         |  SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS cnt FROM (
+         |    SELECT doc_id, $bucket AS b FROM (
+         |      SELECT doc_id,
+         |        unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |      FROM documents))
+         |  GROUP BY 1, 2
+         |  UNION ALL SELECT doc_id, 256 AS b, 1.0 FROM documents),
+         |rsc AS (
+         |  SELECT f.doc_id, 1.0 / (1.0 + exp(-sum(w.w * f.cnt))) AS score
+         |  FROM rfe f JOIN w$nIter w USING (b) GROUP BY 1),
+         |ragg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, round(avg(score), 4) AS m
+         |  FROM rsc)
+         |SELECT CAST(t.iter AS INTEGER) AS iter,
+         |  round(t.loss_raw, 6) AS loss, round(t.acc_raw, 4) AS acc,
+         |  t.monotone_ok,
+         |  (SELECT round(acc_raw, 4) FROM trace WHERE iter = $nIter) AS final_acc,
+         |  CAST((SELECT count(*) FROM trace WHERE NOT monotone_ok) AS INTEGER)
+         |    AS n_violations,
+         |  (SELECT pc FROM pok) AS probe_correct,
+         |  (SELECT n FROM ragg) AS n_scored_real,
+         |  (SELECT m FROM ragg) AS mean_real_score
+         |FROM trace t ORDER BY t.iter""".stripMargin
+    (Seq(base) ++ iters ++ Seq(tail)).mkString(",\n")
   }
 
   /** BPE vocabulary induction ([[graft.operators.Bpe.learnMerges]],
@@ -678,6 +792,7 @@ object TextQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q107_quality_classifier" -> q107OracleSql(15),
     "q237_bpe_vocab" -> bpeOracleSql(16),
     "q241_bpe_subwords" -> bpeSubwordsOracleSql(16),
     "q287_tokenizer_fertility" -> fertilityOracleSql(16),

@@ -47,6 +47,43 @@ class ClassifierSpec extends AnyFunSuite {
     assert(trace.last._1 < trace.head._1, "loss must strictly improve overall")
   }
 
+  test("hash_features_md5 buckets by md5-h1 % dim (the DuckDB-replayable rule)") {
+    val s = spark; import s.implicits._
+    GraftFunctions.register(s)
+    val toks = Seq("good3", "junk11", "the", "data", "of", "and")
+    val out = Seq((1L, toks.mkString(" "))).toDF("id", "text")
+      .select(expr("hash_features_md5(split(text, ' '), 256)").as("f"))
+      .head().getSeq[Double](0)
+    assert(out.length == 257 && out.last == 1.0)
+    // expected buckets via the SQL restatement the oracle uses:
+    // ('0x' || substr(md5(tok), 1, 15))::BIGINT % 256
+    val expected = s.sql(
+      s"SELECT CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % 256 AS b " +
+        "FROM VALUES " + toks.map(t => s"('$t')").mkString(", ") + " v(t)")
+      .collect().map(_.getLong(0).toInt)
+    val counts = new Array[Double](256)
+    expected.foreach(b => counts(b) += 1.0)
+    assert(out.init == counts.toSeq, "md5 buckets must match the oracle arithmetic")
+  }
+
+  test("md5Mode + floatCast training still learns, and weights are float-exact") {
+    val s = spark; import s.implicits._
+    val train = (0 until 60).map { i =>
+      if (i % 2 == 0) (1.0, s"pos${i % 7} pos${(i + 3) % 7} shared filler")
+      else (0.0, s"neg${i % 7} neg${(i + 3) % 7} shared filler")
+    }.toDF("label", "text")
+    val (w, trace) = Classifier.trainLogisticTrace(s, train, "label",
+      dim = 128, maxIter = 20, lr = 1.0, md5Mode = true, floatCast = true)
+    trace.sliding(2).foreach { case Array((l0, _), (l1, _)) =>
+      assert(l1 <= l0 + 1e-12, s"float-cast GD must stay monotone: $l0 -> $l1")
+    }
+    assert(trace.last._2 == 1.0, "separable data fully learned in cross-engine mode")
+    // the machine-stability invariant: every weight is exactly its own
+    // float narrowing, so an engine replaying the trajectory cannot
+    // disagree below float precision
+    assert(w.forall(v => v == v.toFloat.toDouble), "weights must be float-exact")
+  }
+
   test("scoring with frozen weights separates unseen class mixes") {
     val s = spark; import s.implicits._
     val train = (0 until 60).map { i =>
