@@ -176,14 +176,16 @@ object Graph {
     *
     * Scale shape: per round, ONE equi-join of the (checkpointed) edge
     * list against the label vector + one (node, label) count aggregate
-    * (map-side combined) + one per-node argmax window whose frame is
-    * bounded by the node's DISTINCT-neighbor-label count (≤ degree) —
-    * never row-scale. Lineage is truncated each round, the [[pageRank]]
-    * discipline. Fixed iterations keep the plan static and the result
-    * restatable as an unrolled SQL CTE chain. */
+    * (map-side combined) + one per-node `max_by` argmax aggregate —
+    * also map-side combined, so each partition pre-reduces to one
+    * candidate per node before the shuffle and nothing per-node is
+    * ever sorted (the row_number formulation this replaced paid a
+    * per-round sort exchange for the same answer). Never row-scale.
+    * Lineage is truncated each round, the [[pageRank]] discipline.
+    * Fixed iterations keep the plan static and the result restatable
+    * as an unrolled SQL CTE chain. */
   def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
       iters: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(iters >= 1, "iters must be positive")
     val dir = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .localCheckpoint()
@@ -198,11 +200,18 @@ object Graph {
       val counts = und
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
         .groupBy("src", "nl").agg(count(lit(1)).as("c"))
+      // per-node argmax by (count desc, label asc) as ONE max_by
+      // aggregate — the struct key (c, -nl) is unique within a node's
+      // group (nl is the group key), so max_by is deterministic, and
+      // unlike the row_number formulation it partial-aggregates
+      // map-side: each upstream partition pre-reduces to one candidate
+      // per node before the shuffle, and the per-node SORT the window
+      // needed disappears. (-nl: labels are node ids ≥ 0 here; the
+      // negation flips the tie order inside the max.)
       labels = counts
-        .withColumn("__rk", row_number().over(
-          Window.partitionBy("src").orderBy(col("c").desc, col("nl"))))
-        .where(col("__rk") === 1)
-        .select(col("src").as("id"), col("nl").as("label"))
+        .groupBy("src")
+        .agg(max_by(col("nl"), struct(col("c"), (-col("nl")).as("t"))).as("label"))
+        .select(col("src").as("id"), col("label"))
       if (i < iters) labels = labels.localCheckpoint()
     }
     labels

@@ -156,6 +156,61 @@ object CorpusQueries {
   def q97BigramPerplexity(s: SparkSession, d: String): DataFrame =
     TextSearch.bigramPerplexity(Tables.documents(s, d)).orderBy("doc_id")
 
+  /** CCNet head/middle/tail corpus split (Wenzek et al. 2020 §4.4 —
+    * the stage the released CommonCrawl corpora actually shipped): per
+    * language, documents ranked by LM perplexity (the q97 bigram
+    * model; its 2-dp-rounded score is engine-exact, so the order is
+    * too; ties break by doc_id) and cut into equal-count terciles —
+    * `head` is the most fluent third, the slice CCNet feeds to
+    * pre-training first. Completes the repo's CCNet arc: canonical
+    * URLs (q281) → census (q285) → frontier (q286) → boilerplate
+    * (q253) → dedup (q31) → langid (q36) → LM perplexity (q97) →
+    * trained classifier (q107) → THIS split.
+    *
+    * Scale shape — NO per-language corpus sort (a
+    * `Window.partitionBy(lang).orderBy(ppx)` over the rows would put
+    * all of English in one task at 100 TB): the rank comes from the
+    * q113/weightedQuantiles two-phase discipline. Phase 1 prefix-sums
+    * a (lang, perplexity) HISTOGRAM — its size is bounded by distinct
+    * 2-dp scores, not corpus rows — under a per-lang window over that
+    * histogram. Phase 2 equi-joins each doc back to its cell's
+    * preceding count and resolves within-cell order by doc_id, a
+    * window whose partition is one tie group. Tercile boundaries are
+    * `3·rank ≤ n` integer arithmetic — no float cut line. The oracle
+    * restates the whole thing as the naive per-lang ordered window,
+    * so the hash match proves the two-phase rank identity. */
+  def q290CcnetSplit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    // pinned: the scored frame feeds THREE consumers (the histogram →
+    // prefix sums, the per-lang totals, and the final probe side) whose
+    // pushed-down isnotnull sets differ — canonically different
+    // subtrees, so exchange reuse alone would re-run the whole LM chain
+    // per consumer (the bigramPerplexity one-pass lesson, one level up)
+    val pp = graft.plans.Pin.lazily(TextSearch.bigramPerplexity(docs)
+      .select(col("doc_id"), col("n_bigrams"), col("perplexity"))
+      .join(docs.select("doc_id", "lang"), Seq("doc_id")))
+    val hist = pp.groupBy("lang", "perplexity").agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum_before",
+        coalesce(sum("cnt").over(Window.partitionBy("lang")
+          .orderBy("perplexity")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val nLang = hist.groupBy("lang").agg(sum("cnt").as("n_lang"))
+    pp.join(cum.select("lang", "perplexity", "cum_before"), Seq("lang", "perplexity"))
+      .join(nLang, Seq("lang"))
+      .withColumn("lang_rank", col("cum_before") +
+        row_number().over(
+          Window.partitionBy("lang", "perplexity").orderBy("doc_id")))
+      .withColumn("bucket",
+        when(col("lang_rank") * 3 <= col("n_lang"), "head")
+          .when(col("lang_rank") * 3 <= col("n_lang") * 2, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("perplexity"),
+        col("lang_rank"), col("n_lang"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Capstone composition over the round's NEW operators — the q69
     * pattern applied to the second generation: paragraph-level dedup →
     * per-language calibrated quality gate (≥ 0.2) → overlapping
@@ -447,6 +502,7 @@ object CorpusQueries {
     "q95_fixed_size_sample" -> (q95FixedSizeSample _),
     "q96_quality_calibration" -> (q96QualityCalibration _),
     "q97_bigram_perplexity" -> (q97BigramPerplexity _),
+    "q290_ccnet_split" -> (q290CcnetSplit _),
     "q113_token_budget" -> (q113TokenBudget _),
     "q114_tfidf_pairs" -> (q114TfidfPairs _),
     "q115_token_mix" -> (q115TokenMix _),
@@ -705,6 +761,44 @@ object CorpusQueries {
         |  round(exp(sum(nb * nlp) / sum(nb)), 2) AS perplexity,
         |  min(vocab) AS vocab, min(total_bigrams) AS total_bigrams
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the q97 model chain + the naive per-lang ordered window — the
+    // engine's histogram two-phase rank must agree row-for-row, so the
+    // hash match proves the rank identity (the q113 pattern per lang)
+    "q290_ccnet_split" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+        |e AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> {'w1': toks[i], 'bg': toks[i] || ' ' || toks[i+1]})) AS s
+        |  FROM f),
+        |b AS (SELECT doc_id, s.w1 AS w1, s.bg AS bg FROM e),
+        |db AS (SELECT doc_id, w1, bg, count(*) AS nb FROM b GROUP BY 1, 2, 3),
+        |bs AS (SELECT w1, bg, sum(nb) AS c2 FROM db GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c2) AS c1 FROM bs GROUP BY 1),
+        |v AS (SELECT count(*) AS vocab FROM bs),
+        |sc AS (SELECT db.doc_id, db.nb,
+        |    -ln((bs.c2 + 0.5) / (c1.c1 + 0.5 * v.vocab)) AS nlp
+        |  FROM db
+        |  JOIN (SELECT bg, c2 FROM bs) bs USING (bg)
+        |  JOIN c1 ON db.w1 = c1.w1
+        |  CROSS JOIN v),
+        |pp AS (SELECT doc_id, CAST(sum(nb) AS BIGINT) AS n_bigrams,
+        |    round(exp(sum(nb * nlp) / sum(nb)), 2) AS perplexity
+        |  FROM sc GROUP BY 1),
+        |j AS (SELECT pp.doc_id, d.lang, pp.n_bigrams, pp.perplexity
+        |  FROM pp JOIN documents d USING (doc_id)),
+        |r AS (SELECT doc_id, lang, n_bigrams, perplexity,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY perplexity, doc_id) AS BIGINT) AS lang_rank,
+        |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+        |  FROM j)
+        |SELECT doc_id, lang, n_bigrams, perplexity, lang_rank, n_lang,
+        |  CASE WHEN lang_rank * 3 <= n_lang THEN 'head'
+        |       WHEN lang_rank * 3 <= n_lang * 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
     // the oracle states the cut as ONE ordered window — the engine's
     // bucketed two-phase prefix sum must agree row-for-row
     "q113_token_budget" ->

@@ -313,6 +313,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q290 CCNet split: equal-count terciles, fluency-ordered, rank = naive sort") {
+    val out = graft.queries.CorpusQueries.q290CcnetSplit(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rows) =>
+      val n = rows.length
+      // the integer boundary rule gives tercile sizes within 1 of n/3
+      val sizes = rows.groupBy(_.getAs[String]("bucket")).view.mapValues(_.length)
+      Seq("head", "middle", "tail").foreach { b =>
+        val sz = sizes.getOrElse(b, 0)
+        assert(math.abs(sz - n / 3.0) <= 1.0, s"$lang/$b: $sz of $n")
+      }
+      // within a language, every head perplexity ≤ every middle ≤ every tail
+      def maxP(b: String) = rows.filter(_.getAs[String]("bucket") == b)
+        .map(_.getAs[Double]("perplexity")).maxOption.getOrElse(Double.MinValue)
+      def minP(b: String) = rows.filter(_.getAs[String]("bucket") == b)
+        .map(_.getAs[Double]("perplexity")).minOption.getOrElse(Double.MaxValue)
+      assert(maxP("head") <= minP("middle") || sizes.getOrElse("middle", 0) == 0)
+      assert(maxP("middle") <= minP("tail") || sizes.getOrElse("tail", 0) == 0)
+      // the two-phase histogram rank must equal the naive per-lang sort rank
+      val naive = rows.sortBy(r =>
+        (r.getAs[Double]("perplexity"), r.getAs[Long]("doc_id")))
+        .zipWithIndex.map { case (r, i) => (r.getAs[Long]("doc_id"), i + 1L) }.toMap
+      rows.foreach { r =>
+        assert(r.getAs[Long]("lang_rank") === naive(r.getAs[Long]("doc_id")),
+          s"$lang doc ${r.getAs[Long]("doc_id")}")
+      }
+    }
+    // coverage: exactly the scoreable docs (≥ 2 tokens) are split
+    val scoreable = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(size(split(lower(trim(col("text"))), "\\s+")) >= 2).count()
+    assert(out.length.toLong === scoreable)
+  }
+
   test("bm25 and tf-idf run one corpus explode (exchange reuse, AQE off)") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
