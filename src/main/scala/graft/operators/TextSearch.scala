@@ -197,36 +197,46 @@ object TextSearch {
     * the operator is pure arithmetic — fully DuckDB-replicable. */
   def bigramPerplexity(docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     val toks = docs
       .withColumn("toks", TextFunctions.tokens(textCol))
       .filter(size(col("toks")) >= 2)
-    // w1/bg are wrapped non-null (coalesce with a literal): an inner
-    // equi-join otherwise pushes per-branch isnotnull(key) filters into
-    // the shared subtree, making the branches canonically DIFFERENT and
-    // defeating exchange reuse — with non-null keys no such filter is
-    // inserted. The values are never null anyway (concat_ws/element_at
-    // over a non-null token array).
-    val bigrams = toks.select(col(idCol),
-      explode(expr(
-        "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) AS w1, concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)) AS bg))"))
-        .as("b"))
-      .select(col(idCol),
-        coalesce(col("b.w1"), lit("")).as("w1"),
-        coalesce(col("b.bg"), lit("")).as("bg"))
-    // Derivation chain built for exchange reuse — the naive
-    // per-consumer formulation re-exploded the corpus once per count
-    // table (4 scans):
-    //   docBg  (doc, w1, bg) → nb      the ONE corpus explode+shuffle
-    //   bgStats (w1, bg) → c2          from docBg (bg determines w1,
-    //                                  so |bgStats| = vocab size)
-    //   c1t / vocab                    from bgStats (bigram-level)
-    // Every consumer embeds the identical docBg exchange subtree, so
-    // ReuseExchange (AQE: the runtime stage cache) runs the corpus
-    // pass once.
-    val docBg = bigrams.groupBy(col(idCol), col("w1"), col("bg"))
-      .agg(count(lit(1)).as("nb"))
+    // Per-(doc, bigram) counts are ROW-LOCAL (a document's bigrams all
+    // live in its own row), so they are counted by the native
+    // `bigram_counts` expression in a per-row loop — the relational
+    // `explode → groupBy(doc, w1, bg)` this replaced shuffled every
+    // bigram OCCURRENCE across the cluster just to bring it back where
+    // it started (Spark cannot know the group key is row-local).
+    // Struct fields are non-null by the expression's schema, so the
+    // downstream equi-joins insert no per-branch isnotnull filters
+    // (the canonical-subtree trap the old coalesce() guarded against).
+    val docBg0 = toks.select(col(idCol), explode(expr("bigram_counts(toks)")).as("e"))
+      .select(col(idCol), col("e.w1").as("w1"), col("e.bg").as("bg"),
+        col("e.nb").as("nb"))
+    // Shuffle-for-scan trade (deliberate): the model-side branch
+    // re-reads the corpus (2 scans total) but every remaining shuffle
+    // is sub-corpus —
+    //   bgStats groupBy(w1, bg): the partial aggregate reduces each
+    //     partition to its DISTINCT bigrams before the exchange, so
+    //     the shuffle carries vocab-scale partials, not occurrences
+    //     (the old (doc, w1, bg) aggregate's keys were near-unique per
+    //     row: a corpus-scale shuffle with no map-side reduction);
+    //   c1 (the w1 margin) folds into bgStats as a WINDOW over the
+    //     vocab-sized count table instead of the old corpus-scale
+    //     join on w1;
+    //   the scoring join on bg: AQE picks broadcast while the vocab
+    //     fits (probe side then shuffles NOTHING) and falls back to
+    //     SMJ — one corpus-scale exchange, the only one left besides
+    //     the final per-doc aggregate — when it doesn't.
+    // Old shape: 1 scan + 4 corpus-scale shuffle legs. New shape:
+    // 2 scans + at most 1. A projected columnar re-scan is far cheaper
+    // than a corpus shuffle leg; sharing the one scan would need either
+    // the old corpus-scale aggregate exchange or a checkpoint that
+    // erases the co-partitioning it was meant to exploit.
+    val docBg = docBg0
     val bgStats = docBg.groupBy("w1", "bg").agg(sum("nb").as("c2"))
-    val c1 = bgStats.groupBy("w1").agg(sum("c2").as("c1"))
+    val withC1 = bgStats.withColumn("c1",
+      sum("c2").over(org.apache.spark.sql.expressions.Window.partitionBy("w1")))
     // vocab (distinct bigrams) PLUS the nb-dependent total: without an
     // aggregate that needs the counts, RemoveRedundantAggregates
     // collapses this branch to a bare distinct-over-explode — a
@@ -235,8 +245,7 @@ object TextSearch {
     // (q86 pattern), so the model scale is visible next to each score.
     val v = bgStats.agg(count(lit(1)).as("vocab"), sum("c2").as("total_bigrams"))
     docBg
-      .join(bgStats.select("bg", "c2"), Seq("bg"))
-      .join(c1, Seq("w1"))
+      .join(withC1.select("bg", "c2", "c1"), Seq("bg"))
       .crossJoin(broadcast(v))
       .withColumn("neg_logp",
         -log((col("c2") + 0.5) / (col("c1") + lit(0.5) * col("vocab"))))

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.catalyst.expressions.graft.{BpeMerge, CdcBoundaries, CosineSimilarity, HashFeatures, JaroWinkler, LshBucket, MinHashBands, MinHashSig, MinHashSigMd5, MmrSelect, Morton2, PeriodMatches, ShingleSeq, Shingles, SimHash64, SrpBandKeys, SrpProject, TopKAgg, VectorSum, WinnowFingerprints}
+import org.apache.spark.sql.catalyst.expressions.graft.{BigramCounts, BpeMerge, CdcBoundaries, CosineSimilarity, HashFeatures, JaroWinkler, LshBucket, MinHashBands, MinHashSig, MinHashSigMd5, MmrSelect, Morton2, PeriodMatches, ShingleSeq, Shingles, SimHash64, SrpBandKeys, SrpProject, TopKAgg, VectorSum, WinnowFingerprints}
 
 /** Session-scoped registration of graft's native Catalyst expressions,
   * so they are callable from `expr("cosine_sim(a, b)")` / SQL text.
@@ -29,6 +29,8 @@ object GraftFunctions {
       "shingles", exprs => Shingles(exprs(0), intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "shingle_seq", exprs => ShingleSeq(exprs(0), intLit(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "bigram_counts", exprs => BigramCounts(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_bands", exprs => MinHashBands(exprs(0), intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(

@@ -275,6 +275,59 @@ case class Shingles(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-row bigram COUNTS: (w1, "w1 w2", n) structs, one per distinct
+  * bigram of the token array, duplicates counted — the row-local form
+  * of `explode(bigrams) → groupBy(doc, w1, bg) → count`. A document's
+  * bigrams all live in its own row, so counting them through a
+  * corpus-scale shuffle (what the relational formulation does — Spark
+  * cannot know the group key is row-local) moves every bigram
+  * occurrence across the cluster just to bring it back to where it
+  * started. This expression does the count in a tight per-row loop;
+  * the bigram-LM chain then pays ONE corpus shuffle (co-partitioning
+  * by bigram for the count tables AND the scoring join) instead of
+  * three. Insertion-ordered output (first occurrence), deterministic;
+  * order is irrelevant downstream of the aggregates. */
+case class BigramCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w1", StringType, nullable = false),
+    StructField("bg", StringType, nullable = false),
+    StructField("nb", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "bigram_counts"
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    if (m < 2) return new GenericArrayData(Array.empty[Any])
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Any]]()
+    var i = 0
+    while (i < m - 1) {
+      // concatWs allocates fresh bytes; w1 is cloned because the source
+      // array may be unsafe-backed (a stored view could be overwritten
+      // after eval returns)
+      val w1 = toks.getUTF8String(i)
+      val bg = UTF8String.concatWs(space, w1, toks.getUTF8String(i + 1))
+      val e = counts.get(bg)
+      if (e == null) counts.put(bg, Array[Any](w1.clone(), bg, 1L))
+      else e(2) = e(2).asInstanceOf[Long] + 1L
+      i += 1
+    }
+    val out = new Array[Any](counts.size())
+    val it = counts.values().iterator()
+    var k = 0
+    while (it.hasNext) {
+      out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(it.next())
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** POSITIONAL n-token shingles: one entry per token position, duplicates
   * preserved — the input winnowing requires. [[Shingles]] dedups to
   * first occurrence (right for set-similarity sketches), but winnowing's

@@ -298,18 +298,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(0).getDouble(3) < out(1).getDouble(3))
     // in-row corpus stats: 3 distinct bigrams over 4 positions
     assert(out(0).getLong(4) === 3L && out(0).getLong(5) === 4L)
-    // the whole model trains in ONE corpus pass: with AQE off (so reuse
-    // is visible statically) the executed plan must contain exactly one
-    // parquet scan — every count table rides on ReusedExchange
+    // the shuffle-for-scan contract (see bigramPerplexity scaladoc):
+    // per-(doc, bigram) counts are row-local (`bigram_counts`), so the
+    // occurrence-grain corpus shuffle — the old
+    // Exchange hashpartitioning(doc_id, w1, bg) with near-unique keys
+    // and no map-side reduction — must NOT appear; the model branch
+    // re-scans instead (2 scans), and every remaining exchange is
+    // sub-corpus (vocab partials, the final per-doc aggregate).
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val plan = TextSearch.bigramPerplexity(
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
         .queryExecution.executedPlan.toString
       val scans = "Scan parquet".r.findAllIn(plan).length
-      assert(scans === 1,
-        s"bigram LM should derive every count table from one corpus pass, saw $scans scans")
-      assert("ReusedExchange".r.findAllIn(plan).length >= 3)
+      assert(scans === 2,
+        s"probe + model branch: expected exactly two corpus scans, saw $scans")
+      assert(!plan.matches("(?s).*hashpartitioning\\(doc_id#\\d+L?, w1.*"),
+        "the occurrence-grain (doc, w1, bg) corpus shuffle must be gone")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
