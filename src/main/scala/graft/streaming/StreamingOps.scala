@@ -222,9 +222,53 @@ object StreamingOps {
       .withWatermark("ts", ttl)
       .dropDuplicatesWithinWatermark("fingerprint")
 
-  /** Drain a streaming aggregate to a memory sink synchronously
-    * (complete mode) and return the result table — the local test/verify
-    * harness for streaming queries.
+  /** Sink selection for the synchronous drain, BY OUTPUT MODE (r13 —
+    * the r12 verdict's scale finding). Append-mode results are
+    * ROW-scale (every closed window / evicted outer row / surviving
+    * dedup row), so the default is the executor-side parquet file sink:
+    * the memory sink serializes every result row to the driver, and at
+    * derived sf10 the q85 session drain produced >1 GiB of task results
+    * and died on spark.driver.maxResultSize (q87 paid 118 s serializing
+    * 2 M rows). Complete-mode results are AGGREGATE-scale (a
+    * re-emitted result table whose size does not grow with the data)
+    * and file sinks are append-only, so complete mode stays on the
+    * memory sink (deterministic, queryable mid-drain). The escape
+    * hatch inverted: SPARK_GRAFT_DRAIN_SINK=memory (or system property
+    * spark.graft.drainSink=memory, for in-JVM tests — a process cannot
+    * set its own env) opts an append drain BACK into the memory sink
+    * for debugging; the scale-safe path needs no knob. */
+  private[graft] def drainsToFileSink(outputMode: String): Boolean =
+    outputMode == "append" &&
+      !sys.env.get("SPARK_GRAFT_DRAIN_SINK")
+        .orElse(sys.props.get("spark.graft.drainSink")).contains("memory")
+
+  /** State-store provider selection (r13). The default
+    * HDFSBackedStateStoreProvider keeps EVERY state row in executor
+    * heap (the snapshot files are a recovery format, not a working
+    * set) — at 100× state the provider, not the plan, is the first
+    * thing to fall over. SPARK_GRAFT_STATE_STORE=rocksdb (or system
+    * property spark.graft.stateStore, for in-JVM tests) switches the
+    * drain to Spark's built-in RocksDBStateStoreProvider: state lives
+    * off-heap in a spill-to-disk LSM keyed store, so state size is
+    * bounded by disk, not heap. Accepts `rocksdb`, `hdfs`, or a
+    * fully-qualified provider class. Results are provider-invariant
+    * ([[graft.StateStoreProviderSpec]] pins identical drains on both);
+    * the knob trades per-batch commit latency for bounded memory. */
+  private[graft] def stateStoreProviderClass(): Option[String] =
+    sys.env.get("SPARK_GRAFT_STATE_STORE")
+      .orElse(sys.props.get("spark.graft.stateStore"))
+      .map {
+        case "rocksdb" =>
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        case "hdfs" =>
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+        case fqcn => fqcn
+      }
+
+  /** Drain a streaming query synchronously and return the result
+    * table — the local test/verify harness for streaming queries. The
+    * sink is selected by output mode ([[drainsToFileSink]]): append →
+    * executor-side parquet file sink, complete → memory sink.
     *
     * Two local-scale cost controls, both result-invariant:
     *  - stateful-operator cost here is dominated by per-partition state
@@ -254,22 +298,12 @@ object StreamingOps {
     val width = sys.env.get("SPARK_GRAFT_DRAIN_PARTITIONS")
       .map(_.toInt).getOrElse(drainPartitions)
     spark.conf.set(key, math.min(prev.toInt, width).toString)
-    // SPARK_GRAFT_DRAIN_SINK=parquet: drain APPEND-mode streams to an
-    // executor-side file sink instead of the memory sink. The memory
-    // sink is the right verify-scale tool (deterministic, queryable
-    // mid-drain) but it serializes EVERY result row to the driver —
-    // at derived sf10 the q85 session drain produced >1 GiB of task
-    // results and died on spark.driver.maxResultSize. A file sink
-    // keeps rows on executors (the production shape — see
-    // startParquetSink); the result is read back from the committed
-    // files. Complete-mode drains stay on the memory sink: file sinks
-    // are append-only, and complete-mode results are aggregates whose
-    // size does not grow with the data. Default: memory (unset). The
-    // system-property spelling exists for in-JVM tests (a process
-    // cannot set its own env).
-    val fileSink = outputMode == "append" &&
-      sys.env.get("SPARK_GRAFT_DRAIN_SINK")
-        .orElse(sys.props.get("spark.graft.drainSink")).contains("parquet")
+    // provider class is read at query START from the session conf —
+    // set it for this drain, restore after (see stateStoreProviderClass)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    stateStoreProviderClass().foreach(spark.conf.set(providerKey, _))
+    val fileSink = drainsToFileSink(outputMode)
     val fileSinkDir: Option[java.nio.file.Path] =
       if (fileSink) Some(java.nio.file.Files.createTempDirectory("graft_drain_out"))
       else None
@@ -409,9 +443,16 @@ object StreamingOps {
       // investigation tool (where does a drain's time go: planning,
       // state commit, addBatch?); off unless the env flag is set
       if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
-        q.recentProgress.foreach(p => System.err.println(
-          s"[drain $name] batch=${p.batchId} rows=${p.numInputRows} " +
-            s"durationMs=${p.durationMs}"))
+        q.recentProgress.foreach { p =>
+          System.err.println(
+            s"[drain $name] batch=${p.batchId} rows=${p.numInputRows} " +
+              s"durationMs=${p.durationMs}")
+          // state-store metrics per stateful operator (provider-level
+          // memory/rows — the RocksDB-vs-HDFS adjudication evidence)
+          p.stateOperators.foreach(so => System.err.println(
+            s"[drain $name]   state op=${so.operatorName} rows=${so.numRowsTotal} " +
+              s"memBytes=${so.memoryUsedBytes} custom=${so.customMetrics}"))
+        }
       q.stop()
       // materialize the file-sink result BEFORE the finally block
       // deletes its backing directory: localCheckpoint(eager) moves
@@ -426,11 +467,15 @@ object StreamingOps {
       if (listener != null)
         try spark.streams.removeListener(listener) catch { case _: Exception => () }
       spark.conf.set(key, prev)
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => try spark.conf.unset(providerKey) catch { case _: Exception => () }
+      }
       try org.apache.spark.sql.graft.StateStoreHooks.stopAll()
       catch { case _: Exception => () }
       // the drain is over — free the tmpfs checkpoint (RAM, not disk)
-      // and the per-drain temp dirs (r9 ADVICE: these leaked per drain
-      // under SPARK_GRAFT_DRAIN_SINK=parquet)
+      // and the per-drain temp dirs (r9 ADVICE: these leaked per
+      // file-sink drain before they were tracked)
       (shmCkpt.toSeq ++ fallbackCkpt.toSeq ++ fileSinkDir.toSeq).foreach { p =>
         try {
           import java.nio.file._

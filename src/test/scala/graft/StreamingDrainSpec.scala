@@ -4,13 +4,16 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Round-9: the parquet drain-sink knob. The memory sink serializes
-  * every result row to the driver — at derived sf10 the q85 session
-  * drain exceeded spark.driver.maxResultSize — so large-SF benches
-  * set SPARK_GRAFT_DRAIN_SINK=parquet and drain append-mode streams
-  * to an executor-side file sink instead. The sink choice must be
-  * invisible in the RESULT: this spec drains the q85 session-window
-  * shape both ways and asserts row-identical output. */
+/** Round-13: the drain sink is selected BY OUTPUT MODE. Append-mode
+  * results are row-scale, so they drain to an executor-side parquet
+  * file sink by default — the memory sink serializes every result row
+  * to the driver, and at derived sf10 the q85 session drain exceeded
+  * spark.driver.maxResultSize (the r12 verdict's scale finding).
+  * Complete-mode results are aggregate-scale and stay on the memory
+  * sink. SPARK_GRAFT_DRAIN_SINK=memory opts an append drain back into
+  * the memory sink for debugging. The sink choice must be invisible in
+  * the RESULT: this spec drains the q85 session-window shape both ways
+  * and asserts row-identical output, and pins the mode→sink mapping. */
 class StreamingDrainSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -19,6 +22,19 @@ class StreamingDrainSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  private def withDrainSinkProp[A](v: Option[String])(body: => A): A = {
+    val prev = sys.props.get("spark.graft.drainSink")
+    v match {
+      case Some(x) => sys.props("spark.graft.drainSink") = x
+      case None    => sys.props.remove("spark.graft.drainSink")
+    }
+    try body
+    finally prev match {
+      case Some(x) => sys.props("spark.graft.drainSink") = x
+      case None    => sys.props.remove("spark.graft.drainSink")
+    }
+  }
 
   private def sessionRows(drainSink: Option[String]): Seq[(Long, String, Long)] = {
     val s = spark; import s.implicits._
@@ -34,18 +50,14 @@ class StreamingDrainSpec extends AnyFunSuite {
       (-1L, ts(60 * 48), -1L, "sentinel", 0.0, ""))
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(dir)
-    val prev = sys.props.get("spark.graft.drainSink")
-    drainSink.fold(sys.props.remove("spark.graft.drainSink")) { v =>
-      sys.props("spark.graft.drainSink") = v; null
-    }
-    try {
+    withDrainSinkProp(drainSink) {
       val stream = graft.streaming.StreamingOps.rawEventStream(s, dir)
         .withWatermark("ts", "1 minute")
         .groupBy(col("user_id"),
           session_window(col("ts"), "30 minutes").as("w"))
         .agg(count(lit(1)).as("n_events"))
       graft.streaming.StreamingOps
-        .runToMemory(s, stream, s"drain_spec_${drainSink.getOrElse("mem")}",
+        .runToMemory(s, stream, s"drain_spec_${drainSink.getOrElse("default")}",
           outputMode = "append", awaitRows = 1L)
         .filter(col("user_id") >= 0)
         .select(col("user_id"),
@@ -54,21 +66,30 @@ class StreamingDrainSpec extends AnyFunSuite {
         .collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
         .sortBy(t => (t._1, t._2)).toSeq
-    } finally {
-      prev match {
-        case Some(v) => sys.props("spark.graft.drainSink") = v
-        case None    => sys.props.remove("spark.graft.drainSink")
-      }
     }
   }
 
-  test("parquet drain sink emits exactly the memory sink's rows (q85 session shape)") {
-    val mem = sessionRows(None)
-    val pq = sessionRows(Some("parquet"))
+  test("mode selects the sink: append → file sink by default, memory only on opt-in; complete → memory") {
+    withDrainSinkProp(None) {
+      assert(graft.streaming.StreamingOps.drainsToFileSink("append"),
+        "append-mode results are row-scale — the default MUST be the executor-side file sink")
+      assert(!graft.streaming.StreamingOps.drainsToFileSink("complete"),
+        "complete-mode results are aggregate-scale and file sinks are append-only — memory sink")
+      assert(!graft.streaming.StreamingOps.drainsToFileSink("update"))
+    }
+    withDrainSinkProp(Some("memory")) {
+      assert(!graft.streaming.StreamingOps.drainsToFileSink("append"),
+        "SPARK_GRAFT_DRAIN_SINK=memory opts an append drain back into the memory sink")
+    }
+  }
+
+  test("default (file) drain sink emits exactly the memory sink's rows (q85 session shape)") {
+    val mem = sessionRows(Some("memory"))
+    val default = sessionRows(None)
     assert(mem.nonEmpty, "memory drain must emit the closed sessions")
     // 2 sessions for user 7 (gap 85 min splits), 2 for user 8
     assert(mem.map(_._1).distinct === Seq(7L, 8L))
     assert(mem.size === 4)
-    assert(pq === mem, "sink choice must be invisible in the result")
+    assert(default === mem, "sink choice must be invisible in the result")
   }
 }
