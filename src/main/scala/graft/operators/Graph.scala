@@ -200,17 +200,21 @@ object Graph {
       val counts = und
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
         .groupBy("src", "nl").agg(count(lit(1)).as("c"))
-      // per-node argmax by (count desc, label asc) as ONE max_by
-      // aggregate — the struct key (c, -nl) is unique within a node's
-      // group (nl is the group key), so max_by is deterministic, and
-      // unlike the row_number formulation it partial-aggregates
-      // map-side: each upstream partition pre-reduces to one candidate
-      // per node before the shuffle, and the per-node SORT the window
-      // needed disappears. (-nl: labels are node ids ≥ 0 here; the
-      // negation flips the tie order inside the max.)
+      // per-node argmax by (count desc, label asc) as ONE min_by
+      // aggregate over the key (-c, nl) — the key is unique within a
+      // node's group (nl is the group key), so min_by is
+      // deterministic, and unlike the row_number formulation it
+      // partial-aggregates map-side: each upstream partition
+      // pre-reduces to one candidate per node before the shuffle, and
+      // the per-node SORT the window needed disappears. Negating the
+      // COUNT (not the label, as an earlier revision did) keeps the
+      // operator generic: c is a non-negative count(1) long, so -c
+      // cannot overflow, and the label is compared natively — string
+      // or negative labels tie-break correctly instead of implicitly
+      // casting to null and going nondeterministic (r13 ADVICE).
       labels = counts
         .groupBy("src")
-        .agg(max_by(col("nl"), struct(col("c"), (-col("nl")).as("t"))).as("label"))
+        .agg(min_by(col("nl"), struct((-col("c")).as("t"), col("nl"))).as("label"))
         .select(col("src").as("id"), col("label"))
       if (i < iters) labels = labels.localCheckpoint()
     }

@@ -307,12 +307,19 @@ case class BigramCounts(child: Expression)
     while (i < m - 1) {
       // concatWs allocates fresh bytes; w1 is cloned because the source
       // array may be unsafe-backed (a stored view could be overwritten
-      // after eval returns)
+      // after eval returns). Positions where either token is null are
+      // skipped: bigram_counts is a registered SQL function any query
+      // author can call, and a null element would otherwise NPE on
+      // clone() (or let concatWs silently emit a malformed bigram that
+      // violates the declared non-null struct schema).
       val w1 = toks.getUTF8String(i)
-      val bg = UTF8String.concatWs(space, w1, toks.getUTF8String(i + 1))
-      val e = counts.get(bg)
-      if (e == null) counts.put(bg, Array[Any](w1.clone(), bg, 1L))
-      else e(2) = e(2).asInstanceOf[Long] + 1L
+      val w2 = toks.getUTF8String(i + 1)
+      if (w1 != null && w2 != null) {
+        val bg = UTF8String.concatWs(space, w1, w2)
+        val e = counts.get(bg)
+        if (e == null) counts.put(bg, Array[Any](w1.clone(), bg, 1L))
+        else e(2) = e(2).asInstanceOf[Long] + 1L
+      }
       i += 1
     }
     val out = new Array[Any](counts.size())

@@ -506,7 +506,18 @@ object TextQueries2 {
     * Buckets are md5-h1 % dim, the repo's standard cross-engine hash.
     * The planted 240-row corpus is regenerated relationally, the two
     * probes are scored against w15, and the real-corpus pass replays
-    * the frozen-weight σ over `documents`. */
+    * the frozen-weight σ over `documents`.
+    *
+    * Residual cross-engine risk (r13 ADVICE, acknowledged): the float
+    * cast makes the ITERATION state exactly reproducible, but
+    * `loss_raw`/`acc` and `mean_real_score` are still independently
+    * summed doubles compared after 6/4-dp rounding — a value landing
+    * within an ulp of a rounding boundary could flip the last digit
+    * between engines. Same residual as every rounded-aggregate oracle
+    * in the repo (see the CoreQueries rounding discipline); gated
+    * empirically by the 291/291 hash suite, and the fix if it ever
+    * fires is to widen the rounding at the reporting column, never to
+    * touch the float-cast state chain. */
   private def q107OracleSql(nIter: Int): String = {
     val bucket = "('0x' || substr(md5(tok), 1, 15))::BIGINT % 256"
     val clamp = "greatest(1e-15, least(1.0 - 1e-15, p))"

@@ -318,6 +318,18 @@ class CorpusOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("bigram_counts skips null tokens instead of crashing (r13 ADVICE)") {
+    // bigram_counts is a registered SQL function any query author can
+    // call; a null array element must neither NPE nor emit a malformed
+    // bigram violating the non-null struct schema
+    val out = spark.sql(
+      "SELECT bigram_counts(array('a', CAST(NULL AS STRING), 'b', 'c', 'b', 'c')) AS bgs")
+      .selectExpr("inline(bgs)").collect()
+    // (a,NULL) and (NULL,b) skipped; (b,c)×2, (c,b)×1 counted
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      === Seq(("b", "b c", 2L), ("c", "c b", 1L)))
+  }
+
   test("q290 CCNet split: equal-count terciles, fluency-ordered, rank = naive sort") {
     val out = graft.queries.CorpusQueries.q290CcnetSplit(spark, "/root/testdata/sf0.001")
       .collect()

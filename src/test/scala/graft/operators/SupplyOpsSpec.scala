@@ -55,6 +55,23 @@ class SupplyOpsSpec extends AnyFunSuite {
     assert(out(1L) != out(10L))
   }
 
+  test("label propagation handles STRING node ids (tie-break never negates the label)") {
+    val s = spark; import s.implicits._
+    // same two bridged triangles, string-keyed — the r12 tie-break
+    // negated the label, which implicitly cast strings to null and
+    // made the argmax silently nondeterministic (r13 ADVICE)
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("x", "y"), ("x", "z"), ("y", "z"), ("c", "x")).toDF("p", "q")
+    val out = Graph.labelPropagation(edges, "p", "q", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set("a", "b", "c", "x", "y", "z"))
+    assert(Set(out("a"), out("b"), out("c")).size == 1)
+    assert(Set(out("x"), out("y"), out("z")).size == 1)
+    assert(out("a") != out("x"))
+    // min-label tie-break: the left clique keeps lexicographic min "a"
+    assert(out("a") == "a")
+  }
+
   test("reconcile: every census cell lands where the fixture plants it") {
     val s = spark; import s.implicits._
     // k=1 all agree; k=2 b conflicts; k=3 only in a; k=4 in a+c agree;
