@@ -74,7 +74,8 @@ object AnalyticsQueries {
     val v = StreamingOps.eventStream(s, src).filter(col("event_type") === "view")
     StreamingOps.runToMemory(
       s, StreamingOps.purchaseViewJoin(p, v, toleranceSec = 900),
-      "graft_stream_join", outputMode = "append")
+      "graft_stream_join", outputMode = "append",
+      drainPartitions = StreamingOps.adaptiveDrainWidth(s, src))
       .select(col("user_id"), col("purchase_id"), col("view_id"),
         date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts_s"),
         date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss").as("v_ts_s"))
@@ -135,7 +136,8 @@ object AnalyticsQueries {
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
     StreamingOps.runToMemory(s, stream, "graft_stream_sessions",
-      outputMode = "append", awaitRows = 1L)
+      outputMode = "append",
+      drainPartitions = StreamingOps.adaptiveDrainWidth(s, dir), awaitRows = 1L)
       .filter(col("user_id") >= 0)
       .select(
         col("user_id"),
@@ -178,7 +180,9 @@ object AnalyticsQueries {
     // tolerance — by then every unmatched purchase has been evicted
     val wmTarget = maxTs.map(us => us + 2L * 3600L * 1000000L)
     StreamingOps.runToMemory(s, joined, "graft_stream_left_join",
-      outputMode = "append", awaitWatermarkMicros = wmTarget)
+      outputMode = "append",
+      drainPartitions = StreamingOps.adaptiveDrainWidth(s, dir),
+      awaitWatermarkMicros = wmTarget)
       .filter(col("p_user") >= 0) // drop the sentinel pair
       .select(
         col("p_user").as("user_id"), col("purchase_id"),
@@ -209,7 +213,9 @@ object AnalyticsQueries {
       "full_outer")
     val wmTarget = maxTs.map(us => us + 2L * 3600L * 1000000L)
     StreamingOps.runToMemory(s, joined, "graft_stream_full_join",
-      outputMode = "append", awaitWatermarkMicros = wmTarget)
+      outputMode = "append",
+      drainPartitions = StreamingOps.adaptiveDrainWidth(s, dir),
+      awaitWatermarkMicros = wmTarget)
       .filter(coalesce(col("p_user"), col("v_user")) >= 0) // drop the sentinel pair
       .select(
         coalesce(col("p_user"), col("v_user")).as("user_id"),

@@ -441,7 +441,8 @@ object CorpusQueries {
         sum("n_words").as("sum_words"),
         round(sum("n_tokchars") / sum("n_words"), 4).as("avg_word_len"))
     StreamingOps.runToMemory(s, stream, "graft_stream_quality",
-      outputMode = "append", awaitRows = 1L)
+      outputMode = "append",
+      drainPartitions = StreamingOps.adaptiveDrainWidth(s, dir), awaitRows = 1L)
       .filter(col("lang") =!= "zz")
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("lang"), col("n_docs"), col("n_short"), col("sum_words"),
