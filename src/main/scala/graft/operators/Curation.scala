@@ -467,6 +467,35 @@ object Curation {
     df.withColumn("calibrated", round(percent_rank().over(w), 6))
   }
 
+  /** Preference-pair mining — the DPO/RLHF training-pair builder: from
+    * a pool of scored candidates grouped by a prompt key, emit ONE
+    * (chosen, rejected) pair per group — chosen = the score-argmax,
+    * rejected = the score-argmin — and drop groups whose score margin
+    * is below `minMargin` (a pair with no separation carries no
+    * preference signal; DPO's loss gradient vanishes as the margin
+    * does). Ties break on the id INSIDE the argmax key (struct(score,
+    * id)), so the pair is deterministic for any input order.
+    *
+    * Scale shape: ONE aggregate over the candidate pool — min_by and
+    * max_by over a (score, id) struct key both partial-aggregate
+    * map-side, so each upstream partition pre-reduces to one
+    * candidate-pair per prompt before the only shuffle, and the output
+    * is PROMPT-scale, never candidate-scale. No window, no sort, no
+    * self-join — the naive formulation (a row_number window per
+    * prompt, or a min-score×max-score self-join) pays a per-prompt
+    * sort or a second shuffle for the same answer. */
+  def preferencePairs(df: DataFrame, groupCols: Seq[String],
+      score: Column, id: Column, minMargin: Column): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        max_by(id, struct(score.as("s"), id.as("i"))).as("chosen_id"),
+        min_by(id, struct(score.as("s"), id.as("i"))).as("rejected_id"),
+        max(score).as("chosen_score"),
+        min(score).as("rejected_score"),
+        count(lit(1)).as("n_candidates"))
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+      .filter(col("margin") >= minMargin)
+
   /** Overlapping token-window chunking — the context-window shaping
     * step of RAG indexing and long-document pretraining: each document
     * becomes ceil-spaced windows of `chunkSize` tokens advancing by

@@ -211,6 +211,65 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** Preference-pair mining ([[Curation.preferencePairs]]) — the
+    * DPO/RLHF pair-construction stage: documents grouped under a
+    * deterministic pseudo-prompt key (lang × doc_id mod 200 — in
+    * production the key is the prompt/conversation id the candidates
+    * were sampled for), scored by n_chars (exact BIGINT, so both
+    * engines agree bit-for-bit; in production the score is a reward-
+    * model output), one (chosen, rejected) pair per prompt with the
+    * ≥ 50-char margin gate. The scale story is the operator's: ONE
+    * map-side-combinable aggregate — the naive per-prompt row_number
+    * window or min×max self-join never appears. Full hash oracle (the
+    * DuckDB restatement IS that naive window, so the match proves the
+    * argmax-aggregate identity). */
+  def q292PreferencePairs(s: SparkSession, d: String): DataFrame =
+    Curation.preferencePairs(
+        Tables.documents(s, d)
+          .withColumn("prompt_bucket", pmod(col("doc_id"), lit(200L))),
+        groupCols = Seq("lang", "prompt_bucket"),
+        score = col("n_chars"), id = col("doc_id"), minMargin = lit(50L))
+      .select(col("lang"), col("prompt_bucket"), col("chosen_id"),
+        col("rejected_id"), col("chosen_score"), col("rejected_score"),
+        col("margin"), col("n_candidates"))
+      .orderBy("lang", "prompt_bucket")
+
+  /** Corpus heavy hitters — exact top-20 bigrams by total count, the
+    * n-gram frequency audit every tokenizer/contamination pipeline
+    * starts from. Three scale disciplines compose, none of them a
+    * global sort: (1) per-doc bigram counts are ROW-LOCAL (the q97
+    * native `bigram_counts` — no occurrence-grain corpus shuffle);
+    * (2) the corpus histogram aggregate partial-reduces map-side; (3)
+    * the top-20 is the native bounded-heap `topk_agg` over the
+    * histogram — the shuffle carries k pairs per partition, where the
+    * row_number/ORDER-BY-LIMIT formulation sorts the full histogram
+    * through one reducer. Bigrams ride through the heap as md5-h1
+    * BIGINT ids (the repo's cross-engine hash — `topk_agg` ids are
+    * longs) and ONLY the 20 winners join back to recover their
+    * strings: a dictionary-free reverse lookup, broadcast-sized by
+    * construction. Tie-break = (count DESC, id ASC) on both engines —
+    * deterministic, so the full hash oracle (a naive ORDER BY LIMIT
+    * in DuckDB) proves the heap identity. */
+  def q293HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val hist = Tables.documents(s, d)
+      .select(explode(expr(
+        "bigram_counts(split(lower(trim(text)), '\\\\s+'))")).as("e"))
+      .select(col("e.bg").as("bigram"), col("e.nb").as("nb"))
+      .groupBy("bigram").agg(sum("nb").as("cnt"))
+      .withColumn("bid",
+        conv(substring(md5(col("bigram")), 1, 15), 16, 10).cast("long"))
+      .transform(graft.plans.Pin.lazily) // heap pass + winner lookup both read it
+    val top = hist
+      .agg(expr("topk_agg(CAST(cnt AS DOUBLE), bid, 20)").as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("col.score").cast("long").as("cnt"), col("col.id").as("bid"))
+    top.join(hist.select("bigram", "bid"), Seq("bid"))
+      .select(col("rank"), col("bigram"), col("cnt"))
+      .orderBy("rank")
+  }
+
   /** Capstone composition over the round's NEW operators — the q69
     * pattern applied to the second generation: paragraph-level dedup →
     * per-language calibrated quality gate (≥ 0.2) → overlapping
@@ -504,6 +563,8 @@ object CorpusQueries {
     "q96_quality_calibration" -> (q96QualityCalibration _),
     "q97_bigram_perplexity" -> (q97BigramPerplexity _),
     "q290_ccnet_split" -> (q290CcnetSplit _),
+    "q292_preference_pairs" -> (q292PreferencePairs _),
+    "q293_heavy_hitters" -> (q293HeavyHitters _),
     "q113_token_budget" -> (q113TokenBudget _),
     "q114_tfidf_pairs" -> (q114TfidfPairs _),
     "q115_token_mix" -> (q115TokenMix _),
@@ -800,6 +861,52 @@ object CorpusQueries {
         |       WHEN lang_rank * 3 <= n_lang * 2 THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM r ORDER BY doc_id""".stripMargin,
+    // the oracle states the pair selection as the NAIVE per-prompt
+    // row_number windows — the engine's single min_by/max_by aggregate
+    // must agree row-for-row (ties break on doc_id inside the key on
+    // both sides), so the hash match proves the argmax identity
+    "q292_preference_pairs" ->
+      """WITH c AS (
+        |  SELECT lang, doc_id % 200 AS prompt_bucket, doc_id, n_chars
+        |  FROM documents),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY lang, prompt_bucket
+        |      ORDER BY n_chars DESC, doc_id DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY lang, prompt_bucket
+        |      ORDER BY n_chars ASC, doc_id ASC) AS rmin,
+        |    count(*) OVER (PARTITION BY lang, prompt_bucket) AS n
+        |  FROM c),
+        |ch AS (SELECT lang, prompt_bucket, doc_id AS chosen_id,
+        |    n_chars AS chosen_score, CAST(n AS BIGINT) AS n_candidates
+        |  FROM r WHERE rmax = 1),
+        |rj AS (SELECT lang, prompt_bucket, doc_id AS rejected_id,
+        |    n_chars AS rejected_score
+        |  FROM r WHERE rmin = 1)
+        |SELECT ch.lang, ch.prompt_bucket, chosen_id, rejected_id,
+        |  chosen_score, rejected_score,
+        |  chosen_score - rejected_score AS margin, n_candidates
+        |FROM ch JOIN rj USING (lang, prompt_bucket)
+        |WHERE chosen_score - rejected_score >= 50
+        |ORDER BY lang, prompt_bucket""".stripMargin,
+    // the oracle is the NAIVE global ORDER BY LIMIT over the bigram
+    // histogram — the engine's bounded-heap topk_agg (ties: count
+    // DESC, md5-h1 id ASC) must agree row-for-row
+    "q293_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |e AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        |  FROM t WHERE len(toks) >= 2),
+        |h AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1),
+        |b AS (SELECT bigram, cnt,
+        |    ('0x' || substr(md5(bigram), 1, 15))::BIGINT AS bid FROM h),
+        |r AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, bid ASC) AS rank
+        |  FROM b)
+        |SELECT CAST(rank AS INT) AS rank, bigram, cnt
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // the oracle states the cut as ONE ordered window — the engine's
     // bucketed two-phase prefix sum must agree row-for-row
     "q113_token_budget" ->

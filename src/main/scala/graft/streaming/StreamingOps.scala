@@ -651,12 +651,21 @@ object StreamingOps {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, math.min(prev.toInt, drainPartitions).toString)
+    // same provider selection as runToMemory — the upsert drain's
+    // update-mode aggregate is stateful too
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    stateStoreProviderClass().foreach(spark.conf.set(providerKey, _))
     try {
       val q = partitionUpsertSink(stream, path, partitionCol)
       q.processAllAvailable()
       q.stop()
     } finally {
       spark.conf.set(key, prev)
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => try spark.conf.unset(providerKey) catch { case _: Exception => () }
+      }
       try org.apache.spark.sql.graft.StateStoreHooks.stopAll()
       catch { case _: Exception => () }
     }

@@ -318,6 +318,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("preferencePairs: deterministic argmax pair per prompt, margin gate, tie-break on id") {
+    val s = spark; import s.implicits._
+    // prompt 1: clear winner/loser (margin 100, 3 candidates)
+    // prompt 2: margin 10 < 50 → dropped
+    // prompt 3: score TIE at the top → chosen is the larger doc_id;
+    //           tie at the bottom → rejected is the smaller doc_id
+    val docs = Seq(
+      (1L, 1L, 200L), (2L, 1L, 150L), (3L, 1L, 100L),
+      (4L, 2L, 60L), (5L, 2L, 50L),
+      (6L, 3L, 300L), (7L, 3L, 300L), (8L, 3L, 100L), (9L, 3L, 100L))
+      .toDF("doc_id", "prompt", "score")
+    val out = graft.operators.Curation.preferencePairs(docs,
+        groupCols = Seq("prompt"), score = col("score"), id = col("doc_id"),
+        minMargin = lit(50L))
+      .orderBy("prompt").collect()
+    assert(out.map(_.getAs[Long]("prompt")).toSeq === Seq(1L, 3L)) // prompt 2 gated
+    val p1 = out(0); val p3 = out(1)
+    assert(p1.getAs[Long]("chosen_id") === 1L && p1.getAs[Long]("rejected_id") === 3L)
+    assert(p1.getAs[Long]("margin") === 100L && p1.getAs[Long]("n_candidates") === 3L)
+    assert(p3.getAs[Long]("chosen_id") === 7L, "top tie breaks to the LARGER id")
+    assert(p3.getAs[Long]("rejected_id") === 8L, "bottom tie breaks to the SMALLER id")
+  }
+
   test("bigram_counts skips null tokens instead of crashing (r13 ADVICE)") {
     // bigram_counts is a registered SQL function any query author can
     // call; a null array element must neither NPE nor emit a malformed
