@@ -496,6 +496,57 @@ object Curation {
       .withColumn("margin", col("chosen_score") - col("rejected_score"))
       .filter(col("margin") >= minMargin)
 
+  /** Length-bucketed batching padding audit — the micro-batch shaping
+    * decision every fixed-context trainer makes: group rows into
+    * `batchSize`-row batches, pad each batch to its longest member,
+    * and cost two assignments side by side — `length_sorted` (batch
+    * neighbors have near-equal lengths, the bucketed-batching win) vs
+    * `hashed` (md5-random grouping, the no-bucketing baseline).
+    * Returns one summary row per strategy: batch count, real vs
+    * padded totals, and the padding-waste percentage.
+    *
+    * Scale shape: the length-ordered rank is the q290 histogram-rank
+    * two-phase — phase 1 prefix-sums a LENGTH histogram (bounded by
+    * distinct lengths, not rows; the ordered window runs over that
+    * histogram, never the corpus), phase 2 resolves within-length
+    * order by id in a window whose partition is ONE length class.
+    * The hashed assignment and both summaries are plain map-side-
+    * combinable aggregates. Every total is BIGINT; waste_pct divides
+    * the same two BIGINTs on both engines. */
+  def lengthBatchingAudit(df: DataFrame, idCol: String, lenCol: String,
+      batchSize: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = batchSize
+    val rows = graft.plans.Pin.lazily(
+      df.select(col(idCol).as("__id"), col(lenCol).cast("long").as("__len")))
+    val nb = rows.agg(count(lit(1)).as("nd")).select(expr(s"(nd + ${B - 1}) div $B").as("nb"))
+    val hist = rows.groupBy("__len").agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum_before",
+      coalesce(sum("cnt").over(Window.orderBy("__len")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val sorted = rows.join(cum.select("__len", "cum_before"), Seq("__len"))
+      .withColumn("rank", col("cum_before") +
+        row_number().over(Window.partitionBy("__len").orderBy("__id")))
+      .withColumn("batch", expr(s"(rank - 1) div $B"))
+    val hashed = rows.crossJoin(broadcast(nb))
+      .withColumn("batch", pmod(
+        conv(substring(md5(col("__id").cast("string")), 1, 15), 16, 10).cast("long"),
+        col("nb")))
+    def summarize(d: DataFrame, name: String): DataFrame =
+      d.groupBy("batch")
+        .agg(count(lit(1)).as("cnt"), max("__len").as("mx"), sum("__len").as("tot"))
+        .agg(count(lit(1)).as("n_batches"), sum("cnt").as("n_docs"),
+          sum("tot").as("real_tokens"),
+          sum(col("cnt") * col("mx")).as("padded_tokens"))
+        .select(lit(name).as("strategy"), col("n_batches"), col("n_docs"),
+          col("real_tokens"), col("padded_tokens"),
+          round(lit(100.0) * (col("padded_tokens") - col("real_tokens")) /
+            col("padded_tokens"), 4).as("waste_pct"))
+    summarize(hashed, "hashed")
+      .unionByName(summarize(sorted, "length_sorted"))
+      .orderBy("strategy")
+  }
+
   /** Overlapping token-window chunking — the context-window shaping
     * step of RAG indexing and long-document pretraining: each document
     * becomes ceil-spaced windows of `chunkSize` tokens advancing by

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.plans.Pin
@@ -203,5 +203,46 @@ object RobustStats {
       .select((idCols.map(col) ++ g ++ Seq(col(valueCol), col("median"),
         col("mad"), col("z"), col("n_outliers_group"))): _*)
       .orderBy((groupCols ++ idCols).map(col): _*)
+  }
+
+  /** Hill tail-index estimate of a key-degree distribution — the
+    * heavy-tail law (web host degrees, user activity, token
+    * frequencies) that decides whether a key distribution needs skew
+    * handling at all. Per group: degree = rows per key, the top-k
+    * degrees feed α̂ = 1 + (k−1)/Σᵢ ln(dᵢ/d₍ₖ₎) (≈ the Pareto/Zipf
+    * exponent; smaller = heavier tail) plus the top-k share of all
+    * rows.
+    *
+    * Scale shape: degrees are one map-side-combinable aggregate; the
+    * top-k rides the native bounded-heap `topk_agg` (k pairs per
+    * partition cross the shuffle — never a per-group degree sort);
+    * the Hill sum and top-k total are IN-ROW sequential folds over
+    * the k-slot array. Degrees are exact BIGINTs and the heap
+    * tie-break (degree DESC, key ASC) is deterministic, so the only
+    * cross-engine residual is libm ln noise under round(·, 4).
+    * α̂ is NULL when every top-k degree is equal (Σln = 0). */
+  def hillTailIndex(spark: SparkSession, df: DataFrame, groupCol: String,
+      keyCol: String, k: Int = 100): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val deg = df.groupBy(col(groupCol), col(keyCol).as("__key"))
+      .agg(count(lit(1)).cast("double").as("deg"))
+    deg.groupBy(groupCol)
+      .agg(expr(s"topk_agg(deg, __key, $k)").as("top"),
+        count(lit(1)).as("n_keys"),
+        sum(col("deg").cast("long")).as("total_rows"))
+      .withColumn("k_used", size(col("top")))
+      .withColumn("d_k", expr("element_at(top, size(top)).score"))
+      .withColumn("sum_ln", expr(
+        "aggregate(top, CAST(0 AS DOUBLE), (acc, x) -> acc + ln(x.score / d_k))"))
+      .withColumn("top_rows", expr(
+        "CAST(aggregate(top, CAST(0 AS DOUBLE), (acc, x) -> acc + x.score) AS LONG)"))
+      .select(col(groupCol), col("n_keys"), col("total_rows"),
+        col("k_used"), col("d_k").cast("long").as("d_k"),
+        when(col("sum_ln") > 0,
+          round(lit(1.0) + (col("k_used") - 1).cast("double") / col("sum_ln"), 4))
+          .as("alpha_hill"),
+        round(col("top_rows").cast("double") / col("total_rows"), 4)
+          .as("top_share"))
+      .orderBy(groupCol)
   }
 }

@@ -863,4 +863,46 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"),
         col("adc"), col("rank"))
   }
+
+  /** Cosine-silhouette cluster-quality audit for a labeled embedding
+    * frame — the readout that tunes every centroid-family operator
+    * (SemDeDup cells, IVF lists, nearest-centroid labels): per label,
+    * mean cosine distance to the OWN centroid (a), mean distance to
+    * the nearest OTHER centroid (b), the silhouette
+    * s = (b − a)/max(a, b), and how many points sit closer to a
+    * foreign centroid than their own.
+    *
+    * Scale shape: ONE corpus scan — the k centroids (a `vec_sum`
+    * aggregate, FLOAT-cast per the q100 noise argument) collapse into
+    * a single broadcast array row, and a/b/nearest are computed
+    * IN-ROW over it; the only exchanges are the two k-group
+    * aggregates. Similarities are the native sequential `cosine_sim`,
+    * compared only after round(·, 6) (the q90 discipline), so a, b, s
+    * are reproducible doubles; the per-label avg is the house
+    * rounded-aggregate residual (4 dp). */
+  def silhouette(spark: SparkSession, emb: DataFrame,
+      idCol: String = "vec_id", labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = emb.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+      col(vecCol).as("embedding"))
+    val cents = e.groupBy(col("label").as("clabel"))
+      .agg(expr("vec_sum(embedding)").as("vsum"), count(lit(1)).as("n"))
+      .select(col("clabel"), expr("transform(vsum, x -> CAST(x / n AS FLOAT))").as("cvec"))
+      .agg(collect_list(struct(col("clabel"), col("cvec"))).as("cents"))
+    val ab = e.crossJoin(broadcast(cents))
+      .withColumn("a", expr(
+        "1.0D - round(cosine_sim(embedding, element_at(filter(cents, c -> c.clabel = label), 1).cvec), 6)"))
+      .withColumn("b", expr(
+        "array_min(transform(filter(cents, c -> c.clabel != label), c -> 1.0D - round(cosine_sim(embedding, c.cvec), 6)))"))
+      .withColumn("sil", when(greatest(col("a"), col("b")) > 0,
+        (col("b") - col("a")) / greatest(col("a"), col("b"))).otherwise(lit(0.0)))
+    ab.groupBy("label")
+      .agg(count(lit(1)).as("n_points"),
+        round(avg("a"), 4).as("mean_intra"),
+        round(avg("b"), 4).as("mean_nearest"),
+        round(avg("sil"), 4).as("silhouette"),
+        sum(when(col("b") < col("a"), 1L).otherwise(0L)).as("n_closer_other"))
+      .orderBy("label")
+  }
 }

@@ -270,6 +270,20 @@ object CorpusQueries {
       .orderBy("rank")
   }
 
+  /** Length-bucketed batching padding audit
+    * ([[Curation.lengthBatchingAudit]]): padded cost of batch-size-32
+    * micro-batches when documents are grouped in token-length order vs
+    * md5-random order — the fixed-context trainer's bucketing win,
+    * quantified. Full hash oracle: DuckDB restates the length-ordered
+    * rank as the naive global ordered window, so the match proves the
+    * operator's histogram-rank two-phase identity; every total is
+    * BIGINT and waste_pct divides the same two BIGINTs. */
+  def q294LengthBatching(s: SparkSession, d: String): DataFrame =
+    Curation.lengthBatchingAudit(
+      Tables.documents(s, d).select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens("text")).as("n_toks")),
+      idCol = "doc_id", lenCol = "n_toks", batchSize = 32)
+
   /** Capstone composition over the round's NEW operators — the q69
     * pattern applied to the second generation: paragraph-level dedup →
     * per-language calibrated quality gate (≥ 0.2) → overlapping
@@ -565,6 +579,7 @@ object CorpusQueries {
     "q290_ccnet_split" -> (q290CcnetSplit _),
     "q292_preference_pairs" -> (q292PreferencePairs _),
     "q293_heavy_hitters" -> (q293HeavyHitters _),
+    "q294_length_batching" -> (q294LengthBatching _),
     "q113_token_budget" -> (q113TokenBudget _),
     "q114_tfidf_pairs" -> (q114TfidfPairs _),
     "q115_token_mix" -> (q115TokenMix _),
@@ -907,6 +922,39 @@ object CorpusQueries {
         |  FROM b)
         |SELECT CAST(rank AS INT) AS rank, bigram, cnt
         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // the oracle states the length-sorted rank as the naive global
+    // ordered window — the engine's histogram-rank two-phase must
+    // agree row-for-row; every total is BIGINT on both engines
+    "q294_length_batching" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |n AS (SELECT (count(*) + 31) // 32 AS nb FROM t),
+        |srt AS (
+        |  SELECT n_toks,
+        |    (row_number() OVER (ORDER BY n_toks, doc_id) - 1) // 32 AS batch
+        |  FROM t),
+        |hsh AS (
+        |  SELECT n_toks,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % (SELECT nb FROM n) AS batch
+        |  FROM t),
+        |pb AS (
+        |  SELECT 'hashed' AS strategy, batch, CAST(count(*) AS BIGINT) AS cnt,
+        |    max(n_toks) AS mx, CAST(sum(n_toks) AS BIGINT) AS tot
+        |  FROM hsh GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'length_sorted', batch, CAST(count(*) AS BIGINT),
+        |    max(n_toks), CAST(sum(n_toks) AS BIGINT)
+        |  FROM srt GROUP BY 1, 2)
+        |SELECT strategy, CAST(count(*) AS BIGINT) AS n_batches,
+        |  CAST(sum(cnt) AS BIGINT) AS n_docs,
+        |  CAST(sum(tot) AS BIGINT) AS real_tokens,
+        |  CAST(sum(cnt * mx) AS BIGINT) AS padded_tokens,
+        |  round(100.0 * (CAST(sum(cnt * mx) AS BIGINT) - CAST(sum(tot) AS BIGINT))
+        |    / CAST(sum(cnt * mx) AS BIGINT), 4) AS waste_pct
+        |FROM pb GROUP BY 1 ORDER BY 1""".stripMargin,
     // the oracle states the cut as ONE ordered window — the engine's
     // bucketed two-phase prefix sum must agree row-for-row
     "q113_token_budget" ->

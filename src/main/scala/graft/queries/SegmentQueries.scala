@@ -229,6 +229,23 @@ object SegmentQueries {
   def q213Zipf(s: SparkSession, d: String): DataFrame =
     graft.operators.TextSearch.zipfFit(Tables.documents(s, d), topK = 1000)
 
+  /** Hill tail-index estimate of the per-user activity distribution
+    * ([[graft.operators.RobustStats.hillTailIndex]]): per event type,
+    * the top-100 user degrees feed α̂ = 1 + (k−1)/Σᵢ ln(dᵢ/d₍ₖ₎) plus
+    * the top-k share of all events — q213 fits the Zipf law to token
+    * ranks, this fits the TAIL to a key-degree distribution (the
+    * "does this key need skew handling" audit). Full hash oracle: the
+    * naive per-type degree sort; the ordered list_reduce folds the
+    * SAME ln terms in the SAME rank order as the engine's in-row
+    * array fold, leaving libm ln noise under round(·, 4) as the only
+    * residual (house class, cf. q213/q182). */
+  def q296TailIndex(s: SparkSession, d: String): DataFrame =
+    graft.operators.RobustStats.hillTailIndex(s,
+        Tables.events(s, d).select("event_type", "user_id"),
+        "event_type", "user_id", k = 100)
+      .withColumnRenamed("n_keys", "n_users")
+      .withColumnRenamed("total_rows", "total_events")
+
   /** Log-rank test between hash arms on time-to-first-error
     * ([[graft.operators.Survival.logRankTest]], q160's substrate split
     * by the q153 md5 arm): O/E per arm + the 2-group χ² in-row —
@@ -749,6 +766,7 @@ object SegmentQueries {
     "q211_corpus_card" -> (q211CorpusCard _),
     "q212_changepoint" -> (q212Changepoint _),
     "q213_zipf" -> (q213Zipf _),
+    "q296_tail_index" -> (q296TailIndex _),
     "q214_logrank" -> (q214LogRank _),
     "q215_water_fill" -> (q215WaterFill _),
     "q216_partition_advisor" -> (q216PartitionAdvisor _),
@@ -1857,6 +1875,39 @@ object SegmentQueries {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
         |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         |FROM m CROSS JOIN tot""".stripMargin,
+    // the naive per-type degree sort restated; the ordered list_reduce
+    // folds the SAME ln terms in the SAME rank order as the engine's
+    // in-row array fold (0 + x = x, so the missing zero seed is exact)
+    "q296_tail_index" ->
+      """WITH deg AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS DOUBLE) AS deg
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(CAST(deg AS BIGINT)) AS BIGINT) AS total_events
+        |  FROM deg GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, deg, user_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY deg DESC, user_id) AS rnk
+        |  FROM deg),
+        |t AS (SELECT * FROM r WHERE rnk <= 100),
+        |km AS (
+        |  SELECT event_type, CAST(max(rnk) AS INT) AS k_used, min(deg) AS d_k,
+        |    CAST(sum(CAST(deg AS BIGINT)) AS BIGINT) AS top_events
+        |  FROM t GROUP BY 1),
+        |sl AS (
+        |  SELECT t.event_type,
+        |    list_reduce(list(ln(t.deg / km.d_k) ORDER BY t.rnk),
+        |      (a, b) -> a + b) AS sum_ln
+        |  FROM t JOIN km USING (event_type) GROUP BY t.event_type)
+        |SELECT event_type, n_users, total_events, k_used,
+        |  CAST(d_k AS BIGINT) AS d_k,
+        |  CASE WHEN sum_ln > 0
+        |       THEN round(1.0 + (k_used - 1) / sum_ln, 4) END AS alpha_hill,
+        |  round(CAST(top_events AS DOUBLE) / total_events, 4) AS top_share
+        |FROM tot JOIN km USING (event_type) JOIN sl USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // identical integer-cents prefix-sum arithmetic: every quantity
     // before a division is an exact BIGINT, so the float argmax can
     // never flip between engines; ties to the earliest split

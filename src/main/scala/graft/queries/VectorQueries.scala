@@ -493,7 +493,8 @@ object VectorQueries {
     "q66_quantized_knn" -> (q66QuantizedKnn _),
     "q70_label_centroids" -> (q70LabelCentroids _),
     "q94_mmr" -> (q94Mmr _),
-    "q289_tiered_retrieval" -> (q289TieredRetrieval _)
+    "q289_tiered_retrieval" -> (q289TieredRetrieval _),
+    "q295_silhouette" -> (q295Silhouette _)
   )
 
   /** Int8-quantized brute-force top-10: corpus vectors scalar-quantized
@@ -546,6 +547,17 @@ object VectorQueries {
       .select(col("label"), (col("pos") + 1).as("dim"), round(col("m"), 6).as("centroid"))
       .orderBy("label", "dim")
   }
+
+  /** Cosine-silhouette cluster-quality audit over the labeled
+    * embeddings ([[Similarity.silhouette]]): per label, mean distance
+    * to the own centroid (a), to the nearest other centroid (b), the
+    * silhouette s = (b − a)/max(a, b), and the count of points closer
+    * to a foreign centroid. Full hash oracle — float-cast centroids
+    * (q100 discipline) + round-6 similarity comparisons (q90
+    * discipline) make a/b/s reproducible doubles on both engines;
+    * avg is the house rounded-aggregate residual at 4 dp. */
+  def q295Silhouette(s: SparkSession, d: String): DataFrame =
+    Similarity.silhouette(s, Tables.embeddings(s, d))
 
   /** Full DuckDB replay of q100's Lloyd chain (r9 verdict item 7 —
     * the attempt succeeded): all six corpus iterations AND the
@@ -1140,6 +1152,38 @@ object VectorQueries {
         |  round(avg(CAST(embedding[r.i] AS DOUBLE)), 6) AS centroid
         |FROM embeddings CROSS JOIN range(1, 65) r(i)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // centroids float-cast (q100 discipline), similarities compared
+    // only after round(·,6) (q90 discipline) — a/b/sil are identical
+    // doubles on both engines; avg is the rounded-aggregate residual
+    "q295_silhouette" ->
+      """WITH c0 AS (
+        |  SELECT label AS clabel, pos,
+        |    sum(CAST(embedding[pos] AS DOUBLE)) AS sv, count(*) AS n
+        |  FROM embeddings, range(1, 65) r(pos) GROUP BY 1, 2),
+        |c AS (
+        |  SELECT clabel, list(CAST(sv / n AS FLOAT) ORDER BY pos) AS cvec
+        |  FROM c0 GROUP BY 1),
+        |d AS (
+        |  SELECT e.vec_id, e.label, c.clabel,
+        |    1.0 - round(list_cosine_similarity(
+        |      CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6) AS dist
+        |  FROM embeddings e CROSS JOIN c),
+        |ab AS (
+        |  SELECT vec_id, label,
+        |    max(CASE WHEN clabel = label THEN dist END) AS a,
+        |    min(CASE WHEN clabel <> label THEN dist END) AS b
+        |  FROM d GROUP BY 1, 2),
+        |sil AS (
+        |  SELECT label, a, b,
+        |    CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+        |         ELSE 0.0 END AS s
+        |  FROM ab)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_points,
+        |  round(avg(a), 4) AS mean_intra,
+        |  round(avg(b), 4) AS mean_nearest,
+        |  round(avg(s), 4) AS silhouette,
+        |  CAST(sum(CASE WHEN b < a THEN 1 ELSE 0 END) AS BIGINT) AS n_closer_other
+        |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin,
     "q66_quantized_knn" ->
       s"""WITH qz AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,

@@ -15,6 +15,27 @@ class CurationSpec extends AnyFunSuite {
 
   private def docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
 
+  test("lengthBatchingAudit: sorted batches pad zero on equal-length classes, hashed never beats sorted") {
+    val s = spark; import s.implicits._
+    // lengths 4×1, 4×10, 2×100 with batchSize 4: length order packs
+    // each batch from ONE length class -> padded == real, waste 0;
+    // n_batches = ceil(10/4) = 3; both strategies see the same tokens
+    val rows = (Seq.fill(4)(1L) ++ Seq.fill(4)(10L) ++ Seq.fill(2)(100L))
+      .zipWithIndex.map { case (len, i) => (i.toLong, len) }
+    val out = Curation.lengthBatchingAudit(rows.toDF("id", "len"), "id", "len", batchSize = 4)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val srt = out("length_sorted")
+    assert(srt.getAs[Long]("n_batches") == 3L)
+    assert(srt.getAs[Long]("n_docs") == 10L)
+    assert(srt.getAs[Long]("real_tokens") == 244L)
+    assert(srt.getAs[Long]("padded_tokens") == 244L)
+    assert(srt.getAs[Double]("waste_pct") == 0.0)
+    val hsh = out("hashed")
+    assert(hsh.getAs[Long]("real_tokens") == 244L)
+    assert(hsh.getAs[Long]("padded_tokens") >= srt.getAs[Long]("padded_tokens"))
+    assert(hsh.getAs[Double]("waste_pct") >= 0.0)
+  }
+
   test("split is deterministic, covers all rows, and lands near 80/10/10") {
     val s1 = Curation.split(docs, "doc_id").groupBy("split").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -15,6 +15,27 @@ class RobustStatsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("hillTailIndex: hand-computed alpha and top-share; uniform degrees yield null alpha") {
+    val s = spark; import s.implicits._
+    // group g: key degrees 8, 4, 2, 1 with k=3 -> top3 = (8,4,2),
+    // d_k = 2, sum_ln = ln(4) + ln(2) + ln(1) = ln(8),
+    // alpha = 1 + 2/ln(8) = 1.9618 (4dp), top_share = 14/15
+    val rows =
+      (1 to 8).map(_ => ("g", 1L)) ++ (1 to 4).map(_ => ("g", 2L)) ++
+        (1 to 2).map(_ => ("g", 3L)) ++ Seq(("g", 4L)) ++
+        (1 to 6).flatMap(i => Seq(("u", i.toLong), ("u", i.toLong))) // uniform: all deg 2
+    val out = RobustStats.hillTailIndex(spark, rows.toDF("grp", "key"), "grp", "key", k = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getAs[Long]("n_keys") == 4L && g.getAs[Long]("total_rows") == 15L)
+    assert(g.getAs[Int]("k_used") == 3 && g.getAs[Long]("d_k") == 2L)
+    assert(g.getAs[Double]("alpha_hill") == math.rint((1.0 + 2.0 / math.log(8.0)) * 1e4) / 1e4)
+    assert(g.getAs[Double]("top_share") == 0.9333)
+    val u = out("u") // every top-k degree equal -> sum_ln = 0 -> alpha null
+    assert(u.isNullAt(u.fieldIndex("alpha_hill")))
+    assert(u.getAs[Long]("d_k") == 2L && u.getAs[Int]("k_used") == 3)
+  }
+
   test("gini: 0 at perfect equality, (n-1)/n at perfect concentration") {
     val s = spark; import s.implicits._
     val eq = (1L to 10L).map(u => ("a", u, 5.0))
