@@ -74,6 +74,58 @@ object MixQueries {
       .orderBy("temp", "source")
   }
 
+  /** Multimodal training-budget mix — q274's largest-remainder
+    * allocation applied to the MULTIMODAL manifest: payloads flow
+    * through the [[graft.operators.Multimodal]] decode plumbing (binary
+    * column → partition-local feature extraction), land in
+    * (modality × lang) cells, and a 10 MB byte budget is split across
+    * cells at temperature T=2 (sqrt weights — exact per-value IEEE
+    * sqrt, never pow) by the Hamilton method. Deepens the multimodal
+    * family past q40/q44: the decode boundary feeds a downstream
+    * RELATIONAL stage, which is the actual production shape (decode
+    * once, then budget/mix/pack like any other corpus). Modality is
+    * manifest metadata, derived here deterministically (doc_id mod 3).
+    * Exactness = the q274 discipline: weights normalized by max (order-
+    * free), floored to 1e9 integer units, base/remainder/shortfall all
+    * BIGINT — bit-reproducible in any engine. One full-data pass (the
+    * decode + cell aggregate); everything after runs on the
+    * modality×lang cell frame (broadcast, aggregate-scale window). */
+  def q298ModalityMix(s: SparkSession, d: String): DataFrame = {
+    val budget = 10000000L // bytes
+    val docs = Tables.documents(s, d)
+    val cells = graft.operators.Multimodal.features(s, docs)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("modality", expr(
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"))
+      .groupBy("modality", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("byte_len").as("total_bytes"))
+      .transform(Pin.eager)
+    val w = cells.withColumn("w", sqrt(col("total_bytes").cast("double")))
+    val wmax = w.agg(max("w").as("wmax"))
+    val wu = w.crossJoin(broadcast(wmax))
+      .withColumn("w_units", floor(col("w") / col("wmax") * lit(1e9)).cast("long"))
+    val tot = wu.agg(sum("w_units").as("tot_units"))
+    val al = wu.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($budget * w_units) div tot_units"))
+      .withColumn("rem_num", expr(s"($budget * w_units) % tot_units"))
+    val short = al.agg((lit(budget) - sum("base")).as("shortfall"))
+    al.crossJoin(broadcast(short))
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rem_num").desc, col("modality"), col("lang"))))
+      .withColumn("alloc_bytes",
+        col("base") + when(col("rr") <= col("shortfall"), 1L).otherwise(0L))
+      .select(col("modality"), col("lang"), col("n_docs"), col("total_bytes"),
+        round(lit(100.0) * col("w_units") / col("tot_units"), 6).as("target_pct"),
+        col("alloc_bytes"),
+        // 100·alloc/1e7 = alloc/1e5 carries EXACTLY 5 decimal digits, so
+        // a 4-dp round would sit on a true .5 boundary whenever
+        // alloc % 10 = 5 (Spark HALF_UP vs DuckDB binary-round diverge
+        // there — measured at sf0.01); 6 dp is above the value's own
+        // precision and therefore boundary-free
+        round(lit(100.0) * col("alloc_bytes") / budget, 6).as("alloc_pct"))
+      .orderBy("modality", "lang")
+  }
+
   /** Split-conformal calibration (Vovk; Angelopoulos & Bates 2021):
     * hold out a calibration split (md5(event_id) mod 5 = 0), take the
     * k-th smallest calibration score with k = ceil((n_cal+1)(1−α)) as
@@ -315,6 +367,7 @@ object MixQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q274_temp_mixture" -> (q274TempMixture _),
+    "q298_modality_mix" -> (q298ModalityMix _),
     "q275_conformal" -> (q275Conformal _),
     "q276_skew_diagnosis" -> (q276SkewDiagnosis _),
     "q277_vocab_coverage" -> (q277VocabCoverage _),
@@ -323,6 +376,37 @@ object MixQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q274's Hamilton restatement over the multimodal manifest cells;
+    // byte_len = octet_length(encode(text)) is the q40 stub identity
+    "q298_modality_mix" ->
+      """WITH cells AS (
+        |  SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |           WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |    lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        |  FROM documents GROUP BY 1, 2),
+        |w AS (SELECT *, sqrt(CAST(total_bytes AS DOUBLE)) AS w FROM cells),
+        |wu AS (
+        |  SELECT modality, lang, n_docs, total_bytes,
+        |    CAST(floor(w / max(w) OVER () * 1e9) AS BIGINT) AS w_units
+        |  FROM w),
+        |al AS (
+        |  SELECT *, CAST(sum(w_units) OVER () AS BIGINT) AS tot_units,
+        |    (10000000 * w_units) // CAST(sum(w_units) OVER () AS BIGINT) AS base,
+        |    (10000000 * w_units) % CAST(sum(w_units) OVER () AS BIGINT) AS rem_num
+        |  FROM wu),
+        |r AS (
+        |  SELECT *,
+        |    10000000 - CAST(sum(base) OVER () AS BIGINT) AS shortfall,
+        |    row_number() OVER (ORDER BY rem_num DESC, modality, lang) AS rr
+        |  FROM al)
+        |SELECT modality, lang, n_docs, total_bytes,
+        |  round(100.0 * w_units / tot_units, 6) AS target_pct,
+        |  CAST(base + CASE WHEN rr <= shortfall THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc_bytes,
+        |  round(100.0 * (base + CASE WHEN rr <= shortfall THEN 1 ELSE 0 END)
+        |    / 10000000, 6) AS alloc_pct
+        |FROM r ORDER BY modality, lang""".stripMargin,
     "q274_temp_mixture" ->
       """WITH per_src AS (
         |  SELECT source,

@@ -786,8 +786,43 @@ object ScaleQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** The q291 companion: bucketing pays for AGGREGATION too. The
+    * order-grain rollup (sum/count per l_orderkey) reads the SAME
+    * bucketed lineitem table q291 writes — the scan reports
+    * HashPartitioning(l_orderkey), so the per-key aggregate plans with
+    * ZERO Exchange below it (a `require` on the executed plan re-proves
+    * it every run; at 100 TB this is the difference between a free
+    * order-grain rollup and a full-corpus shuffle every time the
+    * recurring job runs). Revenue is EXACT 1e-4-dollar integer units
+    * (price and discount are 2-dp decimals, so cents × percent is a
+    * lossless long), which makes the downstream revenue-band histogram
+    * boundary integer arithmetic — no float can flip a band. The
+    * presentation divides the same longs on both engines. Oracle: the
+    * plain SQL rollup over the raw parquet — bucketing must be
+    * invisible in the answer. */
+  def q297BucketedAgg(s: SparkSession, d: String): DataFrame = {
+    Sinks.writeBucketed(
+      Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
+      "g297_lineitem", 8, Seq("l_orderkey"))
+    val perOrder = s.table("g297_lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"),
+        count(lit(1)).as("n_lines"))
+    val plan = perOrder.queryExecution.executedPlan.toString
+    require(!plan.contains("Exchange"),
+      s"bucketed per-key aggregate must be exchange-free, got:\n$plan")
+    perOrder
+      .withColumn("band", expr("rev_e4 div 500000000")) // 50k-dollar bands of 1e-4 units
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_orders"), sum("n_lines").as("n_lines"),
+        round(sum("rev_e4") / 10000.0, 2).as("revenue"))
+      .orderBy("band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q291_bucketed_join" -> (q291BucketedJoin _),
+    "q297_bucketed_agg" -> (q297BucketedAgg _),
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
     "q128_hybrid_rrf" -> (q128HybridRrf _),
@@ -851,6 +886,20 @@ object ScaleQueries {
         | count(*) AS n_lines
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the plain rollup over raw parquet — bucketing must be invisible;
+    // revenue in exact 1e-4-dollar longs so the band cut is integer
+    "q297_bucketed_agg" ->
+      """WITH po AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |        (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_e4,
+        |    CAST(count(*) AS BIGINT) AS n_lines
+        |  FROM lineitem GROUP BY 1)
+        |SELECT rev_e4 // 500000000 AS band,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(n_lines) AS BIGINT) AS n_lines,
+        |  round(CAST(sum(rev_e4) AS BIGINT) / 10000.0, 2) AS revenue
+        |FROM po GROUP BY 1 ORDER BY 1""".stripMargin,
     // SCD2 islands rebuild (the q124 CTE chain) + the textbook
     // inequality formulation of the point-in-time match: greatest
     // valid_from ≤ probe, then interval containment as a CASE

@@ -31,6 +31,18 @@ class MixQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q298: modality cells allocate exactly the 10MB byte budget, all modalities present") {
+    val rows = MixQueries.q298ModalityMix(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("alloc_bytes")).sum == 10000000L)
+    assert(rows.map(_.getAs[String]("modality")).toSet == Set("image", "audio", "video"))
+    // sqrt temperature up-samples small cells: every cell's allocated
+    // share must be >= its raw byte share (equality only if uniform)
+    val totalBytes = rows.map(_.getAs[Long]("total_bytes")).sum.toDouble
+    val smallest = rows.minBy(_.getAs[Long]("total_bytes"))
+    assert(smallest.getAs[Long]("alloc_bytes").toDouble / 10000000L >=
+      smallest.getAs[Long]("total_bytes") / totalBytes)
+  }
+
   test("q274: higher temperature flattens the mixture toward uniform") {
     val rows = MixQueries.q274TempMixture(spark, sf).collect()
     def spread(t: Int): Long = {
