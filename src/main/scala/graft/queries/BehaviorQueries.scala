@@ -94,7 +94,50 @@ object BehaviorQueries {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Watermark-lateness audit — the measurement that SIZES a streaming
+    * watermark before anyone deploys one: with event_id as the ingest
+    * sequence, each event's lateness is how far it arrived behind its
+    * key's running-max event time (the per-key watermark proxy), and
+    * the output prices candidate delays (1 m / 10 m / 1 h / 6 h) by
+    * the events each would drop. Complements the streaming family
+    * (q85/q87/q263) from the design side: those queries ASSUME a
+    * delay, this one derives it from the data.
+    *
+    * Scale shape: ONE key-partitioned running-max window (the engine's
+    * standard per-key ordered window, no global ordering spine), then
+    * ONE aggregate with the four delay predicates as conditional sums;
+    * the 4-row readout is a driver-scale stack. Exactness: timestamps
+    * are integer MICROS end to end (`unix_micros` ↔ DuckDB
+    * `epoch_us(date_trunc('microseconds', …))`, the q126 precedent),
+    * so lateness, counts, and max are BIGINTs; the single pct divides
+    * the same two BIGINTs on both engines (round 4). */
+  def q299WatermarkAudit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lateness = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsu"))
+      .withColumn("wm", max("tsu").over(
+        Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select((col("wm") - col("tsu")).as("late"))
+    val delays = Seq(("1m", 60000000L), ("10m", 600000000L),
+      ("1h", 3600000000L), ("6h", 21600000000L))
+    val aggCols = Seq(max(col("late")).as("max_late")) ++
+      delays.map { case (lbl, us) =>
+        sum(when(col("late") > us, 1L).otherwise(0L)).as(s"late_$lbl")
+      }
+    val agg = lateness.agg(count(lit(1)).as("n_events"), aggCols: _*)
+    agg.select(expr(
+      "stack(4, '1m', 1L, late_1m, '10m', 10L, late_10m, " +
+        "'1h', 60L, late_1h, '6h', 360L, late_6h) AS (delay, delay_minutes, n_late)"),
+      col("n_events"), col("max_late"))
+      .select(col("delay"), col("delay_minutes"), col("n_events"), col("n_late"),
+        round(lit(100.0) * col("n_late") / col("n_events"), 4).as("late_pct"),
+        col("max_late"))
+      .orderBy("delay_minutes")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q299_watermark_audit" -> (q299WatermarkAudit _),
     "q167_funnel" -> (q167Funnel _),
     "q171_seq_mining" -> (q171SeqMining _),
     "q172_item_cf" -> (q172ItemCf _),
@@ -105,6 +148,34 @@ object BehaviorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // integer-micros lateness against the per-key running max; the
+    // four delay predicates are the same BIGINT comparisons
+    "q299_watermark_audit" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(date_trunc('microseconds', ts)) AS tsu
+        |  FROM events),
+        |r AS (
+        |  SELECT max(tsu) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS UNBOUNDED PRECEDING) - tsu AS late
+        |  FROM e),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(max(late) AS BIGINT) AS max_late,
+        |    CAST(sum(CASE WHEN late > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS l1,
+        |    CAST(sum(CASE WHEN late > 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS l10,
+        |    CAST(sum(CASE WHEN late > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS l60,
+        |    CAST(sum(CASE WHEN late > 21600000000 THEN 1 ELSE 0 END) AS BIGINT) AS l360
+        |  FROM r),
+        |s AS (
+        |  SELECT '1m' AS delay, CAST(1 AS BIGINT) AS delay_minutes, l1 AS n_late,
+        |    n_events, max_late FROM a
+        |  UNION ALL SELECT '10m', 10, l10, n_events, max_late FROM a
+        |  UNION ALL SELECT '1h', 60, l60, n_events, max_late FROM a
+        |  UNION ALL SELECT '6h', 360, l360, n_events, max_late FROM a)
+        |SELECT delay, delay_minutes, n_events, n_late,
+        |  round(100.0 * n_late / n_events, 4) AS late_pct, max_late
+        |FROM s ORDER BY delay_minutes""".stripMargin,
     // the strict-sequence min-join chain restated step by step; the
     // avg divides the exact microsecond-delta sum once at the end
     // (the shuffle-order-independence discipline, see Funnel scaladoc)
