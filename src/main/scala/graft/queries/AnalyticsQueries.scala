@@ -129,15 +129,31 @@ object AnalyticsQueries {
     * advances the watermark past every real session, the trailing
     * no-data micro-batch emits them, and the batch q29 oracle
     * hash-checks the whole path — watermark mechanics included. */
-  def q85StreamingSessions(s: SparkSession, d: String): DataFrame = {
+  def q85StreamingSessions(s: SparkSession, d: String): DataFrame =
+    streamingSessions(s, d, stateStore = None, viewName = "graft_stream_sessions")
+
+  /** q85's session drain pinned to the ROCKSDB state-store provider —
+    * the r12 "RocksDB option" item promoted from spec-only to a
+    * driver-gated registry query: state lives off-heap in the LSM
+    * store (bounded by disk, not executor heap — the 100× state path)
+    * and the result must be provider-invariant, so the oracle IS q85's
+    * batch-session oracle. The driver now hash-checks the RocksDB
+    * provider every round alongside the default one. */
+  def q300RocksdbSessions(s: SparkSession, d: String): DataFrame =
+    streamingSessions(s, d, stateStore = Some("rocksdb"),
+      viewName = "graft_stream_sessions_rocksdb")
+
+  private def streamingSessions(s: SparkSession, d: String,
+      stateStore: Option[String], viewName: String): DataFrame = {
     val (dir, _) = StreamingOps.stageWithSentinel(s, s"$d/events.parquet")
     val stream = StreamingOps.rawEventStream(s, dir)
       .withWatermark("ts", "1 minute")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
-    StreamingOps.runToMemory(s, stream, "graft_stream_sessions",
+    StreamingOps.runToMemory(s, stream, viewName,
       outputMode = "append",
-      drainPartitions = StreamingOps.adaptiveDrainWidth(s, dir), awaitRows = 1L)
+      drainPartitions = StreamingOps.adaptiveDrainWidth(s, dir), awaitRows = 1L,
+      stateStore = stateStore)
       .filter(col("user_id") >= 0)
       .select(
         col("user_id"),
@@ -279,6 +295,7 @@ object AnalyticsQueries {
     "q72_streaming_join" -> (q72StreamingJoin _),
     "q82_upsert_sink" -> (q82UpsertSink _),
     "q85_streaming_sessions" -> (q85StreamingSessions _),
+    "q300_rocksdb_sessions" -> (q300RocksdbSessions _),
     "q87_streaming_left_join" -> (q87StreamingLeftJoin _),
     "q88_streaming_full_join" -> (q88StreamingFullJoin _),
     "q181_stream_topk" -> (q181StreamTopk _),
@@ -410,20 +427,25 @@ object AnalyticsQueries {
     // itself in BehaviorOpsSpec; the original >= here was wrong in
     // principle but unobservable — real µs timestamps never land on an
     // exact 30:00.000000 gap) — same cumsum-lag formulation as q29
-    "q85_streaming_sessions" ->
-      """WITH g AS (
-        |  SELECT user_id, event_id, value, date_trunc('microseconds', ts) AS ts,
-        |    CASE WHEN date_trunc('microseconds', ts)
-        |           - lag(date_trunc('microseconds', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id)
-        |           > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
-        |  FROM events),
-        |s AS (
-        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-        |  FROM g)
-        |SELECT user_id,
-        |  strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |  count(*) AS n_events, round(sum(value),2) AS total_value
-        |FROM s GROUP BY user_id, session_id ORDER BY 1,2""".stripMargin
+    "q85_streaming_sessions" -> SessionOracleSql,
+    // provider-invariance IS the contract: the RocksDB drain must hash
+    // to the same batch-session answer as the default provider's
+    "q300_rocksdb_sessions" -> SessionOracleSql
   )
+
+  private lazy val SessionOracleSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, value, date_trunc('microseconds', ts) AS ts,
+      |    CASE WHEN date_trunc('microseconds', ts)
+      |           - lag(date_trunc('microseconds', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id)
+      |           > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |s AS (
+      |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM g)
+      |SELECT user_id,
+      |  strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  count(*) AS n_events, round(sum(value),2) AS total_value
+      |FROM s GROUP BY user_id, session_id ORDER BY 1,2""".stripMargin
 }

@@ -287,16 +287,18 @@ object StreamingOps {
     * fully-qualified provider class. Results are provider-invariant
     * ([[graft.StateStoreProviderSpec]] pins identical drains on both);
     * the knob trades per-batch commit latency for bounded memory. */
+  private[graft] def mapStateStoreKnob(knob: String): String = knob match {
+    case "rocksdb" =>
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    case "hdfs" =>
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    case fqcn => fqcn
+  }
+
   private[graft] def stateStoreProviderClass(): Option[String] =
     sys.env.get("SPARK_GRAFT_STATE_STORE")
       .orElse(sys.props.get("spark.graft.stateStore"))
-      .map {
-        case "rocksdb" =>
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-        case "hdfs" =>
-          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
-        case fqcn => fqcn
-      }
+      .map(mapStateStoreKnob)
 
   /** Drain a streaming query synchronously and return the result
     * table — the local test/verify harness for streaming queries. The
@@ -316,7 +318,8 @@ object StreamingOps {
     *    lazily if another streaming query runs. */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
       outputMode: String = "complete", drainPartitions: Int = 4,
-      awaitRows: Long = 0L, awaitWatermarkMicros: Option[Long] = None): DataFrame = {
+      awaitRows: Long = 0L, awaitWatermarkMicros: Option[Long] = None,
+      stateStore: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     try spark.catalog.dropTempView(name) catch { case _: Exception => () }
     val key = "spark.sql.shuffle.partitions"
@@ -335,7 +338,11 @@ object StreamingOps {
     // set it for this drain, restore after (see stateStoreProviderClass)
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = spark.conf.getOption(providerKey)
-    stateStoreProviderClass().foreach(spark.conf.set(providerKey, _))
+    // caller-pinned provider (e.g. q300's RocksDB drain) wins over the
+    // env/sysprop knob; both map through the same knob→class table
+    stateStore.map(mapStateStoreKnob)
+      .orElse(stateStoreProviderClass())
+      .foreach(spark.conf.set(providerKey, _))
     val fileSink = drainsToFileSink(outputMode)
     val fileSinkDir: Option[java.nio.file.Path] =
       if (fileSink) Some(java.nio.file.Files.createTempDirectory("graft_drain_out"))
