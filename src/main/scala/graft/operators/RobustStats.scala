@@ -220,7 +220,12 @@ object RobustStats {
     * the k-slot array. Degrees are exact BIGINTs and the heap
     * tie-break (degree DESC, key ASC) is deterministic, so the only
     * cross-engine residual is libm ln noise under round(·, 4).
-    * α̂ is NULL when every top-k degree is equal (Σln = 0). */
+    * α̂ is NULL when the top-k has no usable tail spread: the guard is
+    * Σln > (k−1)/1000 rather than Σln > 0 (r13 ADVICE) because
+    * near-equal large integer degrees (1000001 vs 1000000) give a
+    * tiny POSITIVE Σln and α̂ = 1 + (k−1)/Σln explodes — any reading
+    * above ~1001 is quantized-degree noise, not a tail index, so the
+    * guard suppresses exactly those. */
   def hillTailIndex(spark: SparkSession, df: DataFrame, groupCol: String,
       keyCol: String, k: Int = 100): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
@@ -238,7 +243,7 @@ object RobustStats {
         "CAST(aggregate(top, CAST(0 AS DOUBLE), (acc, x) -> acc + x.score) AS LONG)"))
       .select(col(groupCol), col("n_keys"), col("total_rows"),
         col("k_used"), col("d_k").cast("long").as("d_k"),
-        when(col("sum_ln") > 0,
+        when(col("sum_ln") > (col("k_used") - 1).cast("double") / 1000.0,
           round(lit(1.0) + (col("k_used") - 1).cast("double") / col("sum_ln"), 4))
           .as("alpha_hill"),
         round(col("top_rows").cast("double") / col("total_rows"), 4)

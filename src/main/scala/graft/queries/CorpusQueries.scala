@@ -259,7 +259,11 @@ object CorpusQueries {
       .groupBy("bigram").agg(sum("nb").as("cnt"))
       .withColumn("bid",
         conv(substring(md5(col("bigram")), 1, 15), 16, 10).cast("long"))
-      .transform(graft.plans.Pin.lazily) // heap pass + winner lookup both read it
+      // heap pass + winner lookup both read it; at 100 TB the pinned
+      // histogram is the memory-bound step — it spills per-executor to
+      // local disk (MEMORY_AND_DISK blocks, see Pin scaladoc), so the
+      // pin is disk-bounded, not heap-bounded
+      .transform(graft.plans.Pin.lazily)
     val top = hist
       .agg(expr("topk_agg(CAST(cnt AS DOUBLE), bid, 20)").as("top"))
       .select(posexplode(col("top")))

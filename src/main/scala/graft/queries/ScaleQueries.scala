@@ -772,11 +772,10 @@ object ScaleQueries {
     val joined = s.table("g291_lineitem")
       .join(s.table("g291_orders").hint("merge"),
         col("l_orderkey") === col("o_orderkey"), "inner")
-    val plan = joined.queryExecution.executedPlan.toString
-    require(plan.contains("SortMergeJoin"),
-      s"bucketed J1 must plan as a sort-merge join, got:\n$plan")
-    require(!plan.contains("Exchange"),
-      s"bucketed J1 must be exchange-free (bucketing pays the shuffle at write time), got:\n$plan")
+    // typed tree walk, not a toString substring match (r13 ADVICE):
+    // a wrong plan fails THIS query (Verify/Bench isolate per query)
+    graft.plans.PlanAudit.requireExchangeFree(joined, "bucketed J1",
+      requireSmj = true)
     joined
       .groupBy("o_orderpriority")
       .agg(
@@ -809,9 +808,8 @@ object ScaleQueries {
       .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
           (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"),
         count(lit(1)).as("n_lines"))
-    val plan = perOrder.queryExecution.executedPlan.toString
-    require(!plan.contains("Exchange"),
-      s"bucketed per-key aggregate must be exchange-free, got:\n$plan")
+    // typed tree walk, not a toString substring match (r13 ADVICE)
+    graft.plans.PlanAudit.requireExchangeFree(perOrder, "bucketed per-key aggregate")
     perOrder
       .withColumn("band", expr("rev_e4 div 500000000")) // 50k-dollar bands of 1e-4 units
       .groupBy("band")

@@ -1903,7 +1903,7 @@ object SegmentQueries {
         |  FROM t JOIN km USING (event_type) GROUP BY t.event_type)
         |SELECT event_type, n_users, total_events, k_used,
         |  CAST(d_k AS BIGINT) AS d_k,
-        |  CASE WHEN sum_ln > 0
+        |  CASE WHEN sum_ln > (k_used - 1) / 1000.0
         |       THEN round(1.0 + (k_used - 1) / sum_ln, 4) END AS alpha_hill,
         |  round(CAST(top_events AS DOUBLE) / total_events, 4) AS top_share
         |FROM tot JOIN km USING (event_type) JOIN sl USING (event_type)

@@ -36,11 +36,14 @@ class MixQueriesSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("alloc_bytes")).sum == 10000000L)
     assert(rows.map(_.getAs[String]("modality")).toSet == Set("image", "audio", "video"))
     // sqrt temperature up-samples small cells: every cell's allocated
-    // share must be >= its raw byte share (equality only if uniform)
+    // share must be >= its raw byte share. 1-byte tolerance (r13
+    // ADVICE): on exactly-uniform cells Hamilton gives one tied cell
+    // base-only and minBy picks arbitrarily among ties, so strict >=
+    // would be data-shape-flaky at the documented equality boundary.
     val totalBytes = rows.map(_.getAs[Long]("total_bytes")).sum.toDouble
     val smallest = rows.minBy(_.getAs[Long]("total_bytes"))
-    assert(smallest.getAs[Long]("alloc_bytes").toDouble / 10000000L >=
-      smallest.getAs[Long]("total_bytes") / totalBytes)
+    assert((smallest.getAs[Long]("alloc_bytes") + 1).toDouble >=
+      smallest.getAs[Long]("total_bytes") / totalBytes * 10000000L)
   }
 
   test("q274: higher temperature flattens the mixture toward uniform") {

@@ -36,6 +36,26 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(u.getAs[Long]("d_k") == 2L && u.getAs[Int]("k_used") == 3)
   }
 
+  test("hillTailIndex: near-equal large degrees read null, not an exploding alpha") {
+    val s = spark; import s.implicits._
+    // r13 ADVICE: degrees (1001, 1000, 1000) with k=3 give
+    // sum_ln = ln(1001/1000) ~ 1e-3 — strictly positive, so the old
+    // `sum_ln > 0` guard let alpha = 1 + 2/sum_ln ~ 2002 through, a
+    // degenerate readout (no tail spread). The (k-1)/1000 threshold
+    // suppresses it; a clearly-spread group on the SAME call stays
+    // non-null, so the guard is not over-wide.
+    val rows = (1 to 1001).map(_ => ("q", 1L)) ++
+      (1 to 1000).flatMap(_ => Seq(("q", 2L), ("q", 3L))) ++
+      (1 to 8).map(_ => ("s", 1L)) ++ (1 to 4).map(_ => ("s", 2L)) ++
+      (1 to 2).map(_ => ("s", 3L))
+    val out = RobustStats.hillTailIndex(spark, rows.toDF("grp", "key"), "grp", "key", k = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("q").isNullAt(out("q").fieldIndex("alpha_hill")),
+      "near-equal top-k degrees must suppress the alpha readout")
+    assert(!out("s").isNullAt(out("s").fieldIndex("alpha_hill")),
+      "a genuinely spread tail must still report alpha")
+  }
+
   test("gini: 0 at perfect equality, (n-1)/n at perfect concentration") {
     val s = spark; import s.implicits._
     val eq = (1L to 10L).map(u => ("a", u, 5.0))
