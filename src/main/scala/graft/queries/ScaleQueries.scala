@@ -785,6 +785,66 @@ object ScaleQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Incremental append to a bucketed table — q291 completes to its
+    * write-once/join-MANY production shape (r13 verdict item 4: q291/
+    * q297 rewrite their tables every run; the 100 TB story is a table
+    * that GROWS in place). The base load writes lineitem shipped
+    * before 1998 bucketed on l_orderkey; the incremental batch (1998+)
+    * is APPENDED via [[Sinks.appendBucketed]] with the same spec —
+    * Spark validates spec match, and the repartition-first discipline
+    * lands exactly one new file per bucket, so the layout stays linear
+    * in append count (an in-query `require` on the per-bucket file
+    * census re-proves it every run: ≤ 2 files per bucket, and the
+    * append really added files). The recurring join over the GROWN
+    * table then still plans exchange-free (typed PlanAudit walk: the
+    * scan keeps HashPartitioning with multiple files per bucket; only
+    * the per-file sort order is lost, so the SMJ re-sorts in-partition
+    * without shuffling). Output counts base vs appended lines per
+    * priority, so the oracle — plain SQL over the raw parquet with the
+    * same date split — proves both batches landed exactly once. */
+  def q302BucketedAppend(s: SparkSession, d: String): DataFrame = {
+    val split = lit("1998-01-01").cast("timestamp")
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_extendedprice", "l_discount", "l_shipdate")
+    Sinks.writeBucketed(li.filter(col("l_shipdate") < split),
+      "g302_lineitem", 8, Seq("l_orderkey"))
+    Sinks.appendBucketed(li.filter(col("l_shipdate") >= split),
+      "g302_lineitem", 8, Seq("l_orderkey"))
+    // per-bucket file census from the managed table's directory: file
+    // names carry the bucket id (`..._NNNNN.c000...`); base + one
+    // append = at most 2 files per bucket, and the append must have
+    // actually added at least one file (not silently no-opped)
+    val warehouse = s.conf.get("spark.sql.warehouse.dir")
+    val tableDir = java.nio.file.Paths.get(new java.net.URI(
+      s"$warehouse/g302_lineitem".replace(" ", "%20")))
+    val bucketRe = "_(\\d{5})\\.".r
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.list(tableDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).toSeq
+    val perBucket = files.flatMap(n => bucketRe.findFirstMatchIn(n).map(_.group(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    require(perBucket.nonEmpty && perBucket.values.max <= 2,
+      s"bucketed append must land one file per bucket per batch, census: $perBucket")
+    require(files.size > 8,
+      s"the incremental append added no files (census: ${files.size} total)")
+    Sinks.writeBucketed(
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+      "g302_orders", 8, Seq("o_orderkey"))
+    val joined = s.table("g302_lineitem")
+      .join(s.table("g302_orders").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"), "inner")
+    graft.plans.PlanAudit.requireExchangeFree(joined,
+      "bucketed join over the grown (base+append) table", requireSmj = true)
+    joined
+      .groupBy("o_orderpriority")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        sum(when(col("l_shipdate") < split, 1L).otherwise(0L)).as("n_lines_base"),
+        sum(when(col("l_shipdate") >= split, 1L).otherwise(0L)).as("n_lines_appended"))
+      .orderBy("o_orderpriority")
+  }
+
   /** The q291 companion: bucketing pays for AGGREGATION too. The
     * order-grain rollup (sum/count per l_orderkey) reads the SAME
     * bucketed lineitem table q291 writes — the scan reports
@@ -821,6 +881,7 @@ object ScaleQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q291_bucketed_join" -> (q291BucketedJoin _),
     "q297_bucketed_agg" -> (q297BucketedAgg _),
+    "q302_bucketed_append" -> (q302BucketedAppend _),
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
     "q128_hybrid_rrf" -> (q128HybridRrf _),
@@ -898,6 +959,16 @@ object ScaleQueries {
         |  CAST(sum(n_lines) AS BIGINT) AS n_lines,
         |  round(CAST(sum(rev_e4) AS BIGINT) / 10000.0, 2) AS revenue
         |FROM po GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the plain join over raw parquet with the same date split — the
+    // grown (base+append) bucketed table must hold exactly one copy of
+    // every line on both sides of the split
+    "q302_bucketed_append" ->
+      """SELECT o_orderpriority,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_base,
+        | CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_appended
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // SCD2 islands rebuild (the q124 CTE chain) + the textbook
     // inequality formulation of the point-in-time match: greatest
     // valid_from ≤ probe, then interval containment as a CASE

@@ -34,6 +34,28 @@ object Sinks {
         .sortBy(keys.head, keys.tail: _*)
     }
 
+  /** Incremental APPEND to an existing bucketed table — the
+    * write-once/join-many completion of [[writeBucketed]] (r13 verdict
+    * item 4: the 100 TB value of bucketing is amortizing the write
+    * shuffle across many reads, so the table must GROW in place, not
+    * be rewritten per run). The bucket/sort spec must match the
+    * existing table's (Spark validates and fails the append
+    * otherwise — a silent spec drift would poison every later
+    * exchange-free plan). Same repartition-first discipline as the
+    * base write: each append lands exactly ONE new file per non-empty
+    * bucket, so after A appends a bucket holds ≤ A+1 files — linear in
+    * append count, never N-tasks×B. Multiple files per bucket keep the
+    * scan's HashPartitioning (exchange-free joins/aggs survive) but
+    * give up the per-file sort order, so a downstream SMJ re-sorts
+    * in-partition; a periodic compaction (re-running [[writeBucketed]]
+    * over the accumulated table) restores the sort when that matters. */
+  def appendBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit =
+    df.repartition(buckets, keys.map(col): _*)
+      .write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
   /** Drop-and-recreate a managed parquet table, clearing any STALE
     * LOCATION first: with the in-memory catalog, a previous JVM's
     * managed directory survives while its table entry does not, and

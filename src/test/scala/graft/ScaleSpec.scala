@@ -38,6 +38,44 @@ class ScaleSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("bucketed append: table grows linearly in files, stays exchange-free across appends") {
+    val s = spark; import s.implicits._
+    import graft.plans.PlanAudit
+    def batch(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong % 53, i * 1.0)).toDF("k", "v")
+    Sinks.writeBucketed(batch(0, 400), "append_bucketed", 4, Seq("k"))
+    Sinks.appendBucketed(batch(400, 800), "append_bucketed", 4, Seq("k"))
+    Sinks.appendBucketed(batch(800, 1200), "append_bucketed", 4, Seq("k"))
+    // every batch covers all 53 keys -> all 4 buckets; after base + 2
+    // appends each bucket must hold exactly 3 files (one per batch),
+    // never tasks-per-batch × buckets
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val dir = java.nio.file.Paths.get(new java.net.URI(
+      s"$warehouse/append_bucketed".replace(" ", "%20")))
+    import scala.jdk.CollectionConverters._
+    val bucketRe = "_(\\d{5})\\.".r
+    val perBucket = java.nio.file.Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .flatMap(n => bucketRe.findFirstMatchIn(n).map(_.group(1)))
+      .toSeq.groupBy(identity).view.mapValues(_.size)
+    assert(perBucket.nonEmpty && perBucket.values.forall(_ == 3),
+      s"each bucket should hold one file per batch, got: ${perBucket.toMap}")
+    // the grown table still aggregates AND self-joins without a shuffle
+    val agg = spark.table("append_bucketed").groupBy("k").agg(sum("v").as("sv"))
+    assert(PlanAudit.shuffleCount(agg) == 0, "per-key agg over grown table must not shuffle")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("append_bucketed")
+        .join(agg.select(col("k"), col("sv")), Seq("k"))
+      assert(PlanAudit.shuffleCount(joined) == 0, "join over grown table must not shuffle")
+      assert(PlanAudit.hasSortMergeJoin(joined))
+      // correctness across the appends: every batch counted exactly once
+      assert(spark.table("append_bucketed").count() == 1200L)
+      assert(agg.agg(sum("sv")).head().getDouble(0) == (0 until 1200).map(_.toDouble).sum)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("persisted IVF index: postings side joins exchange-free with bucket pruning") {
     val s = spark; import s.implicits._
     val emb = (0L until 200L)
