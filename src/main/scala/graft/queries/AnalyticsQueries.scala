@@ -143,17 +143,46 @@ object AnalyticsQueries {
     streamingSessions(s, d, stateStore = Some("rocksdb"),
       viewName = "graft_stream_sessions_rocksdb")
 
+  /** The q85 session drain under BOUNDED per-trigger admission — the
+    * r13 verdict's item 1 promoted to a driver-gated query: the events
+    * table is staged as six time-ordered chunk files
+    * ([[StreamingOps.stageTimeOrderedWithSentinel]]) and admitted ONE
+    * FILE PER TRIGGER, so session state builds and evicts across >= 6
+    * micro-batches instead of materializing every session in one burst
+    * (the sf30 GC-burst shape the r13 adjudication named). Trigger
+    * admission must be invisible in the RESULT — the oracle is q85's
+    * batch-session oracle verbatim, so trigger-invariance is
+    * hash-checked every round; an in-query require on the drain's
+    * data-batch count proves the admission was genuinely multi-batch. */
+  def q301BoundedSessions(s: SparkSession, d: String): DataFrame =
+    streamingSessions(s, d, stateStore = None,
+      viewName = "graft_stream_sessions_bounded", boundedChunks = Some(6))
+
   private def streamingSessions(s: SparkSession, d: String,
-      stateStore: Option[String], viewName: String): DataFrame = {
-    val (dir, _) = StreamingOps.stageWithSentinel(s, s"$d/events.parquet")
-    val stream = StreamingOps.rawEventStream(s, dir)
+      stateStore: Option[String], viewName: String,
+      boundedChunks: Option[Int] = None): DataFrame = {
+    val (dir, src) = boundedChunks match {
+      case Some(n) =>
+        val (dir, _) = StreamingOps.stageTimeOrderedWithSentinel(s, s"$d/events.parquet", n)
+        (dir, StreamingOps.rawEventStreamBounded(s, dir, maxFilesPerTrigger = 1))
+      case None =>
+        val (dir, _) = StreamingOps.stageWithSentinel(s, s"$d/events.parquet")
+        (dir, StreamingOps.rawEventStream(s, dir))
+    }
+    val stream = src
       .withWatermark("ts", "1 minute")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
-    StreamingOps.runToMemory(s, stream, viewName,
+    val out = StreamingOps.runToMemory(s, stream, viewName,
       outputMode = "append",
       drainPartitions = StreamingOps.adaptiveDrainWidth(s, dir), awaitRows = 1L,
       stateStore = stateStore)
+    boundedChunks.foreach { _ =>
+      require(StreamingOps.lastDrainDataBatches >= 2,
+        s"bounded admission must build state across micro-batches, drain ran " +
+          s"${StreamingOps.lastDrainDataBatches} data batch(es)")
+    }
+    out
       .filter(col("user_id") >= 0)
       .select(
         col("user_id"),
@@ -296,6 +325,7 @@ object AnalyticsQueries {
     "q82_upsert_sink" -> (q82UpsertSink _),
     "q85_streaming_sessions" -> (q85StreamingSessions _),
     "q300_rocksdb_sessions" -> (q300RocksdbSessions _),
+    "q301_bounded_sessions" -> (q301BoundedSessions _),
     "q87_streaming_left_join" -> (q87StreamingLeftJoin _),
     "q88_streaming_full_join" -> (q88StreamingFullJoin _),
     "q181_stream_topk" -> (q181StreamTopk _),
@@ -430,7 +460,11 @@ object AnalyticsQueries {
     "q85_streaming_sessions" -> SessionOracleSql,
     // provider-invariance IS the contract: the RocksDB drain must hash
     // to the same batch-session answer as the default provider's
-    "q300_rocksdb_sessions" -> SessionOracleSql
+    "q300_rocksdb_sessions" -> SessionOracleSql,
+    // trigger-invariance IS the contract: bounded per-trigger admission
+    // (6 time-ordered chunks, one file per micro-batch) must hash to
+    // the same batch-session answer as the single-burst drain
+    "q301_bounded_sessions" -> SessionOracleSql
   )
 
   private lazy val SessionOracleSql: String =

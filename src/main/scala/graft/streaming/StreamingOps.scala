@@ -77,6 +77,23 @@ object StreamingOps {
     normalizeTs(spark.readStream.schema(eventsRawSchema(tsType)).parquet(dir))
   }
 
+  /** [[rawEventStream]] with BOUNDED per-trigger admission
+    * (`maxFilesPerTrigger`) — the cluster-shaped ingest the synchronous
+    * drain otherwise skips: a production file stream admits a bounded
+    * batch per trigger, so state builds and EVICTS incrementally across
+    * micro-batches instead of materializing the whole input's sessions
+    * in one burst (the r13 q85 sf30 adjudication's named design limit).
+    * Pair with [[stageTimeOrderedWithSentinel]]: admission order is the
+    * source's modification-time order, so chunk files must be staged in
+    * event-time order or mid-stream rows arrive behind the watermark
+    * and are DROPPED (a correctness change, not a perf knob). */
+  def rawEventStreamBounded(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int): DataFrame = {
+    val tsType = eventsTsType(spark, dir)
+    normalizeTs(spark.readStream.schema(eventsRawSchema(tsType))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString).parquet(dir))
+  }
+
   /** Stage a single parquet file behind a directory: Spark's file stream
     * source only accepts directories (it lists them for new files), so a
     * lone file is exposed via a symlink in a deterministic temp dir —
@@ -493,6 +510,7 @@ object StreamingOps {
             s"[drain $name]   state op=${so.operatorName} rows=${so.numRowsTotal} " +
               s"memBytes=${so.memoryUsedBytes} custom=${so.customMetrics}"))
         }
+      lastDrainDataBatches = q.recentProgress.count(_.numInputRows > 0)
       q.stop()
       // materialize the file-sink result BEFORE the finally block
       // deletes its backing directory: localCheckpoint(eager) moves
@@ -610,6 +628,91 @@ object StreamingOps {
     }
     (dir, maxTsMicros)
   }
+
+  /** Stage events as `chunks` TIME-RANGE-partitioned files (plus the
+    * far-future sentinel, staged LAST) so a bounded-admission drain
+    * ([[rawEventStreamBounded]], maxFilesPerTrigger = 1) replays the
+    * table as `chunks` successive micro-batches in event-time order —
+    * the local proof harness for "a cluster's per-trigger admission
+    * bounds batch size" (r13 verdict item 1).
+    *
+    * Mechanics: the table is range-repartitioned on ts into `chunks`
+    * contiguous event-time slices, each written as ONE file; the files
+    * are then stamped with strictly increasing modification times in
+    * range order, because the file stream source admits oldest-mtime
+    * first. Ordering is what makes bounded admission RESULT-INVARIANT:
+    * chunk i+1's earliest event is >= chunk i's latest, and the
+    * watermark lags max event time by the configured delay, so no
+    * mid-stream row ever arrives behind the watermark (nothing is
+    * dropped as late) — sessions spanning a boundary stay in state and
+    * merge in the next batch, closed sessions evict batch by batch.
+    * The staged files are normalized to microsecond timestamps (this
+    * is a fresh rewrite, not symlinks, so the NANOS legacy shape never
+    * reaches the stream). Memoized like [[stageWithSentinel]] (the
+    * rewrite is a full sort-write of the events table). */
+  private val timeOrderedCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (String, Option[Long])]()
+  def stageTimeOrderedWithSentinel(spark: SparkSession, path: String,
+      chunks: Int): (String, Option[Long]) =
+    timeOrderedCache.computeIfAbsent((path, chunks), { case (p, c) =>
+      stageTimeOrderedUncached(spark, p, c)
+    })
+
+  private def stageTimeOrderedUncached(spark: SparkSession, path: String,
+      chunks: Int): (String, Option[Long]) = {
+    import java.nio.file._
+    import java.nio.file.attribute.FileTime
+    require(chunks >= 1, s"chunks must be >= 1, got $chunks")
+    val dir = Files.createTempDirectory("graft_stream_chunks")
+    val build = Files.createTempDirectory("graft_stream_chunks_build")
+    eventsTsType(spark, path) // sets the NANOS legacy conf if needed
+    val df = normalizeTs(spark.read.parquet(path))
+    df.repartitionByRange(chunks, col("ts"), col("event_id"))
+      .sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(build.toString)
+    import scala.jdk.CollectionConverters._
+    // part-file NAME order = range-partition order = event-time order
+    val parts = Files.list(build).iterator().asScala
+      .filter(f => { val n = f.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".parquet") })
+      .toSeq.sortBy(_.getFileName.toString)
+    // strictly increasing mtimes, all in the past (1s apart: coarse
+    // enough to survive filesystems with second-granularity mtime)
+    val base = System.currentTimeMillis() - (parts.size + 4) * 1000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      val tgt = dir.resolve(f"c$i%05d.parquet")
+      Files.move(f, tgt)
+      Files.setLastModifiedTime(tgt, FileTime.fromMillis(base + i * 1000L))
+    }
+    val maxRow = df.agg(max(unix_micros(col("ts")))).head()
+    val maxTsMicros = if (maxRow.isNullAt(0)) None else Some(maxRow.getLong(0))
+    maxTsMicros.foreach { us =>
+      import spark.implicits._
+      val sentinelDir = Files.createTempDirectory("graft_stream_chunks_sent")
+      Seq((-1L, -1L, "sentinel", 0.0, ""))
+        .toDF("event_id", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros(lit(us + 86400L * 1000000L)))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+      val sf = Files.list(sentinelDir).iterator().asScala
+        .find(f => { val n = f.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet") }).get
+      val tgt = dir.resolve("sentinel.parquet")
+      Files.move(sf, tgt)
+      // newest mtime: the sentinel must be ADMITTED last, so the
+      // watermark only passes the real data once everything is in state
+      Files.setLastModifiedTime(tgt, FileTime.fromMillis(base + (parts.size + 1) * 1000L))
+    }
+    (dir.toString, maxTsMicros)
+  }
+
+  /** Data-batch count of the most recent [[runToMemory]] drain
+    * (micro-batches with numInputRows > 0) — harness-side evidence for
+    * the bounded-admission queries/specs (q301 requires >= 2: the drain
+    * must actually have built state across batches, or the "bounded
+    * admission" claim silently degraded to a single burst). Drains run
+    * sequentially in Verify/Bench, so a plain volatile is enough. */
+  @volatile var lastDrainDataBatches: Int = -1
 
   /** Staged-documents schema for [[stageDocsWithSentinel]]. */
   val docsStagedSchema: StructType = StructType(Seq(

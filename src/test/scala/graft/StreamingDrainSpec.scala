@@ -92,4 +92,63 @@ class StreamingDrainSpec extends AnyFunSuite {
     assert(mem.size === 4)
     assert(default === mem, "sink choice must be invisible in the result")
   }
+
+  test("bounded trigger admission (maxFilesPerTrigger=1) emits exactly the single-burst rows") {
+    // r13 verdict item 1: the q85 session drain under bounded admission
+    // — time-ordered chunk files admitted one per micro-batch — must be
+    // RESULT-INVARIANT vs admitting everything in one burst, including
+    // sessions that SPAN a chunk boundary (they stay in state and merge
+    // across batches) and per-batch eviction of closed sessions.
+    val s = spark; import s.implicits._
+    import graft.streaming.StreamingOps
+    val raw = java.nio.file.Files.createTempDirectory("graft_bounded_raw").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ts(minutes: Long) = new java.sql.Timestamp(base + minutes * 60000L)
+    // user 7: one session spanning minutes 0..40 at <=30-min gaps (events
+    // land in DIFFERENT time chunks), then a separate session at 120;
+    // user 8: two clean sessions; 10 filler users spread over 4 hours so
+    // every chunk is non-empty
+    val rows = Seq(
+      (1L, ts(0), 7L), (2L, ts(20), 7L), (3L, ts(40), 7L), (4L, ts(120), 7L),
+      (5L, ts(2), 8L), (6L, ts(95), 8L)) ++
+      (0 until 10).map(i => (10L + i, ts(i * 24L), 100L + i))
+    rows.map { case (id, t, u) => (id, t, u, "click", 1.0, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(raw)
+    def drain(bounded: Boolean): (Seq[(Long, String, Long)], Int) = {
+      val (dir, src) =
+        if (bounded) {
+          val (d, _) = StreamingOps.stageTimeOrderedWithSentinel(s, raw, chunks = 4)
+          (d, StreamingOps.rawEventStreamBounded(s, d, maxFilesPerTrigger = 1))
+        } else {
+          val (d, _) = StreamingOps.stageWithSentinel(s, raw)
+          (d, StreamingOps.rawEventStream(s, d))
+        }
+      val stream = src
+        .withWatermark("ts", "1 minute")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+      val out = StreamingOps
+        .runToMemory(s, stream, s"drain_bounded_$bounded",
+          outputMode = "append", awaitRows = 1L)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("start"),
+          col("n_events"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      (out, StreamingOps.lastDrainDataBatches)
+    }
+    val (bounded, boundedBatches) = drain(bounded = true)
+    val (burst, burstBatches) = drain(bounded = false)
+    assert(boundedBatches >= 4,
+      s"bounded drain must run one data batch per chunk file (+sentinel), ran $boundedBatches")
+    assert(burstBatches <= 2,
+      s"single-burst drain admits everything at once (+sentinel batch), ran $burstBatches")
+    // the boundary-spanning session merged across batches: ONE session
+    // of 3 events for user 7's first visit
+    assert(bounded.filter(_._1 == 7L).map(_._3).sorted == Seq(1L, 3L))
+    assert(bounded === burst, "trigger admission must be invisible in the result")
+  }
 }
