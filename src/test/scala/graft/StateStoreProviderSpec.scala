@@ -129,6 +129,51 @@ class StateStoreProviderSpec extends AnyFunSuite {
     }
   }
 
+  /** r13 verdict item 2: provider invariance must cover the OTHER two
+    * state layouts, not just session windows and TTL dedup — the
+    * stream-stream join (FOUR state stores per partition: keyToNumValues
+    * / keyWithIndexToValue on each side, the layout whose state
+    * outgrows heap first at 100× because BOTH sides buffer until the
+    * watermark clears the interval) and flatMapGroupsWithState (custom
+    * user-state encoder, one Boolean per fingerprint). Driven through
+    * the REGISTRY queries themselves (q87 left join incl. the
+    * eviction-emitted unmatched rows; q71 FMGWS dedup) at sf0.001, so
+    * the exact production plans are what both providers drain. */
+  private def registryRows(provider: Option[String],
+      q: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[String] =
+    withStateStoreProp(provider) {
+      q(spark, "/root/testdata/sf0.001").collect().map(_.toString).toSeq.sorted
+    }
+
+  test("RocksDB provider drains the q87 stream-stream left-join shape row-identically") {
+    val q = graft.queries.AnalyticsQueries.q87StreamingLeftJoin _
+    val hdfs = registryRows(None, q)
+    val rocks = registryRows(Some("rocksdb"), q)
+    assert(hdfs.nonEmpty, "left join must emit rows (matched + evicted-unmatched)")
+    // the eviction path is genuinely exercised: some purchases have no
+    // view within the interval and emit null-extended (view_id = -1)
+    assert(hdfs.exists(_.contains(",-1,")),
+      "fixture must contain unmatched purchases (join-state eviction path)")
+    assert(rocks === hdfs, "state-store provider must be invisible in the join result")
+  }
+
+  test("RocksDB provider drains the q88 full-outer join shape row-identically") {
+    val q = graft.queries.AnalyticsQueries.q88StreamingFullJoin _
+    val hdfs = registryRows(None, q)
+    val rocks = registryRows(Some("rocksdb"), q)
+    assert(hdfs.nonEmpty)
+    assert(rocks === hdfs, "state-store provider must be invisible in the full-outer result")
+  }
+
+  test("RocksDB provider drains the q71 flatMapGroupsWithState dedup row-identically") {
+    val q = graft.queries.AnalyticsQueries.q71StreamingDedup _
+    val hdfs = registryRows(None, q)
+    val rocks = registryRows(Some("rocksdb"), q)
+    assert(hdfs.nonEmpty, "FMGWS dedup must emit one survivor per fingerprint")
+    assert(rocks === hdfs,
+      "state-store provider must be invisible through the custom state encoder")
+  }
+
   test("RocksDB provider drains the q85 session shape row-identically to the default") {
     val hdfs = sessionRows(None)
     val rocks = sessionRows(Some("rocksdb"))
