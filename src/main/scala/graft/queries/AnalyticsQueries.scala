@@ -153,10 +153,17 @@ object AnalyticsQueries {
     * admission must be invisible in the RESULT — the oracle is q85's
     * batch-session oracle verbatim, so trigger-invariance is
     * hash-checked every round; an in-query require on the drain's
-    * data-batch count proves the admission was genuinely multi-batch. */
+    * data-batch count proves the admission was genuinely multi-batch.
+    * SPARK_GRAFT_BOUNDED_CHUNKS (scale-experiment knob, driver never
+    * sets it) overrides the chunk count so a derived-sf run can hold
+    * PER-BATCH volume constant (e.g. 6 at sf10 → 18 at sf30) — the
+    * cluster shape, where admission is sized in bytes per trigger and
+    * batch count grows with the data; results are chunk-invariant. */
   def q301BoundedSessions(s: SparkSession, d: String): DataFrame =
     streamingSessions(s, d, stateStore = None,
-      viewName = "graft_stream_sessions_bounded", boundedChunks = Some(6))
+      viewName = "graft_stream_sessions_bounded",
+      boundedChunks = Some(sys.env.get("SPARK_GRAFT_BOUNDED_CHUNKS")
+        .map(_.toInt).getOrElse(6)))
 
   private def streamingSessions(s: SparkSession, d: String,
       stateStore: Option[String], viewName: String,
