@@ -48,6 +48,15 @@ object PlanAudit {
     nodes(df.queryExecution.executedPlan)
       .exists(_.isInstanceOf[SortMergeJoinExec])
 
+  /** Count of SortExec nodes — the compaction proof (q305): a
+    * SortMergeJoin over one-sorted-file-per-bucket scans needs NO
+    * in-partition sorts, because the scans report their sortBy order;
+    * a fragmented (multi-file-per-bucket) table loses it and SMJ
+    * re-sorts in-partition. */
+  def sortCount(df: DataFrame): Int =
+    nodes(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.SortExec])
+
   /** Assert the frame plans with ZERO shuffle exchanges (broadcast is
     * allowed), optionally requiring a sort-merge join node. */
   def requireExchangeFree(df: DataFrame, what: String,

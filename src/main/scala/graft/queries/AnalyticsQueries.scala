@@ -210,7 +210,26 @@ object AnalyticsQueries {
     * the eviction timing logic — must agree with the relational
     * answer. The nullable view id is coalesced to -1 on both sides
     * (a null bigint degrades to float in the comparator's pandas). */
-  def q87StreamingLeftJoin(s: SparkSession, d: String): DataFrame = {
+  def q87StreamingLeftJoin(s: SparkSession, d: String): DataFrame =
+    streamingLeftJoin(s, d, stateStore = None, viewName = "graft_stream_left_join")
+
+  /** q87's stream-stream LEFT join pinned to the RocksDB provider —
+    * the q300 pattern applied to the JOIN state layout (r13 verdict
+    * item 2): a stream-stream join keeps FOUR state stores per
+    * partition (keyToNumValues / keyWithIndexToValue on each side),
+    * the layout whose state outgrows heap first at 100×, and the
+    * unmatched-row emission path depends on state EVICTION — so
+    * provider invariance here covers both storage and eviction
+    * timing. The oracle is q87's batch LEFT JOIN verbatim; the driver
+    * hash-checks the RocksDB join drain every round. Measured at
+    * sf10: join state 1212 MB on-heap → 285 MB off-heap
+    * (`BENCH_sf10_rocksdb_shapes_r14.json`). */
+  def q304RocksdbJoin(s: SparkSession, d: String): DataFrame =
+    streamingLeftJoin(s, d, stateStore = Some("rocksdb"),
+      viewName = "graft_stream_left_join_rocksdb")
+
+  private def streamingLeftJoin(s: SparkSession, d: String,
+      stateStore: Option[String], viewName: String): DataFrame = {
     // purchase/view-typed sentinels (user_id = -1): the optimizer pushes
     // the event_type filter below the watermark operator, so an
     // off-type sentinel would never advance the watermark — see
@@ -231,10 +250,11 @@ object AnalyticsQueries {
     // wait until the planning watermark passed the real data + join
     // tolerance — by then every unmatched purchase has been evicted
     val wmTarget = maxTs.map(us => us + 2L * 3600L * 1000000L)
-    StreamingOps.runToMemory(s, joined, "graft_stream_left_join",
+    StreamingOps.runToMemory(s, joined, viewName,
       outputMode = "append",
       drainPartitions = StreamingOps.adaptiveDrainWidth(s, dir),
-      awaitWatermarkMicros = wmTarget)
+      awaitWatermarkMicros = wmTarget,
+      stateStore = stateStore)
       .filter(col("p_user") >= 0) // drop the sentinel pair
       .select(
         col("p_user").as("user_id"), col("purchase_id"),
@@ -334,6 +354,7 @@ object AnalyticsQueries {
     "q300_rocksdb_sessions" -> (q300RocksdbSessions _),
     "q301_bounded_sessions" -> (q301BoundedSessions _),
     "q87_streaming_left_join" -> (q87StreamingLeftJoin _),
+    "q304_rocksdb_join" -> (q304RocksdbJoin _),
     "q88_streaming_full_join" -> (q88StreamingFullJoin _),
     "q181_stream_topk" -> (q181StreamTopk _),
     "q242_stream_enrich" -> (q242StreamEnrich _)
@@ -444,21 +465,10 @@ object AnalyticsQueries {
         |  AND v.ts >= p.ts - INTERVAL 900 SECONDS
         |  AND v.ts <= p.ts + INTERVAL 900 SECONDS
         |ORDER BY 1, 2, 3""".stripMargin,
-    "q87_streaming_left_join" ->
-      """WITH p AS (
-        |  SELECT user_id, event_id AS purchase_id, date_trunc('microseconds', ts) AS ts
-        |  FROM events WHERE event_type = 'purchase'),
-        |v AS (
-        |  SELECT user_id, event_id AS view_id, date_trunc('microseconds', ts) AS ts
-        |  FROM events WHERE event_type = 'view')
-        |SELECT p.user_id, p.purchase_id,
-        |  coalesce(v.view_id, -1) AS view_id,
-        |  strftime(date_trunc('second', p.ts), '%Y-%m-%d %H:%M:%S') AS p_ts_s,
-        |  strftime(date_trunc('second', v.ts), '%Y-%m-%d %H:%M:%S') AS v_ts_s
-        |FROM p LEFT JOIN v ON p.user_id = v.user_id
-        |  AND v.ts >= p.ts - INTERVAL 900 SECONDS
-        |  AND v.ts <= p.ts + INTERVAL 900 SECONDS
-        |ORDER BY 1, 2, 3""".stripMargin,
+    "q87_streaming_left_join" -> LeftJoinOracleSql,
+    // provider-invariance for the JOIN state layout (the q300 pattern):
+    // the RocksDB drain must hash to the same batch LEFT JOIN answer
+    "q304_rocksdb_join" -> LeftJoinOracleSql,
     // session_window MERGES at an exactly-gap interval and splits only
     // on a STRICTLY greater one (boundary-proven against the operator
     // itself in BehaviorOpsSpec; the original >= here was wrong in
@@ -473,6 +483,22 @@ object AnalyticsQueries {
     // the same batch-session answer as the single-burst drain
     "q301_bounded_sessions" -> SessionOracleSql
   )
+
+  private lazy val LeftJoinOracleSql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS purchase_id, date_trunc('microseconds', ts) AS ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT user_id, event_id AS view_id, date_trunc('microseconds', ts) AS ts
+      |  FROM events WHERE event_type = 'view')
+      |SELECT p.user_id, p.purchase_id,
+      |  coalesce(v.view_id, -1) AS view_id,
+      |  strftime(date_trunc('second', p.ts), '%Y-%m-%d %H:%M:%S') AS p_ts_s,
+      |  strftime(date_trunc('second', v.ts), '%Y-%m-%d %H:%M:%S') AS v_ts_s
+      |FROM p LEFT JOIN v ON p.user_id = v.user_id
+      |  AND v.ts >= p.ts - INTERVAL 900 SECONDS
+      |  AND v.ts <= p.ts + INTERVAL 900 SECONDS
+      |ORDER BY 1, 2, 3""".stripMargin
 
   private lazy val SessionOracleSql: String =
     """WITH g AS (

@@ -845,6 +845,98 @@ object ScaleQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Bucketed-table COMPACTION — the q302 lifecycle completed:
+    * write-once → append-many → periodically compact. Appends keep the
+    * exchange-free property but fragment each bucket into one file per
+    * batch, which loses the per-file sort order (q302's SMJ re-sorts
+    * in-partition — no shuffle, but real CPU at every recurring join).
+    * Compaction is ONE rewrite of the grown table through
+    * [[Sinks.writeBucketed]]: back to one SORTED file per bucket, so
+    * the recurring join plans with ZERO Exchange and ZERO Sort below
+    * the join — both `require`d on the executed plan every run, plus a
+    * file census (exactly one file per bucket after compaction). At
+    * 100 TB this is the standing maintenance job every bucketed estate
+    * runs (Iceberg/Delta `rewriteDataFiles`, Hive compactions): paid
+    * once per period, it converts every later join's per-partition
+    * sort back into a merge. Oracle: the same plain SQL join — neither
+    * appends nor compaction may be visible in the answer. */
+  def q305BucketedCompact(s: SparkSession, d: String): DataFrame = {
+    val split = lit("1998-01-01").cast("timestamp")
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_extendedprice", "l_discount", "l_shipdate")
+    Sinks.writeBucketed(li.filter(col("l_shipdate") < split),
+      "g305_lineitem", 8, Seq("l_orderkey"))
+    Sinks.appendBucketed(li.filter(col("l_shipdate") >= split),
+      "g305_lineitem", 8, Seq("l_orderkey"))
+    // the compaction: one rewrite of the grown table, one sorted file
+    // per bucket again (repartition-first inside writeBucketed). Read
+    // the table's FILES, not the catalog table — what every compaction
+    // job (Iceberg rewriteDataFiles, Hive compactor) does, and
+    // necessary here: a catalog read of the bucketed table reports the
+    // target HashPartitioning, the aligning repartition is elided, and
+    // the write tasks then straddle buckets (measured: 16 files with
+    // two buckets per task); the file-level read has no partitioning
+    // to report, so the repartition materializes and aligns tasks to
+    // buckets 1:1.
+    val warehouse = s.conf.get("spark.sql.warehouse.dir")
+    val grownPath = new java.net.URI(
+      s"$warehouse/g305_lineitem".replace(" ", "%20")).toString
+    Sinks.writeBucketed(s.read.parquet(grownPath),
+      "g305_lineitem_compacted", 8, Seq("l_orderkey"))
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(new java.net.URI(
+      s"$warehouse/g305_lineitem_compacted".replace(" ", "%20")))
+    val nFiles = java.nio.file.Files.list(dir).iterator().asScala
+      .count(f => { val n = f.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".parquet") })
+    require(nFiles == 8,
+      s"compaction must restore one file per bucket, census: $nFiles files")
+    Sinks.writeBucketed(
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+      "g305_orders", 8, Seq("o_orderkey"))
+    // SPARK-28169: since 3.0 the planner ignores a bucketed table's
+    // sortBy order by default, because a bucket fragmented across
+    // files (exactly the q302 append state) is only sorted per-file —
+    // planning on it would be WRONG. The legacy conf re-enables the
+    // ordering, and Spark still guards it per-scan (only exposed when
+    // every selected bucket has exactly one file). Compaction is the
+    // job that re-establishes that invariant, so the conf is set for
+    // this query's planning (restored after) and the require below
+    // proves the planner actually consumed the order. Result-invariant
+    // by definition: it only removes redundant in-partition sorts.
+    val orderingKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val prevOrdering = s.conf.getOption(orderingKey)
+    s.conf.set(orderingKey, "true")
+    try {
+      val joined = s.table("g305_lineitem_compacted")
+        .join(s.table("g305_orders").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"), "inner")
+      graft.plans.PlanAudit.requireExchangeFree(joined,
+        "join over the compacted table", requireSmj = true)
+      val sorts = graft.plans.PlanAudit.sortCount(joined)
+      require(sorts == 0,
+        s"compaction must restore the bucket sort order (SMJ without in-partition " +
+          s"sorts), found $sorts SortExec node(s):\n" +
+          joined.queryExecution.executedPlan)
+      joined
+        .groupBy("o_orderpriority")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_lines"),
+          countDistinct(to_date(col("l_shipdate"))).as("n_ship_days"))
+        .orderBy("o_orderpriority")
+        // materialize while the conf is set: the aggregate re-plans the
+        // scans on first action, which must see the same ordering conf
+        // the require validated
+        .transform(graft.plans.Pin.eager)
+    } finally {
+      prevOrdering match {
+        case Some(v) => s.conf.set(orderingKey, v)
+        case None    => try s.conf.unset(orderingKey) catch { case _: Exception => () }
+      }
+    }
+  }
+
   /** The q291 companion: bucketing pays for AGGREGATION too. The
     * order-grain rollup (sum/count per l_orderkey) reads the SAME
     * bucketed lineitem table q291 writes — the scan reports
@@ -882,6 +974,7 @@ object ScaleQueries {
     "q291_bucketed_join" -> (q291BucketedJoin _),
     "q297_bucketed_agg" -> (q297BucketedAgg _),
     "q302_bucketed_append" -> (q302BucketedAppend _),
+    "q305_bucketed_compact" -> (q305BucketedCompact _),
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
     "q128_hybrid_rrf" -> (q128HybridRrf _),
@@ -967,6 +1060,15 @@ object ScaleQueries {
         | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
         | CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_base,
         | CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_appended
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the same plain join over raw parquet — neither the appends nor
+    // the compaction rewrite may be visible in the answer
+    "q305_bucketed_compact" ->
+      """SELECT o_orderpriority,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | count(*) AS n_lines,
+        | count(DISTINCT CAST(l_shipdate AS DATE)) AS n_ship_days
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // SCD2 islands rebuild (the q124 CTE chain) + the textbook

@@ -73,6 +73,35 @@ class ScaleSpec extends AnyFunSuite {
       // correctness across the appends: every batch counted exactly once
       assert(spark.table("append_bucketed").count() == 1200L)
       assert(agg.agg(sum("sv")).head().getDouble(0) == (0 until 1200).map(_.toDouble).sum)
+
+      // COMPACTION (q305): one file-level rewrite restores one sorted
+      // file per bucket, and with the ordering conf the SMJ then plans
+      // without in-partition sorts — zero Sort AND zero Exchange
+      val tablePath = new java.net.URI(
+        s"$warehouse/append_bucketed".replace(" ", "%20")).toString
+      Sinks.writeBucketed(spark.read.parquet(tablePath),
+        "append_bucketed_compacted", 4, Seq("k"))
+      val compactFiles = java.nio.file.Files.list(java.nio.file.Paths.get(
+          new java.net.URI(s"$warehouse/append_bucketed_compacted".replace(" ", "%20"))))
+        .iterator().asScala
+        .count(f => { val n = f.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet") })
+      assert(compactFiles == 4, s"compaction should leave one file per bucket, got $compactFiles")
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      try {
+        // scan⋈scan: BOTH sides expose the restored per-bucket sort, so
+        // the SMJ plans with zero Sort (an aggregate side would still
+        // re-sort — aggregates don't emit ordered output)
+        val cj = spark.table("append_bucketed_compacted")
+          .join(spark.table("append_bucketed_compacted").hint("merge")
+            .select(col("k"), col("v").as("v2")), Seq("k"))
+        assert(PlanAudit.shuffleCount(cj) == 0)
+        assert(PlanAudit.sortCount(cj) == 0,
+          "compacted one-file-per-bucket scans must feed the SMJ pre-sorted")
+        // 1200 rows over 53 keys self-join: sum of per-key count^2
+        val expected = (0 until 1200).groupBy(_ % 53).values.map(g => g.size.toLong * g.size).sum
+        assert(cj.count() == expected)
+      } finally spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
