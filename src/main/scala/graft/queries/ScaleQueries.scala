@@ -930,9 +930,16 @@ object ScaleQueries {
         // the require validated
         .transform(graft.plans.Pin.eager)
     } finally {
-      prevOrdering match {
-        case Some(v) => s.conf.set(orderingKey, v)
-        case None    => try s.conf.unset(orderingKey) catch { case _: Exception => () }
+      // plan-audit mode (plans.sh sets SPARK_GRAFT_NO_CHECKPOINT=1;
+      // Verify/Bench never do): Pin is identity there, so the dumped
+      // plan would re-plan AFTER this restore and show re-introduced
+      // sorts the require already proved absent — keep the conf set
+      // for the audit session so PLANS.md carries the real plan
+      if (!sys.env.get("SPARK_GRAFT_NO_CHECKPOINT").contains("1")) {
+        prevOrdering match {
+          case Some(v) => s.conf.set(orderingKey, v)
+          case None    => try s.conf.unset(orderingKey) catch { case _: Exception => () }
+        }
       }
     }
   }
