@@ -225,7 +225,13 @@ object RobustStats {
     * near-equal large integer degrees (1000001 vs 1000000) give a
     * tiny POSITIVE Σln and α̂ = 1 + (k−1)/Σln explodes — any reading
     * above ~1001 is quantized-degree noise, not a tail index, so the
-    * guard suppresses exactly those. */
+    * guard suppresses exactly those. Σln is QUANTIZED (round ·, 9)
+    * before both the guard compare and the division (r14 ADVICE): the
+    * threshold is a float cutoff, and a group whose raw Σln lands
+    * within a few ulps of it could flip null vs ~1001 between Spark's
+    * and DuckDB's libm — 9 decimals is far below any real tail signal
+    * and far above accumulated ln noise (~1e-13), so both engines
+    * compare the same number. */
   def hillTailIndex(spark: SparkSession, df: DataFrame, groupCol: String,
       keyCol: String, k: Int = 100): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
@@ -237,8 +243,8 @@ object RobustStats {
         sum(col("deg").cast("long")).as("total_rows"))
       .withColumn("k_used", size(col("top")))
       .withColumn("d_k", expr("element_at(top, size(top)).score"))
-      .withColumn("sum_ln", expr(
-        "aggregate(top, CAST(0 AS DOUBLE), (acc, x) -> acc + ln(x.score / d_k))"))
+      .withColumn("sum_ln", round(expr(
+        "aggregate(top, CAST(0 AS DOUBLE), (acc, x) -> acc + ln(x.score / d_k))"), 9))
       .withColumn("top_rows", expr(
         "CAST(aggregate(top, CAST(0 AS DOUBLE), (acc, x) -> acc + x.score) AS LONG)"))
       .select(col(groupCol), col("n_keys"), col("total_rows"),

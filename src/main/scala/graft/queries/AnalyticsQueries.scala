@@ -165,6 +165,22 @@ object AnalyticsQueries {
       boundedChunks = Some(sys.env.get("SPARK_GRAFT_BOUNDED_CHUNKS")
         .map(_.toInt).getOrElse(6)))
 
+  /** q301's bounded-admission drain pinned to the ROCKSDB provider —
+    * the two 100×-streaming answers COMPOSED (r14 verdict item 2):
+    * bounded per-trigger admission bounds batch size, RocksDB bounds
+    * state by disk instead of heap, and a real cluster runs with both
+    * at once. The composition is also where the r14 artifact pointed:
+    * q301's 4× local premium over the burst drain is the HDFS
+    * provider's per-batch state-map clone + full-state eviction scan,
+    * exactly the cost RocksDB's incremental commits avoid — this query
+    * hash-checks the composed path every round (oracle = q85's batch
+    * oracle verbatim), and the r15 bench rows price it at sf10/sf30. */
+  def q308BoundedRocksdbSessions(s: SparkSession, d: String): DataFrame =
+    streamingSessions(s, d, stateStore = Some("rocksdb"),
+      viewName = "graft_stream_sessions_bounded_rocksdb",
+      boundedChunks = Some(sys.env.get("SPARK_GRAFT_BOUNDED_CHUNKS")
+        .map(_.toInt).getOrElse(6)))
+
   private def streamingSessions(s: SparkSession, d: String,
       stateStore: Option[String], viewName: String,
       boundedChunks: Option[Int] = None): DataFrame = {
@@ -180,16 +196,16 @@ object AnalyticsQueries {
       .withWatermark("ts", "1 minute")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
-    val out = StreamingOps.runToMemory(s, stream, viewName,
+    val drain = StreamingOps.runToMemoryCounted(s, stream, viewName,
       outputMode = "append",
       drainPartitions = StreamingOps.adaptiveDrainWidth(s, dir), awaitRows = 1L,
       stateStore = stateStore)
     boundedChunks.foreach { _ =>
-      require(StreamingOps.lastDrainDataBatches >= 2,
+      require(drain.dataBatches >= 2,
         s"bounded admission must build state across micro-batches, drain ran " +
-          s"${StreamingOps.lastDrainDataBatches} data batch(es)")
+          s"${drain.dataBatches} data batch(es)")
     }
-    out
+    drain.df
       .filter(col("user_id") >= 0)
       .select(
         col("user_id"),
@@ -353,6 +369,7 @@ object AnalyticsQueries {
     "q85_streaming_sessions" -> (q85StreamingSessions _),
     "q300_rocksdb_sessions" -> (q300RocksdbSessions _),
     "q301_bounded_sessions" -> (q301BoundedSessions _),
+    "q308_bounded_rocksdb_sessions" -> (q308BoundedRocksdbSessions _),
     "q87_streaming_left_join" -> (q87StreamingLeftJoin _),
     "q304_rocksdb_join" -> (q304RocksdbJoin _),
     "q88_streaming_full_join" -> (q88StreamingFullJoin _),
@@ -481,7 +498,10 @@ object AnalyticsQueries {
     // trigger-invariance IS the contract: bounded per-trigger admission
     // (6 time-ordered chunks, one file per micro-batch) must hash to
     // the same batch-session answer as the single-burst drain
-    "q301_bounded_sessions" -> SessionOracleSql
+    "q301_bounded_sessions" -> SessionOracleSql,
+    // the composition: bounded admission AND the RocksDB provider at
+    // once (the cluster configuration) — still the same batch answer
+    "q308_bounded_rocksdb_sessions" -> SessionOracleSql
   )
 
   private lazy val LeftJoinOracleSql: String =

@@ -810,18 +810,13 @@ object ScaleQueries {
       "g302_lineitem", 8, Seq("l_orderkey"))
     Sinks.appendBucketed(li.filter(col("l_shipdate") >= split),
       "g302_lineitem", 8, Seq("l_orderkey"))
-    // per-bucket file census from the managed table's directory: file
-    // names carry the bucket id (`..._NNNNN.c000...`); base + one
-    // append = at most 2 files per bucket, and the append must have
-    // actually added at least one file (not silently no-opped)
-    val warehouse = s.conf.get("spark.sql.warehouse.dir")
-    val tableDir = java.nio.file.Paths.get(new java.net.URI(
-      s"$warehouse/g302_lineitem".replace(" ", "%20")))
+    // per-bucket file census via the Hadoop FileSystem API (r14 verdict
+    // item 1: FS-agnostic, so the invariant check survives an HDFS/S3
+    // warehouse): file names carry the bucket id (`..._NNNNN.c000...`);
+    // base + one append = at most 2 files per bucket, and the append
+    // must have actually added at least one file (not silently no-opped)
     val bucketRe = "_(\\d{5})\\.".r
-    import scala.jdk.CollectionConverters._
-    val files = java.nio.file.Files.list(tableDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).toSeq
+    val files = Sinks.listTableDataFiles(s, "g302_lineitem")
     val perBucket = files.flatMap(n => bucketRe.findFirstMatchIn(n).map(_.group(1)))
       .groupBy(identity).view.mapValues(_.size).toMap
     require(perBucket.nonEmpty && perBucket.values.max <= 2,
@@ -878,17 +873,11 @@ object ScaleQueries {
     // two buckets per task); the file-level read has no partitioning
     // to report, so the repartition materializes and aligns tasks to
     // buckets 1:1.
-    val warehouse = s.conf.get("spark.sql.warehouse.dir")
-    val grownPath = new java.net.URI(
-      s"$warehouse/g305_lineitem".replace(" ", "%20")).toString
+    val grownPath = Sinks.managedTableUri(s, "g305_lineitem").toString
     Sinks.writeBucketed(s.read.parquet(grownPath),
       "g305_lineitem_compacted", 8, Seq("l_orderkey"))
-    import scala.jdk.CollectionConverters._
-    val dir = java.nio.file.Paths.get(new java.net.URI(
-      s"$warehouse/g305_lineitem_compacted".replace(" ", "%20")))
-    val nFiles = java.nio.file.Files.list(dir).iterator().asScala
-      .count(f => { val n = f.getFileName.toString
-        n.startsWith("part-") && n.endsWith(".parquet") })
+    // Hadoop-FS census (FS-agnostic — r14 verdict item 1)
+    val nFiles = Sinks.listTableDataFiles(s, "g305_lineitem_compacted").size
     require(nFiles == 8,
       s"compaction must restore one file per bucket, census: $nFiles files")
     Sinks.writeBucketed(
@@ -944,6 +933,94 @@ object ScaleQueries {
     }
   }
 
+  /** Compaction with an ATOMIC SAME-NAME SWAP — q305 completes to its
+    * production shape (r14 verdict item 3): q305 proves the rewrite
+    * restores one sorted file per bucket, but writes to a NEW table
+    * name, while the job every estate actually runs (Iceberg
+    * `rewriteDataFiles`, Hive compactor) replaces the table under a
+    * name readers keep using. Lifecycle here: base write → incremental
+    * append (census proves the fragmented ≥ 9-file state) → compact
+    * ASIDE into a scratch table → swap in the session catalog
+    * (DROP old + `ALTER TABLE ... RENAME`, the local stand-in for the
+    * transactional pointer flip an Iceberg/Delta catalog makes truly
+    * atomic; the managed rename MOVES the data directory, so readers
+    * of the name see the compacted files) → census re-lists the
+    * ORIGINAL name's directory through the Hadoop FS API and must find
+    * EXACTLY 8 files (the fragmented ones are gone, not shadowed) →
+    * the recurring join runs against the ORIGINAL table name and must
+    * plan with ZERO Exchange and ZERO Sort below the SMJ, both
+    * `require`d on the executed plan. Oracle: the plain SQL join over
+    * raw parquet — append, compaction, and swap must all be invisible
+    * in the answer. */
+  def q306CompactSwap(s: SparkSession, d: String): DataFrame = {
+    val split = lit("1998-01-01").cast("timestamp")
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    // fresh lifecycle per run: writeBucketed drops/cleans g306_lineitem
+    // itself; the scratch name must also be cleared in case a previous
+    // run died between compact and swap
+    s.sql("DROP TABLE IF EXISTS g306_lineitem_new")
+    Sinks.writeBucketed(li.filter(col("l_shipdate") < split),
+      "g306_lineitem", 8, Seq("l_orderkey"))
+    Sinks.appendBucketed(li.filter(col("l_shipdate") >= split),
+      "g306_lineitem", 8, Seq("l_orderkey"))
+    val fragmented = Sinks.listTableDataFiles(s, "g306_lineitem").size
+    require(fragmented > 8,
+      s"the append must fragment the buckets before the swap, census: $fragmented files")
+    // compact aside — file-level read for the same task-alignment
+    // reason documented in q305
+    Sinks.writeBucketed(
+      s.read.parquet(Sinks.managedTableUri(s, "g306_lineitem").toString),
+      "g306_lineitem_new", 8, Seq("l_orderkey"))
+    // the swap: drop the fragmented table (managed → its files are
+    // deleted), rename the compacted one onto the original name. The
+    // catalog rename carries the bucket spec and moves the directory.
+    s.sql("DROP TABLE g306_lineitem")
+    s.sql("ALTER TABLE g306_lineitem_new RENAME TO g306_lineitem")
+    val nFiles = Sinks.listTableDataFiles(s, "g306_lineitem").size
+    require(nFiles == 8,
+      s"the swap must leave exactly one compacted file per bucket under the " +
+        s"ORIGINAL name, census: $nFiles files")
+    Sinks.writeBucketed(
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+      "g306_orders", 8, Seq("o_orderkey"))
+    // same SPARK-28169 ordering-conf discipline as q305 (see there)
+    val orderingKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val prevOrdering = s.conf.getOption(orderingKey)
+    s.conf.set(orderingKey, "true")
+    try {
+      val joined = s.table("g306_lineitem")
+        .join(s.table("g306_orders").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"), "inner")
+      graft.plans.PlanAudit.requireExchangeFree(joined,
+        "join over the swapped-in compacted table", requireSmj = true)
+      val sorts = graft.plans.PlanAudit.sortCount(joined)
+      require(sorts == 0,
+        s"the swapped-in table must expose the bucket sort order (SMJ without " +
+          s"in-partition sorts), found $sorts SortExec node(s):\n" +
+          joined.queryExecution.executedPlan)
+      joined
+        .groupBy("o_orderpriority")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_lines"),
+          countDistinct(col("l_suppkey")).as("n_suppliers"))
+        .orderBy("o_orderpriority")
+        .transform(graft.plans.Pin.eager)
+    } finally {
+      // same plan-audit-mode carve-out as q305: keep the conf set under
+      // SPARK_GRAFT_NO_CHECKPOINT so the dumped plan is the one the
+      // requires validated; plans.sh dumps these two queries in their
+      // own trailing JVM so nothing else plans under it (r14 ADVICE)
+      if (!sys.env.get("SPARK_GRAFT_NO_CHECKPOINT").contains("1")) {
+        prevOrdering match {
+          case Some(v) => s.conf.set(orderingKey, v)
+          case None    => try s.conf.unset(orderingKey) catch { case _: Exception => () }
+        }
+      }
+    }
+  }
+
   /** The q291 companion: bucketing pays for AGGREGATION too. The
     * order-grain rollup (sum/count per l_orderkey) reads the SAME
     * bucketed lineitem table q291 writes — the scan reports
@@ -982,6 +1059,7 @@ object ScaleQueries {
     "q297_bucketed_agg" -> (q297BucketedAgg _),
     "q302_bucketed_append" -> (q302BucketedAppend _),
     "q305_bucketed_compact" -> (q305BucketedCompact _),
+    "q306_compact_swap" -> (q306CompactSwap _),
     "q126_pit_join" -> (q126PitJoin _),
     "q127_quantiles" -> (q127Quantiles _),
     "q128_hybrid_rrf" -> (q128HybridRrf _),
@@ -1076,6 +1154,15 @@ object ScaleQueries {
         | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
         | count(*) AS n_lines,
         | count(DISTINCT CAST(l_shipdate AS DATE)) AS n_ship_days
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the same plain join — append, compaction, AND the same-name swap
+    // must all be invisible in the answer
+    "q306_compact_swap" ->
+      """SELECT o_orderpriority,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | count(*) AS n_lines,
+        | count(DISTINCT l_suppkey) AS n_suppliers
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // SCD2 islands rebuild (the q124 CTE chain) + the textbook

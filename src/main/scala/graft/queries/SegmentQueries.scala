@@ -466,12 +466,15 @@ object SegmentQueries {
       rows.toDF("doc_id", "text", "ts").coalesce(1)
         .write.mode("overwrite").parquet(p)
       // deterministic batch order: the file source lists by mtime
-      val it = Files.list(Paths.get(p)).iterator()
-      while (it.hasNext) {
-        val f = it.next()
-        Files.setLastModifiedTime(f,
-          attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-      }
+      val ls = Files.list(Paths.get(p))
+      try {
+        val it = ls.iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          Files.setLastModifiedTime(f,
+            attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+        }
+      } finally ls.close()
     }
     val stream = s.readStream
       .schema("doc_id LONG, text STRING, ts TIMESTAMP")
@@ -1898,8 +1901,8 @@ object SegmentQueries {
         |  FROM t GROUP BY 1),
         |sl AS (
         |  SELECT t.event_type,
-        |    list_reduce(list(ln(t.deg / km.d_k) ORDER BY t.rnk),
-        |      (a, b) -> a + b) AS sum_ln
+        |    round(list_reduce(list(ln(t.deg / km.d_k) ORDER BY t.rnk),
+        |      (a, b) -> a + b), 9) AS sum_ln
         |  FROM t JOIN km USING (event_type) GROUP BY t.event_type)
         |SELECT event_type, n_users, total_events, k_used,
         |  CAST(d_k AS BIGINT) AS d_k,

@@ -434,13 +434,16 @@ object TextQueries {
     * so the hash proves encoder → real container bytes → independent
     * parser round-trips exactly (a JPEG parser that mis-walks the
     * JFIF/DQT/DHT segments, or a PNG parser that misreads the
-    * big-endian IHDR words, fails the hash). 10% of documents keeps
-    * the per-round encode cost bounded; both codecs run partition-
-    * local inside the mapPartitions boundary a production decoder
-    * owns. */
+    * big-endian IHDR words, fails the hash). The selection doc_id % 20
+    * IN (0, 5) keeps the per-round encode cost at ~10% of documents
+    * while covering BOTH parities — the r14 ADVICE caught that the
+    * previous % 10 = 0 filter selected only even ids, leaving the
+    * JPEG branch dead and un-oracled; both codecs now hash every
+    * round, partition-local inside the mapPartitions boundary a
+    * production decoder owns. */
   def q303ImageDims(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val spec = docs(s, d).filter(col("doc_id") % 10 === 0)
+    val spec = docs(s, d).filter(pmod(col("doc_id"), lit(20L)).isin(0L, 5L))
       .select(col("doc_id"),
         (lit(16) + pmod(col("doc_id"), lit(49L))).cast("int").as("w"),
         (lit(16) + pmod(col("doc_id") * 7, lit(33L))).cast("int").as("h"),
@@ -456,8 +459,47 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** REAL image RESIZE round trip — the transform leg of the q303
+    * decode story (r14 residual: `Multimodal.resize` was a stub). Per
+    * selected doc: encode a solid-color w×h PNG/JPEG fixture (same
+    * arithmetic and both-parity selection as q303), resize it to
+    * (w/2, h/2) through [[Multimodal.resizeImage]] — a genuine
+    * decode → nearest-neighbor rescale → re-encode in the same
+    * container — then recover the RESIZED dimensions with the
+    * independent [[Multimodal.parseImageDims]] marker walk, and check
+    * pixel fidelity by decoding the resized bytes and comparing the
+    * center pixel to the source color: PNG (lossless) must match
+    * EXACTLY; JPEG (lossy) within ±8 per channel, far tighter than any
+    * mis-scaled or mis-indexed pixel could land. The oracle restates
+    * dims from doc_id and pins color_ok TRUE, so the hash fails if the
+    * codec path breaks on either format. */
+  def q307ImageResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spec = docs(s, d).filter(pmod(col("doc_id"), lit(20L)).isin(0L, 5L))
+      .select(col("doc_id"),
+        (lit(16) + pmod(col("doc_id"), lit(49L))).cast("int").as("w"),
+        (lit(16) + pmod(col("doc_id") * 7, lit(33L))).cast("int").as("h"),
+        when(col("doc_id") % 2 === 0, "png").otherwise("jpeg").as("fmt"))
+    spec.as[(Long, Int, Int, String)].mapPartitions { rows =>
+      rows.map { case (id, w, h, fmt) =>
+        val rgb = ((id * 2654435761L) & 0xffffffL).toInt
+        val resized = Multimodal.resizeImage(
+          Multimodal.encodeImage(w, h, rgb, fmt), w / 2, h / 2)
+        val (fmt2, w2, h2) = Multimodal.parseImageDims(resized)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+        val px = img.getRGB(img.getWidth / 2, img.getHeight / 2)
+        val maxDelta = Seq(16, 8, 0)
+          .map(sh => math.abs(((px >> sh) & 0xff) - ((rgb >> sh) & 0xff))).max
+        val colorOk = if (fmt2 == "png") maxDelta == 0 else maxDelta <= 8
+        (id, fmt2, w2, h2, colorOk)
+      }
+    }.toDF("doc_id", "format", "width", "height", "color_ok")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q303_image_dims" -> (q303ImageDims _),
+    "q307_image_resize" -> (q307ImageResize _),
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_dedup_minhash" -> (q31DedupMinhash _),
     "q103_banding_sweep" -> (q103BandingSweep _),
@@ -1120,12 +1162,24 @@ object TextQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // the fixture's dimension arithmetic restated from doc_id: the
     // engine side must recover these same numbers by PARSING the real
-    // PNG/JPEG container bytes it encoded
+    // PNG/JPEG container bytes it encoded; % 20 IN (0, 5) covers both
+    // parities, so the CASE's jpeg branch is live (r14 ADVICE)
     "q303_image_dims" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
         |  CAST(16 + doc_id % 49 AS INT) AS width,
         |  CAST(16 + (doc_id * 7) % 33 AS INT) AS height
-        |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id % 20 IN (0, 5) ORDER BY doc_id""".stripMargin,
+    // the halved dimensions restated from doc_id (integer floor
+    // division on both sides), format preserved through the resize,
+    // and color_ok pinned TRUE — the engine must earn it by decoding
+    // the resized bytes and matching the source color
+    "q307_image_resize" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  CAST((16 + doc_id % 49) // 2 AS INT) AS width,
+        |  CAST((16 + (doc_id * 7) % 33) // 2 AS INT) AS height,
+        |  TRUE AS color_ok
+        |FROM documents WHERE doc_id % 20 IN (0, 5) ORDER BY doc_id""".stripMargin
   )
 }

@@ -56,6 +56,32 @@ object Sinks {
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
 
+  /** Warehouse URI of a managed table (unqualified name, lowercased to
+    * match saveAsTable's identifier normalization). */
+  def managedTableUri(spark: SparkSession, table: String): java.net.URI = {
+    require(!table.contains('.'), s"managedTableUri takes an unqualified table name, got: $table")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    new java.net.URI(s"$warehouse/${table.toLowerCase}".replace(" ", "%20"))
+  }
+
+  /** Data-file census of a managed table's directory through the Hadoop
+    * FileSystem API — FS-agnostic on purpose (r14 verdict item 1): the
+    * bucketed-lifecycle queries `require` on per-bucket file counts,
+    * and a census walked with `java.nio.file` works only for `file:`
+    * warehouse URIs — on the HDFS/S3 warehouse a 100 TB estate actually
+    * uses it would throw before the invariant is ever checked. Returns
+    * the part-file NAMES; Spark encodes the bucket id in the name
+    * (`part-...._NNNNN.c000...parquet`), so callers can census per
+    * bucket without touching file contents. */
+  def listTableDataFiles(spark: SparkSession, table: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(managedTableUri(spark, table))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(path).toSeq
+      .filter(st => st.isFile)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+  }
+
   /** Drop-and-recreate a managed parquet table, clearing any STALE
     * LOCATION first: with the in-memory catalog, a previous JVM's
     * managed directory survives while its table entry does not, and
@@ -64,15 +90,11 @@ object Sinks {
   def replaceManagedTable(df: DataFrame, table: String)(
       configure: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =>
         org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = identity): Unit = {
-    // db-qualified names live under <db>.db/ — unqualified only here,
-    // and lowercase to match saveAsTable's identifier normalization
+    // db-qualified names live under <db>.db/ — unqualified only here
     // (otherwise the stale-location cleanup below misses the real path)
-    require(!table.contains('.'), s"replaceManagedTable takes an unqualified table name, got: $table")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new java.net.URI(s"$warehouse/${table.toLowerCase}".replace(" ", "%20"))
-    val path = new org.apache.hadoop.fs.Path(loc)
+    val path = new org.apache.hadoop.fs.Path(managedTableUri(spark, table))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) fs.delete(path, true)
     configure(df.write.mode(SaveMode.Overwrite).format("parquet")).saveAsTable(table)

@@ -336,7 +336,23 @@ object StreamingOps {
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
       outputMode: String = "complete", drainPartitions: Int = 4,
       awaitRows: Long = 0L, awaitWatermarkMicros: Option[Long] = None,
-      stateStore: Option[String] = None): DataFrame = {
+      stateStore: Option[String] = None): DataFrame =
+    runToMemoryCounted(spark, stream, name, outputMode, drainPartitions,
+      awaitRows, awaitWatermarkMicros, stateStore).df
+
+  /** [[runToMemory]] variant that also returns the drain's data-batch
+    * count (micro-batches with numInputRows > 0) — the bounded-admission
+    * queries `require` >= 2 of them (state must genuinely build across
+    * batches, or "bounded admission" silently degraded to a single
+    * burst). Returned per-call rather than via shared state (r14 verdict
+    * item 5: the previous `@volatile var` was a cross-talk surface under
+    * any concurrent caller). */
+  case class DrainResult(df: DataFrame, dataBatches: Int)
+
+  def runToMemoryCounted(spark: SparkSession, stream: DataFrame, name: String,
+      outputMode: String = "complete", drainPartitions: Int = 4,
+      awaitRows: Long = 0L, awaitWatermarkMicros: Option[Long] = None,
+      stateStore: Option[String] = None): DrainResult = {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     try spark.catalog.dropTempView(name) catch { case _: Exception => () }
     val key = "spark.sql.shuffle.partitions"
@@ -510,17 +526,17 @@ object StreamingOps {
             s"[drain $name]   state op=${so.operatorName} rows=${so.numRowsTotal} " +
               s"memBytes=${so.memoryUsedBytes} custom=${so.customMetrics}"))
         }
-      lastDrainDataBatches = q.recentProgress.count(_.numInputRows > 0)
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
       q.stop()
       // materialize the file-sink result BEFORE the finally block
       // deletes its backing directory: localCheckpoint(eager) moves
       // the rows into executor block storage, so the returned frame
       // no longer references the temp files. The memory-sink result
       // already lives off-disk.
-      fileSinkDir match {
+      DrainResult(fileSinkDir match {
         case Some(_) => sinkDf.localCheckpoint(true)
         case None    => sinkDf
-      }
+      }, dataBatches)
     } finally {
       if (listener != null)
         try spark.streams.removeListener(listener) catch { case _: Exception => () }
@@ -537,8 +553,10 @@ object StreamingOps {
       (shmCkpt.toSeq ++ fallbackCkpt.toSeq ++ fileSinkDir.toSeq).foreach { p =>
         try {
           import java.nio.file._
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          val walk = Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
             .forEach(f => Files.deleteIfExists(f))
+          finally walk.close()
         } catch { case _: Exception => () }
       }
     }
@@ -597,13 +615,16 @@ object StreamingOps {
       catch { case _: Exception => Files.copy(target, link) }
     }
     if (Files.isDirectory(p)) {
-      val it = Files.list(p).iterator()
-      while (it.hasNext) {
-        val f = it.next()
-        val n = f.getFileName.toString
-        if (!n.startsWith("_") && !n.startsWith(".") && Files.isRegularFile(f))
-          linkInto(f)
-      }
+      val ls = Files.list(p)
+      try {
+        val it = ls.iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          val n = f.getFileName.toString
+          if (!n.startsWith("_") && !n.startsWith(".") && Files.isRegularFile(f))
+            linkInto(f)
+        }
+      } finally ls.close()
     } else linkInto(p)
     val tsType = eventsTsType(spark, path)
     val maxRow = normalizeTs(spark.read.parquet(path))
@@ -672,10 +693,14 @@ object StreamingOps {
       .write.mode("overwrite").parquet(build.toString)
     import scala.jdk.CollectionConverters._
     // part-file NAME order = range-partition order = event-time order
-    val parts = Files.list(build).iterator().asScala
-      .filter(f => { val n = f.getFileName.toString
-        n.startsWith("part-") && n.endsWith(".parquet") })
-      .toSeq.sortBy(_.getFileName.toString)
+    val parts = {
+      val ls = Files.list(build)
+      try ls.iterator().asScala
+        .filter(f => { val n = f.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet") })
+        .toSeq.sortBy(_.getFileName.toString)
+      finally ls.close()
+    }
     // strictly increasing mtimes, all in the past (1s apart: coarse
     // enough to survive filesystems with second-granularity mtime)
     val base = System.currentTimeMillis() - (parts.size + 4) * 1000L
@@ -694,9 +719,13 @@ object StreamingOps {
         .withColumn("ts", timestamp_micros(lit(us + 86400L * 1000000L)))
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
-      val sf = Files.list(sentinelDir).iterator().asScala
-        .find(f => { val n = f.getFileName.toString
-          n.startsWith("part-") && n.endsWith(".parquet") }).get
+      val sf = {
+        val ls = Files.list(sentinelDir)
+        try ls.iterator().asScala
+          .find(f => { val n = f.getFileName.toString
+            n.startsWith("part-") && n.endsWith(".parquet") }).get
+        finally ls.close()
+      }
       val tgt = dir.resolve("sentinel.parquet")
       Files.move(sf, tgt)
       // newest mtime: the sentinel must be ADMITTED last, so the
@@ -705,14 +734,6 @@ object StreamingOps {
     }
     (dir.toString, maxTsMicros)
   }
-
-  /** Data-batch count of the most recent [[runToMemory]] drain
-    * (micro-batches with numInputRows > 0) — harness-side evidence for
-    * the bounded-admission queries/specs (q301 requires >= 2: the drain
-    * must actually have built state across batches, or the "bounded
-    * admission" claim silently degraded to a single burst). Drains run
-    * sequentially in Verify/Bench, so a plain volatile is enough. */
-  @volatile var lastDrainDataBatches: Int = -1
 
   /** Staged-documents schema for [[stageDocsWithSentinel]]. */
   val docsStagedSchema: StructType = StructType(Seq(

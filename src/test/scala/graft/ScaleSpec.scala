@@ -49,16 +49,10 @@ class ScaleSpec extends AnyFunSuite {
     // every batch covers all 53 keys -> all 4 buckets; after base + 2
     // appends each bucket must hold exactly 3 files (one per batch),
     // never tasks-per-batch × buckets
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val dir = java.nio.file.Paths.get(new java.net.URI(
-      s"$warehouse/append_bucketed".replace(" ", "%20")))
-    import scala.jdk.CollectionConverters._
     val bucketRe = "_(\\d{5})\\.".r
-    val perBucket = java.nio.file.Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+    val perBucket = Sinks.listTableDataFiles(spark, "append_bucketed")
       .flatMap(n => bucketRe.findFirstMatchIn(n).map(_.group(1)))
-      .toSeq.groupBy(identity).view.mapValues(_.size)
+      .groupBy(identity).view.mapValues(_.size)
     assert(perBucket.nonEmpty && perBucket.values.forall(_ == 3),
       s"each bucket should hold one file per batch, got: ${perBucket.toMap}")
     // the grown table still aggregates AND self-joins without a shuffle
@@ -77,15 +71,10 @@ class ScaleSpec extends AnyFunSuite {
       // COMPACTION (q305): one file-level rewrite restores one sorted
       // file per bucket, and with the ordering conf the SMJ then plans
       // without in-partition sorts — zero Sort AND zero Exchange
-      val tablePath = new java.net.URI(
-        s"$warehouse/append_bucketed".replace(" ", "%20")).toString
+      val tablePath = Sinks.managedTableUri(spark, "append_bucketed").toString
       Sinks.writeBucketed(spark.read.parquet(tablePath),
         "append_bucketed_compacted", 4, Seq("k"))
-      val compactFiles = java.nio.file.Files.list(java.nio.file.Paths.get(
-          new java.net.URI(s"$warehouse/append_bucketed_compacted".replace(" ", "%20"))))
-        .iterator().asScala
-        .count(f => { val n = f.getFileName.toString
-          n.startsWith("part-") && n.endsWith(".parquet") })
+      val compactFiles = Sinks.listTableDataFiles(spark, "append_bucketed_compacted").size
       assert(compactFiles == 4, s"compaction should leave one file per bucket, got $compactFiles")
       spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       try {
@@ -103,6 +92,45 @@ class ScaleSpec extends AnyFunSuite {
         assert(cj.count() == expected)
       } finally spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("Hadoop-FS census agrees with a direct listing; same-name compaction swap (q306 shape)") {
+    val s = spark; import s.implicits._
+    import graft.plans.PlanAudit
+    def batch(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong % 31, i * 1.0)).toDF("k", "v")
+    Sinks.writeBucketed(batch(0, 300), "swap_bucketed", 4, Seq("k"))
+    Sinks.appendBucketed(batch(300, 600), "swap_bucketed", 4, Seq("k"))
+    // the census goes through Path.getFileSystem(...).listStatus — the
+    // FS-agnostic API (r14 verdict item 1); on the local warehouse it
+    // must agree exactly with a direct directory listing
+    val viaHadoop = Sinks.listTableDataFiles(spark, "swap_bucketed").sorted
+    import scala.jdk.CollectionConverters._
+    val direct = {
+      val ls = java.nio.file.Files.list(
+        java.nio.file.Paths.get(Sinks.managedTableUri(spark, "swap_bucketed")))
+      try ls.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).toSeq.sorted
+      finally ls.close()
+    }
+    assert(viaHadoop == direct, s"census mismatch: $viaHadoop vs $direct")
+    assert(viaHadoop.size == 8, s"base + append should land 2 files/bucket, got $viaHadoop")
+    // compact aside, then swap under the SAME name: the managed rename
+    // moves the directory, so the original name's census sees only the
+    // compacted files and the old fragmented ones are gone
+    spark.sql("DROP TABLE IF EXISTS swap_bucketed_new")
+    Sinks.writeBucketed(
+      spark.read.parquet(Sinks.managedTableUri(spark, "swap_bucketed").toString),
+      "swap_bucketed_new", 4, Seq("k"))
+    spark.sql("DROP TABLE swap_bucketed")
+    spark.sql("ALTER TABLE swap_bucketed_new RENAME TO swap_bucketed")
+    assert(Sinks.listTableDataFiles(spark, "swap_bucketed").size == 4)
+    // the swapped-in table keeps its bucket spec under the ORIGINAL
+    // name (exchange-free per-key agg) and no row was lost or doubled
+    val agg = spark.table("swap_bucketed").groupBy("k").agg(sum("v").as("sv"))
+    assert(PlanAudit.shuffleCount(agg) == 0, "swapped-in table lost its bucket spec")
+    assert(spark.table("swap_bucketed").count() == 600L)
+    assert(agg.agg(sum("sv")).head().getDouble(0) == (0 until 600).map(_.toDouble).sum)
   }
 
   test("persisted IVF index: postings side joins exchange-free with bucket pruning") {

@@ -128,9 +128,10 @@ class StreamingDrainSpec extends AnyFunSuite {
         .withWatermark("ts", "1 minute")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
         .agg(count(lit(1)).as("n_events"))
-      val out = StreamingOps
-        .runToMemory(s, stream, s"drain_bounded_$bounded",
+      val drained = StreamingOps
+        .runToMemoryCounted(s, stream, s"drain_bounded_$bounded",
           outputMode = "append", awaitRows = 1L)
+      val out = drained.df
         .filter(col("user_id") >= 0)
         .select(col("user_id"),
           date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("start"),
@@ -138,7 +139,7 @@ class StreamingDrainSpec extends AnyFunSuite {
         .collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
         .sortBy(t => (t._1, t._2)).toSeq
-      (out, StreamingOps.lastDrainDataBatches)
+      (out, drained.dataBatches)
     }
     val (bounded, boundedBatches) = drain(bounded = true)
     val (burst, burstBatches) = drain(bounded = false)

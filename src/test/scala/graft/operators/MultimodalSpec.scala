@@ -53,6 +53,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseImageDims(jpeg.take(6)) == ("unknown", -1, -1))
   }
 
+  test("resizeImage: real decode → rescale → re-encode, dims and color survive") {
+    for {
+      fmt <- Seq("png", "jpeg")
+      (w, h) <- Seq((16, 16), (63, 33), (200, 131))
+    } {
+      val rgb = 0x88bb33
+      val resized = Multimodal.resizeImage(
+        Multimodal.encodeImage(w, h, rgb, fmt), w / 2, h / 2)
+      // container format preserved, independent parser sees the new dims
+      assert(Multimodal.parseImageDims(resized) == (fmt, w / 2, h / 2),
+        s"resize round-trip failed for $fmt ${w}x$h")
+      // pixel fidelity: a solid-color source must stay solid through a
+      // nearest-neighbor rescale — PNG exactly, JPEG within quantizer
+      // noise (solid blocks carry only a DC coefficient)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+      val px = img.getRGB(img.getWidth / 2, img.getHeight / 2)
+      val maxDelta = Seq(16, 8, 0)
+        .map(sh => math.abs(((px >> sh) & 0xff) - ((rgb >> sh) & 0xff))).max
+      if (fmt == "png") assert(maxDelta == 0, s"PNG resize must be lossless, delta $maxDelta")
+      else assert(maxDelta <= 8, s"JPEG resize color drifted $maxDelta > 8")
+    }
+  }
+
+  test("resizeImage fails closed on junk payloads") {
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeImage("not an image".getBytes, 4, 4)
+    }
+  }
+
+  test("resize transforms every payload of a media table, mime preserved") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      (1L, Multimodal.encodeImage(20, 30, 0x123456, "png"), "image/png", "t"),
+      (2L, Multimodal.encodeImage(31, 21, 0x654321, "jpeg"), "image/jpeg", "t"))
+    val out = Multimodal.resize(spark, rows.toDF("doc_id", "payload", "mime", "source"), 10, 7)
+      .collect().map { r =>
+        val (f, w, h) = Multimodal.parseImageDims(r.getAs[Array[Byte]]("payload"))
+        (r.getLong(0), f, w, h, r.getString(2))
+      }.sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "png", 10, 7, "image/png"), (2L, "jpeg", 10, 7, "image/jpeg")))
+  }
+
   test("imageDims runs the parser over the binary column partition-locally") {
     val s = spark; import s.implicits._
     val rows = Seq(
