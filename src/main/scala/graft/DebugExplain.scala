@@ -18,6 +18,24 @@ object DebugExplain {
       graft.operators.Dedup.ngramJaccardPairs(
         graft.sources.Tables.documents(sp, dir), threshold = 0.8),
       localThreshold = 0)),
+    // writeLshIndex's shingle-table projection (the write action's
+    // input plan — the index WRITE itself has no query plan to dump):
+    // where the per-shingle hash family runs at corpus scale, so the
+    // r15 md5_h1_seq / xxhash64_seq dispatch change is visible here
+    "op_lsh_sigs" -> ((sp, dir) => graft.operators.Dedup.lshSigsProjection(
+      graft.sources.Tables.documents(sp, dir), md5Mode = true)),
+    // the pre-r15 form of the same projection (per-shingle hash via the
+    // interpreted SQL transform lambda) — kept dumpable so the plan
+    // diff md5_h1_seq replaced is reproducible from this commit alone
+    "op_lsh_sigs_legacy" -> { (sp, dir) =>
+      import org.apache.spark.sql.functions._
+      graft.plans.GraftFunctions.register(sp)
+      graft.operators.Dedup.minhashSignatures(
+        graft.sources.Tables.documents(sp, dir), md5Mode = true)
+        .select(col("doc_id"),
+          expr("transform(sh, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint))").as("sh_h"),
+          col("bandhash"))
+    },
     // q108's probe plan (the driver query checkpoints each probe):
     // build the index, then show one probe — the audit points are the
     // bucket-pruned bands scan and the absence of any corpus text scan

@@ -810,9 +810,23 @@ object Dedup {
     * Jaccard over the string sets up to 64-bit collisions; the md5
     * variant is what lets DuckDB recompute the sets verbatim (q108). */
   private def shingleHashExpr(md5Mode: Boolean): String =
-    if (md5Mode)
-      "transform(sh, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint))"
-    else "transform(sh, x -> xxhash64(x))"
+    // md5_h1_seq = the SQL idiom
+    // transform(sh, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint))
+    // value-for-value (SketchesSpec pins the equivalence), at one digest
+    // + integer shifts per shingle instead of digest + hex encode +
+    // substring + base-16 parse per shingle — r15 measured the SQL form
+    // at 2× the cost of the entire 32-member MinHash sketch pass
+    if (md5Mode) "md5_h1_seq(sh)"
+    else "xxhash64_seq(sh)" // same dispatch-elimination for the production family
+
+  /** The hashed projection writeLshIndex persists — exposed for plan
+    * audits (the write action itself has no dumpable query plan). */
+  def lshSigsProjection(docs: DataFrame, k: Int = 32, bands: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text",
+      md5Mode: Boolean = false): DataFrame =
+    minhashSignatures(docs, idCol, textCol, k, bands, md5Mode)
+      .select(col(idCol).as("doc_id"),
+        expr(shingleHashExpr(md5Mode)).as("sh_h"), col("bandhash"))
 
   def writeLshIndex(spark: SparkSession, docs: DataFrame, name: String,
       k: Int = 32, bands: Int = 8, buckets: Int = 16,
@@ -822,9 +836,7 @@ object Dedup {
     // cache the HASHED projection, not the sketch output: the string
     // shingle arrays are text-sized and feed nothing downstream — both
     // index tables derive from (id, shingle hashes, band hashes)
-    val sigs = minhashSignatures(docs, idCol, textCol, k, bands, md5Mode)
-      .select(col(idCol).as("doc_id"),
-        expr(shingleHashExpr(md5Mode)).as("sh_h"), col("bandhash"))
+    val sigs = lshSigsProjection(docs, k, bands, idCol, textCol, md5Mode)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       graft.sources.Sinks.writeBucketed(

@@ -48,6 +48,12 @@ object StatTests {
     * ≤ this many aggregated rows. */
   private val HistBuckets = 4096
 
+  /** Max histogram rows worth broadcasting in the rank-decoration
+    * joins: 64k (v, avgrank) rows ≈ 1.5 MB framed — far under any
+    * broadcast limit, and a histogram that small means the column has
+    * a bounded domain, so the bound holds at every scale factor. */
+  private val BroadcastHistMaxRows = 65536L
+
   /** Monotone value-range bucket of `v` in [lo, hi] — clamps the
     * degenerate lo == hi frame and the v == hi edge into band 0 /
     * the top band (the exactQuantiles convention). */
@@ -187,9 +193,63 @@ object StatTests {
     val data = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
       .na.drop(cols)
       .transform(Pin.lazily)
-    val ranked = cols.foldLeft(data) { (d, c) =>
-      val (hist, _) = valueHist(data.select(col(c).as("v")), "v")
-      d.join(hist.select(col("v").as(c), col("avgrank").as(s"__r_$c")), Seq(c))
+    // r15 restructure, same values (oracle hash re-verified):
+    //
+    // 1. ONE histogram pass instead of |cols|: the per-column valueHist
+    //    calls each re-aggregated the row frame and materialized two
+    //    checkpoints — 4 columns cost 4 row-scale shuffles, 8
+    //    checkpoints and 4 window passes. Exploding to (ci, v) rows and
+    //    composing the SAME two-phase bucket windows partitioned by
+    //    (ci[, __qb]) computes every column's histogram in one shuffle
+    //    whose total bytes equal the four separate ones, one window
+    //    pass, two checkpoints. Per-(column, value) cnt/avgrank are
+    //    unchanged: each column's cumulative windows see exactly its
+    //    own rows (ci in every partition key).
+    //
+    // 2. Size-aware decoration joins: each fold join re-shuffles the
+    //    FULL row frame on a different key, and the checkpointed
+    //    histogram side carries no size stats, so the planner made
+    //    every decoration a SortMergeJoin — including bounded-domain
+    //    columns whose histograms are KB-scale at ANY corpus size (a
+    //    50-value quantity column has a 50-row histogram at 100 TB
+    //    too). Decide per column from the MATERIALIZED histogram's
+    //    real row count (exact, not an estimate): small histogram →
+    //    broadcast join (no row-frame shuffle); unbounded-cardinality
+    //    histogram → keep the equi-shuffle SMJ, the scale-correct
+    //    shape there. Measured on q193's column set at sf0.1
+    //    (DebugR15 profiler): 4 SMJs → 1 SMJ + 3 broadcasts, and with
+    //    the one-pass histogram 8.8 → 6.9 s cold, 4.8 → 3.3 s warm.
+    val ncols = cols.size
+    val longFmt = data.select(posexplode(
+      array(cols.map(c => col(c)): _*)).as(Seq("ci", "v")))
+    val hist0 = longFmt.groupBy("ci", "v").agg(count(lit(1)).as("cnt"))
+      .transform(Pin.lazily)
+    val stats = hist0.groupBy("ci").agg(min("v").as("__lo"), max("v").as("__hi"))
+    val bucketed = hist0.join(broadcast(stats), Seq("ci"))
+      .withColumn("__qb", bucketOf(col("v"), col("__lo"), col("__hi")))
+      .drop("__lo", "__hi")
+    val offsets = bucketed.groupBy("ci", "__qb").agg(sum("cnt").as("__bcnt"))
+      .withColumn("__boffset", coalesce(sum("__bcnt").over(
+        Window.partitionBy("ci").orderBy("__qb")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("ci", "__qb", "__boffset")
+    val hist = bucketed.join(broadcast(offsets), Seq("ci", "__qb"))
+      .withColumn("__cumBefore", col("__boffset") +
+        coalesce(sum("cnt").over(
+          Window.partitionBy("ci", "__qb").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("avgrank", col("__cumBefore") + (col("cnt") + 1) / 2.0)
+      .select("ci", "v", "avgrank")
+      .transform(Pin.lazily)
+    val histSizes = hist.groupBy("ci").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ranked = cols.zipWithIndex.foldLeft(data) { case (d, (c, i)) =>
+      val side = hist.filter(col("ci") === i)
+        .select(col("v").as(c), col("avgrank").as(s"__r_$c"))
+      val decorated =
+        if (histSizes.getOrElse(i, 0L) <= BroadcastHistMaxRows) broadcast(side)
+        else side
+      d.join(decorated, Seq(c))
     }
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i < j

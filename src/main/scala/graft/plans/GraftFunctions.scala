@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.catalyst.expressions.graft.{BigramCounts, BpeMerge, CdcBoundaries, CosineSimilarity, HashFeatures, JaroWinkler, LshBucket, MinHashBands, MinHashSig, MinHashSigMd5, MmrSelect, Morton2, PeriodMatches, ShingleSeq, Shingles, SimHash64, SrpBandKeys, SrpProject, TopKAgg, VectorSum, WinnowFingerprints}
+import org.apache.spark.sql.catalyst.expressions.graft.{BigramCounts, BpeMerge, CdcBoundaries, CosineSimilarity, HashFeatures, JaroWinkler, LshBucket, Md5H1Seq, MinHashBands, MinHashSig, MinHashSigMd5, MmrSelect, Morton2, PeriodMatches, ShingleSeq, Shingles, SimHash64, SrpBandKeys, SrpProject, TopKAgg, VectorSum, WinnowFingerprints, XxHash64Seq}
 
 /** Session-scoped registration of graft's native Catalyst expressions,
   * so they are callable from `expr("cosine_sim(a, b)")` / SQL text.
@@ -62,6 +62,10 @@ object GraftFunctions {
       exprs => WinnowFingerprints(exprs(0), intLit(exprs(1)), md5Hash = true), "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_sig_md5", exprs => MinHashSigMd5(exprs(0), intLit(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "md5_h1_seq", exprs => Md5H1Seq(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "xxhash64_seq", exprs => XxHash64Seq(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "cdc_boundaries_md5",
       exprs => CdcBoundaries(exprs(0), intLit(exprs(1)), intLit(exprs(2)),

@@ -163,6 +163,64 @@ case class MinHashSigMd5(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** h1 per element of an array<string> — exactly
+  * `transform(a, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint))`
+  * (the md5 parity idiom's per-shingle form), but ONE digest and a few
+  * integer shifts per element instead of digest → 32-char hex encode →
+  * substring → base-16 string parse, and no per-element interpreted
+  * lambda dispatch. [[Md5Hash.pair]]'s v1 is the first 8 digest bytes
+  * big-endian >>> 4 — i.e. the integer value of the first 15 hex
+  * digits — so the values are bit-identical to the SQL form (pinned by
+  * SketchesSpec's equivalence test) and every oracle that restates the
+  * idiom in SQL still matches. r15 measurement: the SQL transform cost
+  * 2× the whole 32-member MinHash sketch on the same shingle set. */
+case class Md5H1Seq(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_h1_seq"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = Md5Hash.pair(arr.getUTF8String(i))._1
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** xxhash64 (seed 42, Spark's SQL default) per element of an
+  * array<string> — exactly `transform(a, x -> xxhash64(x))` but without
+  * the per-element interpreted lambda dispatch ArrayTransform pays
+  * (higher-order-function lambdas do not participate in codegen).
+  * Value-identity with the SQL form is pinned by SketchesSpec. */
+case class XxHash64Seq(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "xxhash64_seq"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = SketchHash.hash(arr.getUTF8String(i), 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Jaro–Winkler similarity of two strings (Winkler 1990) — the
   * record-linkage measure Spark lacks as a builtin (it ships only
   * `levenshtein`/`soundex`). Standard definition, chosen to match the
