@@ -155,6 +155,41 @@ object DebugR15 {
             Similarity.ivfTopKFromIndex(spark, "graft_ivf_prof", q, k = 10, nProbe = 4).count()
           }
         }
+      case "ngram" => // q33 (t=0.3 inverted) / q57 (t=0.8 prefix) chains
+        val docsDf = Tables.documents(spark, sfDir)
+        (1 to 2).foreach { round =>
+          time(s"r$round ngramJaccard t=0.3 full") {
+            Dedup.ngramJaccardPairs(docsDf, threshold = 0.3).count()
+          }
+          time(s"r$round ngramJaccard t=0.8 full") {
+            Dedup.ngramJaccardPairs(docsDf, threshold = 0.8).count()
+          }
+        }
+        // join blowup diagnostics for the t=0.3 inverted-index branch
+        val sh = docsDf
+          .withColumn("toks", expr("split(lower(trim(text)), '\\\\s+')"))
+          .filter(size(col("toks")) >= 3)
+          .withColumn("sh", expr("shingles(toks, 3)"))
+          .select(col("doc_id").as("id"), col("sh"), size(col("sh")).as("n_sh"))
+        val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
+        inv.persist();
+        println("  inv rows = " + inv.count())
+        val byFreq = inv.groupBy("shingle").count()
+        println("  distinct shingles = " + byFreq.count())
+        println("  join pairs upper = " + byFreq.selectExpr("sum(count*count)").head().getLong(0))
+        println("  top shingle freqs = " + byFreq.orderBy(col("count").desc).limit(5)
+          .collect().map(_.getLong(1)).mkString(","))
+        inv.unpersist(false)
+      case "pagerank" => // q138 chain: edges vs iterations
+        (1 to 2).foreach { round =>
+          val edges = time(s"r$round ngramJaccard t=0.8 (edges)") {
+            val e = Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir), threshold = 0.8)
+            e.count(); e
+          }
+          time(s"r$round pageRank 3 iters") {
+            graft.operators.Graph.pageRank(edges, iters = 3).count()
+          }
+        }
       case "minhash" => // q31 decomposition
         val docsDf = Tables.documents(spark, sfDir)
         (1 to 2).foreach { round =>
@@ -189,6 +224,15 @@ object DebugR15 {
         val dbg = graft.operators.StatTests.spearmanMatrix(
           Tables.lineitem(spark, sfDir), cols)
         println(dbg.queryExecution.executedPlan.toString.take(3000))
+      case "query" => // time any registry queries (args 2..n), twice each
+        val names = args.drop(2)
+        (1 to 2).foreach { round =>
+          names.foreach { n =>
+            time(s"r$round $n") { SparkEntry.queries(n)(spark, sfDir).count() }
+            try spark.sparkContext.getPersistentRDDs.valuesIterator.foreach(_.unpersist(false))
+            catch { case _: Throwable => () }
+          }
+        }
       case other => println(s"unknown profile target: $other")
     }
     spark.stop()

@@ -58,43 +58,62 @@ object Bpe {
   def learnMerges(docs: DataFrame, textCol: String, nMerges: Int,
       topWords: Int, maxLen: Int = 12): DataFrame = {
     val spark = docs.sparkSession
-    graft.plans.GraftFunctions.register(spark)
-    // chars via sequence+substr: the one char-split formulation that
-    // is value-identical across engines (split-on-empty-regex differs)
-    var words = wordHistogram(docs, textCol, topWords, maxLen)
-      .withColumn("toks", expr(
-        "concat(transform(sequence(1, length(word)), i -> substring(word, i, 1)), array('</w>'))"))
-      .select("word", "freq", "toks")
-      .localCheckpoint() // histogram is ≤ topWords rows: checkpoint is cheap
+    // r15: the merge loop previously ran as nMerges Spark iterations —
+    // per merge one pair-count argmax COLLECT plus one eager
+    // localCheckpoint of the rewritten symbol frame, i.e. 2·nMerges
+    // scheduler round-trips against a ≤ topWords-row frame (32 actions
+    // for the registry's 16-merge calls; measured as the bulk of
+    // q237/q241/q287). The loop's entire state is the word histogram —
+    // ≤ topWords words of ≤ maxLen+1 ASCII symbols, the same
+    // parameter-bounded MODEL state the engine already treats as
+    // driver-resident for k-means centroids and the GD classifier
+    // (q107 discipline) — so train on the driver: ONE distributed
+    // histogram pass (unchanged — the only corpus-scale step), one
+    // collect, then pure-Scala iterations.
+    //
+    // Value identity with the Spark loop (and the unrolled DuckDB
+    // oracle) is exact: words are lowercase a-z (wordHistogram splits
+    // on [^a-z]+), so per-char splitting and String ordering coincide
+    // with Spark's code-point substring and binary collation; pair
+    // counts are integer sums; the argmax tie-break (count DESC, l ASC,
+    // r ASC) is total; the greedy rewrite below replicates
+    // [[graft.plans.BpeMerge]]'s left-to-right consume-both rule
+    // verbatim. BpeSpec pins learn+encode outputs.
+    val hist = wordHistogram(docs, textCol, topWords, maxLen).collect()
+    var toks: Array[Array[String]] =
+      hist.map(r => r.getString(0).map(_.toString).toArray :+ "</w>")
+    val freqs: Array[Long] = hist.map(_.getLong(1))
     val merges = ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
     while (step <= nMerges && !exhausted) {
-      // the size guard matters once a word is fully merged to one
-      // symbol: Spark's sequence(1, 0) counts DOWN ([1, 0]) rather
-      // than producing an empty list (DuckDB's range(1, 1) is empty)
-      val top = words
-        .select(col("freq"), explode(expr(
-          """CASE WHEN size(toks) > 1 THEN
-            |  transform(sequence(1, size(toks) - 1),
-            |    j -> struct(element_at(toks, j) AS l, element_at(toks, j + 1) AS r))
-            |ELSE array() END""".stripMargin)).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("freq").as("cnt"))
-        .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect() // 1-row argmax: the model artifact, not data
-      if (top.isEmpty) exhausted = true
+      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < toks.length) {
+        val ts = toks(wi); var j = 0
+        while (j < ts.length - 1) {
+          val key = (ts(j), ts(j + 1))
+          cnt.update(key, cnt.getOrElse(key, 0L) + freqs(wi))
+          j += 1
+        }
+        wi += 1
+      }
+      if (cnt.isEmpty) exhausted = true
       else {
-        val l = top(0).getString(0); val r = top(0).getString(1)
-        merges += ((step, l, r, top(0).getLong(2)))
-        // call_function + lit, same as encode(): symbols are lowercase
-        // a-z / '</w>' by construction here, but carrying them as
-        // VALUES rather than SQL text keeps the whole file free of the
-        // injection-shaped pattern (r9 ADVICE)
-        words = words
-          .withColumn("toks",
-            call_function("bpe_merge", col("toks"), lit(l), lit(r)))
-          .localCheckpoint() // keep the loop's plan flat (tiny frame)
+        val ((l, r), c) = cnt.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += ((step, l, r, c))
+        toks = toks.map { ts =>
+          // BpeMerge's greedy non-overlap rule: left-to-right, a match
+          // consumes both symbols
+          val out = ArrayBuffer.empty[String]
+          var i = 0
+          while (i < ts.length) {
+            if (i + 1 < ts.length && ts(i) == l && ts(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += ts(i); i += 1 }
+          }
+          out.toArray
+        }
         step += 1
       }
     }

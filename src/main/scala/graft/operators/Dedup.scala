@@ -1045,7 +1045,13 @@ object Dedup {
       .withColumn("sh", shingles("toks", n))
       .select(col(idCol).as("id"), col("sh"), size(col("sh")).as("n_sh"))
     if (!usePrefix) {
+      // r15: pin the exploded index once — the self-join's two sides
+      // carry different aliases, so their pre-exchange subtrees don't
+      // canonicalize equal and ReuseExchange can't kick in; without the
+      // pin the scan → tokenize → shingle → explode chain ran TWICE
+      // (once per join side). Narrow frame (id, n_sh, shingle).
       val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
+        .transform(Pin.lazily)
       val a = inv.select(col("id").as("doc_a"), col("n_sh").as("na"), col("shingle"))
       val b = inv.select(col("id").as("doc_b"), col("n_sh").as("nb"), col("shingle"))
       a.join(b, Seq("shingle"))

@@ -44,12 +44,19 @@ object Graph {
     val und = dir
       .union(dir.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
+    // r15: nodes and outdeg are loop-INVARIANT but were left as plain
+    // plans, so every iteration re-ran the distinct and the degree
+    // aggregate against the edge checkpoint (2 extra exchange+agg
+    // passes per round). Pin both once; nodes.count() below doubles as
+    // the eager materialization of the lazy pin.
     val nodes = und.select(col("src").as("id")).distinct()
+      .transform(graft.plans.Pin.lazily)
     // node count: a 1-row scalar the teleport term needs (driver-scale
     // by definition, same class as corpus stats in BM25)
     val n = nodes.count()
     if (n == 0) return nodes.withColumn("rank", lit(0.0))
     val outdeg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      .transform(graft.plans.Pin.lazily)
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
     for (i <- 1 to iters) {
       val contribs = und

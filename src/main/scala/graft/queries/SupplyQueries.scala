@@ -89,10 +89,21 @@ object SupplyQueries {
     val j = Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .withColumn("late", col("l_shipdate") > date_add(col("o_orderdate"), 90))
-    val perOrder = j.groupBy("l_orderkey")
-      .agg(countDistinct("l_suppkey").as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
-        max(when(col("late"), col("l_suppkey"))).as("blame"))
+    // r15: the twin countDistincts planned as a ×3 Expand of the joined
+    // row frame (plans/r15/q245_sole_late_before.txt) — every joined
+    // row tripled before the first partial aggregate. The two-level
+    // rewrite aggregates to the (order, supplier) grain first (plain
+    // map-side-combinable aggregates, no Expand), then counts per
+    // order: n_supp = rows at that grain, n_late = suppliers with ≥1
+    // late line, blame = max late supplier — value-identical
+    // (countDistinct ignores the null branch of when(), = sum over the
+    // per-supplier any-late flag; hash oracle re-verified).
+    val perSupp = j.groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("late"), 1).otherwise(0)).as("__late_i"))
+    val perOrder = perSupp.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("__late_i")).cast("long").as("n_late"),
+        max(when(col("__late_i") === 1, col("l_suppkey"))).as("blame"))
       .where(col("n_supp") >= 2 && col("n_late") === 1)
     // supplier scales with SF (the q227 lesson) — no broadcast hint,
     // AQE picks the strategy
