@@ -224,6 +224,23 @@ object DebugR15 {
         val dbg = graft.operators.StatTests.spearmanMatrix(
           Tables.lineitem(spark, sfDir), cols)
         println(dbg.queryExecution.executedPlan.toString.take(3000))
+      case "floor" => // per-read fixed costs: schema inference vs pinned
+        val p = s"$sfDir/lineitem.parquet"
+        val schema = spark.read.parquet(p).schema
+        (1 to 2).foreach { round =>
+          time(s"r$round 20x read+count, inferred schema") {
+            (1 to 20).foreach(_ => spark.read.parquet(p).count())
+          }
+          time(s"r$round 20x read+count, pinned schema") {
+            (1 to 20).foreach(_ => spark.read.schema(schema).parquet(p).count())
+          }
+          time(s"r$round 20x plan-only (inferred)") {
+            (1 to 20).foreach(_ => spark.read.parquet(p).queryExecution.executedPlan)
+          }
+          time(s"r$round 20x plan-only (pinned)") {
+            (1 to 20).foreach(_ => spark.read.schema(schema).parquet(p).queryExecution.executedPlan)
+          }
+        }
       case "query" => // time any registry queries (args 2..n), twice each
         val names = args.drop(2)
         (1 to 2).foreach { round =>

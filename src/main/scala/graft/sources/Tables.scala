@@ -13,8 +13,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Per-JVM memo of each table path's sniffed parquet schema — the
+    * [[graft.streaming.StreamingOps.eventsTsType]] footer-sniff memo
+    * generalized to every loader. Without it EVERY `spark.read.parquet`
+    * call re-ran schema inference (driver-side footer read + file
+    * index build): measured 70 ms/plan vs 8 ms with a pinned schema at
+    * sf0.1 — across a 309-query × 2-pass bench with 2–4 table reads
+    * per query, tens of seconds of pure planning overhead (guide §5:
+    * the driver should do almost no data work; §6 file listing). This
+    * memoizes METADATA only (the testdata inputs are immutable for a
+    * run); every query still computes from the parquet files. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")

@@ -373,9 +373,24 @@ object StreamingOps {
     val prevProvider = spark.conf.getOption(providerKey)
     // caller-pinned provider (e.g. q300's RocksDB drain) wins over the
     // env/sysprop knob; both map through the same knob→class table
-    stateStore.map(mapStateStoreKnob)
+    val resolvedProvider = stateStore.map(mapStateStoreKnob)
       .orElse(stateStoreProviderClass())
-      .foreach(spark.conf.set(providerKey, _))
+    resolvedProvider.foreach(spark.conf.set(providerKey, _))
+    // RocksDB drains commit via CHANGELOG checkpointing (r15): the
+    // default full-snapshot mode re-uploads the store's SST set every
+    // micro-batch — exactly the per-batch cost the bounded-admission
+    // queries multiply by their batch count. Changelog mode writes the
+    // batch's delta and snapshots in the background — the recommended
+    // production RocksDB configuration, and a checkpoint-FORMAT choice
+    // only: state contents and results are identical (q300/q304/q308
+    // stay on q85/q87's batch hash oracles; StateStoreProviderSpec pins
+    // row identity). Measured at sf0.1: the three RocksDB drains
+    // 12.8 -> 11.1 s. Restored with the provider key below.
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevChangelog = spark.conf.getOption(changelogKey)
+    if (resolvedProvider.exists(_.contains("RocksDB")))
+      spark.conf.set(changelogKey, "true")
     val fileSink = drainsToFileSink(outputMode)
     val fileSinkDir: Option[java.nio.file.Path] =
       if (fileSink) Some(java.nio.file.Files.createTempDirectory("graft_drain_out"))
@@ -544,6 +559,10 @@ object StreamingOps {
       prevProvider match {
         case Some(v) => spark.conf.set(providerKey, v)
         case None    => try spark.conf.unset(providerKey) catch { case _: Exception => () }
+      }
+      prevChangelog match {
+        case Some(v) => spark.conf.set(changelogKey, v)
+        case None    => try spark.conf.unset(changelogKey) catch { case _: Exception => () }
       }
       try org.apache.spark.sql.graft.StateStoreHooks.stopAll()
       catch { case _: Exception => () }
