@@ -224,6 +224,35 @@ object DebugR15 {
         val dbg = graft.operators.StatTests.spearmanMatrix(
           Tables.lineitem(spark, sfDir), cols)
         println(dbg.queryExecution.executedPlan.toString.take(3000))
+      case "drain" => // streaming drain cost anatomy via progress durations
+        import org.apache.spark.sql.streaming.StreamingQueryListener
+        val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        spark.streams.addListener(new StreamingQueryListener {
+          override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+            val p = e.progress
+            events.add(f"batch ${p.batchId}%2d rows=${p.numInputRows}%6d " +
+              f"total=${p.durationMs.getOrDefault("triggerExecution", -1L)}%5d ms " +
+              f"(addBatch=${p.durationMs.getOrDefault("addBatch", -1L)} " +
+              f"getBatch=${p.durationMs.getOrDefault("getBatch", -1L)} " +
+              f"latestOffset=${p.durationMs.getOrDefault("latestOffset", -1L)} " +
+              f"queryPlanning=${p.durationMs.getOrDefault("queryPlanning", -1L)} " +
+              f"walCommit=${p.durationMs.getOrDefault("walCommit", -1L)} " +
+              f"commitOffsets=${p.durationMs.getOrDefault("commitOffsets", -1L)} " +
+              f"stateCommit=${p.stateOperators.map(_.commitTimeMs).sum})")
+          }
+          override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        })
+        (1 to 2).foreach { round =>
+          time(s"r$round q85_streaming_sessions") {
+            SparkEntry.queries("q85_streaming_sessions")(spark, sfDir).count()
+          }
+          time(s"r$round q301_bounded_sessions") {
+            SparkEntry.queries("q301_bounded_sessions")(spark, sfDir).count()
+          }
+        }
+        Thread.sleep(500)
+        events.forEach(s => println(s"[drain] $s"))
       case "floor" => // per-read fixed costs: schema inference vs pinned
         val p = s"$sfDir/lineitem.parquet"
         val schema = spark.read.parquet(p).schema
