@@ -163,6 +163,18 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] state-store stop: ${e.getMessage}") }
     try spark.stop()
     catch { case e: Throwable => System.err.println(s"[bench] spark stop: ${e.getMessage}") }
+    // r16 (verdict item 2, additions only): ALSO stream the per-query
+    // map to stdout as short self-contained JSON lines immediately
+    // before the metric line — the driver keeps only the last ~4 KB of
+    // output, so one 309-entry line always truncated mid-map; ~25-entry
+    // parts keep the tail's surviving lines parseable. The contract
+    // metric line stays LAST and unchanged.
+    results.grouped(25).zipWithIndex.foreach { case (chunk, i) =>
+      val m = chunk.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      System.out.println(
+        s"""{"metric":"queries_part","part":${i + 1},"queries":$m}""")
+    }
     System.out.println(metricLine)
     System.out.flush()
     System.err.flush()

@@ -55,6 +55,12 @@ object Bpe {
     * end-of-word marker (so merges can learn whole-word units and
     * suffixes, per the paper). Stops early if no adjacent pair is
     * left (fully-merged vocabulary). */
+  /* Driver-residency contract (r16, ADVICE): the collected histogram
+   * puts O(topWords · (maxLen+1)) symbol strings on the DRIVER heap —
+   * topWords bounds driver memory the way k in k-means does. Registry
+   * callers pass ≤ 1500; a caller passing millions is choosing a
+   * driver-resident model too big for the q107 discipline and should
+   * reconsider, not raise driver memory. */
   def learnMerges(docs: DataFrame, textCol: String, nMerges: Int,
       topWords: Int, maxLen: Int = 12): DataFrame = {
     val spark = docs.sparkSession

@@ -392,6 +392,10 @@ object Curation {
     val pos = df.select(col(entityCol).as("entity"), col(itemCol).as("item"))
       .where(col("entity").isNotNull && col("item").isNotNull)
       .distinct()
+    // bounded window (r16 audit): the item vocabulary is BROADCAST
+    // into the draw join below, so this frame is already required to
+    // be broadcast-small — the unpartitioned rank rides the same bound
+    // (a vocabulary too big for it is too big for the join itself)
     val items = pos.select(col("item")).distinct()
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("item")))

@@ -80,14 +80,16 @@ object Embeddings {
       idCol: String = "vec_id", vecCol: String = "embedding",
       offsets: Seq[Int] = Seq(1, 17, 97)): DataFrame = {
     GraftFunctions.register(spark)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
-    // rank spine: one pass; the unpartitioned row_number is over the
-    // embeddings table — vec-count scale, the bounded frame the ANN
-    // family already treats as the driver-scale side at local SF; at
-    // 100 TB swap for zipWithIndex-style dense ids on write
-    val ranked = emb.where(col(vecCol).isNotNull)
-      .select(col(idCol), col(vecCol))
-      .withColumn("__r", row_number().over(w))
+    // rank spine: two-phase bucket+offset rank (Spine.rankBy) — the
+    // r15 verdict's one remaining row-scale unpartitioned window,
+    // replaced by per-bucket row_numbers whose offsets come from a
+    // ≤4096-row bucket histogram; value-identical because vec ids are
+    // unique and non-null (enforced by the filter), so no single task
+    // ever materializes the whole embeddings table
+    val ranked = Spine.rankBy(
+      emb.where(col(vecCol).isNotNull && col(idCol).isNotNull)
+        .select(col(idCol), col(vecCol)),
+      col(idCol), "__r")
       .transform(Pin.lazily)
     val pairs = offsets.map { o =>
       ranked.select(col("__r"), col(vecCol).as("__va"))

@@ -219,7 +219,6 @@ object StatTests {
     //    shape there. Measured on q193's column set at sf0.1
     //    (DebugR15 profiler): 4 SMJs → 1 SMJ + 3 broadcasts, and with
     //    the one-pass histogram 8.8 → 6.9 s cold, 4.8 → 3.3 s warm.
-    val ncols = cols.size
     val longFmt = data.select(posexplode(
       array(cols.map(c => col(c)): _*)).as(Seq("ci", "v")))
     val hist0 = longFmt.groupBy("ci", "v").agg(count(lit(1)).as("cnt"))

@@ -37,7 +37,10 @@ object Survival {
     val total = table.agg(
       coalesce(sum(col("n_events") + col("n_censored")), lit(0L)).as("n_total"))
 
-    val byT = Window.orderBy(col("t")) // |distinct durations| rows — table scale
+    // bounded windows (r16 audit): the life table is |distinct
+    // durations| rows — integer time gaps capped by the observation
+    // span (a time-domain constant), never unit count
+    val byT = Window.orderBy(col("t"))
     table.crossJoin(broadcast(total))
       .withColumn("exited_before",
         coalesce(sum(col("n_events") + col("n_censored"))

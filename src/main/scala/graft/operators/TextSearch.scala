@@ -493,6 +493,8 @@ object TextSearch {
       .filter(col("tok") =!= "")
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
     val total = tf.agg(sum("cnt").as("__tot"))
+    // bounded window (r16 audit): the frame below it is limit(topK) —
+    // ≤ topK rows reach the unpartitioned rank, never the vocabulary
     val top = tf.orderBy(col("cnt").desc, col("tok")).limit(topK)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))

@@ -173,7 +173,13 @@ case class MinHashSigMd5(child: Expression, k: Int)
   * digits — so the values are bit-identical to the SQL form (pinned by
   * SketchesSpec's equivalence test) and every oracle that restates the
   * idiom in SQL still matches. r15 measurement: the SQL transform cost
-  * 2× the whole 32-member MinHash sketch on the same shingle set. */
+  * 2× the whole 32-member MinHash sketch on the same shingle set.
+  *
+  * Input contract (r16, ADVICE): elements must be NON-NULL — the
+  * declared `containsNull = false` output makes a null element NPE
+  * here where the SQL transform would emit a null element. Every
+  * producer satisfies this by construction (shingle/token arrays come
+  * from split/filter chains that cannot emit null elements). */
 case class Md5H1Seq(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -199,7 +205,8 @@ case class Md5H1Seq(child: Expression)
   * array<string> — exactly `transform(a, x -> xxhash64(x))` but without
   * the per-element interpreted lambda dispatch ArrayTransform pays
   * (higher-order-function lambdas do not participate in codegen).
-  * Value-identity with the SQL form is pinned by SketchesSpec. */
+  * Value-identity with the SQL form is pinned by SketchesSpec.
+  * Same non-null element contract as [[Md5H1Seq]]. */
 case class XxHash64Seq(child: Expression)
     extends UnaryExpression with CodegenFallback {
 

@@ -109,6 +109,8 @@ object MixQueries {
       .withColumn("base", expr(s"($budget * w_units) div tot_units"))
       .withColumn("rem_num", expr(s"($budget * w_units) % tot_units"))
     val short = al.agg((lit(budget) - sum("base")).as("shortfall"))
+    // bounded window (r16 audit): `al` is the (modality, lang) CELL
+    // frame — |modalities|·|langs| rows, a domain constant, not rows
     al.crossJoin(broadcast(short))
       .withColumn("rr", row_number().over(
         Window.orderBy(col("rem_num").desc, col("modality"), col("lang"))))
@@ -164,6 +166,8 @@ object MixQueries {
         least(floor((col("value") - col("lo")) / (col("hi") - col("lo")) * nB)
           .cast("int"), lit(nB - 1))))
       .select("event_id", "value", "__bucket")
+    // bounded window (r16 audit): ≤ nB bucket rows through the
+    // unpartitioned cumulative — the q127 histogram discipline
     val cum = bucketed.groupBy("__bucket").agg(count(lit(1)).as("bcount"))
       .withColumn("cum", sum("bcount").over(Window.orderBy("__bucket")))
       .withColumn("cum_before", col("cum") - col("bcount"))
@@ -292,6 +296,9 @@ object MixQueries {
           .otherwise(datediff(col("max_day"), col("s_day"))).as("t_days"),
         col("e_day").isNotNull.as("observed"))
     val total = subjects.agg(count(lit(1)).as("n_total"))
+    // bounded windows (r16 audit): the life table is |distinct t_days|
+    // rows — whole-day gaps, capped by the observation span (a time-
+    // domain constant), never subject count
     val km = subjects.groupBy("t_days")
       .agg(sum(when(col("observed"), 1L).otherwise(0L)).as("n_events"),
         sum(when(col("observed"), 0L).otherwise(1L)).as("n_censored"))

@@ -98,7 +98,12 @@ object SupplyQueries {
     // late line, blame = max late supplier — value-identical
     // (countDistinct ignores the null branch of when(), = sum over the
     // per-supplier any-late flag; hash oracle re-verified).
-    val perSupp = j.groupBy("l_orderkey", "l_suppkey")
+    // null suppliers are excluded BEFORE the grain aggregate (r16,
+    // ADVICE): count(lit(1)) at the grain would count a NULL-supplier
+    // group the original countDistinct(l_suppkey) ignored — latent on
+    // TPC-H-shaped data (l_suppkey non-null), filtered for exactness
+    val perSupp = j.where(col("l_suppkey").isNotNull)
+      .groupBy("l_orderkey", "l_suppkey")
       .agg(max(when(col("late"), 1).otherwise(0)).as("__late_i"))
     val perOrder = perSupp.groupBy("l_orderkey")
       .agg(count(lit(1)).as("n_supp"),

@@ -26,6 +26,15 @@ object Tables {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
+  /** Invalidate the schema memo (r16, ADVICE): the cache is keyed by
+    * path only, so a harness that REGENERATES files at a path with a
+    * different schema inside one JVM would silently read nulls for
+    * renamed columns through the stale pinned schema. No in-repo
+    * harness rewrites testdata in-process (Verify/Bench/tests treat
+    * the sf dirs as immutable); any future one must call this after
+    * rewriting. */
+  def clearSchemaCache(): Unit = schemaCache.clear()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     val schema = schemaCache.computeIfAbsent(path,
