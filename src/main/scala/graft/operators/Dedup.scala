@@ -151,10 +151,19 @@ object Dedup {
                   // re-sketch the whole corpus twice
     val candIds = pairs.select(col("doc_a").as(idCol))
       .union(pairs.select(col("doc_b").as(idCol))).distinct()
+    // r16: pin the candidate shingle frame — verifyJaccard consumes it
+    // on BOTH join sides (sh_a and sh_b aliases), and the differing
+    // aliases defeat ReuseExchange exactly like the r15 q33 case, so
+    // without the pin the scan → semi-join → tokenize → shingle chain
+    // ran TWICE (profiled: 2 of q31's 4 heavy 64-task stages were this
+    // chain; plan dump showed two parquet scans feeding the verify).
+    // Still candidate-bounded at 100 TB: only candidate docs' shingle
+    // sets are pinned, never the corpus's.
     val candSigs = docs.join(candIds, Seq(idCol), "left_semi")
       .withColumn("toks", tokens(textCol))
       .withColumn("sh", shingles("toks"))
       .select(col(idCol), col("sh"))
+      .transform(graft.plans.Pin.lazily)
     verifyJaccard(pairs, candSigs, idCol)
       .filter(col("jaccard") >= threshold)
   }

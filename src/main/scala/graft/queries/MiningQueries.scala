@@ -58,7 +58,14 @@ object MiningQueries {
       .withColumn("nxt", lead("l_partkey", 1).over(w))
       .filter(col("nxt").isNotNull)
       .select(col("l_partkey").as("p_src"), col("nxt").as("p_dst"))
+    // r16: pin the elected edge set — directedCycleCensus checkpoints
+    // its own copy for the census joins, but the n_edges leg below
+    // consumed the RAW frame, so the lineitem window + majority
+    // election ran twice (profiled: two identical scan→window→election
+    // stage triples, ~2.3 s task time each at sf0.1). The pin is
+    // edge-count-sized, the same frame the census already pins.
     val edges = Graph.electMajorityEdges(events, "p_src", "p_dst", minSupport = 2L)
+      .transform(Pin.lazily)
     val (cycles, transitive) = Graph.directedCycleCensus(edges)
     val cyc = cycles.transform(Pin.eager)
     val summary = cyc.agg(
